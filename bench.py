@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {name: sec}, "sf": ...}. Timing excludes session
+startup; each query is forced with a noop write so nothing is
+collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scrappy_spark.plans import registry
+from scrappy_spark.session import get_spark
+
+HEADLINE = [
+    "q_groupby_sum_avg",
+    "q_join_lineitem_part_supp",
+    "q_join_orders_customer",
+    "q_topk_per_group",
+    "q_window_rank",
+    "q_dedup_keep_first",
+    "q_ngram_topk",
+    "q_session_window_agg",
+    "q_tumbling_window_agg",
+    "q_doc_stats",
+    "q_minhash_pairs",
+    "q_simhash",
+    "q_embedding_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("scrappy_spark_bench")
+    qs = registry.queries()
+
+    # warm the JVM/catalog with one tiny action so q1 isn't charged startup
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

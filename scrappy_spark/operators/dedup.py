@@ -1,0 +1,65 @@
+"""Dedup and merge operators (reference D1/D2/M1, SURVEY.md §2.4).
+
+The reference's store merge is ``pd.concat`` + ``drop_duplicates(
+subset='title')`` keeping positional-first rows (``scrappy.py:334-335``)
+— the "never deletes existing data" guarantee. Positional order has no
+distributed meaning, so keep-first here is an explicit priority window:
+``row_number() over (partition by key order by priority, tiebreak)``.
+``dropDuplicates`` alone would pick an arbitrary row per key and silently
+break the guarantee under retries or partition reordering.
+
+Scale notes: the window-dedup is a single hash shuffle on the dedup key;
+at 100 TB the key (e.g. title/text hash) is high-cardinality so skew is
+not a concern, and AQE coalesces the post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def dedup_arbitrary(df: DataFrame, keys: list[str]) -> DataFrame:
+    """D1: within-batch dedup where any representative is acceptable
+    (reference ``scrappy.py:316``)."""
+    return df.dropDuplicates(keys)
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: list[str], order_by: list[str]
+) -> DataFrame:
+    """D2: deterministic keep-first dedup (reference ``scrappy.py:335``).
+
+    ``order_by`` defines "first" (e.g. ``["priority", "doc_id"]``); it
+    must totally order rows within a key group for determinism.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_keep_existing(
+    existing: DataFrame, new: DataFrame, keys: list[str], tiebreak: list[str]
+) -> DataFrame:
+    """M1 merge: union existing+new, existing wins per key (``scrappy.py:325-351``).
+
+    Equivalent to a Delta ``MERGE WHEN NOT MATCHED INSERT``; expressed as
+    union + priority window so it runs on plain parquet. Deterministic:
+    priority 0 (existing) sorts before 1 (new), then ``tiebreak``.
+    """
+    e = existing.withColumn("__prio", F.lit(0))
+    n = new.withColumn("__prio", F.lit(1))
+    merged = e.unionByName(n, allowMissingColumns=True)
+    return dedup_keep_first(merged, keys, ["__prio", *tiebreak]).drop("__prio")
+
+
+def newly_added(existing: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """J1: rows of ``new`` whose key is absent from ``existing``
+    (the merge report, reference ``scrappy.py:339-341``).
+
+    Left-anti join; Catalyst broadcasts the existing-keys side when it
+    is small, else sort-merge — either way no driver-side set.
+    """
+    return new.join(existing.select(*keys).distinct(), on=keys, how="left_anti")

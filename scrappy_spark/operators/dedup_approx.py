@@ -1,0 +1,160 @@
+"""Approximate / near-duplicate dedup operators.
+
+Four scale-out near-dup strategies over a text corpus, all expressed as
+shuffle-lean DataFrame pipelines:
+
+- exact hash dedup: md5 groupBy — one shuffle on a uniform key;
+- MinHash + LSH: shingle → per-seed min-hash → band bucket join —
+  candidate generation never compares all pairs, so it scales as
+  O(n · bands) instead of O(n²);
+- n-gram Jaccard verification: exact set overlap on candidate pairs (or
+  blocked pairs) only;
+- SimHash: 64-bit majority fingerprint, near-dups = small Hamming
+  distance within buckets.
+
+Hashing is md5-based (not Spark's xxhash64) so results are reproducible
+across engines — the DuckDB oracle computes the identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .mining import ngrams_expr, tokens_col
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content hash: (hash → representative id, count)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) pairs: k-token shingles of the normalized stream."""
+    toks = tokens_col(F.col(text_col))
+    return (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .select(id_col, F.explode_outer(F.expr(ngrams_expr("toks", k))).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, seed, minhash) — per-seed min of md5(seed|shingle).
+
+    Plan shape: explode shingles × seeds, then a partial-agg min groupBy
+    — the min combines map-side, so the shuffle carries ≤ n_docs ×
+    num_hashes rows regardless of document length.
+    """
+    sh = shingles(df, text_col, id_col, k=shingle_k).dropDuplicates([id_col, "shingle"])
+    seeds = F.explode(F.expr(f"sequence(0, {num_hashes - 1})")).alias("seed")
+    pairs = sh.select(id_col, "shingle", seeds)
+    return (
+        pairs.select(
+            id_col,
+            "seed",
+            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", min_matches: int = 2
+) -> DataFrame:
+    """LSH candidate pairs (r=1 bands): docs sharing ≥ ``min_matches``
+    per-seed min-hashes. Self-join on (seed, minhash) — i.e. a bucket
+    join on the LSH key, never an all-pairs product — then a count
+    filter. Output: (id_a < id_b, n_match)."""
+    a = sig.select(F.col(id_col).alias("id_a"), "seed", "minhash")
+    b = sig.select(F.col(id_col).alias("id_b"), "seed", "minhash")
+    return (
+        a.join(b, on=["seed", "minhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_match"))
+        .filter(F.col("n_match") >= min_matches)
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact token-set Jaccard over blocked pairs.
+
+    ``block_col`` restricts comparisons to equal-block pairs (e.g. lang,
+    length bucket, or an LSH band) — the standard way to keep the join
+    from being O(n²) at scale. Output: (id_a, id_b, jaccard)."""
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("tok_set"), *( [F.col(block_col)] if block_col else []))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("tok_set").alias("set_a"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("tok_set").alias("set_b"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    on = [block_col] if block_col else None
+    joined = a.join(b, on=on) if on else a.crossJoin(b)
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size(F.array_union("set_a", "set_b"))
+    jac = F.round(inter.cast("double") / union, 4)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Per-document SimHash fingerprint (default 32-bit).
+
+    Token hash = first 8 md5 hex chars parsed as an int (engine-portable);
+    bit b of the fingerprint is 1 iff the majority of tokens have bit b
+    set. Pure expressions: explode → per-bit signed sum → reassemble.
+    """
+    toks = tokens_col(F.col(text_col))
+    t = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    t = t.select(id_col, F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("th"))
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = t.groupBy(id_col).agg(*bit_cols)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_near_pairs(fp: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 32) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, bucketed by the high
+    half of the fingerprint so candidate generation is a bucket join
+    (docs differing only in low bits still collide)."""
+    bucket = F.shiftright(F.col("simhash"), bits // 2)
+    a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), bucket.alias("bkt"))
+    b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), bucket.alias("bkt"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, "bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

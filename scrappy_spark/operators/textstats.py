@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines.
+
+Quality scoring, token counting, language-ID heuristics, and document
+fingerprinting — all pure built-in column expressions (JVM-side, inside
+whole-stage codegen), so they scan-scale to 100 TB: no shuffle at all,
+one pass over the text column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .mining import STOPWORDS, tokens_col
+
+#: tiny per-language marker-word lists for the n-gram language heuristic.
+#: Deterministic and self-contained; swap in real frequency tables at
+#: deployment. Order matters: ties resolve to the earlier language.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "la", "los", "las", "que", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que"),
+}
+
+
+def _arr_lit(words: tuple[str, ...]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics: token count, average token length,
+    stopword ratio, distinct-token ratio, alpha-char ratio.
+
+    All ratios are rounded so they are stable under float re-ordering.
+    """
+    toks = tokens_col(F.col(text_col))
+    sw = _arr_lit(STOPWORDS)
+    df = df.select(id_col, F.col(text_col).alias("__text"), toks.alias("__toks"))
+    n_toks = F.size("__toks")
+    return df.select(
+        id_col,
+        n_toks.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.when(
+                n_toks > 0,
+                F.aggregate("__toks", F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+                / n_toks,
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("avg_token_len"),
+        F.round(
+            F.when(
+                n_toks > 0,
+                F.size(F.expr(f"filter(__toks, t -> array_contains({sw}, t))")).cast("double")
+                / n_toks,
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(n_toks > 0, F.size(F.array_distinct("__toks")).cast("double") / n_toks)
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("distinct_ratio"),
+        F.round(
+            F.length(F.regexp_replace("__text", "[^a-zA-Z]", "")).cast("double")
+            / F.greatest(F.length("__text"), F.lit(1)),
+            4,
+        ).alias("alpha_ratio"),
+    )
+
+
+def lang_score(toks: Column, lang: str) -> Column:
+    """# of distinct marker words of ``lang`` present in the token set."""
+    return F.size(F.array_intersect(F.array_distinct(toks), F.expr(_arr_lit(LANG_MARKERS[lang]))))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-overlap language heuristic: argmax of per-language marker
+    hits, 'und' (undetermined) when nothing matches. Fixed precedence
+    order (en, de, es, fr) resolves ties deterministically."""
+    toks = tokens_col(F.col(text_col))
+    df = df.select(id_col, toks.alias("__toks"))
+    scores = {lg: lang_score(F.col("__toks"), lg) for lg in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lg in reversed(list(LANG_MARKERS)):  # build CASE from lowest precedence up
+        pred = F.when((scores[lg] == best) & (best > 0), F.lit(lg)).otherwise(pred)
+    out = df.select(
+        id_col,
+        pred.alias("pred_lang"),
+        *[scores[lg].cast("long").alias(f"score_{lg}") for lg in LANG_MARKERS],
+    )
+    return out
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical document fingerprint: md5 over the normalized
+    space-joined token stream, plus the token count. Identical token
+    streams (whitespace/punctuation-insensitive) collide on purpose."""
+    toks = tokens_col(F.col(text_col))
+    canon = F.array_join(toks, " ")
+    return df.select(
+        id_col,
+        F.md5(canon).alias("fingerprint"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )

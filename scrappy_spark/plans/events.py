@@ -1,0 +1,125 @@
+"""Event-table declared queries: JSON extraction and the batch twins of
+the streaming window operators (SURVEY.md §2.9).
+
+The streaming module (``scrappy_spark.streaming``) runs the same logic
+through ``readStream`` with watermarks; these batch formulations are the
+DuckDB-checkable contracts for the window semantics. Spark's ``window()``
+buckets align to the Unix epoch, so the oracle reproduces them with
+epoch arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..io import load_table
+from .registry import register
+
+
+@register(
+    "q_json_extract",
+    sql="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    """,
+    doc="§2.6 JSON field access (reference data.get(...) chains, e.g. "
+    "scrappy.py:100,112,183) — get_json_object over the props payload.",
+    tags=("scalar", "json"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "q_tumbling_window_agg",
+    sql="""
+    SELECT date_trunc('hour', ts) AS w_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="Tumbling 1h window aggregate — batch twin of the streaming "
+    "windowed agg; Spark window(ts, '1 hour') start == date_trunc('hour').",
+    tags=("window", "streaming-twin"),
+)
+def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "q_sliding_window_agg",
+    sql="""
+    WITH slid AS (
+        SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
+               AS w_start, value FROM events
+        UNION ALL
+        SELECT make_timestamp(CAST((floor(epoch(ts) / 300) - 1) * 300 AS BIGINT) * 1000000)
+               AS w_start, value FROM events
+    )
+    SELECT w_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM slid GROUP BY w_start
+    """,
+    doc="Sliding window (10 min length, 5 min slide): each event lands in "
+    "two windows; oracle reproduces Spark's epoch-aligned window starts.",
+    tags=("window", "streaming-twin"),
+)
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "q_session_window_agg",
+    sql="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events),
+    sessions AS (
+        SELECT user_id, ts, value,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM flagged)
+    SELECT user_id, session_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Sessionization (30 min gap) via lag + cumulative-sum windows — "
+    "batch twin of session_window / applyInPandasWithState.",
+    tags=("window", "streaming-twin", "session"),
+)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+    flagged = e.withColumn(
+        "is_new", F.when(gap_us > 1800 * 1_000_000, 1).otherwise(0)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(wsum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

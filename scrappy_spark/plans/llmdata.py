@@ -1,0 +1,296 @@
+"""Declared queries for the LLM-training-data operators (north star):
+dedup (exact / MinHash+LSH / SimHash / Jaccard), similarity search over
+embeddings, and text analysis. Built on ``operators.dedup_approx``,
+``operators.similarity``, ``operators.textstats``.
+
+All hashing is md5-based so the DuckDB oracle reproduces identical
+signatures — cross-engine-portable by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from ..operators import dedup_approx as DA, similarity as SIM, textstats as TS
+from ..operators.mining import STOPWORDS
+from .registry import register
+
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+#: DuckDB token stream WITHOUT stopword removal (mirrors tokens_col)
+_RAW_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_doc_stats",
+    sql=f"""
+    WITH t AS (SELECT doc_id, text, {_RAW_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT)                 AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT)  AS n_distinct_tokens,
+           round(CASE WHEN len(toks) > 0 THEN
+                 CAST(list_sum([length(x) FOR x IN toks]) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END, 4)                    AS avg_token_len,
+           round(CASE WHEN len(toks) > 0 THEN
+                 CAST(len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END, 4)                    AS stopword_ratio,
+           round(CASE WHEN len(toks) > 0 THEN
+                 CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END, 4)                    AS distinct_ratio,
+           round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 4)     AS alpha_ratio
+    FROM t
+    """,
+    doc="Per-document quality metrics (length / stopword / diversity "
+    "ratios) — scan-only, no shuffle, codegen-friendly.",
+    tags=("llm", "textstats"),
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.doc_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    score_cols = ",\n           ".join(
+        "CAST(len(list_intersect(list_distinct(toks), [{ws}])) AS BIGINT) AS score_{lg}".format(
+            ws=", ".join(f"'{w}'" for w in TS.LANG_MARKERS[lg]), lg=lg
+        )
+        for lg in TS.LANG_MARKERS
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in TS.LANG_MARKERS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lg} = {best} AND {best} > 0 THEN '{lg}'" for lg in TS.LANG_MARKERS
+    ) + " ELSE 'und' END"
+    return f"""
+    WITH t AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+           {score_cols}
+          FROM t)
+    SELECT doc_id, {case} AS pred_lang,
+           score_en, score_de, score_es, score_fr
+    FROM s
+    """
+
+
+@register(
+    "q_lang_id",
+    sql=_lang_id_sql(),
+    doc="Marker-word language-ID heuristic: argmax of per-language "
+    "marker overlap with deterministic precedence ties.",
+    tags=("llm", "textstats"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_fingerprint",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(toks, ' ')) AS fingerprint,
+           CAST(len(toks) AS BIGINT)       AS n_tokens
+    FROM t
+    """,
+    doc="Canonical document fingerprint: md5 of the normalized token "
+    "stream (whitespace/punct-insensitive duplicate detector).",
+    tags=("llm", "dedup"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact_hash",
+    sql="""
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS doc_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup by content hash — one shuffle on a uniform key; "
+    "the 100 TB workhorse before any near-dup pass.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DA.exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+_SHINGLES_SQL = f"""
+    toks AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i : i + 2], ' ')
+                       FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+        FROM toks))
+"""
+
+_SIG_SQL = f"""
+    {_SHINGLES_SQL},
+    seeded AS (SELECT doc_id, shingle,
+                      unnest(generate_series(0, 7)) AS seed FROM sh),
+    sig AS (SELECT doc_id, seed,
+                   min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+            FROM seeded GROUP BY doc_id, seed)
+"""
+
+
+@register(
+    "q_minhash_signatures",
+    sql=f"""
+    WITH {_SIG_SQL}
+    SELECT doc_id, CAST(seed AS BIGINT) AS seed, minhash FROM sig
+    """,
+    doc="MinHash signatures (8 seeds, 3-token shingles, md5 hash family): "
+    "explode × seeds then partial-agg min — shuffle ≤ n_docs×8 rows.",
+    tags=("llm", "dedup"),
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = DA.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return sig.select("doc_id", F.col("seed").cast("long").alias("seed"), "minhash")
+
+
+@register(
+    "q_minhash_pairs",
+    sql=f"""
+    WITH {_SIG_SQL}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_match
+    FROM sig a JOIN sig b
+      ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+    doc="MinHash-LSH near-dup candidate pairs: bucket join on "
+    "(seed, minhash) — never an all-pairs product — then a match-count "
+    "filter (≥2 of 8 seeds ⇒ est. Jaccard ≳ 0.25).",
+    tags=("llm", "dedup"),
+)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = DA.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return DA.minhash_candidate_pairs(sig, min_matches=2)
+
+
+@register(
+    "q_jaccard_pairs",
+    sql=f"""
+    WITH s AS (SELECT doc_id, lang, list_distinct({_RAW_TOKS}) AS tok_set
+               FROM documents)
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.tok_set, b.tok_set))), 4)
+               AS jaccard
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.8
+    """,
+    doc="Exact n-gram Jaccard near-dup verification over lang-blocked "
+    "pairs — blocking keeps the join off O(n²); at scale the block key "
+    "is an LSH band instead of lang.",
+    tags=("llm", "dedup"),
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DA.jaccard_pairs(docs, block_col="lang", threshold=0.8)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    bit_sums = ",\n                   ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, unnest({_RAW_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th FROM t),
+    bits AS (SELECT doc_id,
+                   {bit_sums}
+             FROM h GROUP BY doc_id)
+    SELECT doc_id, {fp} AS simhash FROM bits
+    """
+
+
+@register(
+    "q_simhash",
+    sql=_simhash_sql(32),
+    doc="32-bit SimHash fingerprints: per-bit signed majority over "
+    "md5-derived token hashes; near-dups differ in few bits. "
+    "Pure expressions — explode, partial-agg sums, reassemble.",
+    tags=("llm", "dedup"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DA.simhash(load_table(spark, sf_dir, "documents"), bits=32)
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_embedding_cosine_topk",
+    sql="""
+    SELECT query_id, vec_id, cos_sim FROM (
+        SELECT q.query_id, e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cos_sim,
+               row_number() OVER (
+                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) DESC,
+                            e.vec_id) AS rn
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id = 0) q)
+    WHERE rn <= 10
+    """,
+    doc="Brute-force cosine top-10 (exact ANN baseline): broadcast query "
+    "side, zip_with/aggregate dot product in codegen, per-query window.",
+    tags=("llm", "similarity"),
+)
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.cosine_topk(emb, queries, k=10)
+
+
+@register(
+    "q_label_centroids",
+    sql="""
+    SELECT label, CAST(g.i AS BIGINT) AS pos,
+           round(avg(CAST(embedding[g.i] AS DOUBLE)), 6) AS centroid_val
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+    GROUP BY label, g.i
+    """,
+    doc="Per-label centroid embeddings (IVF coarse quantizer): "
+    "posexplode + partial-agg mean, shuffle = n_labels × dim rows.",
+    tags=("llm", "similarity"),
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q_ann_lsh_topk",
+    sql=None,  # approximate by construction → rows-only; tests check recall
+    doc="LSH-bucketed approximate cosine top-k (random hyperplane signs "
+    "from md5 — deterministic, no stored model). Recall measured in "
+    "tests against the brute-force baseline.",
+    tags=("llm", "similarity", "approx"),
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ann_lsh_topk(emb, queries, k=10)

@@ -1,0 +1,120 @@
+"""LLM-data operators: text stats, fingerprints, near-dup dedup,
+similarity search (incl. LSH recall vs the exact baseline)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrappy_spark.operators import dedup_approx as DA, similarity as SIM, textstats as TS
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_doc_stats_values(spark):
+    df = spark.createDataFrame([(1, "The cat the cat"), (2, "")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in TS.doc_stats(df).collect()}
+    assert rows[1].n_tokens == 4
+    assert rows[1].n_distinct_tokens == 2
+    assert rows[1].stopword_ratio == 0.5  # 'the' twice out of 4
+    assert rows[1].avg_token_len == 3.0
+    assert rows[2].n_tokens == 0 and rows[2].stopword_ratio == 0.0
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  world!"), (2, "hello world"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    fps = {r.doc_id: r.fingerprint for r in TS.fingerprint(df).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "der hund und die katze"), (3, "zzz qqq")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.pred_lang for r in TS.lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_exact_dup_groups(spark):
+    df = spark.createDataFrame([(1, "same"), (2, "same"), (3, "diff")], ["doc_id", "text"])
+    out = {r.doc_id: r.n_dups for r in DA.exact_dup_groups(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "q r s t u v w")],
+        ["doc_id", "text"],
+    )
+    sig = DA.minhash_signatures(df, num_hashes=4).collect()
+    by_doc = {}
+    for r in sig:
+        by_doc.setdefault(r.doc_id, {})[r.seed] = r.minhash
+    assert by_doc[1] == by_doc[2] != by_doc[3]
+    pairs = DA.minhash_candidate_pairs(
+        DA.minhash_signatures(df, num_hashes=4), min_matches=4
+    ).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_jaccard_pairs_blocked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en"),
+            (2, "alpha beta gamma epsilon", "en"),
+            (3, "alpha beta gamma delta", "de"),  # same text, other block
+            (4, "totally different words here", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = DA.jaccard_pairs(df, block_col="lang", threshold=0.5).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in out] == [(1, 2, 0.6)]
+
+
+def test_simhash_near_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again today"),
+            (3, "entirely unrelated content about databases and query planners"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = DA.simhash(df)
+    pairs = DA.simhash_near_pairs(fp, max_hamming=8).collect()
+    assert (1, 2) in [(p.id_a, p.id_b) for p in pairs]
+    vals = {r.doc_id: r.simhash for r in fp.collect()}
+    assert vals[1] != vals[3]
+
+
+def test_cosine_topk_exact(spark):
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.cosine_topk(df, q, k=2).collect()
+    assert [r.vec_id for r in out] == [0, 1]  # self first, then nearest
+
+
+def test_ann_lsh_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk(emb, queries, k=5).collect()
+    approx = SIM.ann_lsh_topk(emb, queries, k=5).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    # LSH must at least find each query's own vector + some true neighbors
+    assert all((q, q) in approx_set for q in range(3))
+    assert len(exact_set & approx_set) >= 3
+
+
+def test_approx_count_distinct_error(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    exact = li.select(F.countDistinct("l_partkey")).first()[0]
+    approx = li.select(F.approx_count_distinct("l_partkey", 0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.05
