@@ -1,0 +1,188 @@
+"""CLI — the reference's argparse surface (``scrappy.py:608-623``)
+re-expressed over the engine, so a user of the reference can run the
+same five flows:
+
+  --fetch-articles   EP2 ingest → store merge (scrappy.py:545-551)
+  --query-articles   EP1 filter query        (scrappy.py:571-589)
+  --suggest-terms    mining + classifier     (scrappy.py:553-569)
+  --build-taxonomy   EP3 clustering          (scrappy.py:591-600)
+  --build-tree       G1 keyword DFS          (scrappy.py:531-543)
+
+Differences by design: the store is parquet (not CSV), interactive
+stdin approval is a flag (--yes), and live HTTP needs ``requests`` +
+API keys (absent in CI, where tests inject recorded fetchers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+from .ml.classifier import classify_terms, train_classifier
+from .ml.contextualize import contextualize_terms
+from .ml.taxonomy import build_taxonomy
+from .operators.filters import filter_articles, truncate_col
+from .operators.mining import top_terms
+from .session import get_spark
+from .sources.fetch import collect_all_articles
+from .sources.normalizers import NORMALIZERS
+from .sources.store import ArticleStore
+from .tree import build_topic_tree, edges_to_nested
+
+DEFAULT_STORE = "articles_store"
+DEFAULT_TERMS_FILE = "search_terms.json"
+
+
+def _http_fetcher(api_keys: dict[str, str]):
+    """Live-HTTP fetcher (network deployments only). Import-gated:
+    raises a clear error when ``requests`` is unavailable rather than
+    failing at import time."""
+    try:
+        import requests  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - no network in CI
+        raise SystemExit(
+            "live fetching needs the 'requests' package and API keys; "
+            "in offline environments use the Python API with an injected fetcher"
+        ) from exc
+
+    def fetch(source: str, term: str) -> str | None:  # pragma: no cover
+        import requests
+
+        urls = {
+            "IEEE": (
+                "https://ieeexploreapi.ieee.org/api/v1/search/articles",
+                {"querytext": term, "apikey": api_keys.get("ieee", ""), "max_records": 200},
+            ),
+            "SemanticScholar": (
+                "https://api.semanticscholar.org/graph/v1/paper/search",
+                {"query": term, "fields": "title,abstract,url,year,authors.name,authors.affiliations", "limit": 100},
+            ),
+            "GoogleScholar": (
+                "https://serpapi.com/search",
+                {"engine": "google_scholar", "q": term, "api_key": api_keys.get("serpapi", "")},
+            ),
+            "arXiv": (
+                "http://export.arxiv.org/api/query",
+                {"search_query": f"all:{term}", "max_results": 200},
+            ),
+        }
+        if source == "PubMed":
+            base = "https://eutils.ncbi.nlm.nih.gov/entrez/eutils"
+            ids = requests.get(
+                f"{base}/esearch.fcgi",
+                params={"db": "pubmed", "term": term, "retmax": 200, "retmode": "json"},
+                timeout=30,
+            ).json().get("esearchresult", {}).get("idlist", [])
+            if not ids:
+                return None
+            return requests.get(
+                f"{base}/efetch.fcgi",
+                params={"db": "pubmed", "id": ",".join(ids), "retmode": "xml"},
+                timeout=60,
+            ).text
+        url, params = urls[source]
+        resp = requests.get(url, params=params, timeout=30)
+        resp.raise_for_status()
+        return resp.text
+
+    return fetch
+
+
+def _load_terms(path: str) -> list[str]:
+    if os.path.exists(path):
+        with open(path) as f:
+            return list(json.load(f))
+    return []
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="scrappy-spark")
+    p.add_argument("--store", default=DEFAULT_STORE)
+    p.add_argument("--terms-file", default=DEFAULT_TERMS_FILE)
+    p.add_argument("--fetch-articles", action="store_true")
+    p.add_argument("--query-articles", action="store_true")
+    p.add_argument("--suggest-terms", action="store_true")
+    p.add_argument("--build-taxonomy", action="store_true")
+    p.add_argument("--build-tree", action="store_true")
+    p.add_argument("--term")
+    p.add_argument("--institution")
+    p.add_argument("--year")
+    p.add_argument("--keyword")
+    p.add_argument("--limit", type=int, default=10)
+    p.add_argument("--depth", type=int, default=2)
+    p.add_argument("--topics", type=int, default=8)
+    p.add_argument("--yes", action="store_true", help="non-interactive approval")
+    p.add_argument("--output", default="taxonomy_output.parquet")
+    p.add_argument("--tree-output", default="topic_tree.json")
+    args = p.parse_args(argv)
+
+    spark = get_spark("scrappy_spark_cli")
+    store = ArticleStore(spark, args.store)
+
+    if args.query_articles:
+        out = filter_articles(
+            store.read(), term=args.term, institution=args.institution,
+            year=args.year, keyword=args.keyword, limit=args.limit,
+        ).withColumn("abstract", truncate_col(F.col("abstract"), 100))
+        out.select("title", "source", "year", "abstract").show(args.limit, truncate=False)
+        return 0
+
+    if args.fetch_articles:
+        keys = {k.lower().replace("scrappy_key_", ""): v
+                for k, v in os.environ.items() if k.startswith("SCRAPPY_KEY_")}
+        terms = _load_terms(args.terms_file)
+        if not terms:
+            print(f"no terms in {args.terms_file}", file=sys.stderr)
+            return 2
+        batch = collect_all_articles(spark, terms, _http_fetcher(keys))
+        report = store.merge(batch)
+        print(f"newly added: {report.count()}")
+        report.select("title", "source").show(50, truncate=False)
+        return 0
+
+    if args.suggest_terms:
+        arts = store.read()
+        text = F.concat_ws(" ", F.coalesce("title", F.lit("")), F.coalesce("abstract", F.lit("")))
+        mined = top_terms(arts.select(text.alias("text")), ngram_range=(1, 3), k=100)
+        saved = spark.createDataFrame([(t.lower(),) for t in _load_terms(args.terms_file)] or [("",)], ["term"])
+        fresh = mined.join(F.broadcast(saved), "term", "left_anti").limit(args.limit)
+        model = train_classifier(spark)
+        classified = classify_terms(model, fresh.select("term"))
+        suggestions = contextualize_terms(spark, classified)
+        suggestions.show(100, truncate=False)
+        if args.yes:
+            new_terms = sorted({r.search_string for r in suggestions.collect()})
+            merged = sorted(set(_load_terms(args.terms_file)) | set(new_terms))
+            with open(args.terms_file, "w") as f:
+                json.dump(merged, f, indent=1)
+            print(f"saved {len(new_terms)} suggestions to {args.terms_file}")
+        return 0
+
+    if args.build_taxonomy:
+        arts = store.read()
+        text = F.concat_ws(" ", F.coalesce("title", F.lit("")), F.coalesce("abstract", F.lit("")))
+        out = build_taxonomy(arts.withColumn("text", text), k=args.topics)
+        out.select("title", "Topic", "topic_keywords").write.mode("overwrite").parquet(args.output)
+        print(f"taxonomy written to {args.output}")
+        return 0
+
+    if args.build_tree:
+        keys = {}
+        seeds = _load_terms(args.terms_file)
+        edges = build_topic_tree(spark, seeds, _http_fetcher(keys), depth=args.depth)
+        tree = edges_to_nested(edges.collect())
+        with open(args.tree_output, "w") as f:
+            json.dump(tree, f, indent=1)
+        print(f"tree written to {args.tree_output}")
+        return 0
+
+    p.print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
