@@ -33,11 +33,21 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) pairs: k-token shingles of the normalized stream."""
+    """(id, shingle) pairs: DISTINCT k-token shingles per document.
+
+    Distinctness is enforced per-row with ``array_distinct`` BEFORE the
+    explode — no dedup shuffle; the only shuffle any consumer pays is
+    its own aggregation."""
+    from .mining import ensure_parallelism
+
     toks = tokens_col(F.col(text_col))
     return (
-        df.select(F.col(id_col), toks.alias("toks"))
-        .select(id_col, F.explode_outer(F.expr(ngrams_expr("toks", k))).alias("shingle"))
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), toks.alias("toks"))
+        .select(
+            id_col,
+            F.explode_outer(F.array_distinct(F.expr(ngrams_expr("toks", k)))).alias("shingle"),
+        )
         .filter(F.col("shingle").isNotNull())
     )
 
@@ -51,22 +61,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, seed, minhash) — per-seed min of md5(seed|shingle).
 
-    Plan shape: explode shingles × seeds, then a partial-agg min groupBy
-    — the min combines map-side, so the shuffle carries ≤ n_docs ×
-    num_hashes rows regardless of document length.
+    Plan shape: one explode of per-doc distinct shingles, then ONE
+    groupBy(id) computing all ``num_hashes`` mins as parallel aggregate
+    columns (map-side combined), then a zero-shuffle ``stack`` unpivot.
+    Shuffle volume is n_docs rows — independent of both document length
+    and the number of hash functions (the naive seeds-explode shape
+    shuffles num_hashes× more).
     """
-    sh = shingles(df, text_col, id_col, k=shingle_k).dropDuplicates([id_col, "shingle"])
-    seeds = F.explode(F.expr(f"sequence(0, {num_hashes - 1})")).alias("seed")
-    pairs = sh.select(id_col, "shingle", seeds)
-    return (
-        pairs.select(
-            id_col,
-            "seed",
-            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    sh = shingles(df, text_col, id_col, k=shingle_k)
+    mins = [
+        F.min(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("shingle")))
+        ).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    wide = sh.groupBy(id_col).agg(*mins)
+    stack_args = ", ".join(f"{s}, h{s}" for s in range(num_hashes))
+    return wide.select(
+        id_col,
+        F.expr(f"stack({num_hashes}, {stack_args}) AS (seed, minhash)"),
+    ).select(id_col, "seed", "minhash")
 
 
 def minhash_candidate_pairs(
@@ -128,8 +142,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     bit b of the fingerprint is 1 iff the majority of tokens have bit b
     set. Pure expressions: explode → per-bit signed sum → reassemble.
     """
+    from .mining import ensure_parallelism
+
     toks = tokens_col(F.col(text_col))
-    t = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    t = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(toks).alias("tok")
+    )
     t = t.select(id_col, F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("th"))
     bit_cols = [
         F.sum(

@@ -52,6 +52,22 @@ def ngrams_expr(tokens_sql: str, n: int) -> str:
     )
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition when the upstream scan cannot parallelize.
+
+    Fixture parquet files are single-row-group, so the scan is one task
+    no matter what ``maxPartitionBytes`` says; for CPU-heavy per-row
+    work (hashing, n-gram explode) a round-robin repartition of the raw
+    rows is far cheaper than leaving 31 cores idle. On a real multi-file
+    dataset the partition count is already ≥ cores and this is a no-op.
+    """
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def term_frequencies(
     df: DataFrame,
     text_col: str = "text",
@@ -63,23 +79,27 @@ def term_frequencies(
     Stopword policy matches sklearn's: a unigram that IS a stopword is
     dropped; n-grams are built over the stopword-filtered token stream
     (sklearn removes stopwords before n-gram generation).
+
+    Plan shape: ONE scan → per-row concat of all n-gram arrays → one
+    explode → partial-agg count (map-side combine absorbs the Zipf head
+    before the single shuffle).
     """
     lo, hi = ngram_range
     sw_arr = "array(" + ", ".join(f"'{w}'" for w in stopwords) + ")"
     toks = (
-        df.select(tokens_col(F.col(text_col)).alias("toks"))
+        ensure_parallelism(df.select(F.col(text_col).alias("__text")))
+        .select(tokens_col(F.col("__text")).alias("toks"))
         .withColumn(
             "toks", F.expr(f"filter(toks, t -> NOT array_contains({sw_arr}, t))")
         )
     )
-    grams = [
-        toks.select(F.explode(F.expr(ngrams_expr("toks", n))).alias("term"))
-        for n in range(lo, hi + 1)
-    ]
-    all_terms = grams[0]
-    for g in grams[1:]:
-        all_terms = all_terms.unionAll(g)
-    return all_terms.groupBy("term").agg(F.count("*").alias("freq"))
+    gram_exprs = ", ".join(ngrams_expr("toks", n) for n in range(lo, hi + 1))
+    all_grams = f"concat({gram_exprs})" if hi > lo else gram_exprs
+    return (
+        toks.select(F.explode(F.expr(all_grams)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
 
 
 def top_terms(

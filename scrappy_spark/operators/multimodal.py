@@ -1,0 +1,151 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (north-star extension; no counterpart in the reference).
+
+Pattern for 100 TB media pipelines: the payload is an opaque
+``binary`` column ingested as-is; all interpretation happens in
+Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
+Python row objects. Decode/resize/frame-sample need codec libraries
+that are NOT in this container, so the decode kernel is stubbed behind
+``NotImplementedError`` with a deterministic fake for tests — the
+Spark-side plumbing (schema, batch iteration, partition sizing, UDF
+signatures) is real and tested.
+
+Scale notes: media rows are huge (MBs) — ``files.maxPartitionBytes``
+should shrink so a partition holds tens of rows, not thousands;
+metadata extraction is scan-only (no shuffle); frame sampling is a
+one-to-many ``mapInPandas`` expansion (UDTF shape).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+#: typed metadata carried next to every payload
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),   # image|audio|video
+        T.StructField("format", T.StringType()),       # png|wav|mp4|...
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("checksum", T.StringType()),     # md5 hex
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def attach_fake_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    media_type: str = "image", fmt: str = "png",
+) -> DataFrame:
+    """Deterministic fake media: payload = utf-8 bytes of the text with
+    a 4-byte magic prefix. Stands in for ``spark.read.format('binaryFile')``
+    ingestion in environments with real media files."""
+    payload = F.concat(
+        F.encode(F.lit("FAKE"), "utf-8"), F.encode(F.col(text_col), "utf-8")
+    )
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.length(payload).cast("long").alias("byte_len"),
+            F.md5(payload).alias("checksum"),
+        ).alias("media_meta"),
+    )
+
+
+def extract_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Metadata extraction over raw payloads via mapInPandas (the shape
+    a real probe — magic sniffing, EXIF, container headers — runs in).
+    Scan-only; emits (id, byte_len, magic_hex, checksum)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("byte_len", T.LongType()),
+            T.StructField("magic_hex", T.StringType()),
+            T.StructField("checksum", T.StringType()),
+        ]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "magic_hex": payloads.map(lambda b: bytes(b[:4]).hex().upper()),
+                    "checksum": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(probe, schema=out_schema)
+
+
+def decode_image(df: DataFrame, id_col: str = "doc_id", fake: bool = False) -> DataFrame:
+    """Decode payloads to pixel features. REAL decode needs an imaging
+    library (not in this container) → NotImplementedError; ``fake=True``
+    exercises the identical plumbing with a deterministic stand-in
+    (byte histogram as the 'pixels')."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("hist", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError(
+                "image decode requires an imaging library (e.g. Pillow); "
+                "install one and replace this kernel, or pass fake=True"
+            )
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(b)
+                hist = [0] * 16
+                for byte in data:
+                    hist[byte >> 4] += 1
+                rows.append((i, len(data), 1, hist))
+            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "hist"])
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id", fake: bool = False
+) -> DataFrame:
+    """Frame sampling (video → N frames): one-to-many mapInPandas
+    expansion. Real implementation needs a codec; the fake slices the
+    payload every ``every_n_bytes`` to exercise the expansion shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError(
+                "frame sampling requires a video codec library; pass fake=True "
+                "to exercise the plumbing"
+            )
+        for pdf in batches:
+            out = []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(b)
+                for k, off in enumerate(range(0, len(data), every_n_bytes)):
+                    out.append((i, k, data[off : off + every_n_bytes]))
+            yield pd.DataFrame(out, columns=[id_col, "frame_idx", "frame_bytes"])
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=FRAME_SCHEMA)

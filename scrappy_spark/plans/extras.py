@@ -1,0 +1,155 @@
+"""Remaining SURVEY.md §2 query keys (P2 institution filter, P12
+truncate) plus the rows-only declared queries that surface the ML and
+multimodal operator families to the driver (non-SQL-expressible →
+rows-only checks; deterministic for fixed seeds/inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from ..operators.filters import truncate_col
+from ..operators.multimodal import attach_fake_payload, decode_image, extract_meta, sample_frames
+from .registry import register
+
+
+@register(
+    "q_filter_institution",
+    sql="""
+    SELECT s_nationkey, inst_flat FROM (
+        SELECT s_nationkey,
+               array_to_string(flatten([[s] FOR s IN names]), '; ') AS inst_flat
+        FROM (SELECT s_nationkey, list_sort(list(s_name)) AS names
+              FROM supplier GROUP BY s_nationkey))
+    WHERE contains(lower(inst_flat), 'supplier#00000001')
+    """,
+    doc="P2: case-insensitive substring filter over the flattened "
+    "institutions string (reference article_querry.py:19-20) — exercised "
+    "on nested arrays built from supplier names.",
+    tags=("filter",),
+)
+def q_filter_institution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    nested = F.transform(F.sort_array(F.collect_list("s_name")), lambda x: F.array(x))
+    flat = s.groupBy("s_nationkey").agg(
+        F.array_join(F.flatten(nested), "; ").alias("inst_flat")
+    )
+    return flat.filter(F.lower(F.col("inst_flat")).contains("supplier#00000001"))
+
+
+@register(
+    "q_truncate",
+    sql="""
+    SELECT doc_id,
+           CASE WHEN length(text) > 100 THEN substr(text, 1, 100) || '...'
+                ELSE text END AS text_short,
+           CAST(length(text) AS BIGINT) AS orig_len
+    FROM documents
+    """,
+    doc="P12: display ellipsization at 100 chars (reference scrappy.py:385).",
+    tags=("scalar",),
+)
+def q_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        truncate_col(F.col("text"), 100).alias("text_short"),
+        F.length("text").cast("long").alias("orig_len"),
+    )
+
+
+@register(
+    "q_multimodal_meta",
+    sql="""
+    SELECT doc_id,
+           CAST(octet_length(encode('FAKE' || text)) AS BIGINT) AS byte_len,
+           upper(hex(encode(substr('FAKE' || text, 1, 4))))     AS magic_hex,
+           md5('FAKE' || text)                                  AS checksum
+    FROM documents
+    """,
+    doc="Multimodal metadata probe: binary payload column → mapInPandas "
+    "magic/byte-length/checksum extraction. The payload here is a "
+    "deterministic fake (utf-8 bytes + magic) so the DuckDB oracle can "
+    "reproduce the exact bytes; real media swaps the ingestion, not the "
+    "plumbing.",
+    tags=("multimodal",),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_meta(attach_fake_payload(docs))
+
+
+@register(
+    "q_multimodal_decode",
+    sql=None,  # fake-decode features; plumbing check only
+    doc="Image-decode kernel plumbing (mapInPandas, Arrow batches) with "
+    "the deterministic fake decoder — real decode is stubbed behind "
+    "NotImplementedError pending an imaging library.",
+    tags=("multimodal", "stub"),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image(attach_fake_payload(docs), fake=True)
+
+
+@register(
+    "q_frame_sample",
+    sql=None,
+    doc="Frame-sampling one-to-many expansion (video→frames shape) with "
+    "the fake slicer kernel.",
+    tags=("multimodal", "stub"),
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return sample_frames(attach_fake_payload(docs), every_n_bytes=64, fake=True)
+
+
+@register(
+    "q_embed_vectors",
+    sql=None,  # UDF-computed float vectors; rows-only
+    doc="ML4 embedding inference surface: Arrow pandas-UDF hash-projection "
+    "encoder over documents (deterministic; 64-d unit vectors).",
+    tags=("ml",),
+)
+def q_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.embeddings import embed_texts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = embed_texts(docs)
+    return out.select("doc_id", F.size("embedding").alias("dim"))
+
+
+@register(
+    "q_classifier_predict",
+    sql=None,  # model-derived labels; rows-only
+    doc="ML1/ML2 surface: MLlib TF-IDF + logistic-regression pipeline "
+    "trained on the engine's labeled pairs, predicting over mined "
+    "document terms.",
+    tags=("ml",),
+)
+def q_classifier_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.classifier import classify_terms, train_classifier
+    from ..operators.mining import top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = top_terms(docs, ngram_range=(1, 2), k=20).select("term")
+    model = train_classifier(spark)
+    return classify_terms(model, terms)
+
+
+@register(
+    "q_taxonomy_topics",
+    sql=None,  # clustering output; rows-only
+    doc="ML5/ML6 surface: KMeans topic assignment (fixed seed) + "
+    "c-TF-IDF top-5 keywords per topic over documents.",
+    tags=("ml",),
+)
+def q_taxonomy_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.taxonomy import build_taxonomy
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = build_taxonomy(docs, k=5, seed=42)
+    return out.select(
+        "doc_id", "Topic", F.array_join("topic_keywords", ",").alias("topic_kw")
+    )

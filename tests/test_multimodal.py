@@ -1,0 +1,56 @@
+"""Multimodal binary-column plumbing: payload attach, metadata probe,
+stubbed decode gate, frame-sampling expansion."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from scrappy_spark.operators.multimodal import (
+    attach_fake_payload,
+    decode_image,
+    extract_meta,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 200)], ["doc_id", "text"]
+    )
+    return attach_fake_payload(df)
+
+
+def test_payload_and_meta_struct(media):
+    row = media.filter(F.col("doc_id") == 1).first()
+    assert bytes(row.payload) == b"FAKEhello world"
+    assert row.media_meta.byte_len == len(b"FAKEhello world")
+    assert row.media_meta.media_type == "image"
+
+
+def test_extract_meta(media):
+    out = {r.doc_id: r for r in extract_meta(media).collect()}
+    assert out[1].magic_hex == "46414B45"  # 'FAKE'
+    assert out[1].byte_len == 15
+    assert len(out[1].checksum) == 32
+
+
+def test_decode_requires_library_unless_fake(media):
+    with pytest.raises(Exception) as exc_info:
+        decode_image(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+    out = {r.doc_id: r for r in decode_image(media, fake=True).collect()}
+    assert sum(out[1].hist) == 15  # every byte counted once
+    assert out[2].width == 204
+
+
+def test_frame_sampling_expansion(media):
+    frames = sample_frames(media, every_n_bytes=64, fake=True).collect()
+    by_doc = {}
+    for f in frames:
+        by_doc.setdefault(f.doc_id, []).append(f)
+    assert len(by_doc[1]) == 1          # 15 bytes -> 1 frame
+    assert len(by_doc[2]) == 4          # 204 bytes -> 4 frames of <=64
+    assert bytes(by_doc[2][0].frame_bytes) == b"FAKE" + b"x" * 60
