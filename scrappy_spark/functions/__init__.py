@@ -1,0 +1,39 @@
+"""Public scalar/column function surface (SURVEY.md §2.6).
+
+One import point for every reusable column expression the engine
+defines — all built on ``pyspark.sql.functions`` built-ins (JVM-side,
+codegen-friendly); none is a Python UDF.
+
+    from scrappy_spark.functions import normalize_term, cosine, dot
+"""
+
+from ..operators.filters import (  # noqa: F401
+    contains_any,
+    flatten_institutions,
+    normalize_term,
+    truncate_col,
+)
+from ..operators.mining import (  # noqa: F401
+    STOPWORDS,
+    ensure_parallelism,
+    ngrams_expr,
+    tokens_col,
+)
+from ..operators.similarity import cosine, dot, norm  # noqa: F401
+from ..operators.textstats import LANG_MARKERS, lang_score  # noqa: F401
+
+__all__ = [
+    "contains_any",
+    "flatten_institutions",
+    "normalize_term",
+    "truncate_col",
+    "STOPWORDS",
+    "ensure_parallelism",
+    "ngrams_expr",
+    "tokens_col",
+    "cosine",
+    "dot",
+    "norm",
+    "LANG_MARKERS",
+    "lang_score",
+]
