@@ -44,20 +44,18 @@ def main() -> None:
     spark = get_spark("scrappy_spark_bench")
     qs = registry.queries()
 
-    # Warm-up: run the first headline query once at the smallest sf so
-    # codegen compilation, parquet-reader init, and JIT are not charged
-    # to the first timed query (we measure steady-state query time, not
-    # JVM startup).
+    # Warm-up: run every headline query once at the smallest sf so
+    # whole-stage-codegen compilation, parquet-reader init, and JIT are
+    # not charged to the timed runs — we measure steady-state
+    # data-processing time, not per-plan compile time.
     spark.range(1).count()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        try:
-            qs_warm = registry.queries()
-            qs_warm["q_groupby_sum_avg"](spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:
-            pass
+        for name in HEADLINE:
+            try:
+                qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,78 @@
+"""Streaming ingest into the article store: micro-batch merges keep the
+keep-first guarantee; restart from checkpoint does not duplicate."""
+
+import datetime
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from scrappy_spark.schema import ARTICLES_SCHEMA
+from scrappy_spark.sources.store import ArticleStore
+from scrappy_spark.streaming.sinks import stream_append_parquet, stream_merge_into_store
+
+
+def _articles(spark, titles_sources):
+    rows = [
+        (s, t, None, "", [], [[]], [], "t", None, datetime.date(2024, 1, d))
+        for t, s, d in titles_sources
+    ]
+    return spark.createDataFrame(rows, ARTICLES_SCHEMA)
+
+
+def test_stream_merge_keeps_first_across_batches(spark):
+    base = tempfile.mkdtemp(prefix="stream_store_")
+    src_dir, ckpt, store_dir = f"{base}/in", f"{base}/ckpt", f"{base}/store"
+    try:
+        # batch 1 file: alpha from IEEE; batch 2 file: alpha dup + beta
+        _articles(spark, [("alpha", "IEEE", 1)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        _articles(
+            spark, [("alpha", "PubMed", 2), ("beta", "arXiv", 2)]
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+        store = ArticleStore(spark, store_dir)
+        stream = (
+            spark.readStream.schema(ARTICLES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = stream_merge_into_store(stream, store, ckpt)
+        q.awaitTermination(180)
+
+        rows = {r.title: r.source for r in store.read().collect()}
+        assert set(rows) == {"alpha", "beta"}
+        # keep-first: the IEEE alpha (earlier batch) must have survived
+        assert rows["alpha"] == "IEEE"
+
+        # restart with no new data: checkpoint prevents re-processing
+        q2 = stream_merge_into_store(
+            spark.readStream.schema(ARTICLES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir),
+            store,
+            ckpt,
+        )
+        q2.awaitTermination(60)
+        assert store.read().count() == 2
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_append_parquet_partitioned(spark):
+    base = tempfile.mkdtemp(prefix="stream_append_")
+    try:
+        _articles(
+            spark, [("a", "IEEE", 1), ("b", "arXiv", 1)]
+        ).write.mode("append").parquet(f"{base}/in")
+        stream = spark.readStream.schema(ARTICLES_SCHEMA).parquet(f"{base}/in")
+        q = stream_append_parquet(
+            stream, f"{base}/out", f"{base}/ckpt", partition_by=["source"]
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(f"{base}/out")
+        assert out.count() == 2
+        assert set(r.source for r in out.select("source").collect()) == {"IEEE", "arXiv"}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
