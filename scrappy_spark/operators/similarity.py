@@ -106,6 +106,55 @@ def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int = 7) -> 
     return bucket
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer
+    (``centroids``: label → centroid array) assigns every corpus vector
+    to its nearest cell ONCE; each query probes only its ``n_probe``
+    nearest cells. Search cost drops by ≈ n_cells/n_probe vs brute
+    force; recall is tunable via n_probe.
+
+    ``centroids`` must be (label, centroid:array<double>) — e.g. from
+    ``label_centroids`` pivoted, or a KMeans model's centers.
+    """
+    from .joins import topk_per_group
+
+    cents = F.broadcast(centroids.select(label_col, F.col("centroid").alias("__c")))
+
+    def assign(df: DataFrame, idc: str) -> DataFrame:
+        scored = df.crossJoin(cents).withColumn(
+            "__d", cosine(F.col(vec_col), F.col("__c"))
+        )
+        w_cols = [F.desc("__d"), F.asc(label_col)]
+        return topk_per_group(scored.drop("__c"), [idc], w_cols, 1).drop("__d")
+
+    corpus_cells = assign(corpus.select(id_col, vec_col), id_col).withColumnRenamed(
+        label_col, "__cell"
+    )
+    q_scored = queries.crossJoin(cents).withColumn(
+        "__d", cosine(F.col(vec_col), F.col("__c"))
+    )
+    q_cells = topk_per_group(
+        q_scored.drop("__c"), [query_id_col], [F.desc("__d"), F.asc(label_col)], n_probe
+    ).select(query_id_col, F.col(vec_col).alias("__qvec"), F.col(label_col).alias("__cell"))
+
+    scored = corpus_cells.join(F.broadcast(q_cells), "__cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 4).alias("cos_sim"),
+    )
+    return topk_per_group(scored, [query_id_col], [F.desc("cos_sim"), F.asc(id_col)], k)
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -94,6 +94,81 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return out
 
 
+#: BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+#: marks — the shape GPT-style byte-pair encoders split on before
+#: merging. A real tokenizer plugs in via pandas UDF; this regex family
+#: gives exact, engine-portable token counts for budgeting/stats.
+BPE_SPLIT_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_SPLIT_RE), 0)
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token budget: whitespace tokens, BPE-ish pieces, and
+    the pieces-per-word expansion ratio (the LLM-cost estimator)."""
+    ws = tokens_col(F.col(text_col))
+    bpe = bpe_tokens(F.col(text_col))
+    return df.select(
+        id_col,
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(bpe).cast("long").alias("n_bpe_pieces"),
+        F.round(
+            F.when(F.size(ws) > 0, F.size(bpe).cast("double") / F.size(ws)).otherwise(0.0), 4
+        ).alias("pieces_per_word"),
+    )
+
+
+ROLLING_MOD = 1_000_000_007
+ROLLING_BASE = 31
+
+
+def rolling_hash(col: Column) -> Column:
+    """Polynomial rolling hash over the characters of ``col``:
+    h = Σ c_i·B^(n-i) mod M, computed as a left fold — pure SQL
+    higher-order functions, identical in any engine with a fold."""
+    codes = F.transform(
+        F.filter(F.split(col, ""), lambda c: c != F.lit("")),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + c) % ROLLING_MOD,
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score + keep/drop flag — the gating step of a
+    training-data pipeline. Score blends length, lexical diversity, and
+    stopword plausibility; thresholds are explicit so the filter is
+    auditable. Deterministic, scan-only.
+
+    Ratios are computed UNROUNDED here (doc_stats rounds for display);
+    only the final score rounds, so the composite matches any engine
+    computing the same formula in double precision."""
+    sw = _arr_lit(STOPWORDS)
+    toks = tokens_col(F.col(text_col))
+    base = df.select(id_col, toks.alias("__toks"))
+    n = F.size("__toks")
+    distinct_ratio = F.when(
+        n > 0, F.size(F.array_distinct("__toks")).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    stopword_ratio = F.when(
+        n > 0,
+        F.size(F.expr(f"filter(__toks, t -> array_contains({sw}, t))")).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    length_term = F.least(n.cast("double") / 64.0, F.lit(1.0))
+    stopword_term = 1.0 - F.abs(stopword_ratio - 0.08) / 0.92
+    score = F.round(0.4 * length_term + 0.3 * distinct_ratio + 0.3 * stopword_term, 4)
+    return base.select(
+        id_col,
+        score.alias("quality_score"),
+        ((n >= 10) & (distinct_ratio >= 0.2) & (score >= 0.5)).alias("keep"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical document fingerprint: md5 over the normalized
     space-joined token stream, plus the token count. Identical token

@@ -1,0 +1,159 @@
+"""Second LLM-data batch: embedding near-dup pairs, BPE-ish token
+budgeting, polynomial rolling-hash fingerprints, composite quality
+gating, and IVF approximate search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from ..operators import similarity as SIM
+from ..operators.textstats import (
+    BPE_SPLIT_RE,
+    quality_score,
+    rolling_hash,
+    token_count,
+)
+from .registry import register
+
+_RAW_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+
+@register(
+    "q_embedding_near_dups",
+    sql="""
+    SELECT id_a, id_b, cos_sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id)
+    WHERE cos_sim >= 0.35
+    """,
+    doc="Embedding-cosine near-duplicate pairs over label-blocked "
+    "candidates (the embedding-space analogue of MinHash dedup; at "
+    "100 TB the block key is an ANN cell, not a label).",
+    tags=("llm", "dedup", "similarity"),
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(SIM.cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+@register(
+    "q_token_count",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_RAW_TOKS} AS ws,
+                      regexp_extract_all(lower(text), '{BPE_SPLIT_RE}') AS bpe
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT)  AS n_words,
+           CAST(len(bpe) AS BIGINT) AS n_bpe_pieces,
+           round(CASE WHEN len(ws) > 0
+                 THEN CAST(len(bpe) AS DOUBLE) / len(ws) ELSE 0.0 END, 4)
+               AS pieces_per_word
+    FROM t
+    """,
+    doc="Token budgeting: whitespace words vs BPE-ish pre-tokenizer "
+    "pieces and the expansion ratio (LLM cost estimation).",
+    tags=("llm", "textstats"),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_rolling_hash",
+    sql="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            [CAST(ascii(c) AS BIGINT)
+                             FOR c IN list_filter(string_split(text, ''), c -> c <> '')]),
+               (a, b) -> (a * 31 + b) % 1000000007) AS rhash
+    FROM documents
+    """,
+    doc="Polynomial rolling-hash fingerprint (base 31 mod 1e9+7) as a "
+    "pure SQL fold — the content-defined-chunking primitive, computed "
+    "identically in both engines.",
+    tags=("llm", "dedup"),
+)
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_hash(F.col("text")).alias("rhash"))
+
+
+@register(
+    "q_quality_score",
+    sql="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    s AS (SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END AS distinct_ratio,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks, x -> x IN
+                        ('a','an','and','are','as','at','be','by','for','from',
+                         'has','in','is','it','its','of','on','that','the','to',
+                         'was','were','will','with'))) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END AS stopword_ratio
+          FROM t)
+    SELECT doc_id,
+           round(0.4 * least(n_tokens / 64.0, 1.0)
+                 + 0.3 * distinct_ratio
+                 + 0.3 * (1.0 - abs(stopword_ratio - 0.08) / 0.92), 4) AS quality_score,
+           (n_tokens >= 10 AND distinct_ratio >= 0.2
+            AND round(0.4 * least(n_tokens / 64.0, 1.0)
+                      + 0.3 * distinct_ratio
+                      + 0.3 * (1.0 - abs(stopword_ratio - 0.08) / 0.92), 4) >= 0.5)
+               AS keep
+    FROM s
+    """,
+    doc="Composite quality gate (length + diversity + stopword "
+    "plausibility → score + keep flag): the auditable filter step of a "
+    "training-data pipeline.",
+    tags=("llm", "textstats"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_ivf_ann_topk",
+    sql=None,  # approximate; recall measured in tests vs brute force
+    doc="IVF approximate top-k: label centroids as the coarse quantizer, "
+    "2-probe search — cost scales by n_probe/n_cells vs brute force.",
+    tags=("llm", "similarity", "approx"),
+)
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        SIM.label_centroids(e)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+                lambda s: s.centroid_val,
+            ).alias("centroid")
+        )
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(e, queries, cents, k=10, n_probe=2)

@@ -53,7 +53,7 @@ def register(
 
 def all_specs() -> dict[str, QuerySpec]:
     # import plan modules lazily so registration happens on first use
-    from . import relational, relational2, mining, events, llmdata, extras  # noqa: F401
+    from . import relational, relational2, mining, events, llmdata, llmdata2, extras  # noqa: F401
 
     return dict(_REGISTRY)
 
