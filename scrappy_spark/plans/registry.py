@@ -53,7 +53,16 @@ def register(
 
 def all_specs() -> dict[str, QuerySpec]:
     # import plan modules lazily so registration happens on first use
-    from . import relational, relational2, mining, events, llmdata, llmdata2, extras  # noqa: F401
+    from . import (  # noqa: F401
+        relational,
+        relational2,
+        relational3,
+        mining,
+        events,
+        llmdata,
+        llmdata2,
+        extras,
+    )
 
     return dict(_REGISTRY)
 
