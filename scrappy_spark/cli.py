@@ -104,6 +104,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--store", default=DEFAULT_STORE)
     p.add_argument("--terms-file", default=DEFAULT_TERMS_FILE)
     p.add_argument("--fetch-articles", action="store_true")
+    p.add_argument(
+        "--import-csv",
+        metavar="CSV_PATH",
+        help="migrate a reference-format raw_articles.csv into the store",
+    )
     p.add_argument("--query-articles", action="store_true")
     p.add_argument("--suggest-terms", action="store_true")
     p.add_argument("--build-taxonomy", action="store_true")
@@ -122,6 +127,14 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("scrappy_spark_cli")
     store = ArticleStore(spark, args.store)
+
+    if args.import_csv:
+        from .sources.store import import_legacy_csv
+
+        imported = import_legacy_csv(spark, args.import_csv)
+        report = store.merge(imported)
+        print(f"imported {imported.count()} rows; newly added: {report.count()}")
+        return 0
 
     if args.query_articles:
         out = filter_articles(

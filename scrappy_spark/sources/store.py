@@ -28,6 +28,50 @@ from ..operators.dedup import merge_keep_existing, newly_added
 from ..schema import ARTICLES_SCHEMA
 
 
+def import_legacy_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Import a reference-format ``raw_articles.csv`` store.
+
+    The reference persists via ``DataFrame.to_csv`` (scrappy.py:350),
+    which stringifies list cells — ``authors``/``keywords`` arrive as
+    ``"['a', 'b']"`` and ``institutions`` as the pre-flattened
+    ``"A; B"`` string (flattened before save at scrappy.py:318-320).
+    This importer recovers real types into ARTICLES_SCHEMA:
+
+    - python-repr lists → arrays via quote-swap + ``from_json`` (an
+      apostrophe inside a name defeats the parse → empty array; the
+      information was already mangled by the CSV round-trip);
+    - institutions → one group holding the ``"; "``-split names
+      (original per-author nesting is unrecoverable from the flat form);
+    - ``year`` int-or-"" → nullable int; ``date_added`` → date.
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.csv(path, header=True, multiLine=True, escape='"')
+
+    def parse_list(col: str):
+        js = F.regexp_replace(F.col(col), "'", '"')
+        parsed = F.from_json(js, "array<string>")
+        return F.coalesce(parsed, F.array().cast("array<string>"))
+
+    inst = F.when(
+        F.col("institutions").isNull() | (F.col("institutions") == ""),
+        F.array().cast("array<array<string>>"),
+    ).otherwise(F.array(F.split(F.col("institutions"), "; ")))
+    out = raw.select(
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        F.coalesce(F.col("title"), F.lit("")).alias("title"),
+        F.col("abstract"),
+        F.col("url"),
+        parse_list("authors").alias("authors"),
+        inst.alias("institutions"),
+        parse_list("keywords").alias("keywords"),
+        F.coalesce(F.col("term"), F.lit("")).alias("term"),
+        F.col("year").cast("int").alias("year"),
+        F.coalesce(F.to_date("date_added"), F.current_date()).alias("date_added"),
+    )
+    return out
+
+
 class ArticleStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark

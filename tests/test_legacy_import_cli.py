@@ -1,0 +1,124 @@
+"""Legacy CSV store import (the reference-user migration path) and the
+offline CLI flows exercised through cli.main(argv)."""
+
+import datetime
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scrappy_spark import cli
+from scrappy_spark.schema import ARTICLES_SCHEMA
+from scrappy_spark.sources.store import ArticleStore, import_legacy_csv
+
+
+def test_import_legacy_csv(spark, tmp_path):
+    # a CSV exactly as the reference writes it: stringified lists,
+    # flattened institutions, empty-string year
+    legacy = pd.DataFrame(
+        [
+            {
+                "source": "IEEE",
+                "title": "Legacy Paper",
+                "abstract": "old abstract",
+                "url": "http://x",
+                "authors": "['Ada Lovelace', 'Alan Turing']",
+                "institutions": "MIT; Oxford",
+                "keywords": "['security', 'grids']",
+                "term": "grid",
+                "year": 2019,
+                "date_added": "2023-05-01",
+            },
+            {
+                "source": "PubMed",
+                "title": "No Year Paper",
+                "abstract": None,
+                "url": "",
+                "authors": "[]",
+                "institutions": "",
+                "keywords": "",
+                "term": "amr",
+                "year": "",
+                "date_added": "2023-05-02",
+            },
+        ]
+    )
+    path = str(tmp_path / "raw_articles.csv")
+    legacy.to_csv(path, index=False)
+
+    out = import_legacy_csv(spark, path)
+    assert [f.name for f in out.schema.fields] == [f.name for f in ARTICLES_SCHEMA.fields]
+    rows = {r.title: r for r in out.collect()}
+    a = rows["Legacy Paper"]
+    assert a.authors == ["Ada Lovelace", "Alan Turing"]
+    assert a.institutions == [["MIT", "Oxford"]]
+    assert a.keywords == ["security", "grids"]
+    assert a.year == 2019 and str(a.date_added) == "2023-05-01"
+    b = rows["No Year Paper"]
+    assert b.year is None and b.authors == [] and b.institutions == []
+
+    # imported frame merges straight into the engine store
+    store = ArticleStore(spark, str(tmp_path / "store"))
+    assert store.merge(out).count() == 2
+
+
+@pytest.fixture()
+def seeded_store(spark, tmp_path):
+    rows = [
+        ("IEEE", f"CLI Paper {i}", "edge computing on hospital networks " * 2,
+         f"http://c/{i}", ["A"], [["MIT"]], ["edge"], "edge", 2020 + i % 2,
+         datetime.date(2024, 1, 1))
+        for i in range(6)
+    ]
+    store_dir = str(tmp_path / "cli_store")
+    ArticleStore(spark, store_dir).merge(spark.createDataFrame(rows, ARTICLES_SCHEMA))
+    return store_dir
+
+
+def test_cli_query_articles(seeded_store, capsys):
+    rc = cli.main(
+        ["--store", seeded_store, "--query-articles", "--term", "hospital",
+         "--year", "2021", "--limit", "3"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "CLI Paper 1" in out and "CLI Paper 0" not in out
+
+
+def test_cli_suggest_terms_writes_file(seeded_store, tmp_path, capsys):
+    terms_file = str(tmp_path / "terms.json")
+    with open(terms_file, "w") as f:
+        json.dump(["edge computing"], f)
+    rc = cli.main(
+        ["--store", seeded_store, "--terms-file", terms_file,
+         "--suggest-terms", "--limit", "2", "--yes"]
+    )
+    assert rc == 0
+    saved = json.load(open(terms_file))
+    assert "edge computing" in saved and len(saved) > 1
+
+
+def test_cli_build_taxonomy(seeded_store, tmp_path, capsys):
+    out_path = str(tmp_path / "tax.parquet")
+    rc = cli.main(
+        ["--store", seeded_store, "--build-taxonomy", "--topics", "2",
+         "--output", out_path]
+    )
+    assert rc == 0
+    assert os.path.exists(out_path)
+
+
+def test_cli_no_flags_prints_help(capsys):
+    assert cli.main([]) == 1
+    assert "usage" in capsys.readouterr().out.lower()
+
+
+def test_cli_fetch_without_terms_errors(tmp_path, capsys):
+    rc = cli.main(
+        ["--store", str(tmp_path / "s"), "--terms-file",
+         str(tmp_path / "none.json"), "--fetch-articles"]
+    )
+    assert rc == 2
+    assert "no terms" in capsys.readouterr().err

@@ -1,0 +1,67 @@
+"""Scale probe: replicate sf0.1 10× into a multi-file layout (~6M
+lineitem rows) and measure wall-time slope vs sf0.1 for heavy queries.
+
+Replication duplicates keys, so join OUTPUTS grow quadratically in the
+replication factor (lineitem⋈orders emits 100× rows at 10×) — slopes
+must be read against work done, not rows scanned. The point of the
+probe: with a multi-file layout the engine's scan/shuffle parallelism
+absorbs 10× input with ≈1× wall for scan-bound plans.
+
+Usage: python tools/scale_probe.py  (writes/reuses /tmp/scale10)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from scrappy_spark.io import load_table
+from scrappy_spark.plans import registry
+from scrappy_spark.session import get_spark
+
+BASE = "/tmp/scale10"
+PROBES = [
+    "q_groupby_sum_avg",
+    "q_join_lineitem_part_supp",
+    "q_ngram_topk",
+    "q_minhash_pairs",
+    "q_tpch_q5_shape",
+    "q_session_window_agg",
+]
+
+
+def build(spark) -> None:
+    os.makedirs(BASE)
+    reps = spark.range(10).select(F.col("id").alias("__rep"))
+    for t in ["lineitem", "orders", "customer", "supplier", "part",
+              "region", "nation", "documents", "embeddings", "events"]:
+        df = load_table(spark, "/root/testdata/sf0.1", t)
+        if t in ("lineitem", "orders", "documents", "events"):
+            df = df.crossJoin(reps).drop("__rep").repartition(32)
+        df.write.mode("overwrite").parquet(f"{BASE}/{t}.parquet")
+
+
+def main() -> None:
+    spark = get_spark("scale_probe")
+    if not os.path.exists(BASE):
+        build(spark)
+    qs = registry.queries()
+    for n in PROBES:  # warm codegen
+        qs[n](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    for n in PROBES:
+        t0 = time.time()
+        qs[n](spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
+        small = time.time() - t0
+        t0 = time.time()
+        qs[n](spark, BASE).write.format("noop").mode("overwrite").save()
+        big = time.time() - t0
+        print(f"{n:28s} sf0.1={small:5.2f}s 10x={big:6.2f}s slope={big / max(small, 0.01):.1f}x")
+
+
+if __name__ == "__main__":
+    main()
