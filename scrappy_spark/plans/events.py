@@ -38,6 +38,30 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_map_funcs",
+    sql="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS BIGINT)                 AS n_keys,
+           list_sort(json_keys(props))                           AS keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)     AS k_val
+    FROM events WHERE event_id < 200
+    """,
+    doc="Map-typed column surface: from_json to map<string,bigint>, "
+    "key enumeration, size, element access.",
+    tags=("scalar", "json", "map"),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.size(m).cast("long").alias("n_keys"),
+        F.sort_array(F.map_keys(m)).alias("keys"),
+        m.getItem("k").alias("k_val"),
+    )
+
+
+@register(
     "q_tumbling_window_agg",
     sql="""
     SELECT date_trunc('hour', ts) AS w_start, event_type,

