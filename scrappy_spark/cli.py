@@ -179,7 +179,15 @@ def main(argv: list[str] | None = None) -> int:
         arts = store.read()
         text = F.concat_ws(" ", F.coalesce("title", F.lit("")), F.coalesce("abstract", F.lit("")))
         out = build_taxonomy(arts.withColumn("text", text), k=args.topics)
-        out.select("title", "Topic", "topic_keywords").write.mode("overwrite").parquet(args.output)
+        cols = out.select("title", "Topic", "topic_keywords")
+        if args.output.endswith(".csv"):
+            # reference-compatible CSV export (taxonomy_output.csv,
+            # scrappy.py:598): array column joined for the flat format
+            cols.withColumn(
+                "topic_keywords", F.array_join("topic_keywords", ", ")
+            ).write.mode("overwrite").option("header", True).csv(args.output)
+        else:
+            cols.write.mode("overwrite").parquet(args.output)
         print(f"taxonomy written to {args.output}")
         return 0
 

@@ -12,15 +12,28 @@ shuffle-lean DataFrame pipelines:
 - SimHash: 64-bit majority fingerprint, near-dups = small Hamming
   distance within buckets.
 
-Hashing is md5-based (not Spark's xxhash64) so results are reproducible
-across engines — the DuckDB oracle computes the identical signatures.
+Hashing defaults to md5 (reproducible across engines — the DuckDB
+oracle computes identical signatures). For deployment throughput pass
+``hash_fn="xxhash64"``: ~5× cheaper per hash, JVM-native, same
+collision behavior for LSH purposes — but engine-specific, so the
+declared queries keep md5.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .mining import ngrams_expr, tokens_col
+
+
+def _hash_col(prefix: Column, value: Column, hash_fn: str) -> Column:
+    """Seeded string hash with a sortable output (min-hash needs a
+    total order; xxhash64 longs and md5 hex strings both provide one)."""
+    if hash_fn == "md5":
+        return F.md5(F.concat_ws("|", prefix, value))
+    if hash_fn == "xxhash64":
+        return F.xxhash64(prefix, value)
+    raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -58,6 +71,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, seed, minhash) — per-seed min of md5(seed|shingle).
 
@@ -70,9 +84,7 @@ def minhash_signatures(
     """
     sh = shingles(df, text_col, id_col, k=shingle_k)
     mins = [
-        F.min(
-            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("shingle")))
-        ).alias(f"h{seed}")
+        F.min(_hash_col(F.lit(str(seed)), F.col("shingle"), hash_fn)).alias(f"h{seed}")
         for seed in range(num_hashes)
     ]
     wide = sh.groupBy(id_col).agg(*mins)
@@ -135,12 +147,20 @@ def jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    hash_fn: str = "md5",
+) -> DataFrame:
     """Per-document SimHash fingerprint (default 32-bit).
 
-    Token hash = first 8 md5 hex chars parsed as an int (engine-portable);
-    bit b of the fingerprint is 1 iff the majority of tokens have bit b
-    set. Pure expressions: explode → per-bit signed sum → reassemble.
+    Token hash = first 8 md5 hex chars parsed as an int (engine-
+    portable; ``hash_fn="xxhash64"`` swaps in the JVM-native hash for
+    deployment); bit b of the fingerprint is 1 iff the majority of
+    tokens have bit b set. Pure expressions: explode → per-bit signed
+    sum → reassemble.
     """
     from .mining import ensure_parallelism
 
@@ -148,7 +168,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     t = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(toks).alias("tok")
     )
-    t = t.select(id_col, F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("th"))
+    if hash_fn == "md5":
+        th = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        th = F.xxhash64("tok").bitwiseAND(F.lit((1 << bits) - 1))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
+    t = t.select(id_col, th.alias("th"))
     bit_cols = [
         F.sum(
             F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

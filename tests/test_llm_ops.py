@@ -59,6 +59,21 @@ def test_minhash_identical_docs_share_signature(spark):
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
 
 
+def test_minhash_xxhash64_variant(spark):
+    """The deployment hash (xxhash64) preserves LSH semantics: identical
+    docs share full signatures; long-typed minhashes still min-order."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "q r s t u v w")],
+        ["doc_id", "text"],
+    )
+    sig = DA.minhash_signatures(df, num_hashes=4, hash_fn="xxhash64")
+    assert dict(sig.dtypes)["minhash"] == "bigint"
+    pairs = DA.minhash_candidate_pairs(sig, min_matches=4).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    fp = {r.doc_id: r.simhash for r in DA.simhash(df, hash_fn="xxhash64").collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
 def test_jaccard_pairs_blocked(spark):
     df = spark.createDataFrame(
         [
