@@ -1,0 +1,90 @@
+"""Connected components over candidate-pair edges — the dedup endgame.
+
+Near-dup detection yields PAIRS; deduplication needs CLUSTERS (pairs
+are transitive in practice: A≈B, B≈C ⇒ one keep among {A,B,C}). The
+operator is iterative min-label propagation:
+
+    label(v) ← min(label(v), min over neighbors(label(u)))
+
+repeated to fixpoint. Each round is one join + one aggregation — the
+standard Spark shape for iterative graph algorithms (GraphFrames-free);
+rounds = graph diameter, which for near-dup clusters is tiny (they are
+dense cliques, typically 1–2 rounds). ``localCheckpoint`` truncates the
+growing lineage each round; convergence is a driver-side count of
+changed labels (one small action per round).
+
+At 100 TB: edges are the output of LSH banding (already shuffle-
+partitioned by key); each round shuffles |V|+|E| rows. For pathological
+long chains switch to alternating small-star/large-star, which bounds
+rounds by O(log d) — near-dup graphs never need it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) — component = min node id reachable from id.
+
+    ``nodes``: one column ``id_col`` (isolated nodes keep their own id).
+    ``edges``: undirected pairs (each stored once; symmetrized here).
+    """
+    sym = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).unionAll(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = nodes.select(F.col(id_col).alias("a"), F.col(id_col).alias("component"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("a", "b2"), sym.b == F.col("b2"))
+            .groupBy("a")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="a", how="left")
+            .select(
+                "a",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="a")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("a").alias(id_col), "component")
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """(doc_id, component, is_canonical): group docs by near-dup
+    cluster; the minimum id per cluster is the canonical keeper —
+    deterministic, matching the engine's keep-first convention."""
+    nodes = docs.select(F.col(id_col).alias("id"))
+    cc = connected_components(nodes, pairs, id_col="id", src_col=pair_a, dst_col=pair_b)
+    return cc.select(
+        F.col("id").alias(id_col),
+        "component",
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

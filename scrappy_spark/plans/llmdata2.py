@@ -134,6 +134,46 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(load_table(spark, sf_dir, "documents"))
 
 
+from .llmdata import _SIG_SQL  # shared MinHash signature CTE
+
+
+@register(
+    "q_dup_clusters",
+    sql=f"""
+    WITH RECURSIVE
+    {_SIG_SQL},
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+    edges AS (SELECT id_a AS a, id_b AS b FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (
+      SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id)
+    SELECT doc_id, component, doc_id = component AS is_canonical FROM comp
+    """,
+    doc="Near-dup clusters: MinHash pairs → connected components "
+    "(iterative min-label propagation; oracle = recursive-CTE "
+    "transitive closure) → canonical keeper per cluster. The step that "
+    "turns pair detection into actual corpus deduplication.",
+    tags=("llm", "dedup", "graph"),
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import dedup_clusters
+    from ..operators.dedup_approx import minhash_candidate_pairs, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(minhash_signatures(docs), min_matches=2)
+    return dedup_clusters(docs, pairs)
+
+
 @register(
     "q_ivf_ann_topk",
     sql=None,  # approximate; recall measured in tests vs brute force
