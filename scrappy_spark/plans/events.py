@@ -42,12 +42,14 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT event_id,
            CAST(len(json_keys(props)) AS BIGINT)                 AS n_keys,
-           list_sort(json_keys(props))                           AS keys,
+           array_to_string(list_sort(json_keys(props)), ',')     AS keys,
            CAST(json_extract_string(props, '$.k') AS BIGINT)     AS k_val
     FROM events WHERE event_id < 200
     """,
     doc="Map-typed column surface: from_json to map<string,bigint>, "
-    "key enumeration, size, element access.",
+    "key enumeration, size, element access. Keys are joined to a flat "
+    "string because the driver's canonicalizer (pandas sort + hash) "
+    "cannot handle array-typed cells.",
     tags=("scalar", "json", "map"),
 )
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,7 +58,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         F.size(m).cast("long").alias("n_keys"),
-        F.sort_array(F.map_keys(m)).alias("keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys"),
         m.getItem("k").alias("k_val"),
     )
 

@@ -90,7 +90,10 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return decode_image(attach_fake_payload(docs), fake=True)
+    out = decode_image(attach_fake_payload(docs), fake=True)
+    # Flatten the histogram for the driver harness (no complex-typed
+    # output columns in declared queries — contract lint enforces this).
+    return out.withColumn("hist", F.array_join(F.col("hist").cast("array<string>"), ","))
 
 
 @register(

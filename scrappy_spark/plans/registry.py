@@ -64,7 +64,10 @@ def all_specs() -> dict[str, QuerySpec]:
         extras,
     )
 
-    return dict(_REGISTRY)
+    # Sorted by name: the enumeration the driver sees must not depend on
+    # module import order (round-1 left 24 late-registered queries out of
+    # the driver's correctness file).
+    return {name: _REGISTRY[name] for name in sorted(_REGISTRY)}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -34,6 +34,27 @@ def test_all_oracle_columns_match(spark, duck):
     assert not mismatches, mismatches
 
 
+def test_no_complex_typed_output_columns(spark):
+    """The driver's canonicalizer (pandas sort_values + value hash) dies
+    on array/map/struct cells (`unhashable type: 'list'` — the round-1
+    q_map_funcs failure). Every declared query, oracle-backed or
+    rows-only, must emit only atomic-typed columns; stringify arrays
+    with array_join / to_json at the query boundary."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, spec in registry.all_specs().items():
+        schema = spec.fn(spark, SF_DIR).schema
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
 def test_every_query_has_doc(spark):
     undocumented = [n for n, s in registry.all_specs().items() if not s.doc.strip()]
     assert not undocumented

@@ -20,12 +20,17 @@ def canonical_hash(df: pd.DataFrame) -> str:
     df = df.reindex(sorted(df.columns), axis=1)
 
     def cell(v):
+        # Array-likes first: `v != v` on a multi-element numpy array
+        # raises "truth value of an array is ambiguous", so the NaN
+        # check must not see them.
+        if isinstance(v, (list, tuple)):
+            return repr(list(v))
+        if hasattr(v, "tolist"):  # numpy arrays / scalars
+            return repr(v.tolist())
         if v is None or v != v:  # NaN/None
             return "∅"
         if isinstance(v, float):
             return repr(round(v, 9))
-        if hasattr(v, "tolist"):  # numpy arrays / list cells
-            return repr(v.tolist())
         return repr(v)
 
     rows = sorted("|".join(cell(v) for v in row) for row in df.itertuples(index=False))
@@ -73,15 +78,22 @@ def main() -> int:
             problems.append(f"rows spark={len(sdf)} duck={len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols spark={sorted(sdf.columns)} duck={sorted(odf.columns)}")
-        if not problems and canonical_hash(sdf) != canonical_hash(odf):
-            problems.append("value hash mismatch")
-            # show a diff sample
-            s = sdf.reindex(sorted(sdf.columns), axis=1).sort_values(list(sorted(sdf.columns))).reset_index(drop=True)
-            o = odf.reindex(sorted(odf.columns), axis=1).sort_values(list(sorted(odf.columns))).reset_index(drop=True)
-            for i in range(min(len(s), len(o))):
-                if not s.iloc[i].equals(o.iloc[i]):
-                    problems.append(f"first diff row {i}:\n  spark={s.iloc[i].to_dict()}\n  duck ={o.iloc[i].to_dict()}")
-                    break
+        try:
+            if not problems and canonical_hash(sdf) != canonical_hash(odf):
+                problems.append("value hash mismatch")
+                # show a diff sample (best-effort: sort_values dies on
+                # list cells, which the contract lint forbids anyway)
+                try:
+                    s = sdf.reindex(sorted(sdf.columns), axis=1).sort_values(list(sorted(sdf.columns))).reset_index(drop=True)
+                    o = odf.reindex(sorted(odf.columns), axis=1).sort_values(list(sorted(odf.columns))).reset_index(drop=True)
+                    for i in range(min(len(s), len(o))):
+                        if not s.iloc[i].equals(o.iloc[i]):
+                            problems.append(f"first diff row {i}:\n  spark={s.iloc[i].to_dict()}\n  duck ={o.iloc[i].to_dict()}")
+                            break
+                except Exception:
+                    pass
+        except Exception as e:
+            problems.append(f"hash error: {e}")
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: " + "; ".join(problems))
