@@ -7,14 +7,24 @@ partitioned by ``source``:
 
 - real ArrayType columns round-trip losslessly;
 - partition pruning serves per-source reads without scanning the rest;
-- the merge writes to a staging path then swaps, so a failed merge
-  never corrupts the store (the reference's overwrite can);
+- the merge is PARTITION-SELECTIVE: existing-wins semantics never
+  modifies an existing row, so only the ``source`` partitions that
+  receive newly-added rows are rewritten — untouched partitions stay
+  byte-identical on disk (no 100 TB full-table rewrite per merge,
+  unlike the reference's whole-CSV rewrite at scrappy.py:350);
+- each rewritten partition swaps in via two renames (live →
+  ``.old.source=X``, staging → live, delete ``.old``); a crash between
+  the renames leaves a hidden ``.old`` dir that ``_recover`` rolls
+  back/forward on the next read — at no point is the store unreadable
+  (dot-prefixed dirs are invisible to Spark's parquet reader);
 - "never deletes existing data" (README.md:17) holds by construction:
   merge = union + existing-wins window dedup.
 
 At cluster scale the same API maps onto a Delta/Iceberg table with
 ``MERGE WHEN NOT MATCHED INSERT``; plain parquet keeps this repo
-dependency-free.
+dependency-free, and the partition-selective rewrite is the same I/O
+shape Hive's dynamic partition overwrite
+(``spark.sql.sources.partitionOverwriteMode=dynamic``) produces.
 """
 
 from __future__ import annotations
@@ -22,9 +32,9 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.dedup import merge_keep_existing, newly_added
+from ..operators.dedup import dedup_keep_first, newly_added
 from ..schema import ARTICLES_SCHEMA
 
 
@@ -72,18 +82,45 @@ def import_legacy_csv(spark: SparkSession, path: str) -> DataFrame:
     return out
 
 
+OLD_PREFIX = ".old."  # hidden → ignored by Spark's parquet reader
+
+
 class ArticleStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
 
     def exists(self) -> bool:
-        return os.path.exists(self.path) and bool(os.listdir(self.path))
+        return os.path.exists(self.path) and any(
+            not d.startswith(".") for d in os.listdir(self.path)
+        )
+
+    def _recover(self) -> None:
+        """Complete or roll back a swap interrupted mid-merge.
+
+        A leftover ``.old.source=X`` dir means a crash happened between
+        the two renames: if the live ``source=X`` exists the swap
+        finished (delete the backup), else roll back (rename the backup
+        into place). Either way every partition is a consistent pre- or
+        post-merge snapshot and re-running the merge converges (merge is
+        idempotent — existing wins)."""
+        if not os.path.isdir(self.path):
+            return
+        for d in os.listdir(self.path):
+            if not d.startswith(OLD_PREFIX):
+                continue
+            live = os.path.join(self.path, d[len(OLD_PREFIX):])
+            backup = os.path.join(self.path, d)
+            if os.path.exists(live):
+                shutil.rmtree(backup)
+            else:
+                os.rename(backup, live)
 
     def read(self) -> DataFrame:
         """Current store contents; empty frame with the canonical schema
         when the store does not exist yet (the reference's empty-DF
         fallback, article_querry.py:8-11)."""
+        self._recover()
         if not self.exists():
             return self.spark.createDataFrame([], ARTICLES_SCHEMA)
         return self.spark.read.parquet(self.path)
@@ -91,21 +128,61 @@ class ArticleStore:
     def merge(self, new: DataFrame) -> DataFrame:
         """Merge a new batch in (existing wins per title); returns the
         newly-added rows (the reference's merge report, scrappy.py:
-        339-348). Two jobs: one to write the merged store, one cheap
-        anti-join for the report."""
+        339-348).
+
+        Partition-selective: because existing rows always win, the
+        merged table is exactly ``existing ∪ keep-first-dedup(new rows
+        whose title is absent from existing)`` — so only the ``source``
+        partitions that gain rows are rewritten (existing partition
+        content ∪ its added rows), and every other partition's files are
+        left untouched on disk. Cost scales with the batch, not the
+        store."""
         existing = self.read()
         report = newly_added(existing, new, keys=["title"]).localCheckpoint(eager=True)
-        merged = merge_keep_existing(
-            existing, new, keys=["title"], tiebreak=["date_added", "source"]
-        )
+        added = dedup_keep_first(report, keys=["title"], order_by=["date_added", "source"])
         staging = self.path + ".staging"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+
+        if not self.exists():
+            # First write: full table to staging, one rename into place.
+            (
+                added.repartition("source")
+                .write.mode("overwrite")
+                .partitionBy("source")
+                .parquet(staging)
+            )
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            os.rename(staging, self.path)
+            return report
+
+        sources = [r[0] for r in added.select("source").distinct().collect()]
+        if not sources:
+            return report
+
+        non_null = [s for s in sources if s is not None]
+        cond = F.col("source").isin(non_null)
+        if len(non_null) != len(sources):  # a null source lands in the
+            cond = cond | F.col("source").isNull()  # default partition
+        affected_existing = existing.filter(cond)
+        replacement = affected_existing.unionByName(added, allowMissingColumns=True)
         (
-            merged.repartition("source")
+            replacement.repartition("source")
             .write.mode("overwrite")
             .partitionBy("source")
             .parquet(staging)
         )
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.rename(staging, self.path)
+        # Two-rename swap per affected partition; a crash at any point
+        # leaves the store readable (see _recover).
+        for d in os.listdir(staging):
+            if not d.startswith("source="):
+                continue
+            live = os.path.join(self.path, d)
+            backup = os.path.join(self.path, OLD_PREFIX + d)
+            if os.path.exists(live):
+                os.rename(live, backup)
+            os.rename(os.path.join(staging, d), live)
+            if os.path.exists(backup):
+                shutil.rmtree(backup)
+        shutil.rmtree(staging)  # leftover _SUCCESS marker etc.
         return report

@@ -1,6 +1,7 @@
 """Connectors (S1–S5) against recorded payloads — zero network — plus
 the distributed fetch pipeline and the parquet store merge (EP2)."""
 
+import datetime
 import os
 import time
 
@@ -154,3 +155,82 @@ def test_store_merge_roundtrip(spark, articles, tmp_path):
 
     # idempotence: merging the same full set again adds 0
     assert store.merge(articles).count() == 0
+
+
+def _partition_file_mtimes(store_path: str, part: str) -> dict[str, float]:
+    d = os.path.join(store_path, part)
+    return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+
+
+def test_merge_is_partition_selective(spark, articles, tmp_path):
+    """A merge whose new rows touch only some sources must leave every
+    other source partition's files byte-untouched on disk (mtimes and
+    names identical) — the 100 TB guarantee: merge cost scales with the
+    batch, not the store."""
+    path = str(tmp_path / "store")
+    store = ArticleStore(spark, path)
+    store.merge(articles)
+
+    untouched = {
+        p: _partition_file_mtimes(path, p)
+        for p in os.listdir(path)
+        if p.startswith("source=") and p != "source=arXiv"
+    }
+    assert untouched  # sanity: multiple partitions exist
+
+    time.sleep(1.1)  # ensure an overwrite would move mtime
+    batch = spark.createDataFrame(
+        [("arXiv", "Brand New arXiv Paper", "new", "http://n/1",
+          ["New"], [[]], [], "new", 2024, datetime.date(2024, 2, 1))],
+        ARTICLES_SCHEMA,
+    )
+    report = store.merge(batch)
+    assert report.count() == 1
+
+    for p, before in untouched.items():
+        assert _partition_file_mtimes(path, p) == before, f"{p} was rewritten"
+    # the touched partition kept its existing rows and gained the new one
+    arxiv = store.read().filter(F.col("source") == "arXiv")
+    assert arxiv.filter(F.col("title") == "Brand New arXiv Paper").count() == 1
+    assert arxiv.filter(F.col("title") == "Quantum Error Correction").count() == 1
+    # no hidden backup/staging leftovers
+    assert not [d for d in os.listdir(path) if d.startswith(".old.")]
+    assert not os.path.exists(path + ".staging")
+
+
+def test_merge_noop_batch_touches_nothing(spark, articles, tmp_path):
+    path = str(tmp_path / "store")
+    store = ArticleStore(spark, path)
+    store.merge(articles)
+    before = {
+        p: _partition_file_mtimes(path, p)
+        for p in os.listdir(path)
+        if p.startswith("source=")
+    }
+    time.sleep(1.1)
+    assert store.merge(articles).count() == 0  # all titles already present
+    after = {
+        p: _partition_file_mtimes(path, p)
+        for p in os.listdir(path)
+        if p.startswith("source=")
+    }
+    assert after == before
+
+
+def test_store_recovers_from_interrupted_swap(spark, articles, tmp_path):
+    """Simulate a crash between the two swap renames: live partition
+    renamed to .old, replacement never arrived. read() must roll the
+    backup back and serve the pre-merge snapshot."""
+    path = str(tmp_path / "store")
+    store = ArticleStore(spark, path)
+    store.merge(articles)
+    n_before = store.read().count()
+
+    part = "source=IEEE"
+    os.rename(os.path.join(path, part), os.path.join(path, ".old." + part))
+    assert store.read().count() == n_before  # rolled back
+
+    # completed-swap leftover: live exists AND .old exists → backup dropped
+    os.makedirs(os.path.join(path, ".old." + part))
+    assert store.read().count() == n_before
+    assert not os.path.exists(os.path.join(path, ".old." + part))
