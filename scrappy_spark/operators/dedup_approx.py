@@ -45,6 +45,31 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def collapse_exact_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(representatives, doc→rep map) — one keeper row per distinct text.
+
+    Web corpora are exact-dup heavy; running MinHash-LSH on the raw
+    corpus puts all d copies of a text into the same (seed, minhash)
+    bucket and the pair join goes d² per seed. Collapsing first makes
+    every downstream near-dup cost a function of UNIQUE texts. The rep
+    is the min id of its exact group, so cluster labels computed over
+    reps equal the labels the uncollapsed run would produce (component
+    = min id; each group's min id IS its rep).
+
+    Cost: one content-hash groupBy (uniform key, one shuffle) + one
+    semi join; the map is (id, content_hash, rep) for the fan-out."""
+    groups = exact_dup_groups(df, text_col=text_col, id_col=id_col)
+    doc_to_rep = (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .join(groups.select("content_hash", F.col(id_col).alias("__rep")), "content_hash")
+        .select(id_col, "__rep")
+    )
+    reps = df.join(groups.select(id_col), on=id_col, how="left_semi")
+    return reps, doc_to_rep
+
+
 def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) pairs: DISTINCT k-token shingles per document.
 
@@ -96,12 +121,32 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    sig: DataFrame, id_col: str = "doc_id", min_matches: int = 2
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    min_matches: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (r=1 bands): docs sharing ≥ ``min_matches``
     per-seed min-hashes. Self-join on (seed, minhash) — i.e. a bucket
     join on the LSH key, never an all-pairs product — then a count
-    filter. Output: (id_a < id_b, n_match)."""
+    filter. Output: (id_a < id_b, n_match).
+
+    ``max_bucket_size`` is the skew guard: a (seed, minhash) bucket of
+    size d emits d² join rows, so one hot bucket (boilerplate shingle,
+    residual exact-dup mass) can dominate the whole job at web scale.
+    Buckets above the cap are dropped from candidate generation — a
+    recall trade the caller makes explicitly; run exact-dup collapse
+    first (``collapse_exact_dups``) so identical texts never form hot
+    buckets in the first place. The size filter aggregates on the join
+    key itself, so it reuses the bucket-join shuffle partitioning."""
+    if max_bucket_size is not None:
+        sizes = (
+            sig.groupBy("seed", "minhash")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .select("seed", "minhash")
+        )
+        sig = sig.join(sizes, on=["seed", "minhash"], how="left_semi")
     a = sig.select(F.col(id_col).alias("id_a"), "seed", "minhash")
     b = sig.select(F.col(id_col).alias("id_b"), "seed", "minhash")
     return (

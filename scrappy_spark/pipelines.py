@@ -1,11 +1,22 @@
 """End-to-end corpus deduplication pipeline — the composed flow a
 training-data user actually runs:
 
-    exact hash dedup → MinHash-LSH candidate pairs → connected
-    components → canonical doc per cluster → cleaned corpus + stats.
+    exact content-hash collapse → MinHash-LSH candidate pairs over
+    UNIQUE texts → connected components → fan cluster labels back out
+    to every copy → cleaned corpus + audit map.
 
 Each stage is an operator from ``operators/``; this module only wires
 them. Everything stays lazy until the caller acts.
+
+Why collapse first (not just "identical texts pair anyway"): at web
+scale exact duplicates dominate — a text repeated d× puts d rows in the
+same (seed, minhash) bucket, and the LSH pair join emits d² rows per
+seed. Collapsing to one representative per distinct text keeps the pair
+join O(unique texts); the cluster labels are unchanged because the
+representative is the min id of its exact group (see
+``collapse_exact_dups``). A ``max_bucket_size`` cap guards the residual
+skew (e.g. boilerplate-heavy shingles shared by thousands of otherwise-
+distinct pages).
 """
 
 from __future__ import annotations
@@ -13,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .operators.components import dedup_clusters
-from .operators.dedup_approx import minhash_candidate_pairs, minhash_signatures
+from .operators.dedup_approx import (
+    collapse_exact_dups,
+    minhash_candidate_pairs,
+    minhash_signatures,
+)
 
 
 def dedup_corpus(
@@ -23,20 +38,38 @@ def dedup_corpus(
     num_hashes: int = 8,
     min_matches: int = 2,
     hash_fn: str = "md5",
+    max_bucket_size: int | None = 1000,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (cleaned_docs, cluster_map).
 
     cleaned_docs: input rows minus non-canonical near-dups (exact dups
-    collapse too — identical texts share identical signatures, so they
-    always pair). cluster_map: (doc_id, component, is_canonical) for
-    audit — a dedup step a pipeline can't explain is a dedup step a
-    pipeline can't debug.
+    collapse in stage 1; near-dups via LSH over unique texts).
+    cluster_map: (doc_id, component, is_canonical) for every input doc —
+    a dedup step a pipeline can't explain is a dedup step a pipeline
+    can't debug. component = min doc_id of the cluster; the single
+    canonical doc per cluster is the one whose id equals the label.
     """
+    reps, doc_to_rep = collapse_exact_dups(docs, text_col=text_col, id_col=id_col)
     sig = minhash_signatures(
-        docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes, hash_fn=hash_fn
+        reps, text_col=text_col, id_col=id_col, num_hashes=num_hashes, hash_fn=hash_fn
     )
-    pairs = minhash_candidate_pairs(sig, id_col=id_col, min_matches=min_matches)
-    clusters = dedup_clusters(docs, pairs, id_col=id_col)
+    pairs = minhash_candidate_pairs(
+        sig, id_col=id_col, min_matches=min_matches, max_bucket_size=max_bucket_size
+    )
+    rep_clusters = dedup_clusters(reps, pairs, id_col=id_col)
+    # Fan the rep-level labels back out to every exact copy. A doc is
+    # canonical iff it IS the cluster label (min id — each rep is the
+    # min of its exact group, so the overall min is itself a rep).
+    clusters = (
+        doc_to_rep.join(
+            rep_clusters.select(F.col(id_col).alias("__rep"), "component"), "__rep"
+        )
+        .select(
+            id_col,
+            "component",
+            (F.col(id_col) == F.col("component")).alias("is_canonical"),
+        )
+    )
     cleaned = docs.join(
         clusters.filter(F.col("is_canonical")).select(id_col), on=id_col, how="inner"
     )

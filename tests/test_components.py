@@ -3,6 +3,11 @@
 from pyspark.sql import functions as F
 
 from scrappy_spark.operators.components import connected_components, dedup_clusters
+from scrappy_spark.operators.dedup_approx import (
+    collapse_exact_dups,
+    minhash_candidate_pairs,
+    minhash_signatures,
+)
 from scrappy_spark.pipelines import dedup_corpus
 
 
@@ -42,3 +47,55 @@ def test_dedup_corpus_removes_exact_dups(spark):
     for d, (c, canon) in cl.items():
         comps.setdefault(c, []).append(canon)
     assert all(sum(flags) == 1 for flags in comps.values())
+
+
+def _heavy_dup_corpus(spark, copies=100):
+    rows = [(i, "the exact same boilerplate text repeated across the crawl") for i in range(copies)]
+    rows += [
+        (copies + i, f"unique document number {i} with distinct content about subject {i} and more words {i}")
+        for i in range(5)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_precollapse_keeps_pair_join_linear(spark):
+    """A text duplicated 100x must NOT produce ~100^2/2 LSH pair rows.
+    Raw signatures put all copies in one bucket per seed (the quadratic
+    blowup); collapsing to exact-dup representatives first makes the
+    pair join O(unique texts)."""
+    docs = _heavy_dup_corpus(spark, copies=100)
+
+    raw_pairs = minhash_candidate_pairs(minhash_signatures(docs), min_matches=2)
+    assert raw_pairs.count() >= 100 * 99 // 2  # the blowup being avoided
+
+    reps, doc_to_rep = collapse_exact_dups(docs)
+    assert reps.count() == 6  # 1 boilerplate rep + 5 uniques
+    collapsed_pairs = minhash_candidate_pairs(minhash_signatures(reps), min_matches=2)
+    assert collapsed_pairs.count() <= 6 * 5 // 2  # bounded by uniques
+    assert doc_to_rep.count() == 105  # every doc mapped for the fan-out
+
+
+def test_dedup_corpus_fans_clusters_back_out(spark):
+    """Pipeline output over the collapsed path must equal the semantics
+    of the uncollapsed run: all 100 copies share component 0, exactly
+    one canonical doc, uniques survive."""
+    docs = _heavy_dup_corpus(spark, copies=100)
+    cleaned, clusters = dedup_corpus(docs)
+    assert clusters.count() == 105
+    dup_side = clusters.filter(F.col("doc_id") < 100)
+    assert dup_side.select("component").distinct().collect() == [(0,)]
+    assert [r.doc_id for r in dup_side.filter("is_canonical").collect()] == [0]
+    kept = sorted(r.doc_id for r in cleaned.collect())
+    assert kept[0] == 0 and set(range(100, 105)).issubset(set(kept))
+
+
+def test_bucket_size_cap_drops_hot_buckets(spark):
+    """With a cap below the bucket size, the hot bucket contributes no
+    candidate pairs (explicit recall trade for skew safety)."""
+    docs = _heavy_dup_corpus(spark, copies=50)
+    sig = minhash_signatures(docs)
+    capped = minhash_candidate_pairs(sig, min_matches=2, max_bucket_size=10)
+    # every pair among the 50 copies came from >10-deep buckets → gone
+    assert capped.filter((F.col("id_a") < 50) & (F.col("id_b") < 50)).count() == 0
+    uncapped = minhash_candidate_pairs(sig, min_matches=2)
+    assert uncapped.filter((F.col("id_a") < 50) & (F.col("id_b") < 50)).count() == 50 * 49 // 2
