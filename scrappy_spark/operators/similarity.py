@@ -80,30 +80,128 @@ def label_centroids(
     )
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int = 7) -> Column:
+def _plane_signs(seed: int, p: int, dim: int) -> list[float]:
+    """±1 components of hyperplane p — md5(seed:p:d) parity, identical
+    to the in-expression derivation so both lsh_bucket paths agree."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:4], 16) % 2 == 0
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8, dim: int | None = None, seed: int = 7) -> Column:
     """Deterministic random-hyperplane LSH bucket id.
 
     Plane p's component for dimension d is ±1 derived from md5(seed,p,d)
     parity — reproducible everywhere, no stored model. Bucket id packs
     the sign bits of the ``n_planes`` projections.
+
+    Two paths, same buckets:
+    - ``dim`` given: planes are embedded as LITERAL arrays (zero per-row
+      hashing — the planes are row-independent, so deriving them per row
+      wastes n_planes·dim hashes per vector), plus a runtime
+      ``assert_true(size(vec) == dim)`` guard. A silent mismatch would
+      null-pad ``zip_with``, NULL the projection, and collapse every
+      such vector into one bucket (degraded recall + a quadratic bucket
+      join) — so mismatches fail loudly instead.
+    - ``dim=None``: plane length follows each vector's own ``size(vec)``
+      — robust for mixed-dimension columns, at per-row hashing cost.
     """
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
+        if dim is not None:
+            signs = F.array(*[F.lit(s) for s in _plane_signs(seed, p, dim)])
+        else:
+            prefix = f"{seed}:{p}:"
+            signs = F.transform(
+                F.sequence(F.lit(0), F.size(vec) - F.lit(1)),
+                lambda d: F.when(
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(prefix), d.cast("string"))), 1, 4),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2
+                    == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            )
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.expr(
-                    "transform(sequence(0, {n}), d -> "
-                    "CASE WHEN conv(substring(md5(concat('{s}:{p}:', d)), 1, 4), 16, 10) % 2 = 0 "
-                    "THEN 1.0 ELSE -1.0 END)".format(n=dim - 1, s=seed, p=p)
-                ),
-                lambda x, s: x.cast("double") * s,
-            ),
+            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    if dim is not None:
+        guard = F.assert_true(
+            F.size(vec) == F.lit(dim), F.lit(f"lsh_bucket: embedding length != dim={dim}")
+        )
+        bucket = F.when(guard.isNull(), bucket)
     return bucket
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 16,
+    seed: int = 7,
+    round_digits: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by ANN cells (multi-table
+    hyperplane LSH) — the block key that survives a 100× scale-up, unlike
+    a low-cardinality label (O(n²/n_labels) within block).
+
+    Candidate generation: each vector lands in one bucket per table
+    (``n_tables`` independent plane sets); pairs = equi-join on
+    (table, bucket), deduped, then exact cosine on the candidates only.
+    Two vectors at angle θ collide in a table with prob (1−θ/π)^n_planes
+    and are found with prob 1−(1−p)^n_tables: at cos ≥ 0.9, 8 planes ×
+    16 tables gives ≈ 0.996 recall while comparing ≈ n²·16/2⁸ pairs —
+    16× fewer than all-pairs, and the ratio improves with more planes as
+    the corpus grows. Approximate by construction → rows-only contract;
+    recall is pinned by tests against the brute-force ground truth.
+    """
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(F.col(vec_col), n_planes, dim=dim, seed=seed + t).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    bucketed = (
+        df.select(F.col(id_col), F.explode(tables).alias("tb"))
+        .select(id_col, F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+    )
+    a = bucketed.select(F.col(id_col).alias("id_a"), "t", "bkt")
+    b = bucketed.select(F.col(id_col).alias("id_b"), "t", "bkt")
+    cand = (
+        a.join(b, on=["t", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), round_digits).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def ivf_topk(

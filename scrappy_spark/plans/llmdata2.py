@@ -32,8 +32,9 @@ _RAW_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <
     WHERE cos_sim >= 0.35
     """,
     doc="Embedding-cosine near-duplicate pairs over label-blocked "
-    "candidates (the embedding-space analogue of MinHash dedup; at "
-    "100 TB the block key is an ANN cell, not a label).",
+    "candidates — the hash-exact (oracle-checkable) variant; the scale "
+    "path is q_embedding_near_dups_ann, which blocks on ANN cells "
+    "instead of a low-cardinality label.",
     tags=("llm", "dedup", "similarity"),
 )
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,6 +51,23 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.35)
     )
+
+
+@register(
+    "q_embedding_near_dups_ann",
+    sql=None,  # approximate (LSH-blocked); recall pinned in tests vs brute force
+    doc="Embedding near-dup pairs blocked by multi-table hyperplane-LSH "
+    "cells — the 100 TB block key (O(n²·tables/2^planes) comparisons, "
+    "independent of label cardinality). Loose parameters (4 planes × 16 "
+    "tables) because the fixture's max pair cosine is ~0.5; production "
+    "near-dup thresholds (≥0.9) use 8+ planes for a 16×+ comparison "
+    "cut at ~0.996 recall. Approximate → rows-only; recall vs the "
+    "exact ground truth is asserted in tests/test_llm_ops2.py.",
+    tags=("llm", "dedup", "similarity", "approx"),
+)
+def q_embedding_near_dups_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(e, threshold=0.35, n_planes=4, n_tables=16, dim=64)
 
 
 @register(

@@ -64,3 +64,124 @@ def test_ivf_recall_vs_brute_force(spark):
     assert all((q, q) in approx for q in range(5))
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2
+
+
+def _clustered_vectors(spark, n_clusters=30, per_cluster=4, n_noise=150, dim=32):
+    """Synthetic near-dup fixture: clusters of perturbed copies (within-
+    cluster cosine ≥ ~0.99) plus isolated noise vectors. Deterministic."""
+    import math
+    import random
+
+    rng = random.Random(7)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        base = unit([rng.gauss(0, 1) for _ in range(dim)])
+        for _ in range(per_cluster):
+            pert = unit([b + rng.gauss(0, 0.02) for b in base])
+            rows.append((vid, pert))
+            vid += 1
+    for _ in range(n_noise):
+        rows.append((vid, unit([rng.gauss(0, 1) for _ in range(dim)])))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_near_dup_recall_vs_brute_force(spark):
+    """The ANN-cell-blocked near-dup operator must find ≥ 0.9 of the
+    true (brute-force) cos ≥ 0.9 pairs at production parameters — the
+    evidence that swapping the label block key for LSH cells does not
+    cost meaningful recall."""
+    vecs = _clustered_vectors(spark)
+    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", SIM.cosine(F.col("va"), F.col("vb")).alias("cs"))
+        .filter(F.col("cs") >= 0.9)
+        .collect()
+    }
+    assert len(truth) >= 100  # fixture sanity: real near-dup mass exists
+
+    found = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_near_dup_pairs(
+            vecs, threshold=0.9, n_planes=8, n_tables=16
+        ).collect()
+    }
+    assert found <= truth  # exact verification within candidates: no false positives
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_ann_near_dup_query_params_recall_on_fixture(spark):
+    """The declared query's loose parameters (4 planes × 16 tables) must
+    recover ≥ 0.8 of the exact cos ≥ 0.35 pairs on the driver fixture —
+    the bar for the rows-only contract to be meaningful."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", SIM.cosine(F.col("va"), F.col("vb")).alias("cs"))
+        .filter(F.col("cs") >= 0.35)
+        .collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_near_dup_pairs(
+            e, threshold=0.35, n_planes=4, n_tables=16
+        ).collect()
+    }
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.8, f"recall {recall:.3f} over {len(truth)} true pairs"
+
+
+def test_lsh_bucket_handles_mixed_dims(spark):
+    """A vector whose length differs from others must still project onto
+    full-length planes (plane length follows size(vec)) instead of
+    null-padding into a single degenerate bucket."""
+    rows = [(1, [1.0] * 64), (2, [-1.0] * 64), (3, [1.0] * 16), (4, [-1.0] * 16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r.bkt
+        for r in df.select(
+            "vec_id", SIM.lsh_bucket(F.col("embedding"), n_planes=8).alias("bkt")
+        ).collect()
+    }
+    assert None not in out.values()
+    # opposite vectors of the same length get complementary sign bits,
+    # not the shared otherwise(0) fallback bucket
+    assert out[1] != out[2] and out[3] != out[4]
+
+
+def test_lsh_bucket_literal_and_derived_paths_agree(spark):
+    """The dim-literal fast path (no per-row hashing) must produce the
+    exact buckets of the size-derived path, and its guard must throw on
+    a length mismatch instead of silently degrading."""
+    vecs = _clustered_vectors(spark, n_clusters=5, per_cluster=2, n_noise=20, dim=32)
+    derived = {
+        r.vec_id: r.bkt
+        for r in vecs.select(
+            "vec_id", SIM.lsh_bucket(F.col("embedding"), n_planes=8).alias("bkt")
+        ).collect()
+    }
+    literal = {
+        r.vec_id: r.bkt
+        for r in vecs.select(
+            "vec_id", SIM.lsh_bucket(F.col("embedding"), n_planes=8, dim=32).alias("bkt")
+        ).collect()
+    }
+    assert literal == derived
+
+    with pytest.raises(Exception, match="embedding length != dim"):
+        vecs.select(SIM.lsh_bucket(F.col("embedding"), n_planes=8, dim=64)).collect()
