@@ -23,6 +23,7 @@ from pyspark.ml.feature import (
     SQLTransformer,
     StopWordsRemover,
     StringIndexer,
+    StringIndexerModel,
 )
 from pyspark.sql import DataFrame, SparkSession
 
@@ -63,7 +64,13 @@ def training_frame(spark: SparkSession) -> DataFrame:
 
 def build_pipeline(vocab_size: int = 4096) -> Pipeline:
     """tokenize → stopword-filter → bigram → union(1,2)-grams →
-    CountVectorizer → IDF → LR (the sklearn stack, MLlib-native)."""
+    CountVectorizer → IDF → LR (the sklearn stack, MLlib-native).
+
+    No IndexToString here: the index→label mapping belongs to the FITTED
+    StringIndexerModel (any label set, any cardinality), so
+    ``train_classifier`` appends it after fit. A hard-coded label list
+    would silently mis-map every training set whose labels differ from
+    the default pairs."""
     return Pipeline(
         stages=[
             RegexTokenizer(inputCol="text", outputCol="toks", pattern="[^a-z0-9]+", minTokenLength=1),
@@ -74,16 +81,21 @@ def build_pipeline(vocab_size: int = 4096) -> Pipeline:
             IDF(inputCol="tf", outputCol="features"),
             StringIndexer(inputCol="label", outputCol="label_idx", stringOrderType="alphabetAsc"),
             LogisticRegression(featuresCol="features", labelCol="label_idx", maxIter=50),
-            IndexToString(
-                inputCol="prediction", outputCol="predicted_label",
-                labels=["infrastructure", "threat"],  # alphabetAsc order
-            ),
         ]
     )
 
 
 def train_classifier(spark: SparkSession, train: DataFrame | None = None) -> PipelineModel:
-    return build_pipeline().fit(train if train is not None else training_frame(spark))
+    """Fit the pipeline, then append an IndexToString whose labels come
+    from the fitted StringIndexerModel — correct for arbitrary label
+    sets (the prediction column carries no nominal metadata for
+    IndexToString to discover on its own)."""
+    model = build_pipeline().fit(train if train is not None else training_frame(spark))
+    indexer = next(s for s in model.stages if isinstance(s, StringIndexerModel))
+    decoder = IndexToString(
+        inputCol="prediction", outputCol="predicted_label", labels=indexer.labels
+    )
+    return PipelineModel(stages=[*model.stages, decoder])
 
 
 def classify_terms(model: PipelineModel, terms: DataFrame, term_col: str = "term") -> DataFrame:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from .operators.components import checkpointed
 from .operators.filters import normalize_term
 from .operators.mining import STOPWORDS, ngrams_expr, tokens_col
 from .schema import TOPIC_TREE_SCHEMA
@@ -57,6 +58,7 @@ def build_topic_tree(
     top_k: int = 5,
     sources: list[str] | None = None,
     min_interval: dict[str, float] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Edge-list topic tree (parent, child, depth) for ``seeds``.
 
@@ -100,11 +102,13 @@ def build_topic_tree(
             .select("parent", "child")
             .withColumn("depth", F.lit(level + 1))
         )
-        children = children.localCheckpoint(eager=True)  # truncate lineage per level
+        # truncate lineage per level (reliable checkpoint when a dir is
+        # given — cluster runs survive executor loss; local blocks else)
+        children = checkpointed(children, checkpoint_dir)
         edges = edges.unionByName(children)
         frontier = children.select(F.col("child").alias("term")).distinct()
         visited = visited.unionByName(frontier.select(F.col("term"))).distinct()
-        visited = visited.localCheckpoint(eager=True)
+        visited = checkpointed(visited, checkpoint_dir)
 
     return edges
 

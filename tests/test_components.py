@@ -19,6 +19,41 @@ def test_components_known_graph(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
 
 
+def test_components_raise_on_exhausted_iterations(spark):
+    """Partial labels = silently split dedup clusters; exhausting
+    max_iter must raise by default and warn when opted into."""
+    import warnings
+
+    import pytest
+
+    n = 12  # diameter 11 > max_iter 3
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=3)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        cc = connected_components(nodes, edges, max_iter=3, on_exhaust="warn")
+        assert cc.count() == n  # partial labels returned
+    assert any("did not converge" in str(w.message) for w in caught)
+
+
+def test_components_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable
+    checkpoint() files under the given dir (the cluster-mode option)."""
+    ckpt = str(tmp_path / "ckpt")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["src", "dst"])
+    cc = {
+        r.id: r.component
+        for r in connected_components(nodes, edges, checkpoint_dir=ckpt).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+    import os
+
+    assert any(files for _, _, files in os.walk(ckpt))  # checkpoint data landed
+
+
 def test_components_long_chain_converges(spark):
     n = 12
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])

@@ -33,6 +33,29 @@ def test_classifier_on_new_terms(spark, clf):
     assert out["network architecture upgrade"] == "infrastructure"
 
 
+def test_classifier_arbitrary_label_sets(spark):
+    """Labels must come from the fitted StringIndexer, not a hard-coded
+    pair — a 3-class training set with different label names has to map
+    predictions back to ITS labels."""
+    rows = []
+    for i in range(8):
+        rows += [
+            (f"goalkeeper save tackle corner match {i}", "sports"),
+            (f"election parliament senate ballot vote {i}", "politics"),
+            (f"sonata orchestra violin concerto tempo {i}", "music"),
+        ]
+    train = spark.createDataFrame(rows, "text string, label string")
+    model = train_classifier(spark, train)
+    terms = spark.createDataFrame(
+        [("penalty kick goalkeeper",), ("senate ballot count",), ("violin concerto",)],
+        ["term"],
+    )
+    out = {r.term: r.predicted_class for r in classify_terms(model, terms).collect()}
+    assert out["penalty kick goalkeeper"] == "sports"
+    assert out["senate ballot count"] == "politics"
+    assert out["violin concerto"] == "music"
+
+
 def test_contextualize_appends_domain_suffix(spark):
     classified = spark.createDataFrame(
         [("ransomware", "threat"), ("hospital wifi", "infrastructure")],
