@@ -99,6 +99,39 @@ def _load_terms(path: str) -> list[str]:
     return []
 
 
+#: reference --tree-api values (scrappy.py:612) → engine source names
+TREE_API_SOURCES = {
+    "semantic_scholar": "SemanticScholar",
+    "pubmed": "PubMed",
+    "arxiv": "arXiv",
+}
+
+#: recorded-payload filenames per source (tests/payloads convention),
+#: for the offline --payload-dir fetcher
+PAYLOAD_FILES = {
+    "IEEE": "ieee.json",
+    "GoogleScholar": "serpapi.json",
+    "SemanticScholar": "semantic_scholar.json",
+    "PubMed": "pubmed_efetch.xml",
+    "arXiv": "arxiv_atom.xml",
+}
+
+
+def _payload_dir_fetcher(payload_dir: str):
+    """Offline fetcher: serves recorded payload files (one per source)
+    for every term — the CLI path that needs neither network nor the
+    ``requests`` package (mirrors how the test suite injects payloads)."""
+
+    def fetch(source: str, term: str) -> str | None:
+        path = os.path.join(payload_dir, PAYLOAD_FILES[source])
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return f.read()
+
+    return fetch
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="scrappy-spark")
     p.add_argument("--store", default=DEFAULT_STORE)
@@ -113,6 +146,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--suggest-terms", action="store_true")
     p.add_argument("--build-taxonomy", action="store_true")
     p.add_argument("--build-tree", action="store_true")
+    p.add_argument(
+        "--tree-api",
+        choices=sorted(TREE_API_SOURCES),
+        default="semantic_scholar",
+        help="source for --build-tree (reference scrappy.py:612, same "
+        "choices and default)",
+    )
+    p.add_argument(
+        "--payload-dir",
+        metavar="DIR",
+        help="offline mode: read recorded API payloads from DIR instead "
+        "of live HTTP (files named as in tests/payloads)",
+    )
     p.add_argument("--term")
     p.add_argument("--institution")
     p.add_argument("--year")
@@ -151,7 +197,12 @@ def main(argv: list[str] | None = None) -> int:
         if not terms:
             print(f"no terms in {args.terms_file}", file=sys.stderr)
             return 2
-        batch = collect_all_articles(spark, terms, _http_fetcher(keys))
+        fetcher = (
+            _payload_dir_fetcher(args.payload_dir)
+            if args.payload_dir
+            else _http_fetcher(keys)
+        )
+        batch = collect_all_articles(spark, terms, fetcher)
         report = store.merge(batch)
         print(f"newly added: {report.count()}")
         report.select("title", "source").show(50, truncate=False)
@@ -188,13 +239,33 @@ def main(argv: list[str] | None = None) -> int:
             ).write.mode("overwrite").option("header", True).csv(args.output)
         else:
             cols.write.mode("overwrite").parquet(args.output)
+        # word-cloud weights artifact (the reference renders wordcloud.png,
+        # scrappy.py:519-526; the engine exports the word,weight table the
+        # image is a view of — renderable anywhere, no matplotlib needed)
+        from .ml.taxonomy import wordcloud_weights
+
+        weights_out = os.path.splitext(args.output)[0] + "_word_weights.csv"
+        (
+            wordcloud_weights(out)
+            .orderBy(F.desc("weight"), F.asc("word"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(weights_out)
+        )
         print(f"taxonomy written to {args.output}")
+        print(f"word weights written to {weights_out}")
         return 0
 
     if args.build_tree:
-        keys = {}
         seeds = _load_terms(args.terms_file)
-        edges = build_topic_tree(spark, seeds, _http_fetcher(keys), depth=args.depth)
+        fetcher = (
+            _payload_dir_fetcher(args.payload_dir) if args.payload_dir else _http_fetcher({})
+        )
+        edges = build_topic_tree(
+            spark, seeds, fetcher, depth=args.depth,
+            sources=[TREE_API_SOURCES[args.tree_api]],
+        )
         tree = edges_to_nested(edges.collect())
         with open(args.tree_output, "w") as f:
             json.dump(tree, f, indent=1)

@@ -80,9 +80,11 @@ def normalize_ieee(payload: str, term: str) -> list[dict]:
     return rows
 
 
-def normalize_google_scholar(payload: str, term: str, limit: int = 20) -> list[dict]:
+def normalize_google_scholar(payload: str, term: str, limit: int = 200) -> list[dict]:
     """SerpAPI Google Scholar: organic_results[].{title,snippet,link},
-    truncated to ``limit`` (the reference's [:limit] slice)."""
+    truncated to ``limit`` (the reference's [:limit] slice with
+    limit=200, scrappy.py:122,131 — matching it keeps row counts
+    identical on large result pages)."""
     data = json.loads(payload)
     rows = []
     for r in data.get("organic_results", [])[:limit]:

@@ -108,6 +108,66 @@ def test_cli_build_taxonomy(seeded_store, tmp_path, capsys):
     )
     assert rc == 0
     assert os.path.exists(out_path)
+    # the word-weights artifact (reference wordcloud.png's data) lands
+    # next to the taxonomy output as word,weight CSV
+    weights_dir = str(tmp_path / "tax_word_weights.csv")
+    assert os.path.exists(weights_dir)
+    part = [f for f in os.listdir(weights_dir) if f.startswith("part-")]
+    with open(os.path.join(weights_dir, part[0])) as f:
+        lines = [l.strip() for l in f if l.strip()]
+    assert lines[0] == "word,weight"
+    words = {l.split(",")[0] for l in lines[1:]}
+    assert "hospital" in words or "edge" in words
+    assert "the" not in words  # stopwords excluded
+
+
+PAYLOADS_DIR = os.path.join(os.path.dirname(__file__), "payloads")
+
+
+def test_cli_fetch_articles_offline_payload_dir(spark, tmp_path, capsys):
+    terms_file = str(tmp_path / "terms.json")
+    with open(terms_file, "w") as f:
+        json.dump(["grid"], f)
+    store_dir = str(tmp_path / "fetched_store")
+    rc = cli.main(
+        ["--store", store_dir, "--terms-file", terms_file,
+         "--fetch-articles", "--payload-dir", PAYLOADS_DIR]
+    )
+    assert rc == 0
+    assert "newly added" in capsys.readouterr().out
+    merged = ArticleStore(spark, store_dir).read()
+    assert merged.count() > 0
+    assert merged.select("source").distinct().count() >= 4  # all recorded sources landed
+
+
+def test_cli_build_tree_offline_with_tree_api(spark, tmp_path, capsys, monkeypatch):
+    """--build-tree maps --tree-api (reference scrappy.py:612) onto
+    build_topic_tree(sources=[...]) — asserted at the driver boundary
+    (the fetcher itself runs inside executor workers, unobservable from
+    the test process) — and the offline --payload-dir run produces a
+    real nested tree with children."""
+    terms_file = str(tmp_path / "terms.json")
+    with open(terms_file, "w") as f:
+        json.dump(["smart grid"], f)
+    tree_out = str(tmp_path / "tree.json")
+
+    captured = {}
+    real_build = cli.build_topic_tree
+
+    def capturing_build(spark_, seeds, fetcher, **kw):
+        captured.update(kw)
+        return real_build(spark_, seeds, fetcher, **kw)
+
+    monkeypatch.setattr(cli, "build_topic_tree", capturing_build)
+    rc = cli.main(
+        ["--store", str(tmp_path / "s"), "--terms-file", terms_file,
+         "--build-tree", "--tree-api", "arxiv", "--depth", "1",
+         "--payload-dir", PAYLOADS_DIR, "--tree-output", tree_out]
+    )
+    assert rc == 0
+    assert captured["sources"] == ["arXiv"]
+    tree = json.load(open(tree_out))
+    assert "smart grid" in tree and tree["smart grid"]  # has mined children
 
 
 def test_cli_no_flags_prints_help(capsys):
