@@ -58,12 +58,28 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     Fixture parquet files are single-row-group, so the scan is one task
     no matter what ``maxPartitionBytes`` says; for CPU-heavy per-row
     work (hashing, n-gram explode) a round-robin repartition of the raw
-    rows is far cheaper than leaving 31 cores idle. On a real multi-file
-    dataset the partition count is already ≥ cores and this is a no-op.
+    rows is far cheaper than leaving 31 cores idle.
+
+    The probe is ``df.inputFiles()`` (driver-side scan metadata) — NOT
+    ``df.rdd.getNumPartitions()``, which forces a plan→RDD conversion
+    on every call. A scan backed by ≥ target files is already parallel
+    → no-op; frames not backed by a file scan are left alone (their
+    partitioning came from a shuffle we shouldn't second-guess). Set
+    ``spark.scrappy.ensureParallelism=off`` on clusters where the scan
+    layout is known-good to skip even the metadata probe.
     """
     spark = df.sparkSession
+    try:
+        if spark.conf.get("spark.scrappy.ensureParallelism", "auto") == "off":
+            return df
+    except Exception:
+        pass
     target = min_parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

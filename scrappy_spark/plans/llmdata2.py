@@ -193,6 +193,42 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_corpus",
+    sql=f"""
+    WITH RECURSIVE
+    {_SIG_SQL},
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+    edges AS (SELECT id_a AS a, id_b AS b FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (
+      SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id)
+    SELECT doc_id FROM comp WHERE doc_id = component
+    """,
+    doc="End-to-end corpus dedup pipeline: exact-hash pre-collapse → "
+    "LSH over unique texts → connected components → fan-out → canonical "
+    "keepers. The oracle is the UNcollapsed recursive-CTE closure, so a "
+    "hash match proves the pre-collapse optimization changes no result.",
+    tags=("llm", "dedup", "pipeline"),
+)
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines import dedup_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned, _ = dedup_corpus(docs, min_matches=2, max_bucket_size=None)
+    return cleaned.select("doc_id")
+
+
+@register(
     "q_ivf_ann_topk",
     sql=None,  # approximate; recall measured in tests vs brute force
     doc="IVF approximate top-k: label centroids as the coarse quantizer, "

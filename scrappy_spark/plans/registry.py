@@ -57,6 +57,7 @@ def all_specs() -> dict[str, QuerySpec]:
         relational,
         relational2,
         relational3,
+        relational4,
         mining,
         events,
         llmdata,

@@ -49,6 +49,32 @@ def test_context_join_broadcasts_terms(spark):
     assert "BroadcastNestedLoopJoin" in plan  # theta join, terms side broadcast
 
 
+def test_q6_all_predicates_pushed(spark):
+    """TPC-H Q6 is the pushdown litmus: every range predicate reaches
+    the parquet scan, and the scan reads only the 4 needed columns."""
+    plan = _plan(spark, "q_tpch_q6_shape")
+    pushed = plan.split("PushedFilters: ")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read_schema = plan.split("ReadSchema: ")[1]
+    assert "l_returnflag" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_q1_partial_agg_single_scan(spark):
+    plan = _plan(spark, "q_tpch_q1_shape")
+    assert "partial_sum" in plan  # map-side combine
+    assert plan.count("FileScan") == 1  # one pass over lineitem
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_window_lead_lag_single_sort_shuffle(spark):
+    """All four analytic functions share one window frame → one
+    Exchange on the partition key and one Window operator."""
+    plan = _plan(spark, "q_window_lead_lag")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") >= 1
+
+
 def test_limit_query_prunes_projection(spark):
     plan = _plan(spark, "q_project")
     read_schema = plan.split("ReadSchema: ")[1]
