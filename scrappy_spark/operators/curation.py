@@ -1,0 +1,310 @@
+"""Corpus-curation operators for LLM training-data pipelines: deterministic
+sampling / dataset mixing, PII scrubbing, boilerplate (common-fragment)
+removal, benchmark decontamination, repetition-quality stats, and
+sequence packing.
+
+Design rules shared with the rest of the engine:
+
+- Every stochastic-looking decision is a pure function of the data
+  (md5-bucket sampling, not ``rand()``), so results are reproducible
+  across runs, engines, and task retries — the property a 100 TB
+  pipeline needs for auditable dataset cards.
+- Pure column expressions wherever the semantics allow (sampling,
+  scrubbing, packing are scan-only / single-window); shuffles only
+  where information must cross documents (fragment doc-frequency,
+  n-gram overlap), and then always through a partial-agg groupBy plus
+  a broadcast of the small derived side.
+
+Reference parity: the reference pipeline (scrappy.py) has no curation
+surface at all — these are the engine-extension operators the task
+brief lists as first-class (dedup/sampling/quality for training data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .mining import tokens_col, ngrams_expr
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling / dataset mixing
+# --------------------------------------------------------------------------
+
+def sample_threshold(rate: float) -> str:
+    """4-hex-digit lowercase threshold for md5-bucket sampling.
+
+    A row is kept when the first 4 hex chars of its salted md5 compare
+    strictly below this string. Lowercase-hex string order equals
+    numeric order, so ``rate`` maps to ``floor(rate * 16^4)`` expressed
+    in hex — portable to any engine with md5 (no int-from-hex needed).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return "zzzz"  # above every hex bucket → keep all
+    return format(int(rate * 65536), "04x")
+
+
+def _bucket(id_col: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat_ws("|", F.lit(salt), id_col.cast("string"))), 1, 4)
+
+
+def hash_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Deterministic ``rate`` sampling: keep rows whose salted md5
+    bucket falls below the rate threshold.
+
+    Unlike ``df.sample()`` this is (a) stable under task retries and
+    partition reordering, (b) identical on any engine, (c) consistent
+    across tables sharing the key (sample the docs, get the matching
+    embeddings for free with the same salt). Scan-only, no shuffle.
+    """
+    return df.filter(_bucket(F.col(id_col), salt) < F.lit(sample_threshold(rate)))
+
+
+def mix_corpora(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.1,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted dataset mixing: per-stratum deterministic sampling rates
+    (the "3 epochs of Wikipedia, 0.1 of CommonCrawl" knob of a training
+    mix, for rates ≤ 1). Adds a boolean ``kept`` column; scan-only.
+    """
+    thr: Column = F.lit(sample_threshold(default_rate))
+    for stratum, rate in rates.items():
+        thr = F.when(F.col(stratum_col) == stratum, F.lit(sample_threshold(rate))).otherwise(thr)
+    return df.withColumn("kept", _bucket(F.col(id_col), salt) < thr)
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+#: (pattern, replacement) in application order: URLs before emails so a
+#: URL containing an @ never half-matches; all patterns in the common
+#: Java-regex/RE2 subset (no backrefs, no lookaround).
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact URLs / emails / SSN-like / phone-like spans. Pure chained
+    ``regexp_replace`` — scan-only, codegen, order-deterministic."""
+    out = col
+    for pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Boilerplate removal (common-fragment suppression)
+# --------------------------------------------------------------------------
+
+def remove_common_fragments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    max_doc_pct: int = 50,
+) -> DataFrame:
+    """Drop text fragments (lines / sentences / tokens, per ``delim``)
+    that occur in MORE than ``max_doc_pct`` percent of documents — the
+    CCNet/RefinedWeb-style boilerplate filter (nav bars, cookie
+    banners, license footers repeat across a site; real content
+    doesn't).
+
+    Plan: posexplode fragments → doc-frequency groupBy (partial-agg; at
+    most |distinct fragments| rows shuffle) → the tiny "common" set is
+    broadcast-anti-joined back → positions reassemble per doc. Two
+    shuffles total (fragment key, then doc key), both linear in input;
+    the doc-count scalar rides a broadcast cross join so the whole
+    thing is ONE Spark job with no driver-side action.
+
+    Comparison is integer-exact (``n_docs_with_frag * 100 >
+    max_doc_pct * total_docs``) so engine parity can't hinge on float
+    rounding. Documents whose every fragment is boilerplate survive
+    with an empty ``clean_text``.
+    """
+    total = df.select(F.count("*").alias("_total_docs"))
+    frags = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("_pos", "_frag"),
+    )
+    doc_freq = frags.groupBy("_frag").agg(F.countDistinct(id_col).alias("_nd"))
+    common = doc_freq.crossJoin(F.broadcast(total)).filter(
+        F.col("_nd") * 100 > F.lit(max_doc_pct) * F.col("_total_docs")
+    ).select("_frag")
+    kept = frags.join(F.broadcast(common), "_frag", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_frag"))), lambda s: s["_frag"]
+            ),
+            delim,
+        ).alias("clean_text")
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+def _ngram_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram): distinct word n-grams per document."""
+    return (
+        df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
+        .select(
+            F.col(id_col),
+            F.explode_outer(F.array_distinct(F.expr(ngrams_expr("toks", n)))).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with a
+    benchmark/eval set (train-test overlap detection à la GPT-3
+    appendix C / PaLM). Returns every train row with a boolean
+    ``contaminated``.
+
+    Plan: distinct n-grams of the (small) benchmark side are broadcast;
+    the train side explodes once and semi-joins map-side, then a
+    distinct on hit doc-ids marks the flag via a second broadcast
+    anti/semi pattern. The 100 TB shape: the benchmark is KBs–MBs —
+    never shuffle the corpus on gram, ship the benchmark to it.
+    """
+    bench_grams = _ngram_sets(bench, id_col, text_col, n).select("gram").distinct()
+    train_grams = _ngram_sets(train, id_col, text_col, n)
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(
+        F.broadcast(hits.withColumn("contaminated", F.lit(True))), id_col, "left"
+    ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+
+
+# --------------------------------------------------------------------------
+# Repetition / quality stats (Gopher-style)
+# --------------------------------------------------------------------------
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition metrics (the Gopher rules family):
+    duplicate-word fraction, most-common-bigram mass, duplicate-bigram
+    mass, and a ``keep`` verdict against fixed thresholds.
+
+    The bigram mode needs cross-row information per (doc, bigram), so
+    it is explode → partial-agg count → per-doc max/sum — linear work,
+    two shuffles, instead of the O(len²) scan-only ``transform`` that
+    would die on long documents.
+    """
+    toks = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
+    ).select(
+        F.col(id_col),
+        F.size("toks").cast("long").alias("n_words"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.expr(ngrams_expr("toks", 2)).alias("bigrams"),
+    )
+    bg = toks.select(F.col(id_col), F.explode_outer("bigrams").alias("bg"))
+    per_doc = (
+        bg.groupBy(id_col, "bg")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("bg").isNotNull(), F.col("count"))).alias("top_bg"),
+            F.sum(F.when(F.col("bg").isNotNull(), F.col("count")).otherwise(0)).alias("n_bg"),
+            F.sum(
+                F.when(F.col("bg").isNotNull() & (F.col("count") >= 2), F.col("count")).otherwise(0)
+            ).alias("dup_bg"),
+        )
+    )
+    out = toks.drop("bigrams").join(per_doc, id_col)
+    dup_word_frac = F.when(
+        F.col("n_words") > 0,
+        1.0 - F.col("n_distinct").cast("double") / F.col("n_words"),
+    ).otherwise(0.0)
+    top_bigram_frac = F.when(
+        F.col("n_bg") > 0, F.coalesce(F.col("top_bg"), F.lit(0)).cast("double") / F.col("n_bg")
+    ).otherwise(0.0)
+    dup_bigram_frac = F.when(
+        F.col("n_bg") > 0, F.col("dup_bg").cast("double") / F.col("n_bg")
+    ).otherwise(0.0)
+    return out.select(
+        id_col,
+        "n_words",
+        F.round(dup_word_frac, 4).alias("dup_word_frac"),
+        F.round(top_bigram_frac, 4).alias("top_bigram_frac"),
+        F.round(dup_bigram_frac, 4).alias("dup_bigram_frac"),
+        (
+            (F.round(dup_word_frac, 4) <= 0.9)
+            & (F.round(top_bigram_frac, 4) <= 0.2)
+            & (F.round(dup_bigram_frac, 4) <= 0.9)
+        ).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing
+# --------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    part_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid out in a
+    deterministic order (``part_col``, ``id_col``) into a token stream
+    cut every ``budget`` tokens; each doc is assigned the chunk where
+    it starts and its offset within it (GPT-style packing, where a doc
+    may straddle a boundary — the trainer's attention mask handles it).
+
+    One window per ``part_col`` partition — the packing is per-stream
+    by construction, so at 100 TB there is no global sort: each source
+    shard packs independently and in parallel. Integer ``div`` keeps
+    chunk ids exact.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.col(part_col),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    cum = toks.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return cum.select(
+        id_col,
+        part_col,
+        "n_tokens",
+        F.expr(f"cum_before div {int(budget)}").alias("chunk_id"),
+        (F.col("cum_before") % F.lit(int(budget))).alias("chunk_offset"),
+    )

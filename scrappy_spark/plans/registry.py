@@ -62,6 +62,7 @@ def all_specs() -> dict[str, QuerySpec]:
         events,
         llmdata,
         llmdata2,
+        llmdata3,
         extras,
     )
 

@@ -1,0 +1,155 @@
+"""Corpus-curation operators: deterministic sampling/mixing, PII scrub,
+boilerplate removal, decontamination, repetition stats, packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrappy_spark.operators import curation as CU
+
+
+def test_sample_threshold_edges():
+    assert CU.sample_threshold(0.0) == "0000"  # keeps nothing
+    assert CU.sample_threshold(1.0) == "zzzz"  # above all hex buckets
+    assert CU.sample_threshold(0.5) == "8000"
+    with pytest.raises(ValueError):
+        CU.sample_threshold(1.5)
+
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in CU.hash_sample(df, 0.25).collect()}
+    b = {r.doc_id for r in CU.hash_sample(df, 0.25).collect()}
+    assert a == b  # pure function of the key, not rand()
+    assert 0.20 < len(a) / 2000 < 0.30  # calibrated within binomial noise
+    # rate monotonicity: a smaller rate yields a strict subset (nested
+    # buckets) — the property that lets one audit sample contain another
+    small = {r.doc_id for r in CU.hash_sample(df, 0.10).collect()}
+    assert small < a
+
+
+def test_hash_sample_consistent_across_tables(spark):
+    """Same salt+key → same kept set, so sampling docs also selects the
+    matching rows of any sibling table keyed by doc_id."""
+    docs = spark.range(500).withColumnRenamed("id", "doc_id")
+    sibling = docs.withColumn("payload", F.col("doc_id") * 2)
+    kept_docs = {r.doc_id for r in CU.hash_sample(docs, 0.3).collect()}
+    kept_sib = {r.doc_id for r in CU.hash_sample(sibling, 0.3).collect()}
+    assert kept_docs == kept_sib
+
+
+def test_mix_corpora_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "hi" if i % 2 else "lo") for i in range(1000)], ["doc_id", "source"]
+    )
+    out = CU.mix_corpora(df, {"hi": 1.0, "lo": 0.0}, default_rate=0.5)
+    kept = out.filter("kept").groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in kept}
+    assert counts.get("hi") == 500  # rate 1.0 keeps everything
+    assert "lo" not in counts  # rate 0.0 keeps nothing
+
+
+def test_scrub_pii_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@site.co.uk now"),
+            (2, "go to https://x.example.com/p?q=1 please"),
+            (3, "ssn 123-45-6789 phone 555.123.4567"),
+            (4, "clean text stays clean"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.clean for r in df.select("doc_id", CU.scrub_pii(F.col("text")).alias("clean")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "go to <URL> please"
+    assert out[3] == "ssn <SSN> phone <PHONE>"
+    assert out[4] == "clean text stays clean"
+
+
+def test_remove_common_fragments_lines(spark):
+    """Newline-delimited boilerplate: a footer present in 3/4 docs is
+    dropped; unique lines keep their order and duplicates; an all-
+    boilerplate doc survives as an empty string."""
+    footer = "(c) example corp - all rights reserved"
+    docs = [
+        (1, f"alpha line\nbeta line\n{footer}"),
+        (2, f"{footer}\ngamma line\ngamma line"),
+        (3, f"delta line\n{footer}"),
+        (4, footer),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.clean_text
+        for r in CU.remove_common_fragments(df, delim="\n", max_doc_pct=50).collect()
+    }
+    assert out[1] == "alpha line\nbeta line"
+    assert out[2] == "gamma line\ngamma line"  # duplicates + order kept
+    assert out[3] == "delta line"
+    assert out[4] == ""  # all boilerplate, row survives
+    assert len(out) == 4
+
+
+def test_remove_common_fragments_threshold_is_strict(spark):
+    """Fragment in exactly max_doc_pct% of docs is KEPT (strictly-
+    greater comparison, integer-exact)."""
+    df = spark.createDataFrame(
+        [(1, "x\na"), (2, "x\nb"), (3, "c\nd"), (4, "e\nf")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.clean_text
+        for r in CU.remove_common_fragments(df, delim="\n", max_doc_pct=50).collect()
+    }
+    assert out[1] == "x\na"  # x is in 2/4 = exactly 50% → kept
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench = spark.createDataFrame([(100, "the quick brown fox jumps")], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [
+            (1, "a quick brown fox appeared"),  # shares 3-gram "quick brown fox"
+            (2, "totally unrelated content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.contaminated for r in CU.decontaminate(train, bench, n=3).collect()}
+    assert out[1] is True
+    assert out[2] is False
+
+
+def test_repetition_stats_flags_repetitive_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in CU.repetition_stats(df).collect()}
+    assert out[1].dup_word_frac > 0.8 and out[1].keep is False
+    assert out[2].dup_word_frac == 0.0 and out[2].keep is True
+    assert out[2].top_bigram_frac == 0.2  # 5 distinct bigrams, each 1/5
+
+
+def test_pack_sequences_invariants(spark):
+    df = spark.createDataFrame(
+        [(i, "s", " ".join(["w"] * 100)) for i in range(10)],
+        ["doc_id", "source", "text"],
+    )
+    rows = sorted(CU.pack_sequences(df, budget=256).collect(), key=lambda r: r.doc_id)
+    assert all(0 <= r.chunk_offset < 256 for r in rows)
+    assert rows[0].chunk_id == 0 and rows[0].chunk_offset == 0
+    # 100-token docs into 256-token chunks: docs 0,1,2 start in chunk 0
+    # (offsets 0,100,200), doc 3 starts at cum 300 → chunk 1
+    assert [r.chunk_id for r in rows[:4]] == [0, 0, 0, 1]
+    # chunk ids are non-decreasing along the stream
+    chunk_ids = [r.chunk_id for r in rows]
+    assert chunk_ids == sorted(chunk_ids)
+
+
+def test_pack_sequences_partitions_independent(spark):
+    """Each source stream packs from chunk 0 — no cross-partition
+    coupling, which is what lets packing parallelize at scale."""
+    df = spark.createDataFrame(
+        [(1, "a", "w w w"), (2, "b", "w w w")], ["doc_id", "source", "text"]
+    )
+    rows = {r.source: r for r in CU.pack_sequences(df, budget=10).collect()}
+    assert rows["a"].chunk_id == 0 and rows["b"].chunk_id == 0

@@ -75,6 +75,34 @@ def test_window_lead_lag_single_sort_shuffle(spark):
     assert plan.count("Window") >= 1
 
 
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The corpus must never shuffle on gram — the benchmark gram set
+    and the hit-id set both ride broadcasts."""
+    plan = _plan(spark, "q_decontaminate")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # gram semi-join + flag join
+
+
+def test_boilerplate_common_set_broadcast(spark):
+    plan = _plan(spark, "q_remove_boilerplate")
+    assert "SortMergeJoin" not in plan  # common-fragment set is broadcast
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    """Packing is one hash shuffle on the stream key and one Window —
+    no global sort, no extra exchange."""
+    plan = _plan(spark, "q_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # not a global sort
+
+
+def test_hash_sample_scan_only(spark):
+    plan = _plan(spark, "q_hash_sample")
+    assert "Exchange" not in plan  # pure filter, zero shuffle
+    read_schema = plan.split("ReadSchema: ")[1]
+    assert "text" not in read_schema  # pruned: only doc_id, source read
+
+
 def test_limit_query_prunes_projection(spark):
     plan = _plan(spark, "q_project")
     read_schema = plan.split("ReadSchema: ")[1]
