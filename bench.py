@@ -34,6 +34,12 @@ HEADLINE = [
     "q_minhash_pairs",
     "q_simhash",
     "q_embedding_cosine_topk",
+    "q_tpch_q1_shape",
+    "q_tpch_q6_shape",
+    "q_dedup_corpus",
+    "q_decontaminate",
+    "q_remove_boilerplate",
+    "q_pack_sequences",
 ]
 
 
