@@ -80,23 +80,24 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, on="a", how="left")
-            .select(
+        # The changed flag rides the same pass as the label update (old
+        # label is already in hand), so convergence detection costs one
+        # filter-count over the checkpointed result — not a second join
+        # against the previous labels.
+        new_labels = checkpointed(
+            labels.join(neighbor_min, on="a", how="left").select(
                 "a",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
-            )
+                (F.coalesce(F.col("nmin"), F.col("component")) < F.col("component")).alias(
+                    "_changed"
+                ),
+            ),
+            checkpoint_dir,
         )
-        new_labels = checkpointed(new_labels, checkpoint_dir)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="a")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     if changed != 0:

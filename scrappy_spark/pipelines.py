@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .operators.components import dedup_clusters
+from .operators.components import checkpointed, dedup_clusters
 from .operators.dedup_approx import (
     collapse_exact_dups,
     minhash_candidate_pairs,
@@ -39,6 +39,7 @@ def dedup_corpus(
     min_matches: int = 2,
     hash_fn: str = "md5",
     max_bucket_size: int | None = 1000,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (cleaned_docs, cluster_map).
 
@@ -50,13 +51,19 @@ def dedup_corpus(
     canonical doc per cluster is the one whose id equals the label.
     """
     reps, doc_to_rep = collapse_exact_dups(docs, text_col=text_col, id_col=id_col)
+    # The collapse output feeds FOUR consumers (signatures, component
+    # label init, cluster fan-out, cleaned join); materialize it once so
+    # each doesn't re-scan and re-hash the corpus. localCheckpoint by
+    # default; pass checkpoint_dir for fault-tolerant cluster runs.
+    reps = checkpointed(reps, checkpoint_dir)
+    doc_to_rep = checkpointed(doc_to_rep, checkpoint_dir)
     sig = minhash_signatures(
         reps, text_col=text_col, id_col=id_col, num_hashes=num_hashes, hash_fn=hash_fn
     )
     pairs = minhash_candidate_pairs(
         sig, id_col=id_col, min_matches=min_matches, max_bucket_size=max_bucket_size
     )
-    rep_clusters = dedup_clusters(reps, pairs, id_col=id_col)
+    rep_clusters = dedup_clusters(reps, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir)
     # Fan the rep-level labels back out to every exact copy. A doc is
     # canonical iff it IS the cluster label (min id — each rep is the
     # min of its exact group, so the overall min is itself a rep).
