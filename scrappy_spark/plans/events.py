@@ -149,3 +149,29 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "q_view_click_attribution",
+    sql="""
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click')
+    SELECT v.user_id, v.view_id, v.view_ts, c.click_id, c.click_ts,
+           date_diff('second', v.view_ts, c.click_ts) AS delay_sec
+    FROM v JOIN c ON v.user_id = c.user_id
+     AND c.click_ts >= v.view_ts
+     AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE
+    """,
+    doc="View→click attribution: interval join of two event streams on "
+    "user within a 10-minute delay bound — batch twin of the "
+    "watermarked stream-stream join (streaming/joins.py; state bounded "
+    "by watermark + max_delay). One shuffle on user_id.",
+    tags=("join", "streaming-twin", "events"),
+)
+def q_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import view_click_attribution
+
+    e = load_table(spark, sf_dir, "events")
+    return view_click_attribution(e, max_delay="10 minutes")

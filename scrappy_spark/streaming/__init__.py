@@ -8,6 +8,7 @@ streaming one (the unified DataFrame API) — tests assert
 batch/stream equivalence on one file-source trigger.
 """
 
+from .joins import interval_join, view_click_attribution  # noqa: F401
 from .windows import (  # noqa: F401
     session_window_agg,
     sliding_window_agg,

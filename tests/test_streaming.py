@@ -74,3 +74,18 @@ def test_streaming_dedup_drops_dupes(spark, events_dir):
     deduped = streaming_dedup(stream_in).groupBy().agg(F.count("*").alias("n"))
     out = _run_stream_to_memory(spark, deduped, "mem_dedup", "complete")
     assert out.first().n == batch.dropDuplicates(["event_id"]).count()
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """Watermarked stream-stream interval join (view→click attribution)
+    over one availableNow pass equals the batch interval join."""
+    from scrappy_spark.streaming.joins import view_click_attribution
+
+    batch = load_table(spark, SF_DIR, "events")
+    schema = batch.schema
+    stream_in = spark.readStream.schema(schema).parquet(events_dir)
+    joined = view_click_attribution(stream_in, watermark="1 hour")
+    assert joined.isStreaming
+    out = _run_stream_to_memory(spark, joined, "mem_vc_join", "append")
+    assert _sorted_rows(out) == _sorted_rows(view_click_attribution(batch))
+    assert len(out.collect()) > 0  # fixture actually produces matches
