@@ -32,6 +32,11 @@ PROBES = [
     "q_minhash_pairs",
     "q_tpch_q5_shape",
     "q_session_window_agg",
+    "q_tpch_q1_shape",
+    "q_dedup_corpus",
+    "q_decontaminate",
+    "q_remove_boilerplate",
+    "q_pack_sequences",
 ]
 
 
@@ -42,7 +47,16 @@ def build(spark) -> None:
               "region", "nation", "documents", "embeddings", "events"]:
         df = load_table(spark, "/root/testdata/sf0.1", t)
         if t in ("lineitem", "orders", "documents", "events"):
-            df = df.crossJoin(reps).drop("__rep").repartition(32)
+            df = df.crossJoin(reps)
+            # Re-key per-row ids so replicated rows are NEW rows, not
+            # id collisions. For documents the texts stay identical —
+            # the replicated corpus is 90% exact duplicates, which is
+            # precisely the web-scale shape the collapse-before-LSH
+            # path exists for.
+            for idc in ("doc_id", "event_id"):
+                if idc in df.columns:
+                    df = df.withColumn(idc, F.col(idc) * 10 + F.col("__rep"))
+            df = df.drop("__rep").repartition(32)
         df.write.mode("overwrite").parquet(f"{BASE}/{t}.parquet")
 
 
