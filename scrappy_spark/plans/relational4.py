@@ -114,3 +114,30 @@ def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@register(
+    "q_skew_salted_agg",
+    sql="""
+    SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Two-phase salted aggregation on a 3-value (maximally hot) key: "
+    "partial agg on (key, salt) spreads each hot key over 16 reducers, "
+    "then a tiny re-agg on the key. Result is salt-invariant, so the "
+    "oracle is the plain GROUP BY — proving the skew tool changes the "
+    "plan, never the answer. (operators/skew.py)",
+    tags=("agg", "skew"),
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_sum, salted_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = salted_sum(li, ["l_returnflag"], "l_quantity", n_salts=16)
+    c = salted_count(li, ["l_returnflag"], n_salts=16)
+    return s.join(c, "l_returnflag").select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.col("count").alias("n_items"),
+    )
