@@ -153,3 +153,62 @@ def test_pack_sequences_partitions_independent(spark):
     )
     rows = {r.source: r for r in CU.pack_sequences(df, budget=10).collect()}
     assert rows["a"].chunk_id == 0 and rows["b"].chunk_id == 0
+
+
+# --------------------------------------------------------------------------
+# Property-based invariants (Hypothesis)
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PROP_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(
+    r1=st.floats(min_value=0.0, max_value=1.0),
+    r2=st.floats(min_value=0.0, max_value=1.0),
+)
+@_PROP_SETTINGS
+def test_hash_sample_nesting_property(spark, r1, r2):
+    """For ANY rates r1 <= r2, sample(r1) ⊆ sample(r2): md5 buckets are
+    nested by construction, so audits of a small sample transfer to any
+    larger one."""
+    lo, hi = sorted((r1, r2))
+    df = spark.range(300).withColumnRenamed("id", "doc_id")
+    small = {r.doc_id for r in CU.hash_sample(df, lo).collect()}
+    big = {r.doc_id for r in CU.hash_sample(df, hi).collect()}
+    assert small <= big
+
+
+@given(texts=st.lists(st.text(alphabet="abc @.:/-0123456789xyz\n", max_size=60), min_size=1, max_size=6))
+@_PROP_SETTINGS
+def test_scrub_pii_idempotent(spark, texts):
+    """scrub(scrub(x)) == scrub(x): replacement tokens never re-match a
+    PII pattern, so re-running a scrub pass is always safe."""
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    once = df.select("doc_id", CU.scrub_pii(F.col("text")).alias("text"))
+    twice = once.select("doc_id", CU.scrub_pii(F.col("text")).alias("text"))
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=12),
+    budget=st.integers(min_value=1, max_value=64),
+)
+@_PROP_SETTINGS
+def test_pack_sequences_cum_identity(spark, lens, budget):
+    """chunk_id * budget + chunk_offset == running token count before
+    the doc — the packing is a pure re-coordinatization of the stream."""
+    rows = [(i, "s", " ".join(["w"] * n)) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = sorted(CU.pack_sequences(df, budget=budget).collect(), key=lambda r: r.doc_id)
+    cum = 0
+    for r, n in zip(out, lens):
+        assert r.chunk_id * budget + r.chunk_offset == cum
+        assert 0 <= r.chunk_offset < budget
+        cum += n
