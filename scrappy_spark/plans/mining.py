@@ -171,3 +171,68 @@ def q_word_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.round(F.sum("weight"), 6).alias("total_weight"))
     )
+
+
+@register(
+    "q_tfidf_topk",
+    sql="""
+    WITH toks AS (SELECT doc_id,
+        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df_t AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df_t.df), 6) AS score
+      FROM tf, n JOIN df_t ON tf.term = df_t.term),
+    ranked AS (
+      SELECT doc_id, term, tf, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, score, rnk FROM ranked WHERE rnk <= 3
+    """,
+    doc="Per-document TF-IDF top-3 terms in pure relational algebra: "
+    "tf via one (doc,term) partial-agg, df from the tf table (one more "
+    "partial agg), corpus size as a broadcast scalar, rank by rounded "
+    "score with a deterministic term tie-break. The pattern behind "
+    "keyword extraction without an ML fit — one explode, two linear "
+    "shuffles, one per-doc window.",
+    tags=("mining", "agg", "window"),
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.mining import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(F.count("*").alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # n is a scalar → broadcast. df_t is |vocab|-sized: small here, but
+    # unbounded on web corpora — no forced hint, AQE picks broadcast vs
+    # shuffle from the measured size.
+    scored = (
+        tf.crossJoin(F.broadcast(n))
+        .join(df_t, "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "score", "rnk")
+    )

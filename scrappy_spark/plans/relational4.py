@@ -141,3 +141,91 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_l_quantity", 2).alias("sum_qty"),
         F.col("count").alias("n_items"),
     )
+
+
+@register(
+    "q_tpch_q14_shape",
+    sql="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+    FROM read_parquet('{SF}/lineitem.parquet') l
+    JOIN read_parquet('{SF}/part.parquet') p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """.replace("read_parquet('{SF}/lineitem.parquet')", "lineitem").replace(
+        "read_parquet('{SF}/part.parquet')", "part"
+    ),
+    doc="TPC-H Q14 shape (promotion effect): conditional-aggregate "
+    "ratio over a broadcast fact-dim join with a tight date pushdown — "
+    "the CASE-inside-agg pattern stays in one partial-agg pass.",
+    tags=("agg", "tpch"),
+)
+def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q_tpch_q18_shape",
+    sql="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300)
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): HAVING-filtered "
+    "aggregate as a semi-join driver — the agg runs once over "
+    "lineitem, its (small) qualifying key set then prunes orders "
+    "before the customer join and the final re-aggregation.",
+    tags=("agg", "join", "tpch"),
+)
+def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # fresh scan for the detail join — `big` shares li's lineage and
+    # Spark rejects the ambiguous self-join reference otherwise
+    li2 = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select(F.col("l_orderkey").alias("__bigkey"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == F.col("__bigkey"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li2, li2.l_orderkey == o.o_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
