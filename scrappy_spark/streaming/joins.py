@@ -78,3 +78,14 @@ def view_click_attribution(
         max_delay=max_delay,
         watermark=watermark,
     )
+
+
+def enrich_with_static(
+    stream: DataFrame, dim: DataFrame, key: str = "user_id", how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream. The static side is broadcast to every task — no state, no
+    watermark needed, re-read per micro-batch (so a refreshed dim table
+    is picked up on the next trigger). The standard shape for
+    user-profile / feature-store lookups on an event stream."""
+    return stream.join(F.broadcast(dim), on=key, how=how)

@@ -89,3 +89,18 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
     out = _run_stream_to_memory(spark, joined, "mem_vc_join", "append")
     assert _sorted_rows(out) == _sorted_rows(view_click_attribution(batch))
     assert len(out.collect()) > 0  # fixture actually produces matches
+
+
+def test_stream_static_enrichment_equals_batch(spark, events_dir):
+    from scrappy_spark.streaming.joins import enrich_with_static
+
+    batch = load_table(spark, SF_DIR, "events")
+    dim = spark.createDataFrame(
+        [(i, "heavy" if i % 3 == 0 else "light") for i in range(200)],
+        ["user_id", "segment"],
+    )
+    stream_in = spark.readStream.schema(batch.schema).parquet(events_dir)
+    enriched = enrich_with_static(stream_in, dim).groupBy("segment").count()
+    out = _run_stream_to_memory(spark, enriched, "mem_enrich", "complete")
+    expected = enrich_with_static(batch, dim).groupBy("segment").count()
+    assert _sorted_rows(out) == _sorted_rows(expected)
