@@ -19,10 +19,19 @@ from ..operators.mining import (  # noqa: F401
     ngrams_expr,
     tokens_col,
 )
+from ..operators.curation import (  # noqa: F401
+    PII_RULES,
+    sample_threshold,
+    scrub_pii,
+)
 from ..operators.similarity import cosine, dot, norm  # noqa: F401
-from ..operators.textstats import LANG_MARKERS, lang_score  # noqa: F401
+from ..operators.textstats import LANG_MARKERS, bpe_tokens, lang_score  # noqa: F401
 
 __all__ = [
+    "PII_RULES",
+    "sample_threshold",
+    "scrub_pii",
+    "bpe_tokens",
     "contains_any",
     "flatten_institutions",
     "normalize_term",
