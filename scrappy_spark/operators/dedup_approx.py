@@ -45,6 +45,20 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def with_exact_rep(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Input rows plus a ``__rep`` column = min id among rows with
+    identical text — ONE full-row shuffle (window min over the content
+    hash), versus the groupBy-then-join-back shape which shuffles the
+    corpus twice more (join by hash, semi join by id). At 100 TB the
+    extra full-row shuffles are the dominant cost, so the window wins
+    despite its within-partition sort (sort-based shuffle pays that
+    sort anyway)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return df.withColumn("__rep", F.min(id_col).over(w))
+
+
 def collapse_exact_dups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:
@@ -58,15 +72,12 @@ def collapse_exact_dups(
     reps equal the labels the uncollapsed run would produce (component
     = min id; each group's min id IS its rep).
 
-    Cost: one content-hash groupBy (uniform key, one shuffle) + one
-    semi join; the map is (id, content_hash, rep) for the fan-out."""
-    groups = exact_dup_groups(df, text_col=text_col, id_col=id_col)
-    doc_to_rep = (
-        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
-        .join(groups.select("content_hash", F.col(id_col).alias("__rep")), "content_hash")
-        .select(id_col, "__rep")
-    )
-    reps = df.join(groups.select(id_col), on=id_col, how="left_semi")
+    Both outputs are projections of ``with_exact_rep`` — callers that
+    need both (the dedup pipeline) should checkpoint that shared frame
+    once instead of materializing each output separately."""
+    with_rep = with_exact_rep(df, text_col=text_col, id_col=id_col)
+    reps = with_rep.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
+    doc_to_rep = with_rep.select(id_col, "__rep")
     return reps, doc_to_rep
 
 

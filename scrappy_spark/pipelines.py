@@ -25,9 +25,9 @@ from pyspark.sql import DataFrame, functions as F
 
 from .operators.components import checkpointed, dedup_clusters
 from .operators.dedup_approx import (
-    collapse_exact_dups,
     minhash_candidate_pairs,
     minhash_signatures,
+    with_exact_rep,
 )
 
 
@@ -50,15 +50,25 @@ def dedup_corpus(
     can't debug. component = min doc_id of the cluster; the single
     canonical doc per cluster is the one whose id equals the label.
     """
-    reps, doc_to_rep = collapse_exact_dups(docs, text_col=text_col, id_col=id_col)
-    # The collapse output feeds FOUR consumers (signatures, component
-    # label init, cluster fan-out, cleaned join); materialize it once so
-    # each doesn't re-scan and re-hash the corpus. localCheckpoint by
+    # One window-min shuffle attaches each row's exact-group rep; the
+    # frame feeds FOUR consumers (signatures, component label init,
+    # cluster fan-out, cleaned output), so materialize it ONCE and
+    # derive reps / doc→rep as free projections. localCheckpoint by
     # default; pass checkpoint_dir for fault-tolerant cluster runs.
-    reps = checkpointed(reps, checkpoint_dir)
-    doc_to_rep = checkpointed(doc_to_rep, checkpoint_dir)
-    sig = minhash_signatures(
-        reps, text_col=text_col, id_col=id_col, num_hashes=num_hashes, hash_fn=hash_fn
+    with_rep = checkpointed(
+        with_exact_rep(docs, text_col=text_col, id_col=id_col), checkpoint_dir
+    )
+    reps = with_rep.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
+    doc_to_rep = with_rep.select(id_col, "__rep")
+    # The signature frame is tiny (n_docs × num_hashes rows) but feeds
+    # four sub-plans of the pair join (bucket-size agg, its semi join,
+    # both self-join sides); materialize it so the shingle explode +
+    # hash aggregation runs once, not per consumer.
+    sig = checkpointed(
+        minhash_signatures(
+            reps, text_col=text_col, id_col=id_col, num_hashes=num_hashes, hash_fn=hash_fn
+        ),
+        checkpoint_dir,
     )
     pairs = minhash_candidate_pairs(
         sig, id_col=id_col, min_matches=min_matches, max_bucket_size=max_bucket_size
@@ -77,7 +87,12 @@ def dedup_corpus(
             (F.col(id_col) == F.col("component")).alias("is_canonical"),
         )
     )
-    cleaned = docs.join(
-        clusters.filter(F.col("is_canonical")).select(id_col), on=id_col, how="inner"
+    # Canonical docs are exactly the reps whose cluster label is their
+    # own id — derivable from the (small) rep-level labels without
+    # re-scanning the raw corpus.
+    cleaned = reps.join(
+        rep_clusters.filter(F.col(id_col) == F.col("component")).select(id_col),
+        on=id_col,
+        how="left_semi",
     )
     return cleaned, clusters
