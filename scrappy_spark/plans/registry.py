@@ -58,6 +58,7 @@ def all_specs() -> dict[str, QuerySpec]:
         relational2,
         relational3,
         relational4,
+        relational5,
         mining,
         events,
         llmdata,

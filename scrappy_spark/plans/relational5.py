@@ -1,0 +1,235 @@
+"""Fifth relational batch: subquery-heavy TPC-H shapes.
+
+The reference has no SQL surface at all (its "queries" are four pandas
+predicates, `article_querry.py:13-28`); these shapes lock the engine's
+coverage of the subquery patterns any relational user brings: EXISTS
+with a correlated non-equi predicate (Q4), outer-join double
+aggregation (Q13), disjunctive multi-clause join predicates (Q19),
+scalar subqueries both global (Q22) and per-group decorrelated to a
+window. Fixture tables lack some TPC-H columns (no l_commitdate /
+p_container / c_phone), so each shape keeps the PLAN structure with the
+columns the fixtures have.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..io import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q_tpch_q4_shape",
+    sql="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order priority checking): EXISTS with a "
+    "correlated NON-EQUI predicate (l_shipdate > o_orderdate) compiles "
+    "to a left-semi join with an equi key plus residual condition — "
+    "the date filter pushes into the orders scan; the semi join never "
+    "duplicates orders rows regardless of lineitem fan-out.",
+    tags=("join", "tpch", "subquery"),
+)
+def q_tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate)
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q_tpch_q13_shape",
+    sql="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape (customer distribution): outer join with a "
+    "join-condition filter (pre-filters the orders side — NOT a post-"
+    "join WHERE, which would drop order-less customers), then two "
+    "stacked aggregations: per-customer order count, then the count "
+    "histogram. First agg shuffles on custkey; the second key "
+    "(c_count) has ~tens of values, absorbed map-side.",
+    tags=("join", "agg", "tpch"),
+)
+def q_tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q_tpch_q19_shape",
+    sql="""
+    SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    doc="TPC-H Q19 shape (discounted revenue): disjunctive multi-clause "
+    "predicate across BOTH join sides. The OR can't push down whole, "
+    "but its common factor (p_brand IN (...)) can — applied explicitly "
+    "to the part scan so the broadcast side shrinks before the join; "
+    "the full disjunction evaluates post-join inside codegen.",
+    tags=("join", "tpch", "predicate"),
+)
+def q_tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # Common-factor extraction: every OR branch pins one of three
+    # brands, so the scan-level IN-filter is implied by the disjunction
+    # (result-identical; the oracle carries only the disjunction).
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    disj = (
+        ((br == "Brand#1") & sz.between(1, 15) & q.between(1, 20))
+        | ((br == "Brand#2") & sz.between(10, 30) & q.between(10, 35))
+        | ((br == "Brand#3") & sz.between(20, 50) & q.between(20, 50))
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.filter(disj).agg(F.round(F.coalesce(rev, F.lit(0.0)), 2).alias("revenue"))
+
+
+@register(
+    "q_tpch_q22_shape",
+    sql="""
+    SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape (global sales opportunity): a global scalar "
+    "subquery (avg positive balance — computed once, broadcast as a "
+    "one-row cross join) plus NOT EXISTS against filtered orders "
+    "(left-anti join; the date filter pushes into the orders scan "
+    "before the anti join). Customers above the average balance with "
+    "no orders since 2000, by segment.",
+    tags=("join", "agg", "tpch", "subquery"),
+)
+def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q15_shape",
+    sql="""
+    WITH rev AS (
+        SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier): scalar subquery over an "
+    "aggregate — revenue per supplier in a quarter, keep the row(s) "
+    "equal to the max (ties preserved, unlike ORDER BY/LIMIT 1). The "
+    "agg result is tiny, so the max is a one-row broadcast cross join "
+    "against it; the supplier join broadcasts the dimension.",
+    tags=("agg", "tpch", "subquery"),
+)
+def q_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_rev"
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    top = rev.agg(F.max("total_rev").alias("__max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("__max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "q_correlated_avg",
+    sql="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+                                  FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+    """,
+    doc="Correlated scalar-aggregate subquery (each order vs its "
+    "customer's average spend), decorrelated to a window average over "
+    "custkey — ONE shuffle of the table instead of the naive re-"
+    "aggregate-per-row; the window and the filter share the same "
+    "partitioning so no second exchange appears.",
+    tags=("window", "subquery"),
+)
+def q_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("__cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("__cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )

@@ -108,3 +108,37 @@ def test_limit_query_prunes_projection(spark):
     read_schema = plan.split("ReadSchema: ")[1]
     assert "p_brand" not in read_schema and "p_type" not in read_schema
     assert "PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,40)]" in plan
+
+
+def test_q4_semi_join_with_residual(spark):
+    """EXISTS with a correlated non-equi predicate compiles to a semi
+    join (no orders-row duplication) and the date range pushes into the
+    orders scan."""
+    plan = _plan(spark, "q_tpch_q4_shape")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed date filter
+
+
+def test_q19_brand_filter_reaches_part_scan(spark):
+    """The disjunction's common factor (brand IN) must prune the part
+    scan; the join stays broadcast."""
+    plan = _plan(spark, "q_tpch_q19_shape")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "In(p_brand, [Brand#1,Brand#2,Brand#3])" in plan  # part scan
+    # Catalyst also derives the per-side quantity disjunction for the
+    # lineitem scan — both sides prune before the join.
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+
+
+def test_correlated_avg_single_exchange(spark):
+    """Decorrelated window avg: one hash exchange on o_custkey shared
+    by the window and the filter — the naive correlated form would
+    re-aggregate per row."""
+    plan = _plan(spark, "q_correlated_avg")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark):
+    plan = _plan(spark, "q_tpch_q22_shape")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
