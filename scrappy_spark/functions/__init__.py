@@ -24,7 +24,13 @@ from ..operators.curation import (  # noqa: F401
     sample_threshold,
     scrub_pii,
 )
-from ..operators.similarity import cosine, dot, norm  # noqa: F401
+from ..operators.similarity import (  # noqa: F401
+    cosine,
+    dequantize_int8,
+    dot,
+    norm,
+    quantize_int8,
+)
 from ..operators.textstats import LANG_MARKERS, bpe_tokens, lang_score  # noqa: F401
 
 __all__ = [
@@ -41,8 +47,10 @@ __all__ = [
     "ngrams_expr",
     "tokens_col",
     "cosine",
+    "dequantize_int8",
     "dot",
     "norm",
+    "quantize_int8",
     "LANG_MARKERS",
     "lang_score",
 ]

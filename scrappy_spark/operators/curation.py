@@ -64,6 +64,36 @@ def hash_sample(
     return df.filter(_bucket(F.col(id_col), salt) < F.lit(sample_threshold(rate)))
 
 
+def quota_sample(
+    df: DataFrame,
+    quota: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "quota",
+) -> DataFrame:
+    """Cap every group at ``quota`` rows, chosen deterministically.
+
+    The domain-quota curation op: head-heavy sources (one domain being
+    40% of a crawl) get capped while small sources pass through whole.
+    Selection order is the salted md5 of the id — an unbiased, engine-
+    portable shuffle within each group — so the kept subset is stable
+    across runs and retries, never "first N in partition order".
+
+    One hash shuffle on ``group_col``; rank + filter stay in the same
+    exchange. Skew note: the window sorts each group; for a group far
+    larger than executor memory, pre-filter with ``hash_sample`` at a
+    rate that overshoots the quota, then apply the exact cap.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))), id_col
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .drop("__rk")
+    )
+
+
 def mix_corpora(
     df: DataFrame,
     rates: dict[str, float],

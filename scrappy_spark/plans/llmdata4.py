@@ -1,0 +1,94 @@
+"""LLM-data batch 4: domain-quota sampling and embedding quantization.
+
+Both are 100 TB-first curation ops: quotas bound head-heavy sources
+without touching the long tail; int8 quantization cuts vector storage
+4× with a per-row reconstruction-error audit. Engine-portable math
+only (md5 ordering, plain double arithmetic) so DuckDB reproduces the
+exact values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from ..operators.curation import quota_sample
+from ..operators.similarity import dequantize_int8, quantize_int8
+from .registry import register
+
+
+@register(
+    "q_quota_sample",
+    sql="""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(concat('quota', '|', CAST(doc_id AS VARCHAR))),
+                            doc_id) AS __rk
+        FROM documents)
+    WHERE __rk <= 15
+    """,
+    doc="Domain-quota sampling: cap every source at 15 docs chosen by "
+    "salted-md5 order (deterministic, unbiased within group; small "
+    "sources pass through whole). One hash shuffle on source; rank "
+    "and filter share the exchange.",
+    tags=("llm", "curation", "sampling"),
+)
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quota_sample(docs, quota=15, group_col="source", id_col="doc_id").select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "q_embedding_quantize",
+    sql="""
+    WITH q AS (
+        SELECT vec_id,
+               CAST(list_min(embedding) AS DOUBLE) AS vmin,
+               CAST(list_max(embedding) AS DOUBLE)
+                 - CAST(list_min(embedding) AS DOUBLE) AS rng,
+               embedding
+        FROM embeddings)
+    SELECT vec_id,
+           CAST(CASE WHEN rng = 0 THEN 0 ELSE list_sum(list_transform(embedding,
+                x -> CAST(round((CAST(x AS DOUBLE) - vmin) / (rng / 255.0)) AS INT)))
+           END AS BIGINT) AS code_sum,
+           round(rng / 255.0, 9) AS q_scale,
+           round(CASE WHEN rng = 0 THEN 0.0 ELSE
+               list_sum(list_transform(embedding,
+                   x -> pow(CAST(x AS DOUBLE)
+                        - (vmin + round((CAST(x AS DOUBLE) - vmin) / (rng / 255.0))
+                               * (rng / 255.0)), 2)))
+               / len(embedding) END, 8) AS mse
+    FROM q
+    """,
+    doc="Int8 scalar quantization of the embedding column with a "
+    "reconstruction audit: per-vector code checksum, scale, and the "
+    "dequantization MSE. Scan-only column expressions (array_min/max "
+    "+ transform + aggregate), zero shuffle; 4x storage cut is the "
+    "standard trade for 100 TB vector corpora.",
+    tags=("llm", "similarity", "quantization"),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = dequantize_int8(quantize_int8(e))
+    err2 = F.zip_with(
+        F.col("embedding"),
+        F.col("dequantized"),
+        lambda x, y: F.pow(x.cast("double") - y, F.lit(2)),
+    )
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("code_sum"),
+        F.round("q_scale", 9).alias("q_scale"),
+        F.round(
+            F.aggregate(err2, F.lit(0.0), lambda acc, v: acc + v)
+            / F.size("embedding"),
+            8,
+        ).alias("mse"),
+    )

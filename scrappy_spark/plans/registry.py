@@ -64,6 +64,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llmdata,
         llmdata2,
         llmdata3,
+        llmdata4,
         extras,
     )
 

@@ -212,3 +212,19 @@ def test_pack_sequences_cum_identity(spark, lens, budget):
         assert r.chunk_id * budget + r.chunk_offset == cum
         assert 0 <= r.chunk_offset < budget
         cum += n
+
+
+def test_quota_sample_caps_and_determinism(spark):
+    rows = [(i, "big" if i < 40 else "small") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = CU.quota_sample(df, quota=10, group_col="source", id_col="doc_id")
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src["big"]) == 10       # capped
+    assert len(by_src["small"]) == 10     # under quota → whole group kept
+    again = CU.quota_sample(df, quota=10, group_col="source", id_col="doc_id")
+    assert {r.doc_id for r in again.collect()} == {r.doc_id for r in out.collect()}
+    # a different salt picks a different (still size-10) subset
+    other = CU.quota_sample(df, quota=10, group_col="source", id_col="doc_id", salt="v2")
+    assert {r.doc_id for r in other.collect()} != {r.doc_id for r in out.collect()}

@@ -185,3 +185,22 @@ def test_lsh_bucket_literal_and_derived_paths_agree(spark):
 
     with pytest.raises(Exception, match="embedding length != dim"):
         vecs.select(SIM.lsh_bucket(F.col("embedding"), n_planes=8, dim=64)).collect()
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    from scrappy_spark.operators.similarity import dequantize_int8, quantize_int8
+
+    rows = [
+        (0, [0.0, 1.0, 2.0, 3.0]),
+        (1, [-5.0, 5.0, 0.25, -0.25]),
+        (2, [7.5, 7.5, 7.5, 7.5]),  # constant vector: range 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = dequantize_int8(quantize_int8(df)).collect()
+    for r in out:
+        scale = r.q_scale
+        assert all(0 <= c <= 255 for c in r.codes)
+        for x, xhat in zip(r.embedding, r.dequantized):
+            assert abs(x - xhat) <= scale / 2 + 1e-9  # half-step bound
+    const = next(r for r in out if r.vec_id == 2)
+    assert const.codes == [0, 0, 0, 0] and const.dequantized == [7.5] * 4
