@@ -64,6 +64,36 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_variant_extract",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)   AS k_val,
+           json_extract_string(props, '$.s')                   AS s_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod
+    FROM events
+    WHERE event_id < 500
+    """,
+    doc="Spark 4 VARIANT path for semi-structured data: parse_json "
+    "once into a binary variant, then typed variant_get extractions — "
+    "the modern replacement for repeated get_json_object string "
+    "re-parses (one parse per row instead of one per field). Output "
+    "is atomic-typed; the oracle reads the same paths with DuckDB's "
+    "JSON extraction.",
+    tags=("scalar", "json", "variant"),
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return e.select(
+        "event_id",
+        k.alias("k_val"),
+        F.variant_get(v, "$.s", "string").alias("s_val"),
+        (k % 7).alias("k_mod"),
+    )
+
+
+@register(
     "q_tumbling_window_agg",
     sql="""
     SELECT date_trunc('hour', ts) AS w_start, event_type,

@@ -234,3 +234,46 @@ def test_store_recovers_from_interrupted_swap(spark, articles, tmp_path):
     os.makedirs(os.path.join(path, ".old." + part))
     assert store.read().count() == n_before
     assert not os.path.exists(os.path.join(path, ".old." + part))
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 custom Python DataSource (spark.read.format("scrappy_articles"))
+# ---------------------------------------------------------------------------
+
+def test_articles_datasource_reads_recorded_payloads(spark):
+    import pytest
+    from scrappy_spark.sources.datasource import ArticlesDataSource, READER_SCHEMA
+
+    spark.dataSource.register(ArticlesDataSource)
+    df = (
+        spark.read.format("scrappy_articles")
+        .option("payload_dir", PAYLOADS)
+        .option("terms", "ransomware,botnet")
+        .load()
+    )
+    assert df.schema == READER_SCHEMA
+    # one InputPartition per (source, term) → parallel executor-side parse
+    assert df.rdd.getNumPartitions() == len(N.NORMALIZERS) * 2
+    rows = df.collect()
+    # every (source, term) cell equals the direct normalizer output
+    for src, fname in [("IEEE", "ieee.json"), ("arXiv", "arxiv_atom.xml")]:
+        expect = {r["title"] for r in N.NORMALIZERS[src](_payload(fname), "ransomware")}
+        got = {r.title for r in rows if r.source == src and r.term == "ransomware"}
+        assert got == expect
+    # source selection narrows partitions and rows
+    sub = (
+        spark.read.format("scrappy_articles")
+        .option("payload_dir", PAYLOADS)
+        .option("sources", "PubMed")
+        .load()
+    )
+    assert {r.source for r in sub.collect()} == {"PubMed"}
+
+    with pytest.raises(Exception, match="unknown sources"):
+        (
+            spark.read.format("scrappy_articles")
+            .option("payload_dir", PAYLOADS)
+            .option("sources", "nope")
+            .load()
+            .collect()
+        )
