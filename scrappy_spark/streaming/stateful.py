@@ -69,3 +69,86 @@ def running_user_counters(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas — the successor stateful API.
+# Runtime requirements: RocksDB state store provider on the session and
+# the protobuf package (the TWS state-server wire protocol) — the
+# streaming test skips where protobuf is absent; the kernel math is
+# tested unconditionally against a fake MapState.
+# ---------------------------------------------------------------------------
+
+BY_TYPE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def _lazy_type_counter_cls():
+    # StatefulProcessor lives in pyspark.sql.streaming.stateful_processor
+    # (Spark 4+); import inside the factory so the module stays importable
+    # on older runtimes that only have applyInPandasWithState.
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTypeCounters(StatefulProcessor):
+        """Per-user, per-event-type lifetime counters on composite
+        MapState — the state shape applyInPandasWithState can only fake
+        by serializing a whole dict per key. MapState gives point
+        lookups/updates per event_type (RocksDB-backed at scale), so a
+        micro-batch touching one event type never rewrites the rest of
+        the user's state."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._by_type = handle.getMapState(
+                "by_type", "event_type STRING", "n BIGINT, s DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            touched: dict[str, tuple[int, float]] = {}
+            for pdf in rows:
+                for et, grp in pdf.groupby("event_type"):
+                    n, s = touched.get(et) or (
+                        tuple(self._by_type.getValue((et,)))
+                        if self._by_type.containsKey((et,))
+                        else (0, 0.0)
+                    )
+                    touched[et] = (n + len(grp), s + float(grp["value"].sum()))
+            for et, (n, s) in touched.items():
+                self._by_type.updateValue((et,), (n, s))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(touched),
+                    "event_type": list(touched),
+                    "n_events": [n for n, _ in touched.values()],
+                    "sum_value": [round(s, 2) for _, s in touched.values()],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserTypeCounters
+
+
+def user_type_counters(events: DataFrame) -> DataFrame:
+    """Per-(user, event_type) lifetime counters via the Spark 4
+    ``transformWithStateInPandas`` API (requires the RocksDB state
+    store provider on the session). Emits one row per event type a
+    user touched in the micro-batch, with lifetime totals."""
+    cls = _lazy_type_counter_cls()
+    grouped = events.select("user_id", "event_type", "value").groupBy("user_id")
+    return grouped.transformWithStateInPandas(
+        statefulProcessor=cls(),
+        outputStructType=BY_TYPE_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -91,3 +91,106 @@ def test_stateful_counters_accumulate_across_batches(spark):
         assert n_updates > len(truth)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_transform_with_state_type_counters(spark):
+    """Spark 4 transformWithStateInPandas with MapState: two
+    micro-batches, per-(user, event_type) lifetime counters equal the
+    batch ground truth. Needs the RocksDB state store provider AND
+    protobuf (the TWS state-server wire protocol) — skipped where
+    protobuf isn't installed; the kernel's aggregation math is
+    asserted unconditionally below."""
+    import pytest
+
+    from scrappy_spark.streaming.stateful import user_type_counters
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState state protocol needs protobuf",
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    d = tempfile.mkdtemp(prefix="tws_")
+    ev.repartition(2).write.mode("overwrite").parquet(d)
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            user_type_counters(stream)
+            .writeStream.format("memory")
+            .queryName("by_type")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        final = spark.sql(
+            """
+            SELECT user_id, event_type, n_events, sum_value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY n_events DESC) AS rn
+              FROM by_type) WHERE rn = 1
+            """
+        ).collect()
+        got = {(r.user_id, r.event_type): (r.n_events, r.sum_value) for r in final}
+        truth = {
+            (r.user_id, r.event_type): (r.n, round(r.s, 2))
+            for r in ev.groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        assert got == truth
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_tws_kernel_math_with_fake_mapstate():
+    """Drive the transformWithState processor's kernel directly with a
+    fake MapState: lifetime totals accumulate across calls and only
+    touched event types are rewritten."""
+    import pandas as pd
+
+    from scrappy_spark.streaming.stateful import _lazy_type_counter_cls
+
+    class FakeMap:
+        def __init__(self):
+            self.d = {}
+            self.writes = 0
+        def containsKey(self, k):
+            return k in self.d
+        def getValue(self, k):
+            return self.d[k]
+        def updateValue(self, k, v):
+            self.d[k] = v
+            self.writes += 1
+
+    class FakeHandle:
+        def __init__(self):
+            self.map = FakeMap()
+        def getMapState(self, name, kschema, vschema):
+            return self.map
+
+    proc = _lazy_type_counter_cls()()
+    handle = FakeHandle()
+    proc.init(handle)
+    b1 = pd.DataFrame({"event_type": ["click", "view", "click"], "value": [1.0, 2.0, 3.0]})
+    out1 = pd.concat(proc.handleInputRows((7,), iter([b1]), None))
+    got1 = {r.event_type: (r.n_events, r.sum_value) for r in out1.itertuples()}
+    assert got1 == {"click": (2, 4.0), "view": (1, 2.0)}
+    b2 = pd.DataFrame({"event_type": ["click"], "value": [5.0]})
+    out2 = pd.concat(proc.handleInputRows((7,), iter([b2]), None))
+    got2 = {r.event_type: (r.n_events, r.sum_value) for r in out2.itertuples()}
+    assert got2 == {"click": (3, 9.0)}          # lifetime, not per-batch
+    assert handle.map.writes == 3               # untouched 'view' not rewritten
