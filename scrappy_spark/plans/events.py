@@ -182,6 +182,77 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_funnel_stages",
+    sql="""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id AND e.ts >= v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id AND e.ts >= c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase
+    """,
+    doc="Ordered funnel (view → click → purchase): each stage keeps "
+    "users whose stage event occurs at-or-after their previous stage's "
+    "first event. Every stage aggregates and joins on user_id, so the "
+    "three shuffles share one partitioning (co-partitioned joins; no "
+    "re-exchange between stages at scale).",
+    tags=("events", "funnel", "agg"),
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev: DataFrame | None, prev_t: str, t: str) -> DataFrame:
+        s = e.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") >= F.col(prev_t))
+        return s.groupBy("user_id").agg(F.min("ts").alias(t))
+
+    v = stage("view", None, "", "t1")
+    c = stage("click", v, "t1", "t2")
+    p = stage("purchase", c, "t2", "t3")
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    sql="""
+    WITH firsts AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+                    FROM events GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_offset,
+           count(*) AS n_active
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY f.cohort, day_offset
+    """,
+    doc="Retention cohorts: first-active day per user × activity-day "
+    "offset matrix. first-day agg, distinct activity days, and the "
+    "join all shuffle on user_id once; the final (cohort, offset) key "
+    "is low-cardinality and combines map-side.",
+    tags=("events", "retention", "agg"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort"))
+    activity = e.select("user_id", day.alias("day")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort", F.datediff("day", "cohort").cast("long").alias("day_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
     "q_view_click_attribution",
     sql="""
     WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
