@@ -107,6 +107,9 @@ class ArticleStore:
         if not os.path.isdir(self.path):
             return
         for d in os.listdir(self.path):
+            if d.startswith(".") and d.endswith(".compact"):
+                shutil.rmtree(os.path.join(self.path, d))  # stale staging
+                continue
             if not d.startswith(OLD_PREFIX):
                 continue
             live = os.path.join(self.path, d[len(OLD_PREFIX):])
@@ -124,6 +127,52 @@ class ArticleStore:
         if not self.exists():
             return self.spark.createDataFrame([], ARTICLES_SCHEMA)
         return self.spark.read.parquet(self.path)
+
+    def compact(
+        self, min_files: int = 4, target_files: int = 1
+    ) -> dict[str, tuple[int, int]]:
+        """Rewrite fragmented partitions into ``target_files`` files.
+
+        Streaming appends and repeated small merges leave many small
+        files per partition; at scale that degrades scan parallelism
+        (file-open overhead) and planner listing time. Compaction reads
+        each partition with ≥ ``min_files`` parquet files, coalesces,
+        and swaps the rewritten directory in via the same two-rename
+        protocol as merge — a crash at any point leaves the partition
+        readable (``_recover`` rolls back/forward; stale ``.compact``
+        staging dirs are swept on the next read). Untouched partitions
+        are never rewritten. Returns {partition: (files_before,
+        files_after)}.
+
+        On a real cluster prefer ``maxRecordsPerFile`` over a fixed
+        ``target_files`` so output sizes track row width."""
+        self._recover()
+        report: dict[str, tuple[int, int]] = {}
+        if not self.exists():
+            return report
+        for d in sorted(os.listdir(self.path)):
+            if not d.startswith("source="):
+                continue
+            part_dir = os.path.join(self.path, d)
+            n_before = sum(f.endswith(".parquet") for f in os.listdir(part_dir))
+            if n_before < min_files:
+                continue
+            staging = os.path.join(self.path, "." + d + ".compact")
+            if os.path.exists(staging):
+                shutil.rmtree(staging)
+            (
+                self.spark.read.parquet(part_dir)
+                .coalesce(target_files)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            backup = os.path.join(self.path, OLD_PREFIX + d)
+            os.rename(part_dir, backup)
+            os.rename(staging, part_dir)
+            shutil.rmtree(backup)
+            n_after = sum(f.endswith(".parquet") for f in os.listdir(part_dir))
+            report[d] = (n_before, n_after)
+        return report
 
     def merge(self, new: DataFrame) -> DataFrame:
         """Merge a new batch in (existing wins per title); returns the

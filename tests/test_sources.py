@@ -277,3 +277,42 @@ def test_articles_datasource_reads_recorded_payloads(spark):
             .load()
             .collect()
         )
+
+
+def test_store_compact_preserves_content(spark, tmp_path):
+    """Fragment a partition with several small merges, compact, and
+    assert: identical content, fewer files, untouched partitions'
+    files byte-identical (never rewritten)."""
+    import glob
+
+    store = ArticleStore(spark, str(tmp_path / "store"))
+    def batch(i, source):
+        return spark.createDataFrame(
+            [(source, f"title {source} {i}", None, None, [], [[]], [],
+              "t", 2020, datetime.date(2024, 6, 1))],
+            ARTICLES_SCHEMA,
+        )
+    store.merge(batch(0, "IEEE"))
+    store.merge(batch(0, "arXiv"))
+    # fragment source=IEEE the way the streaming append sink does:
+    # one small file per micro-batch
+    for i in range(1, 6):
+        batch(i, "IEEE").coalesce(1).write.mode("append").partitionBy(
+            "source"
+        ).parquet(str(tmp_path / "store"))
+    before = sorted(map(tuple, store.read().collect()))
+    arxiv_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(str(tmp_path / "store" / "source=arXiv" / "*.parquet"))
+    }
+    report = store.compact(min_files=4, target_files=1)
+    assert "source=IEEE" in report
+    nb, na = report["source=IEEE"]
+    assert nb >= 4 and na == 1
+    assert "source=arXiv" not in report  # below threshold → untouched
+    after_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(str(tmp_path / "store" / "source=arXiv" / "*.parquet"))
+    }
+    assert after_files == arxiv_files
+    assert sorted(map(tuple, store.read().collect())) == before
