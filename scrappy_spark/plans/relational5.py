@@ -206,6 +206,196 @@ def q_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tpch_q7_shape",
+    sql="""
+    SELECT n_s.n_name AS supp_nation, n_c.n_name AS cust_nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation n_s  ON s.s_nationkey = n_s.n_nationkey
+    JOIN nation n_c  ON c.c_nationkey = n_c.n_nationkey
+    WHERE (n_s.n_name = 'NATION_1' AND n_c.n_name = 'NATION_2')
+       OR (n_s.n_name = 'NATION_2' AND n_c.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, o_year
+    """,
+    doc="TPC-H Q7 shape (volume shipping): 5-way join with a "
+    "disjunctive NATION-PAIR predicate. Dimension chain (supplier → "
+    "nation, customer → nation) broadcasts; the fact side shuffles "
+    "once on orderkey for the orders join. The pair disjunction can't "
+    "split per side, but each nation column's IN(two values) factor "
+    "prunes its broadcast build.",
+    tags=("join", "tpch"),
+)
+def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n_s = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(*pair))
+    n_c = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(*pair))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "volume"
+        )
+    )
+
+
+@register(
+    "q_tpch_q8_shape",
+    sql="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CASE WHEN n.n_name = 'NATION_3'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (market share): conditional aggregation — one "
+    "nation's revenue share of the total per year, a single pass with "
+    "CASE inside sum (no second scan, no self-join). Supplier/nation "
+    "broadcast; one shuffle on orderkey.",
+    tags=("agg", "tpch"),
+)
+def q_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("n_name") == "NATION_3", rev).otherwise(0)) / F.sum(rev),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q_tpch_q10_shape",
+    sql="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+           round(c.c_acctbal, 2) AS c_acctbal, c.c_mktsegment
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): top-20 customers "
+    "by lost revenue. Flag + date filters push to the scans; the final "
+    "ordered limit is TakeOrderedAndProject (no global sort of the "
+    "aggregate). Revenue sums fixed-point cents (integer sum — "
+    "associative, so shuffle order can't move a rounding boundary "
+    "between engines).",
+    tags=("join", "agg", "tpch", "topk"),
+)
+def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q12_shape",
+    sql="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+    doc="TPC-H Q12 shape (shipping-priority split): conditional counts "
+    "per group in one pass — CASE inside sum, not two filtered "
+    "sub-aggregations unioned. Date range pushes to the lineitem "
+    "scan.",
+    tags=("join", "agg", "tpch"),
+)
+def q_tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
     "q_correlated_avg",
     sql="""
     SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
