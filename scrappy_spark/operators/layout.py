@@ -1,0 +1,69 @@
+"""Data-layout operators: Z-order (Morton) clustering keys.
+
+Parquet prunes row groups / files by min-max column stats, but a sort
+on one column destroys locality on every other. Interleaving the bits
+of two keys into one Morton code and sorting by THAT gives both
+columns bounded per-file ranges, so selective filters on either (or
+both) dimensions skip most files — the same layout trick Delta's
+OPTIMIZE ZORDER BY applies, expressed here as a plain column
+expression plus an ordinary sorted write (no table format needed).
+
+Pure bit arithmetic (shifts/masks) → whole-stage codegen, zero
+shuffle beyond the final range partition of the sorted write, and the
+identical expression runs in DuckDB so the declared query is
+oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def z_value(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton code of two non-negative ints: bit b of ``x`` lands at
+    position 2b, bit b of ``y`` at 2b+1. ``bits`` per input (≤31);
+    callers bucket wider domains down first (e.g. ``col % (1<<16)``
+    or a quantile rank)."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        xbit = F.shiftright(x.cast("long"), b).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(y.cast("long"), b).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(xbit, 2 * b)).bitwiseOR(
+            F.shiftleft(ybit, 2 * b + 1)
+        )
+    return z
+
+
+def z_value_sql(x_sql: str, y_sql: str, bits: int = 16) -> str:
+    """The identical Morton expression as engine-portable SQL (used by
+    the DuckDB oracle; any engine with shift/and/or works)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((CAST({x_sql} AS BIGINT) >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((CAST({y_sql} AS BIGINT) >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    bits: int = 16,
+    num_files: int = 8,
+) -> None:
+    """Write ``df`` as parquet clustered by the Morton code of two
+    columns: repartitionByRange on the z-value (one range shuffle)
+    then sort within partitions — every output file covers a compact
+    z-range, i.e. a bounded rectangle in (colA, colB) space, so
+    min-max stats prune on BOTH dimensions."""
+    zx, zy = (F.col(c) for c in cols)
+    (
+        df.withColumn("__z", z_value(zx, zy, bits))
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..io import load_table
+from ..operators.layout import z_value, z_value_sql
 from .registry import register
 
 
@@ -392,6 +393,30 @@ def q_tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
+    )
+
+
+@register(
+    "q_zorder_key",
+    sql=f"""
+    SELECT o_orderkey,
+           {z_value_sql("o_custkey % 256", "year(o_orderdate) - 1995", 8)} AS z
+    FROM orders
+    """,
+    doc="Z-order (Morton) clustering key: bit-interleave of the "
+    "custkey bucket and order year — sorting a write by this key "
+    "bounds BOTH columns' per-file min-max ranges so parquet stats "
+    "prune on either dimension (Delta OPTIMIZE ZORDER BY as a plain "
+    "column expression + sorted write; layout effect proven in "
+    "test_layout.py). Pure bit arithmetic, codegen, oracle-checked "
+    "bit-for-bit.",
+    tags=("layout", "scalar"),
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        z_value(F.col("o_custkey") % 256, F.year("o_orderdate") - 1995, 8).alias("z"),
     )
 
 

@@ -1,0 +1,71 @@
+"""Z-order layout: prove the pruning property with parquet footer
+stats, not just compute the Morton code — a point filter on the
+SECOND dimension must be able to skip files in the z-ordered layout
+while a single-column sort layout can skip none."""
+
+import glob
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from scrappy_spark.operators.layout import z_value, zorder_write
+
+N_FILES = 8
+
+
+def _files_overlapping(path_glob: str, col: str, point: int) -> int:
+    """Count files whose [min, max] stats for ``col`` contain ``point``
+    — the files a stats-pruning reader must open."""
+    n = 0
+    for p in sorted(glob.glob(path_glob)):
+        meta = pq.ParquetFile(p).metadata
+        lo, hi = None, None
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                c = meta.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None and lo <= point <= hi:
+            n += 1
+    return n
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    # 64×64 grid: x-sort gives tight x ranges but full y ranges.
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+    )
+    xsort = str(tmp_path / "xsort")
+    (
+        grid.repartitionByRange(N_FILES, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xsort)
+    )
+    zdir = str(tmp_path / "zorder")
+    zorder_write(grid, zdir, cols=("x", "y"), bits=6, num_files=N_FILES)
+
+    # Point filter on y: the x-sorted layout cannot skip anything;
+    # the z-ordered layout must skip at least half the files.
+    assert _files_overlapping(xsort + "/*.parquet", "y", 17) == N_FILES
+    z_hits = _files_overlapping(zdir + "/*.parquet", "y", 17)
+    assert z_hits <= N_FILES // 2, f"z-layout read {z_hits}/{N_FILES} files"
+    # and x stays pruned too: a point filter on x skips files as well
+    assert _files_overlapping(zdir + "/*.parquet", "x", 5) <= N_FILES // 2
+
+    # layout preserved the data
+    assert sorted(map(tuple, spark.read.parquet(zdir).collect())) == sorted(
+        map(tuple, grid.collect())
+    )
+
+
+def test_z_value_interleaves_bits(spark):
+    df = spark.createDataFrame([(0b101, 0b011)], ["x", "y"])
+    z = df.select(z_value(F.col("x"), F.col("y"), 3).alias("z")).first().z
+    # even positions carry x bits (1,0,1), odd carry y bits (1,1,0):
+    # z = x0 + 2·y0 + 4·x1 + 8·y1 + 16·x2 + 32·y2 = 1+2+0+8+16+0
+    assert z == 0b011011
