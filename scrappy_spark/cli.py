@@ -169,10 +169,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--yes", action="store_true", help="non-interactive approval")
     p.add_argument("--output", default="taxonomy_output.parquet")
     p.add_argument("--tree-output", default="topic_tree.json")
+    p.add_argument(
+        "--compact-store",
+        action="store_true",
+        help="rewrite fragmented store partitions into single files",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark("scrappy_spark_cli")
     store = ArticleStore(spark, args.store)
+
+    if args.compact_store:
+        report = store.compact()
+        for part, (before, after) in sorted(report.items()):
+            print(f"{part}: {before} -> {after} files")
+        print(f"compacted {len(report)} partition(s)")
+        return 0
 
     if args.import_csv:
         from .sources.store import import_legacy_csv

@@ -182,3 +182,21 @@ def test_cli_fetch_without_terms_errors(tmp_path, capsys):
     )
     assert rc == 2
     assert "no terms" in capsys.readouterr().err
+
+def test_cli_compact_store(spark, seeded_store, capsys):
+    # fragment with append files, then compact through the CLI
+    extra = spark.createDataFrame(
+        [("IEEE", f"Frag {i}", None, None, ["A"], [["X"]], [], "t", 2020,
+          datetime.date(2024, 1, 2)) for i in range(4)],
+        ARTICLES_SCHEMA,
+    )
+    for i in range(4):
+        extra.filter(F.col("title") == f"Frag {i}").coalesce(1).write.mode(
+            "append"
+        ).partitionBy("source").parquet(seeded_store)
+    before = ArticleStore(spark, seeded_store).read().count()
+    rc = cli.main(["--store", seeded_store, "--compact-store"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "source=IEEE" in out and "compacted 1 partition(s)" in out
+    assert ArticleStore(spark, seeded_store).read().count() == before
