@@ -65,6 +65,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llmdata2,
         llmdata3,
         llmdata4,
+        sketches,
         extras,
     )
 

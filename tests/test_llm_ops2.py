@@ -204,3 +204,26 @@ def test_quantize_int8_roundtrip_error_bound(spark):
             assert abs(x - xhat) <= scale / 2 + 1e-9  # half-step bound
     const = next(r for r in out if r.vec_id == 2)
     assert const.codes == [0, 0, 0, 0] and const.dequantized == [7.5] * 4
+
+
+def test_sketch_suite_error_bounds(spark):
+    """HLL/KLL/theta sketch estimates stay within documented error of
+    the exact values computed in the same pass."""
+    from scrappy_spark.plans import registry
+
+    qs = registry.queries()
+    sf = "/root/testdata/sf0.01"
+
+    hll = qs["q_hll_union_rollup"](spark, sf).first()
+    assert abs(hll.est_total - hll.exact_total) / hll.exact_total < 0.02
+    assert hll.n_sketches == 20
+
+    kll = qs["q_kll_quantiles"](spark, sf).first()
+    # KLL default k: normalized rank error ~1.7%; price range spans
+    # ~100k so allow 5% value slack around the exact percentile
+    assert abs(kll.est_p50 - kll.exact_p50) / kll.exact_p50 < 0.05
+    assert abs(kll.est_p95 - kll.exact_p95) / kll.exact_p95 < 0.05
+
+    th = qs["q_theta_sketch_overlap"](spark, sf).first()
+    assert abs(th.est_overlap - th.exact_overlap) / max(th.exact_overlap, 1) < 0.05
+    assert th.est_clickers >= th.est_overlap and th.est_buyers >= th.est_overlap
