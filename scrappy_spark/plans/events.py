@@ -253,6 +253,35 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_event_transitions",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events)
+    SELECT event_type, next_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="Behavioral transition matrix (Markov bigrams): per-user "
+    "event-sequence successor via lead(), then a global pair count. "
+    "One sort-shuffle on user_id for the window; the (type, next) key "
+    "is tiny and combines map-side.",
+    tags=("events", "window", "agg"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "q_view_click_attribution",
     sql="""
     WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
