@@ -127,6 +127,92 @@ def decode_image(df: DataFrame, id_col: str = "doc_id", fake: bool = False) -> D
     return df.select(id_col, "payload").mapInPandas(run, schema=out_schema)
 
 
+def resize_image(
+    df: DataFrame,
+    target: tuple[int, int] = (224, 224),
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize payloads to ``target`` (the training-input normalization
+    step). Real resize needs an imaging library → NotImplementedError;
+    the fake emits a deterministic payload (truncated/cycled bytes to
+    the target pixel count) through the identical Arrow plumbing —
+    same schema, same batch iteration, same one-in/one-out shape."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("resized", T.BinaryType()),
+        ]
+    )
+    w, h = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError(
+                "image resize requires an imaging library (e.g. Pillow); "
+                "install one and replace this kernel, or pass fake=True"
+            )
+        n = w * h
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(b)
+                reps = (n // max(len(data), 1)) + 1
+                rows.append((i, w, h, (data * reps)[:n]))
+            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "resized"])
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=out_schema)
+
+
+def audio_features(
+    df: DataFrame, frame_len: int = 256, id_col: str = "doc_id", fake: bool = False
+) -> DataFrame:
+    """Per-clip audio features (duration, RMS energy, zero-crossing
+    rate per frame → clip aggregates). Real decode needs an audio
+    codec → NotImplementedError; the fake interprets the raw bytes as
+    a centered int8 waveform so the feature MATH (framing, RMS, ZCR)
+    is the real implementation and fully tested — only the
+    bytes→samples decode is a stand-in."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zcr", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError(
+                "audio decode requires a codec library (e.g. soundfile); "
+                "install one and replace the decode step, or pass fake=True"
+            )
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                wave = np.frombuffer(bytes(b), dtype=np.int8).astype(np.float64)
+                n = len(wave)
+                n_frames = max((n + frame_len - 1) // frame_len, 0)
+                rms = float(np.sqrt(np.mean(wave**2))) if n else 0.0
+                zcr = (
+                    float(np.mean(np.signbit(wave[1:]) != np.signbit(wave[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+                rows.append((i, n, n_frames, round(rms, 6), round(zcr, 6)))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_samples", "n_frames", "rms", "zcr"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id", fake: bool = False
 ) -> DataFrame:

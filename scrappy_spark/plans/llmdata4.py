@@ -43,6 +43,44 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_matryoshka_energy",
+    sql="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm_full,
+           round(sqrt(list_sum(list_transform(embedding[1:16],
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm_head,
+           round(list_sum(list_transform(embedding[1:16],
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+               / list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS energy_ratio
+    FROM embeddings
+    """,
+    doc="Matryoshka truncation audit: L2 norm of the full vector vs "
+    "its 16-dim head and the head's energy share — the decision input "
+    "for truncating embeddings (4x cheaper ANN/storage when the head "
+    "carries most energy). Scan-only array expressions, zero shuffle.",
+    tags=("llm", "similarity", "scalar"),
+)
+def q_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def sq_sum(col):
+        return F.aggregate(
+            col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+
+    full = sq_sum(F.col("embedding"))
+    head = sq_sum(F.slice("embedding", 1, 16))
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(full), 6).alias("norm_full"),
+        F.round(F.sqrt(head), 6).alias("norm_head"),
+        F.round(head / full, 6).alias("energy_ratio"),
+    )
+
+
+@register(
     "q_embedding_quantize",
     sql="""
     WITH q AS (

@@ -54,3 +54,38 @@ def test_frame_sampling_expansion(media):
     assert len(by_doc[1]) == 1          # 15 bytes -> 1 frame
     assert len(by_doc[2]) == 4          # 204 bytes -> 4 frames of <=64
     assert bytes(by_doc[2][0].frame_bytes) == b"FAKE" + b"x" * 60
+
+
+def test_resize_plumbing_and_gate(media):
+    from scrappy_spark.operators.multimodal import resize_image
+
+    with pytest.raises(Exception) as exc_info:
+        resize_image(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+    out = {r.doc_id: r for r in resize_image(media, target=(8, 4), fake=True).collect()}
+    assert all(r.width == 8 and r.height == 4 for r in out.values())
+    assert all(len(bytes(r.resized)) == 32 for r in out.values())
+    # deterministic: cycled payload bytes
+    assert bytes(out[1].resized)[:4] == b"FAKE"
+
+
+def test_audio_features_math(media):
+    import numpy as np
+
+    from scrappy_spark.operators.multimodal import audio_features
+
+    with pytest.raises(Exception) as exc_info:
+        audio_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+    out = {r.doc_id: r for r in audio_features(media, frame_len=64, fake=True).collect()}
+    # doc 1: payload = b"FAKEhello world" (15 bytes -> 15 samples, 1 frame)
+    r = out[1]
+    assert r.n_samples == 15 and r.n_frames == 1
+    wave = np.frombuffer(b"FAKEhello world", dtype=np.int8).astype(np.float64)
+    assert abs(r.rms - float(np.sqrt(np.mean(wave**2)))) < 1e-4
+    assert 0.0 <= r.zcr <= 1.0
+    assert out[2].n_samples == 204 and out[2].n_frames == 4
