@@ -174,10 +174,22 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="rewrite fragmented store partitions into single files",
     )
+    p.add_argument(
+        "--sql", help="run a Spark SQL query (store as 'articles'; fixture tables via --sf-dir)"
+    )
+    p.add_argument("--sf-dir", help="fixture-table dir to register for --sql")
     args = p.parse_args(argv)
 
     spark = get_spark("scrappy_spark_cli")
     store = ArticleStore(spark, args.store)
+
+    if args.sql:
+        from .sqlapi import run_sql
+
+        run_sql(spark, args.sql, sf_dir=args.sf_dir, store_path=args.store).show(
+            args.limit, truncate=False
+        )
+        return 0
 
     if args.compact_store:
         report = store.compact()

@@ -235,9 +235,11 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY f.cohort, day_offset
     """,
     doc="Retention cohorts: first-active day per user × activity-day "
-    "offset matrix. first-day agg, distinct activity days, and the "
-    "join all shuffle on user_id once; the final (cohort, offset) key "
-    "is low-cardinality and combines map-side.",
+    "offset matrix. Two aggregation shuffles (first-day per user; "
+    "distinct user-days) feed a join where the per-user firsts side "
+    "is user-cardinality — broadcastable up to huge user counts; the "
+    "final (cohort, offset) key is low-cardinality and combines "
+    "map-side before its exchange.",
     tags=("events", "retention", "agg"),
 )
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:

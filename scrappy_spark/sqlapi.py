@@ -1,0 +1,57 @@
+"""Direct SQL surface: register the engine's tables as temp views and
+run arbitrary Spark SQL against them.
+
+The reference has no SQL at all (four hard-coded pandas predicates,
+article_querry.py:13-28); this module is the "bring your own query"
+completion of that surface — everything Catalyst supports works,
+with the same lazy scans and pushdown the declared queries get.
+
+    from scrappy_spark.sqlapi import register_tables
+    register_tables(spark, "/root/testdata/sf0.01", store_path="mystore")
+    spark.sql("SELECT source, count(*) FROM articles GROUP BY source")
+
+CLI: ``--sql "SELECT ..."`` (fixture tables via ``--sf-dir``; the
+article store is always registered as ``articles``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .io import load_table
+from .schema import FIXTURE_TABLES
+
+
+def register_tables(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    store_path: str | None = None,
+) -> list[str]:
+    """Create temp views: every fixture table in ``sf_dir`` (skipping
+    absent files) and the article store as ``articles``. Views are
+    lazy — nothing is scanned until a query runs. Returns the view
+    names registered."""
+    names: list[str] = []
+    if sf_dir is not None:
+        import os
+
+        for t in FIXTURE_TABLES:
+            if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+                load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+                names.append(t)
+    if store_path is not None:
+        from .sources.store import ArticleStore
+
+        ArticleStore(spark, store_path).read().createOrReplaceTempView("articles")
+        names.append("articles")
+    return names
+
+
+def run_sql(
+    spark: SparkSession,
+    query: str,
+    sf_dir: str | None = None,
+    store_path: str | None = None,
+) -> DataFrame:
+    register_tables(spark, sf_dir=sf_dir, store_path=store_path)
+    return spark.sql(query)

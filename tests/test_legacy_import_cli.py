@@ -200,3 +200,22 @@ def test_cli_compact_store(spark, seeded_store, capsys):
     out = capsys.readouterr().out
     assert "source=IEEE" in out and "compacted 1 partition(s)" in out
     assert ArticleStore(spark, seeded_store).read().count() == before
+
+
+def test_cli_sql_over_store_and_fixtures(seeded_store, capsys):
+    rc = cli.main(
+        ["--store", seeded_store, "--sql",
+         "SELECT source, count(*) AS n FROM articles GROUP BY source"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "IEEE" in out and "6" in out
+
+    rc = cli.main(
+        ["--store", seeded_store, "--sf-dir", "/root/testdata/sf0.001", "--sql",
+         "SELECT n_name FROM nation JOIN region ON n_regionkey = r_regionkey "
+         "WHERE r_name = 'ASIA' ORDER BY n_name LIMIT 2", "--limit", "5"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "NATION_" in out
