@@ -64,6 +64,36 @@ def hash_sample(
     return df.filter(_bucket(F.col(id_col), salt) < F.lit(sample_threshold(rate)))
 
 
+def assign_splits(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 bucket.
+
+    Each row's salted hash bucket maps to a split by cumulative weight
+    — stable under retries/reshuffles, reproducible on any engine, and
+    consistent across tables sharing the key (same salt ⇒ a doc and
+    its embeddings land in the same split; no leakage across joins).
+    Scan-only, zero shuffle. Weights must sum to ~1."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = _bucket(F.col(id_col), salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < F.lit(sample_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)
+
+
 def quota_sample(
     df: DataFrame,
     quota: int,

@@ -43,6 +43,34 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_train_val_split",
+    sql="""
+    SELECT split, count(*) AS n FROM (
+        SELECT CASE
+            WHEN substring(md5(concat('split', '|', CAST(doc_id AS VARCHAR))), 1, 4)
+                 < 'cccc' THEN 'train'
+            WHEN substring(md5(concat('split', '|', CAST(doc_id AS VARCHAR))), 1, 4)
+                 < 'e666' THEN 'val'
+            ELSE 'test' END AS split
+        FROM documents)
+    GROUP BY split
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment by salted "
+    "md5 bucket — stable under retries, engine-portable, and "
+    "key-consistent across tables (a doc and its embeddings share a "
+    "split; no leakage through joins). Scan-only; the count here is "
+    "the auditable size report. Thresholds: 0.8*65536=0xcccc, "
+    "0.9*65536=0xe666.",
+    tags=("llm", "curation", "sampling"),
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_splits(docs).groupBy("split").agg(F.count("*").alias("n"))
+
+
+@register(
     "q_matryoshka_energy",
     sql="""
     SELECT vec_id,

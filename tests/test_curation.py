@@ -228,3 +228,21 @@ def test_quota_sample_caps_and_determinism(spark):
     # a different salt picks a different (still size-10) subset
     other = CU.quota_sample(df, quota=10, group_col="source", id_col="doc_id", salt="v2")
     assert {r.doc_id for r in other.collect()} != {r.doc_id for r in out.collect()}
+
+
+def test_assign_splits_partition_and_consistency(spark):
+    df = spark.createDataFrame([(i,) for i in range(400)], ["doc_id"])
+    out = CU.assign_splits(df).collect()
+    counts = {}
+    for r in out:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert abs(counts["train"] / 400 - 0.8) < 0.08  # md5 buckets ≈ uniform
+    # every row assigned exactly one split; same key ⇒ same split across
+    # tables (leakage-safe joins)
+    again = {r.doc_id: r.split for r in CU.assign_splits(df).collect()}
+    assert {r.doc_id: r.split for r in out} == again
+    import pytest
+    with pytest.raises(ValueError, match="sum to 1"):
+        CU.assign_splits(df, weights={"a": 0.5, "b": 0.2})
