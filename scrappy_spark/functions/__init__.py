@@ -21,6 +21,8 @@ from ..operators.mining import (  # noqa: F401
 )
 from ..operators.curation import (  # noqa: F401
     PII_RULES,
+    assign_splits,
+    quota_sample,
     sample_threshold,
     scrub_pii,
 )
@@ -35,6 +37,8 @@ from ..operators.textstats import LANG_MARKERS, bpe_tokens, lang_score  # noqa: 
 
 __all__ = [
     "PII_RULES",
+    "assign_splits",
+    "quota_sample",
     "sample_threshold",
     "scrub_pii",
     "bpe_tokens",
