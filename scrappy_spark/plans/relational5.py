@@ -397,6 +397,76 @@ def q_tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tpch_q17_shape",
+    sql="""
+    SELECT round(coalesce(sum(l.l_extendedprice), 0) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): correlated "
+    "average over the FACT table, decorrelated to a window avg over "
+    "l_partkey — one shuffle of lineitem instead of a per-row "
+    "re-aggregate; the brand filter broadcasts the pruned part side "
+    "and the window runs only on surviving rows.",
+    tags=("join", "window", "tpch", "subquery"),
+)
+def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    w = W.partitionBy("l_partkey")
+    kept = j.withColumn("__avg_qty", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < 0.2 * F.col("__avg_qty")
+    )
+    return kept.agg(
+        F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2).alias(
+            "avg_yearly"
+        )
+    )
+
+
+@register(
+    "q_moving_range_window",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
+           AS rev_30d,
+           CAST(count(*) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_30d
+    FROM orders
+    """,
+    doc="RANGE-frame moving window: per customer, trailing-30-day "
+    "revenue and order count at each order — a VALUE-bounded frame "
+    "(epoch seconds), not a row count, so ties and gaps behave "
+    "correctly. One sort-shuffle on o_custkey; both aggregates share "
+    "the frame.",
+    tags=("window", "range-frame"),
+)
+def q_moving_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_30d"),
+        F.count("*").over(w).cast("long").alias("n_30d"),
+    )
+
+
+@register(
     "q_zorder_key",
     sql=f"""
     SELECT o_orderkey,
