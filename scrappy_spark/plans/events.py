@@ -255,6 +255,76 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_time_weighted_avg",
+    sql="""
+    WITH spans AS (
+        SELECT user_id, value,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)) - epoch_us(ts) AS dur
+        FROM events)
+    SELECT user_id,
+           round(CAST(sum(CAST(round(value * dur) AS BIGINT)) AS DOUBLE)
+                 / CAST(sum(dur) AS DOUBLE), 4) AS twap,
+           CAST(count(*) AS BIGINT) AS n_spans
+    FROM spans WHERE dur IS NOT NULL AND dur > 0
+    GROUP BY user_id
+    """,
+    doc="Time-weighted average (TWAP): each reading weighted by how "
+    "long it was current (duration to the next event via lead), the "
+    "correct aggregate for irregularly-sampled series where plain avg "
+    "over-weights bursts. One user_id sort-shuffle shared by the "
+    "window and the aggregation. Durations are integer MICROSECONDS "
+    "(events carry sub-second timestamps; whole-second truncation "
+    "would skew the weights) and the value·duration numerator sums "
+    "fixed-point so shuffle order can't move the final rounding.",
+    tags=("events", "window", "temporal"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur")
+    spans = e.select("user_id", "value", dur).filter(
+        F.col("dur").isNotNull() & (F.col("dur") > 0)
+    )
+    num = F.sum(F.round(F.col("value") * F.col("dur")).cast("long"))
+    return spans.groupBy("user_id").agg(
+        F.round(num.cast("double") / F.sum("dur").cast("double"), 4).alias("twap"),
+        F.count("*").cast("long").alias("n_spans"),
+    )
+
+
+@register(
+    "q_safe_cast_quality",
+    sql="""
+    SELECT ok, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(coalesce(k_val, 0) AS BIGINT)) AS BIGINT) AS k_total
+    FROM (
+        SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL AS ok
+        FROM events)
+    GROUP BY ok
+    """,
+    doc="Robust-ingestion surface: try_cast partitions rows into "
+    "parseable/unparseable instead of failing the job on the first "
+    "malformed value — the data-quality triage every 100 TB ingest "
+    "needs (ANSI mode would abort; silent cast would null without a "
+    "count). Scan-only plus one tiny agg.",
+    tags=("scalar", "quality", "json"),
+)
+def q_safe_cast_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return (
+        e.select(k.alias("k_val"), k.isNotNull().alias("ok"))
+        .groupBy("ok")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.coalesce(F.col("k_val"), F.lit(0))).cast("long").alias("k_total"),
+        )
+    )
+
+
+@register(
     "q_event_transitions",
     sql="""
     WITH seq AS (
