@@ -219,3 +219,58 @@ def test_cli_sql_over_store_and_fixtures(seeded_store, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "NATION_" in out
+
+
+def test_cli_full_workflow_end_to_end(spark, tmp_path, capsys):
+    """The reference user's complete session, offline, on ONE store:
+    fetch → query → suggest-terms → taxonomy → compact → SQL. Each
+    stage consumes the previous stage's persisted state."""
+    terms_file = str(tmp_path / "terms.json")
+    with open(terms_file, "w") as f:
+        json.dump(["grid"], f)
+    store = str(tmp_path / "flow_store")
+
+    # 1. ingest from recorded payloads
+    assert cli.main(
+        ["--store", store, "--terms-file", terms_file,
+         "--fetch-articles", "--payload-dir", PAYLOADS_DIR]
+    ) == 0
+    n0 = ArticleStore(spark, store).read().count()
+    assert n0 > 0
+
+    # 2. re-fetch is idempotent (keep-first merge: 0 newly added)
+    assert cli.main(
+        ["--store", store, "--terms-file", terms_file,
+         "--fetch-articles", "--payload-dir", PAYLOADS_DIR]
+    ) == 0
+    assert "newly added: 0" in capsys.readouterr().out
+    assert ArticleStore(spark, store).read().count() == n0
+
+    # 3. query the fetched store
+    assert cli.main(["--store", store, "--query-articles", "--limit", "5"]) == 0
+    assert "title" in capsys.readouterr().out
+
+    # 4. suggest terms non-interactively; terms file grows
+    assert cli.main(
+        ["--store", store, "--terms-file", terms_file, "--suggest-terms", "--yes"]
+    ) == 0
+    capsys.readouterr()
+    assert len(json.load(open(terms_file))) > 1
+
+    # 5. taxonomy over the store
+    tax_out = str(tmp_path / "tax.parquet")
+    assert cli.main(
+        ["--store", store, "--build-taxonomy", "--topics", "2", "--output", tax_out]
+    ) == 0
+    capsys.readouterr()
+    tax = spark.read.parquet(tax_out)
+    assert tax.count() == n0 and "Topic" in tax.columns
+
+    # 6. compact + SQL over the same store
+    assert cli.main(["--store", store, "--compact-store"]) == 0
+    capsys.readouterr()
+    assert cli.main(
+        ["--store", store, "--sql",
+         "SELECT count(*) AS n FROM articles"]
+    ) == 0
+    assert str(n0) in capsys.readouterr().out
