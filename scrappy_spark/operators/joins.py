@@ -65,3 +65,44 @@ def lookup_with_default(
     return df.join(F.broadcast(lookup), on=on, how="left").withColumn(
         value_col, F.coalesce(F.col(value_col), F.lit(default))
     )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    max_edit_distance: int = 3,
+    block_expr: Column | None = None,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: names within
+    ``max_edit_distance`` edits, compared only inside blocks.
+
+    The all-pairs levenshtein join is O(n²) and never acceptable at
+    scale; blocking on a cheap canopy key — default: first token of
+    the lowercased name — bounds comparisons to same-block pairs, the
+    standard record-linkage shape. Callers pick a tighter
+    ``block_expr`` (soundex, sorted-token prefix, LSH bucket) when
+    the default blocks skew large. Output: (id_a, id_b, edit_dist),
+    id_a < id_b.
+    """
+    if block_expr is None:
+        block_expr = F.split(F.lower(F.col(name_col)), " ").getItem(0)
+    base = df.select(
+        F.col(id_col), F.col(name_col), block_expr.alias("__blk")
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(name_col).alias("__na"), "__blk"
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(name_col).alias("__nb"), "__blk"
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__na", "__nb").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_edit_distance)
+    )

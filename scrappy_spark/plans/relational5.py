@@ -467,6 +467,37 @@ def q_moving_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fuzzy_name_pairs",
+    sql="""
+    WITH base AS (
+        SELECT p_partkey, p_name,
+               concat(p_brand, '|', string_split(lower(p_name), ' ')[1]) AS blk
+        FROM part WHERE p_partkey < 500)
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM base a JOIN base b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    doc="Entity-resolution fuzzy match: near-identical part names "
+    "(edit distance <= 2) compared only inside (brand, first-token) "
+    "blocks — the record-linkage canopy shape that keeps the "
+    "levenshtein join off the O(n^2) path; block key choice is the "
+    "caller's recall/cost dial.",
+    tags=("join", "fuzzy", "entity-resolution"),
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import fuzzy_match_pairs
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    blk = F.concat_ws(
+        "|", F.col("p_brand"), F.split(F.lower(F.col("p_name")), " ").getItem(0)
+    )
+    return fuzzy_match_pairs(
+        p, "p_name", "p_partkey", max_edit_distance=2, block_expr=blk
+    )
+
+
+@register(
     "q_zorder_key",
     sql=f"""
     SELECT o_orderkey,
