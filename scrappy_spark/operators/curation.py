@@ -64,6 +64,41 @@ def hash_sample(
     return df.filter(_bucket(F.col(id_col), salt) < F.lit(sample_threshold(rate)))
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weight-proportional sample of ``k`` rows without replacement
+    (Efraimidis–Spirakis): each row gets key = u^(1/w) with u a
+    deterministic md5-derived uniform, and the top-k keys win — rows
+    with twice the weight are twice as likely to be kept, yet the
+    draw is reproducible across runs/engines and needs only one
+    top-k (TakeOrderedAndProject), never a global sort or a
+    cumulative-weight pass. Weights must be > 0."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    key = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    return (
+        df.withColumn("__wkey", key)
+        .orderBy(F.desc("__wkey"), F.col(id_col))
+        .limit(k)
+        .drop("__wkey")
+    )
+
+
 def assign_splits(
     df: DataFrame,
     weights: dict[str, float] | None = None,

@@ -43,6 +43,35 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_weighted_sample",
+    sql="""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               pow(CAST(concat('0x', substring(md5(concat('wsample', '|',
+                        CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                   / 4294967296.0,
+                   1.0 / n_chars) AS wkey
+        FROM documents)
+    ORDER BY wkey DESC, doc_id LIMIT 40
+    """,
+    doc="Weight-proportional sampling without replacement (Efraimidis-"
+    "Spirakis): key = u^(1/weight) with a deterministic md5-derived "
+    "uniform, top-k keys win — doubly-weighted rows are doubly "
+    "likely, the draw is reproducible, and the plan is one "
+    "TakeOrderedAndProject (no global sort, no cumulative-weight "
+    "pass). Weight here = n_chars (longer docs favored).",
+    tags=("llm", "curation", "sampling"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, k=40, weight_col="n_chars").select(
+        "doc_id", "source"
+    )
+
+
+@register(
     "q_train_val_split",
     sql="""
     SELECT split, count(*) AS n FROM (

@@ -246,3 +246,16 @@ def test_assign_splits_partition_and_consistency(spark):
     import pytest
     with pytest.raises(ValueError, match="sum to 1"):
         CU.assign_splits(df, weights={"a": 0.5, "b": 0.2})
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    # weight 100 vs weight 1: heavy rows should dominate the sample
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = {r.doc_id for r in CU.weighted_sample(df, k=50, weight_col="w").collect()}
+    heavy = sum(1 for i in out if i < 50)
+    # 50 heavy rows carry 100x weight each vs 450 light rows: expect the
+    # sample to be mostly heavy (binomial tail makes <30 vanishingly rare)
+    assert heavy >= 30, heavy
+    again = {r.doc_id for r in CU.weighted_sample(df, k=50, weight_col="w").collect()}
+    assert out == again
