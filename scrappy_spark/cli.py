@@ -106,15 +106,9 @@ TREE_API_SOURCES = {
     "arxiv": "arXiv",
 }
 
-#: recorded-payload filenames per source (tests/payloads convention),
-#: for the offline --payload-dir fetcher
-PAYLOAD_FILES = {
-    "IEEE": "ieee.json",
-    "GoogleScholar": "serpapi.json",
-    "SemanticScholar": "semantic_scholar.json",
-    "PubMed": "pubmed_efetch.xml",
-    "arXiv": "arxiv_atom.xml",
-}
+# recorded-payload filenames per source: single source of truth shared
+# with the scrappy_articles DataSource
+from .sources.datasource import PAYLOAD_FILES  # noqa: E402
 
 
 def _payload_dir_fetcher(payload_dir: str):
@@ -126,7 +120,7 @@ def _payload_dir_fetcher(payload_dir: str):
         path = os.path.join(payload_dir, PAYLOAD_FILES[source])
         if not os.path.exists(path):
             return None
-        with open(path) as f:
+        with open(path, encoding="utf-8") as f:
             return f.read()
 
     return fetch

@@ -39,8 +39,21 @@ def checkpointed(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=True)
     sc = df.sparkSession.sparkContext
-    if sc._jsc.sc().getCheckpointDir().isEmpty():
+    current = sc._jsc.sc().getCheckpointDir()
+    if current.isEmpty():
         sc.setCheckpointDir(checkpoint_dir)
+    elif checkpoint_dir.rstrip("/") not in current.get():
+        # getCheckpointDir returns the configured path plus a random
+        # UUID subdir, so membership (not equality) is the right test.
+        # The context's checkpoint dir is global and already set to a
+        # DIFFERENT path — Spark offers no per-frame override, so the
+        # requested dir would be silently ignored. Fault-tolerance
+        # expectations differ between paths; make that visible.
+        warnings.warn(
+            f"checkpoint_dir={checkpoint_dir!r} requested but the SparkContext "
+            f"checkpoint dir is already {current.get()!r}; checkpoints will use "
+            "the existing dir (set it before the first checkpointed operator)"
+        )
     return df.checkpoint(eager=True)
 
 

@@ -229,11 +229,18 @@ def remove_common_fragments(
     max_doc_pct * total_docs``) so engine parity can't hinge on float
     rounding. Documents whose every fragment is boilerplate survive
     with an empty ``clean_text``.
+
+    ``delim`` is a LITERAL string: it is regex-escaped before the
+    split so it always matches the literal-join reassembly and the
+    literal doc-frequency counting (``delim="."`` splits on periods,
+    not on every character).
     """
+    import re
+
     total = df.select(F.count("*").alias("_total_docs"))
     frags = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("_pos", "_frag"),
+        F.posexplode(F.split(F.col(text_col), re.escape(delim))).alias("_pos", "_frag"),
     )
     doc_freq = frags.groupBy("_frag").agg(F.countDistinct(id_col).alias("_nd"))
     common = doc_freq.crossJoin(F.broadcast(total)).filter(
@@ -284,10 +291,13 @@ def decontaminate(
     ``contaminated``.
 
     Plan: distinct n-grams of the (small) benchmark side are broadcast;
-    the train side explodes once and semi-joins map-side, then a
-    distinct on hit doc-ids marks the flag via a second broadcast
-    anti/semi pattern. The 100 TB shape: the benchmark is KBs–MBs —
-    never shuffle the corpus on gram, ship the benchmark to it.
+    the train side explodes once and semi-joins map-side. The 100 TB
+    shape: the benchmark is KBs–MBs — never shuffle the corpus on
+    gram, ship the benchmark to it. The hit-id set is NOT
+    force-broadcast: its cardinality is corpus-derived (unbounded), so
+    that join is left to AQE — tiny hit sets still broadcast at
+    runtime, huge ones fall back to a shuffle join instead of OOMing
+    the driver.
     """
     bench_grams = _ngram_sets(bench, id_col, text_col, n).select("gram").distinct()
     train_grams = _ngram_sets(train, id_col, text_col, n)
@@ -297,7 +307,7 @@ def decontaminate(
         .distinct()
     )
     return train.join(
-        F.broadcast(hits.withColumn("contaminated", F.lit(True))), id_col, "left"
+        hits.withColumn("contaminated", F.lit(True)), id_col, "left"
     ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
 
 

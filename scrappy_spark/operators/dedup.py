@@ -61,5 +61,10 @@ def newly_added(existing: DataFrame, new: DataFrame, keys: list[str]) -> DataFra
 
     Left-anti join; Catalyst broadcasts the existing-keys side when it
     is small, else sort-merge — either way no driver-side set.
+
+    NULL keys never match an equality anti-join, so NULL-key rows are
+    always reported as new (pandas ``isin`` behaves the same,
+    scrappy.py:339-341). A MERGE insert gate must handle that case
+    itself — see ``ArticleStore.merge``.
     """
     return new.join(existing.select(*keys).distinct(), on=keys, how="left_anti")

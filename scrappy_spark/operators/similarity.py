@@ -213,7 +213,18 @@ def embedding_near_dup_pairs(
     16× fewer than all-pairs, and the ratio improves with more planes as
     the corpus grows. Approximate by construction → rows-only contract;
     recall is pinned by tests against the brute-force ground truth.
+
+    ``dim=None`` (default) probes the first row's vector length and
+    takes the literal-planes fast path — otherwise every row would
+    re-derive n_tables·n_planes·dim row-independent plane constants
+    (8·16·64 ≈ 8k hashes/row at the defaults). The embedded runtime
+    guard still fails loudly on a mixed-dimension column; pass an
+    explicit ``dim`` to skip the probe job.
     """
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("n")).first()
+        if first is not None:
+            dim = first["n"]
     tables = F.array(
         *[
             F.struct(

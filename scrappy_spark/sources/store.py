@@ -188,7 +188,18 @@ class ArticleStore:
         store."""
         existing = self.read()
         report = newly_added(existing, new, keys=["title"]).localCheckpoint(eager=True)
-        added = dedup_keep_first(report, keys=["title"], order_by=["date_added", "source"])
+        # Equality anti-joins never match NULL titles, so a NULL-title
+        # row is in the report on EVERY merge and would re-insert
+        # forever, breaking existing-wins. Gate it with limit-1 probes
+        # (cheap; the report is already materialized) instead of a
+        # second full anti-join.
+        insertable = report
+        if not report.filter(F.col("title").isNull()).isEmpty():
+            if not existing.filter(F.col("title").isNull()).isEmpty():
+                insertable = report.filter(F.col("title").isNotNull())
+        added = dedup_keep_first(
+            insertable, keys=["title"], order_by=["date_added", "source"]
+        )
         staging = self.path + ".staging"
         if os.path.exists(staging):
             shutil.rmtree(staging)

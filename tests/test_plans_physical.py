@@ -77,10 +77,14 @@ def test_window_lead_lag_single_sort_shuffle(spark):
 
 def test_decontaminate_broadcasts_benchmark(spark):
     """The corpus must never shuffle on gram — the benchmark gram set
-    and the hit-id set both ride broadcasts."""
+    rides a broadcast. The hit-id flag join is deliberately NOT
+    force-broadcast (corpus-derived cardinality; AQE decides), so only
+    the gram semi-join is asserted broadcast."""
     plan = _plan(spark, "q_decontaminate")
-    assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2  # gram semi-join + flag join
+    # the corpus-side gram semi-join is a broadcast join (the benchmark
+    # side's own distinct may shuffle its tiny gram set; that's fine)
+    assert "LeftSemi, BuildRight" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin LeftSemi" not in plan
 
 
 def test_boilerplate_common_set_broadcast(spark):

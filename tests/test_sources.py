@@ -316,3 +316,28 @@ def test_store_compact_preserves_content(spark, tmp_path):
     }
     assert after_files == arxiv_files
     assert sorted(map(tuple, store.read().collect())) == before
+
+
+def test_store_merge_null_title_not_duplicated(spark, tmp_path):
+    """Existing-wins must hold for NULL titles too: a plain-equality
+    anti-join never matches NULL, so without the null-safe insert gate
+    a NULL-title row would re-insert on every merge."""
+    from pyspark.sql import types as T
+
+    store = ArticleStore(spark, str(tmp_path / "nstore"))
+    relaxed = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in ARTICLES_SCHEMA.fields]
+    )
+    def batch(day):
+        return spark.createDataFrame(
+            [("IEEE", None, "no title yet", None, [], [[]], [], "t", 2020,
+              datetime.date(2024, 6, day)),
+             ("IEEE", f"Titled {day}", None, None, [], [[]], [], "t", 2020,
+              datetime.date(2024, 6, day))],
+            relaxed,
+        )
+    store.merge(batch(1))
+    store.merge(batch(2))
+    rows = store.read().collect()
+    assert sum(1 for r in rows if r.title is None) == 1  # one NULL-title row
+    assert sum(1 for r in rows if r.title is not None) == 2  # both titled rows

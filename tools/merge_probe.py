@@ -83,9 +83,12 @@ def main() -> None:
         store.merge(synth_articles(spark, n_rows, n_sources))
         t_initial = time.time() - t0
 
-        # batch: new titles, all landing in ONE source partition
+        # batch: 1000 genuinely-new titles (numeric id compare — a
+        # lexicographic title compare would sweep in most of the
+        # existing corpus and the probe would time the wrong workload),
+        # all landing in ONE source partition
         batch = synth_articles(spark, n_rows + 1000, n_sources).filter(
-            (F.col("title") >= f"title-{n_rows}") | (F.col("title") < "title-0")
+            F.split(F.col("title"), "-").getItem(1).cast("long") >= n_rows
         ).withColumn("source", F.lit("src0"))
 
         before = partition_mtimes(store_path)
