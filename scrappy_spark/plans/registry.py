@@ -69,10 +69,39 @@ def all_specs() -> dict[str, QuerySpec]:
         extras,
     )
 
-    # Sorted by name: the enumeration the driver sees must not depend on
-    # module import order (round-1 left 24 late-registered queries out of
-    # the driver's correctness file).
-    return {name: _REGISTRY[name] for name in sorted(_REGISTRY)}
+    # Deterministic enumeration, independent of module import order
+    # (round-1 left 24 late-registered queries out of the driver's
+    # correctness file, which also capped at 50 entries).  The driver
+    # checks a prefix of this dict, so order by verification priority:
+    # queries NOT yet driver-verified come first (led by q_map_funcs,
+    # round 1's one harness failure, now canonicalizer-safe), then the
+    # 49 queries already green in CORRECTNESS_r01.json.  Within each
+    # group, sorted by name.  tools/verify_oracle.py still covers every
+    # query locally regardless of the driver's cap.
+    unchecked_first = sorted(_REGISTRY, key=lambda n: (n in _R01_VERIFIED, n != "q_map_funcs", n))
+    return {name: _REGISTRY[name] for name in unchecked_first}
+
+
+# Queries already driver-verified (green in CORRECTNESS_r01.json); kept
+# out of the driver-checked prefix so its 50-entry cap lands on queries
+# that have not been through the driver gate yet.
+_R01_VERIFIED = frozenset({
+    "q_anti_customer_without_orders", "q_anti_new_titles", "q_anti_terms",
+    "q_approx_count_distinct", "q_array_funcs", "q_asof_join",
+    "q_context_examples", "q_count_distinct", "q_cross_join_count",
+    "q_cube_rollup", "q_date_funcs", "q_dedup_keep_first", "q_dedup_title",
+    "q_doc_stats", "q_except_titles", "q_filter_term", "q_filter_year",
+    "q_flatten_institutions", "q_full_outer_join", "q_groupby_sum_avg",
+    "q_grouped_map_zscore", "q_grouping_sets", "q_intersect_langs",
+    "q_join_lineitem_part_supp", "q_join_orders_customer", "q_json_extract",
+    "q_levenshtein", "q_merge_simulation", "q_ngram_topk", "q_normalize",
+    "q_percentiles", "q_pivot", "q_project", "q_range_join",
+    "q_regexp_extract", "q_semi_orders_with_lineitem", "q_session_window_agg",
+    "q_sliding_window_agg", "q_string_funcs", "q_token_subset",
+    "q_topic_lookup", "q_topk_per_group", "q_tpch_q3_shape", "q_tpch_q5_shape",
+    "q_tumbling_window_agg", "q_udtf_split", "q_union_sources",
+    "q_window_rank", "q_word_weights",
+})
 
 
 def queries() -> dict[str, QueryFn]:
