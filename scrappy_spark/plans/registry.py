@@ -59,6 +59,7 @@ def all_specs() -> dict[str, QuerySpec]:
         relational3,
         relational4,
         relational5,
+        relational6,
         mining,
         events,
         llmdata,

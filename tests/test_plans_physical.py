@@ -146,3 +146,44 @@ def test_q22_anti_join_and_broadcast_scalar(spark):
     plan = _plan(spark, "q_tpch_q22_shape")
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q2_single_window_over_join_output(spark):
+    """Q2 shape: the correlated per-part min is ONE window over the
+    joined rows (no second scan/self-join of the derived cost table),
+    every dim side a broadcast, and the ordered limit is top-k."""
+    plan = _plan(spark, "q_tpch_q2_shape")
+    assert plan.count("BroadcastHashJoin") >= 4  # part, supplier, nation, region
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q9_star_join_no_fact_shuffle_for_dims(spark):
+    plan = _plan(spark, "q_tpch_q9_shape")
+    assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert "partial_sum" in plan  # map-side combine on the profit rollup
+
+
+def test_q11_scalar_total_is_broadcast(spark):
+    """The global-total threshold joins back as a broadcast of a
+    1-row aggregate (BNLJ BuildRight), and the shared derived-cost
+    aggregate is computed once: AQE's exchange reuse kicks in on the
+    executed plan rather than re-scanning lineitem for the total."""
+    df = registry.queries()["q_tpch_q11_shape"](spark, SF_DIR)
+    static = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin BuildRight" in static
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
+
+
+def test_q16_not_in_is_broadcast_anti(spark):
+    plan = _plan(spark, "q_tpch_q16_shape")
+    assert "LeftAnti, BuildRight" in plan
+
+
+def test_q21_semi_then_anti_on_fact(spark):
+    plan = _plan(spark, "q_tpch_q21_shape")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
