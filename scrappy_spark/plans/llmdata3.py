@@ -294,3 +294,44 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "domain")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Column profiling
+# --------------------------------------------------------------------------
+
+def _profile_branch_sql(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           min(CAST({col} AS VARCHAR)) AS min_value,
+           max(CAST({col} AS VARCHAR)) AS max_value,
+           CAST(coalesce(sum(length(CAST({col} AS VARCHAR))), 0) AS DOUBLE)
+               / count(*) AS avg_len
+    FROM documents
+    """
+
+
+@register(
+    "q_profile_columns",
+    sql=" UNION ALL ".join(
+        _profile_branch_sql(c)
+        for c in ("doc_id", "text", "lang", "source", "n_chars")
+    ),
+    doc="Data-quality profile of the documents table: null count, "
+    "exact distinct count, lexicographic min/max and average value "
+    "length for every column, computed as parallel aggregates in ONE "
+    "scan and unpivoted with a zero-shuffle stack — the oracle's "
+    "UNION ALL shape would scan the table once per column. Average "
+    "length divides an exact integer byte-sum once at the end, so the "
+    "value is shuffle-order stable.",
+    tags=("profiling", "agg", "llm-data"),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )

@@ -227,3 +227,33 @@ def test_sketch_suite_error_bounds(spark):
     th = qs["q_theta_sketch_overlap"](spark, sf).first()
     assert abs(th.est_overlap - th.exact_overlap) / max(th.exact_overlap, 1) < 0.05
     assert th.est_clickers >= th.est_overlap and th.est_buyers >= th.est_overlap
+
+
+def test_profile_columns_nulls_and_single_scan(spark):
+    """Profiler reports exact nulls/distincts/min-max on a frame with
+    nulls and an all-null column, in one scan (no per-column jobs)."""
+    from scrappy_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, None), (3, "b", None), (3, "a", None)],
+        "id int, tag string, empty string",
+    )
+    prof = {r["column"]: r for r in profile_columns(df).collect()}
+    assert prof["id"].n_nulls == 0 and prof["id"].n_distinct == 3
+    assert prof["tag"].n_nulls == 1 and prof["tag"].n_distinct == 2
+    assert prof["tag"].min_value == "a" and prof["tag"].max_value == "b"
+    assert prof["empty"].n_nulls == 4 and prof["empty"].n_distinct == 0
+    assert prof["empty"].min_value is None and prof["empty"].avg_len == 0.0
+    assert prof["id"].avg_len == 1.0
+
+    plan = (
+        profile_columns(df, ["id", "tag"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") == 1
+
+    approx = {
+        r["column"]: r
+        for r in profile_columns(df, approximate=True).collect()
+    }
+    assert approx["id"].n_distinct == 3  # HLL exact at tiny cardinality
