@@ -340,3 +340,102 @@ def ann_lsh_topk(
         F.round(cosine(F.col(vec_col), F.col("__qvec")), 4).alias("cos_sim"),
     )
     return topk_per_group(scored, [query_id_col], [F.desc("cos_sim"), F.asc(id_col)], k)
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Cross-table semantic contamination check: for every training
+    vector, its single nearest benchmark vector by exact cosine, plus a
+    0/1 flag at ``threshold``.
+
+    The n-gram `decontaminate` (operators.curation) catches verbatim
+    leaks; this catches paraphrases that share an embedding.
+
+    Shape: benchmark side broadcast (benchmarks are dim-table sized
+    next to a training corpus), one corpus scan, and the per-train
+    argmax is a groupBy max over a (cos, bench_id) struct — partial
+    aggregation collapses each train vector's candidates map-side, so
+    the shuffle carries one row per train vector, NOT the n_train ×
+    n_bench score matrix a window-rank formulation would move. Ties
+    break to the larger bench id (struct ordering), so output is
+    deterministic. When the bench side outgrows a broadcast, use
+    ``semantic_decontaminate_ann`` (bucket join, never all-pairs).
+    """
+    b = F.broadcast(
+        bench.select(
+            F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bvec")
+        )
+    )
+    scored = train.select(id_col, vec_col).crossJoin(b).select(
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__bvec")), round_digits).alias(
+            "__cos"
+        ),
+        F.col("__bid"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct("__cos", "__bid")).alias("__best")
+    )
+    return best.select(
+        id_col,
+        F.col("__best.__bid").alias(bench_id_col),
+        F.col("__best.__cos").alias("cos_sim"),
+        (F.col("__best.__cos") >= F.lit(threshold))
+        .cast("long")
+        .alias("contaminated"),
+    )
+
+
+def semantic_decontaminate_ann(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Bucket-joined variant for bench sets too large to broadcast:
+    both sides LSH-bucketed, candidates limited to shared buckets, so
+    the score matrix is n_train × (bench per bucket) instead of
+    n_train × n_bench. Misses cross-bucket matches (recall measured in
+    tests against the exact operator); train vectors with NO same-
+    bucket bench candidate surface with bench_id NULL / cos_sim NULL /
+    contaminated 0 rather than silently disappearing."""
+    tb = train.select(
+        id_col, vec_col, lsh_bucket(F.col(vec_col), n_planes, dim).alias("bkt")
+    )
+    bb = bench.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bvec"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bkt"),
+    )
+    scored = tb.join(bb, "bkt").select(
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__bvec")), 4).alias("__cos"),
+        F.col("__bid"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct("__cos", "__bid")).alias("__best")
+    )
+    return (
+        tb.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.col("__best.__bid").alias(bench_id_col),
+            F.col("__best.__cos").alias("cos_sim"),
+            F.coalesce(
+                (F.col("__best.__cos") >= F.lit(threshold)).cast("long"),
+                F.lit(0),
+            ).alias("contaminated"),
+        )
+    )

@@ -187,3 +187,64 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("mse"),
     )
+
+
+@register(
+    "q_semantic_decontaminate",
+    sql="""
+    WITH scored AS (
+        SELECT t.vec_id, b.vec_id AS bench_id,
+               round(list_cosine_similarity(t.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4)
+                   AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY t.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                       t.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                       DESC, b.vec_id DESC) AS rn
+        FROM embeddings t
+        CROSS JOIN embeddings b
+        WHERE t.vec_id % 10 <> 0 AND b.vec_id % 10 = 0)
+    SELECT vec_id, bench_id, cos_sim,
+           CAST(cos_sim >= 0.4 AS BIGINT) AS contaminated
+    FROM scored WHERE rn = 1
+    """,
+    doc="Cross-table SEMANTIC decontamination: nearest benchmark "
+    "vector per training vector by exact cosine (n-gram decontaminate "
+    "catches verbatim leaks; this catches paraphrases). Bench side "
+    "broadcast, per-train argmax as a map-side-combining struct max — "
+    "the shuffle carries one row per train vector, not the score "
+    "matrix the oracle's window-rank shape implies. Fixture split is "
+    "vec_id mod 10 (bench) vs rest (train).",
+    tags=("llm", "similarity", "curation"),
+)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        train=emb.filter(F.col("vec_id") % 10 != 0),
+        bench=emb.filter(F.col("vec_id") % 10 == 0),
+        threshold=0.4,
+    )
+
+
+@register(
+    "q_semantic_decontaminate_ann",
+    sql=None,  # bucket-limited candidates → approximate; recall tested
+    doc="LSH-bucketed semantic decontamination for bench sets too "
+    "large to broadcast: candidates limited to shared hyperplane "
+    "buckets (never all-pairs); train vectors with no same-bucket "
+    "candidate keep a NULL match rather than vanishing. Recall vs the "
+    "exact operator measured in tests.",
+    tags=("llm", "similarity", "curation", "approx"),
+)
+def q_semantic_decontaminate_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_decontaminate_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate_ann(
+        train=emb.filter(F.col("vec_id") % 10 != 0),
+        bench=emb.filter(F.col("vec_id") % 10 == 0),
+        threshold=0.4,
+    )

@@ -257,3 +257,52 @@ def test_profile_columns_nulls_and_single_scan(spark):
         for r in profile_columns(df, approximate=True).collect()
     }
     assert approx["id"].n_distinct == 3  # HLL exact at tiny cardinality
+
+
+def test_semantic_decontaminate_exact_vs_ann(spark):
+    """ANN variant covers every train vector, flags a usable fraction
+    of the exact operator's contaminated set (recall), and never flags
+    a pair the exact operator scores below threshold (no false
+    positives possible: same cosine, fewer candidates)."""
+    from scrappy_spark.operators.similarity import (
+        semantic_decontaminate,
+        semantic_decontaminate_ann,
+    )
+    from scrappy_spark.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    train = emb.filter("vec_id % 10 <> 0")
+    bench = emb.filter("vec_id % 10 = 0")
+
+    exact = semantic_decontaminate(train, bench, threshold=0.4).collect()
+    ann = semantic_decontaminate_ann(
+        train, bench, threshold=0.4, n_planes=2
+    ).collect()
+
+    assert len(ann) == len(exact) == 450  # every train vector surfaces
+    exact_flagged = {r.vec_id for r in exact if r.contaminated}
+    ann_flagged = {r.vec_id for r in ann if r.contaminated}
+    assert ann_flagged <= exact_flagged  # bucket join can't overscore
+    recall = len(ann_flagged) / len(exact_flagged)
+    assert recall >= 0.5, f"recall {recall} (flagged {len(exact_flagged)})"
+
+    exact_cos = {r.vec_id: r.cos_sim for r in exact}
+    for r in ann:
+        if r.cos_sim is not None:
+            assert r.cos_sim <= exact_cos[r.vec_id] + 1e-9
+
+
+def test_semantic_decontaminate_plan_shape(spark):
+    """Bench side broadcast; the argmax is a partial-agg struct max
+    (shuffle = one row per train vector), not a window over pairs."""
+    from scrappy_spark.operators.similarity import semantic_decontaminate
+    from scrappy_spark.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    df = semantic_decontaminate(
+        emb.filter("vec_id % 10 <> 0"), emb.filter("vec_id % 10 = 0")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_max" in plan
+    assert "Window" not in plan
