@@ -413,3 +413,49 @@ def pack_sequences(
         F.expr(f"cum_before div {int(budget)}").alias("chunk_id"),
         (F.col("cum_before") % F.lit(int(budget))).alias("chunk_offset"),
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    boundaries: tuple[int, ...] = (32, 128, 512),
+    batch_size: int = 16,
+    id_col: str = "doc_id",
+    part_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batch assignment for training / batch inference.
+
+    Padding cost is set by the longest sequence in a batch, so batching
+    docs of similar token length is the standard way to keep GPUs off
+    pad tokens. ``boundaries`` are bucket upper edges: bucket b holds
+    docs with n_tokens ≤ boundaries[b] (last bucket is open-ended and
+    pads to its own longest member, surfaced as pad_len NULL).
+
+    Each doc gets (bucket, batch_idx, pad_len): batch_idx counts
+    ``batch_size``-doc batches within (part_col, bucket) in
+    deterministic ``id_col`` order. Like pack_sequences, the window is
+    per (stream, bucket) — no global sort; every source shard batches
+    independently, so the shape survives 1000 streams × any corpus
+    size. Integer div keeps batch ids exact cross-engine.
+    """
+    edges = sorted(boundaries)
+    n_toks = F.size(tokens_col(F.col(text_col))).cast("long")
+    bucket = sum(
+        (F.col("n_tokens") > F.lit(e)).cast("long") for e in edges
+    ).alias("bucket")
+    # try_: the overflow bucket indexes past the edge array and must
+    # yield NULL, not an ANSI out-of-bounds error
+    pad_len = F.try_element_at(
+        F.array(*[F.lit(e).cast("long") for e in edges]),
+        (F.col("bucket") + 1).cast("int"),
+    )
+    w = Window.partitionBy(part_col, "bucket").orderBy(id_col)
+    return (
+        df.select(F.col(id_col), F.col(part_col), n_toks.alias("n_tokens"))
+        .withColumn("bucket", bucket)
+        .withColumn(
+            "batch_idx",
+            ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+        )
+        .withColumn("pad_len", pad_len)
+    )

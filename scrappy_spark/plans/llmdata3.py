@@ -335,3 +335,41 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         docs, ["doc_id", "text", "lang", "source", "n_chars"]
     )
+
+
+@register(
+    "q_length_batches",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len({_RAW_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents),
+    b AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(n_tokens > 32 AS BIGINT) + CAST(n_tokens > 128 AS BIGINT)
+                   + CAST(n_tokens > 512 AS BIGINT) AS bucket
+        FROM t)
+    SELECT doc_id, source, n_tokens, bucket,
+           CAST((row_number() OVER (
+               PARTITION BY source, bucket ORDER BY doc_id) - 1) // 16
+               AS BIGINT) AS batch_idx,
+           CAST(([32, 128, 512][CAST(bucket AS INT) + 1]) AS BIGINT)
+               AS pad_len
+    FROM b
+    """,
+    doc="Length-bucketed batch assignment: docs bucketed by token-"
+    "length upper edges (32/128/512/overflow) and numbered into "
+    "16-doc batches within (source, bucket) — deterministic doc_id "
+    "order, per-stream windows so no global sort exists at any "
+    "corpus size. pad_len is the bucket's pad target (NULL for the "
+    "open-ended overflow bucket).",
+    tags=("llm-data", "curation", "window"),
+)
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import length_buckets
+
+    return length_buckets(
+        load_table(spark, sf_dir, "documents"),
+        boundaries=(32, 128, 512),
+        batch_size=16,
+    )

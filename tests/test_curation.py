@@ -259,3 +259,23 @@ def test_weighted_sample_bias_and_determinism(spark):
     assert heavy >= 30, heavy
     again = {r.doc_id for r in CU.weighted_sample(df, k=50, weight_col="w").collect()}
     assert out == again
+
+
+def test_length_buckets_overflow_and_batching(spark):
+    """Docs past the last edge land in the open-ended bucket with NULL
+    pad_len (no ANSI index error), and batch numbering is dense and
+    deterministic within (source, bucket)."""
+    from scrappy_spark.operators.curation import length_buckets
+
+    rows = [(i, "s", "tok " * n) for i, n in enumerate([2, 3, 4, 40, 900])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in length_buckets(df, boundaries=(8, 64), batch_size=2).collect()
+    }
+    assert out[0].bucket == 0 and out[0].pad_len == 8
+    assert out[3].bucket == 1 and out[3].pad_len == 64
+    assert out[4].bucket == 2 and out[4].pad_len is None  # overflow
+    assert out[4].n_tokens == 900
+    # batch_size=2 in bucket 0: doc 0,1 → batch 0; doc 2 → batch 1
+    assert (out[0].batch_idx, out[1].batch_idx, out[2].batch_idx) == (0, 0, 1)
