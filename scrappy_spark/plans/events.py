@@ -377,3 +377,73 @@ def q_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return view_click_attribution(e, max_delay="10 minutes")
+
+
+# --------------------------------------------------------------------------
+# Graph: PageRank over the page-transition graph
+# --------------------------------------------------------------------------
+
+def _pagerank_sql(n_iter: int = 3, unit: int = 10**12) -> str:
+    base = (15 * unit) // 100
+    k_page = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+    r{i} AS (
+        SELECT n.node,
+               CAST({base} + (85 * COALESCE(s.in_mass, 0)) // 100
+                    AS BIGINT) AS rank_units
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   sum((r.rank_units * e.w) // o.out_w) AS in_mass
+            FROM edges e
+            JOIN outw o ON o.src = e.src
+            JOIN r{i - 1} r ON r.node = e.src
+            GROUP BY 1) s ON s.node = n.node)""")
+    return f"""
+    WITH seq AS (
+        SELECT user_id, {k_page} AS src,
+               lead({k_page}) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+        FROM events),
+    edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+              FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+             FROM edges GROUP BY 1),
+    r0 AS (SELECT node, CAST({unit} AS BIGINT) AS rank_units FROM nodes),
+    {",".join(iters)}
+    SELECT node, rank_units,
+           CAST(rank_units AS DOUBLE) / {unit} AS rank
+    FROM r{n_iter}
+    """
+
+
+@register(
+    "q_pagerank_pages",
+    sql=_pagerank_sql(3),
+    doc="Weighted PageRank over the page-transition graph (nodes = "
+    "props.k pages, edges = per-user consecutive visits, weight = "
+    "transition count). INTEGER-EXACT power iteration — rank units "
+    "are bigints and every update is integer arithmetic, so the "
+    "result is bit-identical across shuffle orders and engines; the "
+    "oracle unrolls the same 3 iterations as recursive CTEs. Per "
+    "round: one join on the co-partitioned edge frame + one groupBy "
+    "dst; lineage cut per round (operators/graph.py).",
+    tags=("graph", "iterative", "events"),
+)
+def q_pagerank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    e = load_table(spark, sf_dir, "events")
+    k_page = F.get_json_object("props", "$.k").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(F.col("user_id"), k_page.alias("src"), F.col("ts"), F.col("event_id"))
+        .withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    return pagerank(edges, n_iter=3, weight_col="w")

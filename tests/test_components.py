@@ -134,3 +134,48 @@ def test_bucket_size_cap_drops_hot_buckets(spark):
     assert capped.filter((F.col("id_a") < 50) & (F.col("id_b") < 50)).count() == 0
     uncapped = minhash_candidate_pairs(sig, min_matches=2)
     assert uncapped.filter((F.col("id_a") < 50) & (F.col("id_b") < 50)).count() == 50 * 49 // 2
+
+
+def test_pagerank_properties(spark, tmp_path):
+    """Hub gets the most mass, dangling nodes keep only the teleport
+    base, total mass is bounded by the start mass, and the reliable-
+    checkpoint path returns identical units."""
+    from scrappy_spark.operators.graph import pagerank
+
+    # star: 1,2,3 -> 0; 0 -> 4; 4 dangles
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 4)], "src long, dst long"
+    )
+    out = {r.node: r for r in pagerank(edges, n_iter=5).collect()}
+    unit, base = 10**12, 15 * 10**12 // 100
+    # 4 is fed 85% of the hub's whole mass; the hub gets 3 damped
+    # teleport bases — so 4 > 0 > leaves
+    assert out[4].rank_units > out[0].rank_units > out[1].rank_units
+    assert out[1].rank_units == base  # leaf: teleport only
+    assert sum(r.rank_units for r in out.values()) <= 5 * unit
+    assert abs(out[0].rank - out[0].rank_units / unit) < 1e-12
+
+    reliable = {
+        r.node: r.rank_units
+        for r in pagerank(
+            edges, n_iter=5, checkpoint_dir=str(tmp_path / "ck")
+        ).collect()
+    }
+    assert reliable == {n: r.rank_units for n, r in out.items()}
+
+
+def test_pagerank_weighted_determinism(spark):
+    """Weighted edges split mass by weight share (integer div), and
+    two runs produce bit-identical units."""
+    from scrappy_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1, 3), (0, 2, 1)], "src long, dst long, w long"
+    )
+    a = {r.node: r.rank_units for r in pagerank(edges, n_iter=1, weight_col="w").collect()}
+    base = 15 * 10**12 // 100
+    # node1 gets 3/4 of node0's unit, node2 gets 1/4, damped 85%
+    assert a[1] == base + 85 * (10**12 * 3 // 4) // 100
+    assert a[2] == base + 85 * (10**12 // 4) // 100
+    b = {r.node: r.rank_units for r in pagerank(edges, n_iter=1, weight_col="w").collect()}
+    assert a == b
