@@ -176,3 +176,96 @@ def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __udtf_docs, LATERAL split_segments(doc_id, text) s
         """
     )
+
+
+@register(
+    "q_cogroup_asof",
+    sql="""
+    SELECT e.event_id, e.user_id, e.ts AS error_ts, c.ts AS prev_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    doc="Cogrouped-map applyInPandas: the as-of join expressed as a "
+    "per-user pandas merge_asof over cogrouped (errors, clicks) — the "
+    "sixth and last Python-integration surface (§2.10). Oracle is the "
+    "same ASOF JOIN that checks q_asof_join's pure-DataFrame merge "
+    "pattern, proving the Python path preserves the semantics. Both "
+    "sides shuffle once on user_id; each group's Arrow batch pair "
+    "reaches one kernel call.",
+    tags=("udf", "cogroup", "asof"),
+)
+def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    def asof(err: pd.DataFrame, clk: pd.DataFrame) -> pd.DataFrame:
+        err = err.sort_values("ts")
+        if clk.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "error_ts", "prev_click_ts"]
+            )
+        m = pd.merge_asof(
+            err,
+            clk.sort_values("ts").rename(columns={"ts": "prev_click_ts"})[
+                ["prev_click_ts"]
+            ].assign(__t=lambda d: d["prev_click_ts"]),
+            left_on="ts",
+            right_on="__t",
+            direction="backward",
+        )
+        m = m[m["prev_click_ts"].notna()]
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"],
+                "user_id": m["user_id"],
+                "error_ts": m["ts"],
+                "prev_click_ts": m["prev_click_ts"],
+            }
+        )
+
+    return (
+        errors.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            schema="event_id long, user_id long, error_ts timestamp, "
+            "prev_click_ts timestamp",
+        )
+    )
+
+
+@register(
+    "q_arrow_udf_score",
+    sql="""
+    SELECT doc_id,
+           (length(lower(text))
+            - length(regexp_replace(lower(text), '[aeiou]', '', 'g')))
+           * 1000 // length(text) AS vowel_permille
+    FROM documents WHERE length(text) > 0
+    """,
+    doc="Arrow-optimized scalar Python UDF (useArrow=True): per-doc "
+    "vowel density in permille, integer arithmetic so the pure-SQL "
+    "oracle hash-matches exactly. Demonstrates the sanctioned shape "
+    "for unavoidable scalar Python — Arrow batch transfer instead of "
+    "pickled rows (~10× less serialization); the policy remains "
+    "built-ins first (this exact expression SHOULD be regexp_replace "
+    "in production — the query exists to prove the surface).",
+    tags=("udf", "arrow"),
+)
+def q_arrow_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="long", useArrow=True)
+    def vowel_permille(text: str) -> int:
+        low = text.lower()
+        return sum(low.count(v) for v in "aeiou") * 1000 // len(text)
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", vowel_permille("text").alias("vowel_permille"))
+    )
