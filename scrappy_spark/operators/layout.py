@@ -67,3 +67,26 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def range_partition_write(
+    df: DataFrame,
+    path: str,
+    col: str,
+    num_files: int = 8,
+    secondary_sort: tuple[str, ...] = (),
+) -> None:
+    """Write ``df`` as parquet range-clustered on ONE key: a single
+    range shuffle (sampled split points) gives files with disjoint
+    ``col`` ranges, so min-max footer stats prune any point or range
+    filter on ``col`` to the few files that overlap it — the
+    single-dimension complement of ``zorder_write`` (use that when TWO
+    filter columns matter). ``secondary_sort`` orders rows inside each
+    file after ``col`` for record-locality (e.g. time within id) —
+    it does not affect file-level pruning on ``col``."""
+    (
+        df.repartitionByRange(num_files, F.col(col))
+        .sortWithinPartitions(col, *secondary_sort)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

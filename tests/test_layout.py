@@ -69,3 +69,33 @@ def test_z_value_interleaves_bits(spark):
     # even positions carry x bits (1,0,1), odd carry y bits (1,1,0):
     # z = x0 + 2·y0 + 4·x1 + 8·y1 + 16·x2 + 32·y2 = 1+2+0+8+16+0
     assert z == 0b011011
+
+
+def test_range_partition_write_prunes_to_single_file(spark, tmp_path):
+    """Range clustering on one key: a point filter overlaps exactly
+    one file, a 10% range filter at most two — while the same data
+    written unclustered overlaps every file. Round-trip preserved."""
+    from scrappy_spark.operators.layout import range_partition_write
+
+    df = spark.range(4096).select(
+        (F.col("id") * 2654435761 % 4096).cast("int").alias("k"),  # scrambled
+        F.col("id").alias("payload"),
+    )
+    plain = str(tmp_path / "plain")
+    df.repartition(N_FILES).write.mode("overwrite").parquet(plain)
+    ranged = str(tmp_path / "ranged")
+    range_partition_write(df, ranged, col="k", num_files=N_FILES)
+
+    assert _files_overlapping(plain + "/*.parquet", "k", 2000) == N_FILES
+    assert _files_overlapping(ranged + "/*.parquet", "k", 2000) == 1
+    # a 10% range overlaps at most 2 of the 8 range-files
+    hits = sum(
+        1
+        for p in sorted(glob.glob(ranged + "/*.parquet"))
+        if _files_overlapping(p, "k", 2000) or _files_overlapping(p, "k", 2400)
+    )
+    assert hits <= 2
+
+    back = spark.read.parquet(ranged)
+    assert back.count() == 4096
+    assert back.agg(F.sum("payload")).first()[0] == 4096 * 4095 // 2
