@@ -40,6 +40,11 @@ HEADLINE = [
     "q_decontaminate",
     "q_remove_boilerplate",
     "q_pack_sequences",
+    "q_tpch_q9_shape",
+    "q_tpch_q21_shape",
+    "q_pagerank_pages",
+    "q_semantic_decontaminate",
+    "q_profile_columns",
 ]
 
 
