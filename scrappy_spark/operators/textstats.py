@@ -180,3 +180,51 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(canon).alias("fingerprint"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average surprisal under the corpus's own unigram
+    model — the cheapest useful 'perplexity' quality signal (gibberish
+    and boilerplate sit at the distribution's tails; cf. CCNet-style
+    LM filtering, which this approximates without a trained LM).
+
+    Per-token log-probabilities are snapped to integer MICRO-NATS
+    (round(ln(tf/total)·1e6)), so the per-document reduction is an
+    integer sum — associative, bit-stable across shuffle orders and
+    engines — and the only float op per doc is one final division.
+
+    Shape: one explode → token-count aggregate (vocab-sized), the
+    total as a 1-row broadcast, the per-token table broadcast back
+    onto the exploded stream (vocabularies fit executor memory even at
+    100 TB corpora — Heaps' law), then one groupBy(doc). Docs with
+    zero tokens are absent from the output by definition.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("s"))
+    lp = freq.join(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("c").cast("double") / F.col("s")) * 1_000_000)
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (-F.sum("lp_micro")).alias("surprisal_micro"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "surprisal_micro",
+            (
+                F.col("surprisal_micro").cast("double")
+                / 1_000_000
+                / F.col("n_tokens")
+            ).alias("avg_surprisal"),
+        )
+    )

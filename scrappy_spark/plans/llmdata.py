@@ -294,3 +294,33 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.ann_lsh_topk(emb, queries, k=10)
+
+
+@register(
+    "q_unigram_surprisal",
+    sql=f"""
+    WITH t AS (SELECT doc_id, unnest({_RAW_TOKS}) AS tok FROM documents),
+    freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM freq),
+    lp AS (SELECT tok,
+                  CAST(round(ln(CAST(c AS DOUBLE) / s) * 1000000) AS BIGINT)
+                      AS lp_micro
+           FROM freq, tot)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(-sum(lp.lp_micro) AS BIGINT) AS surprisal_micro,
+           CAST(-sum(lp.lp_micro) AS DOUBLE) / 1000000 / count(*)
+               AS avg_surprisal
+    FROM t JOIN lp ON lp.tok = t.tok
+    GROUP BY t.doc_id
+    """,
+    doc="Unigram-LM surprisal per document (cheap perplexity-style "
+    "quality signal): corpus token frequencies → per-token log-prob "
+    "snapped to integer micro-nats → integer per-doc sum, so the "
+    "reduction is exact cross-engine; one float division at the end. "
+    "Vocab table broadcast; one explode + two vocab-sized aggregates.",
+    tags=("llm", "quality", "agg"),
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import unigram_surprisal
+
+    return unigram_surprisal(load_table(spark, sf_dir, "documents"))

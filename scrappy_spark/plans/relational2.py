@@ -303,3 +303,32 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("N").alias("qty_N"),
         F.col("R").alias("qty_R"),
     )
+
+
+@register(
+    "q_unpivot_metrics",
+    sql="""
+    WITH wide AS (
+        SELECT l_linestatus,
+               round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_A,
+               round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_N,
+               round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_R
+        FROM lineitem GROUP BY l_linestatus)
+    SELECT l_linestatus, flag, qty FROM wide
+    UNPIVOT INCLUDE NULLS (qty FOR flag IN (qty_A, qty_N, qty_R))
+    """,
+    doc="Unpivot (wide→long, the melt inverse of q_pivot): Spark's "
+    "native .unpivot — an Expand node, zero shuffle, stays in "
+    "codegen. INCLUDE-NULLS semantics pinned on both engines so a "
+    "status with no 'A' rows keeps its row. Round-trips q_pivot's "
+    "exact wide table back to long form.",
+    tags=("agg", "pivot", "reshape"),
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["l_linestatus"],
+        values=["qty_A", "qty_N", "qty_R"],
+        variableColumnName="flag",
+        valueColumnName="qty",
+    )
