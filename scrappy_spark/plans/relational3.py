@@ -200,17 +200,25 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors = e.filter(F.col("event_type") == "error").select(
         "user_id", "event_id", "ts"
     )
-    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    # distinct name on the click side: both inputs descend from the
+    # same scan, and a shared `ts` attribute lets the optimizer prune
+    # the click-side column away under limit() (self-cogroup
+    # ambiguity) — the kernel would then see clk without its timestamp
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
 
     def asof(err: pd.DataFrame, clk: pd.DataFrame) -> pd.DataFrame:
-        err = err.sort_values("ts")
-        if clk.empty:
+        # a user present on only one side gets an EMPTY frame for the
+        # other (without columns) — bail before touching columns
+        if err.empty or clk.empty:
             return pd.DataFrame(
                 columns=["event_id", "user_id", "error_ts", "prev_click_ts"]
             )
+        err = err.sort_values("ts")
         m = pd.merge_asof(
             err,
-            clk.sort_values("ts").rename(columns={"ts": "prev_click_ts"})[
+            clk.sort_values("c_ts").rename(columns={"c_ts": "prev_click_ts"})[
                 ["prev_click_ts"]
             ].assign(__t=lambda d: d["prev_click_ts"]),
             left_on="ts",
