@@ -105,3 +105,61 @@ class ArticlesDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> ArticlesReader:
         return ArticlesReader(self.options)
+
+    def simpleStreamReader(self, schema: T.StructType) -> "ArticlesStreamReader":
+        return ArticlesStreamReader(self.options)
+
+
+try:  # Spark 4 streaming Python DataSource API
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover - pyspark < 4
+    SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
+
+
+class ArticlesStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch streaming over the recorded payloads: each batch
+    emits ALL sources' rows for ONE term — the streaming twin of the
+    batch reader's (source, term) partitioning, modeling a crawl that
+    ingests term-by-term. Offsets are {"term_idx": i}; reads are pure
+    functions of (payload files, term), so replay between offsets after
+    a failure is deterministic — exactly the property a retried
+    micro-batch needs (and why live HTTP stays out of this path).
+    """
+
+    def __init__(self, options: dict):
+        self._batch = ArticlesReader(options)
+        if self._batch.terms == [""]:
+            raise ValueError(
+                "scrappy_articles stream: a non-empty terms option is required"
+            )
+
+    def initialOffset(self) -> dict:
+        return {"term_idx": 0}
+
+    def _rows_for(self, term: str) -> list[tuple]:
+        # materialized, not a generator: the simple-reader protocol
+        # prefetches on the driver and PICKLES the records to ship
+        # them (fine here — one term's payload rows per batch; a
+        # high-volume source would use the partition-planning
+        # DataSourceStreamReader instead)
+        return [
+            row
+            for source in self._batch.sources
+            for row in self._batch.read(_SourceTermPartition(source, term))
+        ]
+
+    def read(self, start: dict):
+        i = start["term_idx"]
+        if i >= len(self._batch.terms):
+            return iter(()), start  # caught up: empty batch, same offset
+        # iter(list), not the list: the prefetch cache copy.copy()s the
+        # iterator (list/tuple iterators pickle; generators do not) and
+        # the caught-up check calls next() on it
+        return iter(self._rows_for(self._batch.terms[i])), {"term_idx": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        return [
+            row
+            for i in range(start["term_idx"], end["term_idx"])
+            for row in self._rows_for(self._batch.terms[i])
+        ]

@@ -341,3 +341,53 @@ def test_store_merge_null_title_not_duplicated(spark, tmp_path):
     rows = store.read().collect()
     assert sum(1 for r in rows if r.title is None) == 1  # one NULL-title row
     assert sum(1 for r in rows if r.title is not None) == 2  # both titled rows
+
+
+def test_articles_datasource_streams_term_per_batch(spark, tmp_path):
+    """Streaming read of the same recorded payloads: availableNow
+    drains one micro-batch per term, the union of batches equals the
+    batch read, and replay between offsets is deterministic."""
+    from scrappy_spark.sources.datasource import (
+        ArticlesDataSource,
+        ArticlesStreamReader,
+    )
+
+    spark.dataSource.register(ArticlesDataSource)
+    stream = (
+        spark.readStream.format("scrappy_articles")
+        .option("payload_dir", PAYLOADS)
+        .option("terms", "ransomware,botnet")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_articles")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    # one micro-batch per term: drain until read() reports caught-up
+    # (availableNow would stop after the first prefetched batch)
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT source, term, title FROM stream_articles").collect()
+
+    batch = (
+        spark.read.format("scrappy_articles")
+        .option("payload_dir", PAYLOADS)
+        .option("terms", "ransomware,botnet")
+        .load()
+        .select("source", "term", "title")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert {t for (_, t, _) in map(tuple, got)} == {"ransomware", "botnet"}
+
+    # offset replay (task-retry path) is deterministic and term-sliced
+    rdr = ArticlesStreamReader(
+        {"payload_dir": PAYLOADS, "terms": "ransomware,botnet"}
+    )
+    replay = list(rdr.readBetweenOffsets({"term_idx": 0}, {"term_idx": 1}))
+    per_batch, nxt = rdr.read({"term_idx": 0})
+    assert list(per_batch) == replay and nxt == {"term_idx": 1}
+    drained, same = rdr.read({"term_idx": 2})
+    assert list(drained) == [] and same == {"term_idx": 2}
