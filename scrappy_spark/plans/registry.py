@@ -79,7 +79,18 @@ def all_specs() -> dict[str, QuerySpec]:
     # 49 queries already green in CORRECTNESS_r01.json.  Within each
     # group, sorted by name.  tools/verify_oracle.py still covers every
     # query locally regardless of the driver's cap.
-    unchecked_first = sorted(_REGISTRY, key=lambda n: (n in _R01_VERIFIED, n != "q_map_funcs", n))
+    # Within the unchecked group, oracle-backed specs outrank
+    # rows-only ones: a driver slot spent on a no-oracle query records
+    # a weaker check than the local replica already provides.
+    unchecked_first = sorted(
+        _REGISTRY,
+        key=lambda n: (
+            n in _R01_VERIFIED,
+            _REGISTRY[n].sql is None,
+            n != "q_map_funcs",
+            n,
+        ),
+    )
     return {name: _REGISTRY[name] for name in unchecked_first}
 
 
