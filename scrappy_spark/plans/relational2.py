@@ -332,3 +332,74 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="flag",
         valueColumnName="qty",
     )
+
+
+@register(
+    "q_scd2_merge",
+    sql="""
+    WITH hist AS (
+        SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+               TIMESTAMP '1995-01-01' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer),
+    upd AS (
+        SELECT c_custkey AS k,
+               CASE WHEN c_custkey % 7 = 0 THEN 'UPGRADED'
+                    ELSE c_mktsegment END AS new_seg,
+               round(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                          ELSE c_acctbal END, 2) AS new_bal,
+               TIMESTAMP '1997-01-01' AS eff
+        FROM customer
+        WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 3),
+    ch AS (
+        SELECT h.c_custkey, h.c_name, h.c_mktsegment, h.c_acctbal,
+               h.valid_from, u.new_seg, u.new_bal, u.eff
+        FROM hist h JOIN upd u ON u.k = h.c_custkey
+        WHERE h.c_mktsegment <> u.new_seg OR h.c_acctbal <> u.new_bal)
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal, valid_from,
+           eff AS valid_to FROM ch
+    UNION ALL
+    SELECT c_custkey, c_name, new_seg, new_bal, eff, NULL FROM ch
+    UNION ALL
+    SELECT h.* FROM hist h
+    WHERE h.c_custkey NOT IN (SELECT c_custkey FROM ch)
+    """,
+    doc="SCD type-2 merge: an update batch against a customer history "
+    "— changed keys get their current row closed at the effective "
+    "date plus a new open row; identical re-updates are no-ops "
+    "(idempotence proved in-query: the mod-11 update set carries "
+    "unchanged values and must pass through untouched). One broadcast "
+    "join + three scan-free branches, no row-by-row MERGE; history "
+    "rows never join. operators/scd.py.",
+    tags=("merge", "scd", "join"),
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_merge
+
+    c = _t(spark, sf_dir, "customer")
+    history = c.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = c.filter((F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 11 == 3)).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("UPGRADED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.round(
+            F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100)
+            .otherwise(F.col("c_acctbal")),
+            2,
+        ).alias("c_acctbal"),
+        F.lit("1997-01-01").cast("timestamp").alias("effective_date"),
+    )
+    return scd2_merge(
+        history,
+        updates,
+        key_col="c_custkey",
+        tracked_cols=["c_mktsegment", "c_acctbal"],
+    )
