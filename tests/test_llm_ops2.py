@@ -306,3 +306,28 @@ def test_semantic_decontaminate_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "partial_max" in plan
     assert "Window" not in plan
+
+
+def test_observe_quality_metrics_from_single_pass(spark):
+    """Counters arrive with the materializing action itself — no
+    second job — and match direct aggregation."""
+    from scrappy_spark.operators.observe import observe_quality
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (None, 5)],
+        "doc_id long, n_chars long",
+    ).repartition(4)
+    inst, obs = observe_quality(
+        df, numeric_cols=["n_chars"], key_cols=["doc_id"]
+    )
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    inst.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["doc_id_nulls"] == 1
+    assert got["n_chars_nulls"] == 1
+    assert got["n_chars_sum"] == 45
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    # reading obs.get launched NO job beyond the write's own (the
+    # write may itself comprise >1 job, e.g. a commit pass)
+    assert len(after) <= len(before) + 2
