@@ -13,7 +13,7 @@ inference.
 from __future__ import annotations
 
 from pyspark.ml import Pipeline, PipelineModel
-from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.classification import LogisticRegression, LogisticRegressionModel
 from pyspark.ml.feature import (
     CountVectorizer,
     IDF,
@@ -91,6 +91,18 @@ def train_classifier(spark: SparkSession, train: DataFrame | None = None) -> Pip
     sets (the prediction column carries no nominal metadata for
     IndexToString to discover on its own)."""
     model = build_pipeline().fit(train if train is not None else training_frame(spark))
+    # Drop the LR training summary: it pins the fit-time SparkSession
+    # inside the model, and serializing that session fails whenever an
+    # Observation has been attached to it (non-serializable
+    # ObservationManager) — i.e. any pipeline that mixes df.observe
+    # counters with model inference. The summary is training-time
+    # diagnostics only; inference never reads it. private[classification]
+    # setSummary is public at bytecode level, so py4j can call it.
+    for stage in model.stages:
+        if isinstance(stage, LogisticRegressionModel):
+            stage._java_obj.setSummary(
+                spark._jvm.scala.Option.empty()  # type: ignore[union-attr]
+            )
     indexer = next(s for s in model.stages if isinstance(s, StringIndexerModel))
     decoder = IndexToString(
         inputCol="prediction", outputCol="predicted_label", labels=indexer.labels

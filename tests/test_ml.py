@@ -33,6 +33,22 @@ def test_classifier_on_new_terms(spark, clf):
     assert out["network architecture upgrade"] == "infrastructure"
 
 
+def test_classifier_usable_after_observation_attached(spark, clf):
+    """Regression: a df.observe() on the session makes the session's
+    ObservationManager live; a fitted LR model that still carries its
+    trainingSummary would then fail task serialization ("Task not
+    serializable: ObservationManager") at inference. train_classifier
+    strips the summary, so observe + classify in one session works."""
+    from pyspark.sql import Observation
+
+    obs = Observation("clf_obs_regression")
+    inst = spark.range(8).observe(obs, F.count(F.lit(1)).alias("n"))
+    inst.write.format("noop").mode("overwrite").save()
+    assert obs.get["n"] == 8
+    terms = spark.createDataFrame([("malware outbreak in clinic",)], ["term"])
+    assert classify_terms(clf, terms).count() == 1
+
+
 def test_classifier_arbitrary_label_sets(spark):
     """Labels must come from the fitted StringIndexer, not a hard-coded
     pair — a 3-class training set with different label names has to map

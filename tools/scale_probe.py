@@ -37,6 +37,11 @@ PROBES = [
     "q_decontaminate",
     "q_remove_boilerplate",
     "q_pack_sequences",
+    "q_pagerank_pages",
+    "q_semantic_decontaminate",
+    "q_profile_columns",
+    "q_tpch_q21_shape",
+    "q_unigram_surprisal",
 ]
 
 
