@@ -66,6 +66,8 @@ def all_specs() -> dict[str, QuerySpec]:
         llmdata2,
         llmdata3,
         llmdata4,
+        llmdata5,
+        timeseries,
         sketches,
         extras,
     )
