@@ -59,14 +59,29 @@ def main() -> None:
     # whole-stage-codegen compilation, parquet-reader init, and JIT are
     # not charged to the timed runs — we measure steady-state
     # data-processing time, not per-plan compile time.
+    #
+    # A warm-up failure means the timed loop would crash on the same
+    # query 20 lines later with the diagnosis buried in a py4j trace
+    # (that is exactly how BENCH_r03 died): name the query and fail
+    # fast instead of spending the timed loop on a known-broken plan.
     spark.range(1).count()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
+        failed: list[tuple[str, str]] = []
         for name in HEADLINE:
             try:
                 qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass
+            except Exception as exc:
+                first_line = str(exc).strip().splitlines()[0] if str(exc).strip() else repr(exc)
+                print(f"bench warm-up FAILED: {name}: {first_line}", file=sys.stderr)
+                failed.append((name, first_line))
+        if failed:
+            print(
+                f"bench aborting before timed loop: {len(failed)} headline "
+                f"queries failed warm-up: {[n for n, _ in failed]}",
+                file=sys.stderr,
+            )
+            sys.exit(2)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -30,18 +30,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects. Read nanos as long and convert to
-    a microsecond timestamp with exact integer division (``div`` — a
-    double division would lose precision at 1e18 magnitudes), matching
-    DuckDB's ns→us truncation of the same column."""
+    """Normalize ``ts`` to TIMESTAMP regardless of how the fixture writer
+    encoded it. Fixture generators have shipped three encodings so far:
+
+    - parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects:
+      read nanos as long and convert with exact integer division
+      (``div`` — a double division would lose precision at 1e18
+      magnitudes), matching DuckDB's ns→us truncation;
+    - tz-naive TIMESTAMP(isAdjustedToUTC=false), which Spark reads as
+      TIMESTAMP_NTZ — that type is rejected by ``unix_micros`` and by
+      ``withWatermark`` event time, so cast to TIMESTAMP. The session
+      timezone is pinned UTC (session.py), making the cast an identity
+      on the underlying micros and matching DuckDB's naive read;
+    - plain UTC TIMESTAMP, where the cast below is a no-op.
+    """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

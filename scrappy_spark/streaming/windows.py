@@ -92,9 +92,18 @@ def streaming_dedup(
 
 
 def read_events_stream(spark, path: str, schema, max_files_per_trigger: int = 1) -> DataFrame:
-    """File-source stream over an events directory (parquet parts)."""
-    return (
+    """File-source stream over an events directory (parquet parts).
+
+    ``ts`` is normalized to TIMESTAMP: a tz-naive source (or an NTZ
+    entry in the caller's schema) would surface TIMESTAMP_NTZ, which
+    ``withWatermark`` rejects as event time. The cast is a streaming-safe
+    projection and an identity under the UTC session timezone, mirroring
+    the batch normalization in io._load_events."""
+    df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+    if "ts" in df.columns:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df

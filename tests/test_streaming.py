@@ -104,3 +104,35 @@ def test_stream_static_enrichment_equals_batch(spark, events_dir):
     out = _run_stream_to_memory(spark, enriched, "mem_enrich", "complete")
     expected = enrich_with_static(batch, dim).groupBy("segment").count()
     assert _sorted_rows(out) == _sorted_rows(expected)
+
+
+def test_stream_over_ntz_source_equals_batch(spark, events_dir):
+    """A tz-naive (TIMESTAMP_NTZ) stream source — exactly what the
+    round-3 regenerated fixtures ship for batch — must still stream:
+    read_events_stream normalizes ts to TIMESTAMP before any
+    withWatermark sees it. Equivalence vs the batch twin proves the
+    cast is value-identity under the UTC session timezone."""
+    from pyspark.sql.types import TimestampNTZType
+
+    from scrappy_spark.streaming.windows import read_events_stream
+
+    batch = load_table(spark, SF_DIR, "events")
+    ntz_dir = tempfile.mkdtemp(prefix="events_stream_ntz_")
+    try:
+        # re-write the source with ts as NTZ so the on-disk parquet is
+        # Timestamp(isAdjustedToUTC=false)
+        batch.withColumn("ts", F.col("ts").cast("timestamp_ntz")).repartition(
+            4
+        ).write.mode("overwrite").parquet(ntz_dir)
+        ntz_schema = spark.read.parquet(ntz_dir).schema
+        assert any(
+            isinstance(f.dataType, TimestampNTZType) for f in ntz_schema.fields
+        ), "precondition: source must actually be NTZ"
+        stream_in = read_events_stream(spark, ntz_dir, ntz_schema, max_files_per_trigger=2)
+        assert dict(stream_in.dtypes)["ts"] == "timestamp"
+        out = _run_stream_to_memory(
+            spark, tumbling_window_agg(stream_in), "mem_ntz_tumbling", "complete"
+        )
+        assert _sorted_rows(out) == _sorted_rows(tumbling_window_agg(batch))
+    finally:
+        shutil.rmtree(ntz_dir, ignore_errors=True)
