@@ -66,21 +66,37 @@ def connected_components(
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
     on_exhaust: str = "raise",
+    method: str = "label",
 ) -> DataFrame:
     """(id, component) — component = min node id reachable from id.
 
     ``nodes``: one column ``id_col`` (isolated nodes keep their own id).
     ``edges``: undirected pairs (each stored once; symmetrized here).
 
-    Rounds = graph diameter. If ``max_iter`` is exhausted before the
-    fixpoint, labels are PARTIAL (split clusters); that's a silent-
-    corruption hazard for dedup, so the default is to raise — pass
-    ``on_exhaust="warn"`` to accept partial labels (e.g. exploratory
-    runs). Pathological long chains want the small-star/large-star
-    variant (O(log d) rounds) rather than a bigger ``max_iter``.
+    ``method="label"`` (default): min-label propagation with path
+    compression — rounds ≈ O(log diameter) in practice, one join + one
+    groupBy per round; the right default for the clique-ish graphs LSH
+    banding produces. ``method="star"``: alternating small-star /
+    large-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — contracts the EDGE set itself toward stars centered on
+    component minima, provably converging in O(log² n) rounds worst
+    case and ~log₂(diameter) in practice on paths; prefer it for
+    adversarial long-chain graphs (shingle chains, citation chains)
+    where label propagation's per-round win is only a constant factor.
+
+    If ``max_iter`` is exhausted before the fixpoint, labels are
+    PARTIAL (split clusters); that's a silent-corruption hazard for
+    dedup, so the default is to raise — pass ``on_exhaust="warn"`` to
+    accept partial labels (e.g. exploratory runs).
     """
     if on_exhaust not in ("raise", "warn"):
         raise ValueError(f"on_exhaust must be 'raise' or 'warn', got {on_exhaust!r}")
+    if method not in ("label", "star"):
+        raise ValueError(f"method must be 'label' or 'star', got {method!r}")
+    if method == "star":
+        return _connected_components_star(
+            nodes, edges, id_col, src_col, dst_col, max_iter, checkpoint_dir, on_exhaust
+        )
     sym = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).unionAll(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
@@ -151,6 +167,115 @@ def connected_components(
         if on_exhaust == "raise":
             raise RuntimeError(msg)
         warnings.warn(msg)
+    isolated = all_nodes.join(participants, "a", "left_anti").select(
+        "a", F.col("a").alias("component")
+    )
+    return labels.unionAll(isolated).select(F.col("a").alias(id_col), "component")
+
+
+def _connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iter: int,
+    checkpoint_dir: str | None,
+    on_exhaust: str,
+) -> DataFrame:
+    """Alternating small-star/large-star (Kiveris et al. 2014).
+
+    Each round rewrites the edge set:
+
+    - large-star(u): every neighbor v > u is re-linked to
+      m = min(Γ(u) ∪ {u});
+    - small-star(u): u and every smaller neighbor are re-linked to
+      m = min(Γ⁻(u) ∪ {u}).
+
+    At the fixpoint the edge set is a union of stars whose centers are
+    the component minima, so labels fall out of one groupBy. Per round:
+    two self-groupBys + a distinct — edge-set-proportional shuffles,
+    same O(|E|) bound as label propagation, but the edge set SHRINKS
+    toward 1 edge per non-root node, so late rounds are cheaper.
+    Convergence is detected by an (edge-count, order-insensitive
+    checksum) pair going stable — one small agg action per round, no
+    exceptAll self-join.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).unionAll(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+    # canonical undirected form (a < b), no self-loops
+    e = checkpointed(
+        sym.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct(),
+        checkpoint_dir,
+    )
+    all_nodes = nodes.select(F.col(id_col).alias("a"))
+    participants = checkpointed(
+        sym.filter(F.col("a") != F.col("b")).select("a").distinct(), checkpoint_dir
+    )
+
+    def _fingerprint(frame: DataFrame):
+        row = frame.agg(
+            F.count("*").alias("n"),
+            # bit_xor: order-insensitive and overflow-free under ANSI
+            # (a summed hash overflows long); the edge set is distinct
+            # so no pair self-cancels.
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def _large_star(frame: DataFrame) -> DataFrame:
+        s = frame.unionAll(frame.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = s.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        # (v, m(u)) for every neighbor v > u; v > u ≥ m so no self-loops
+        return (
+            s.filter(F.col("b") > F.col("a"))
+            .join(m, "a")
+            .select(F.col("m").alias("a"), F.col("b").alias("b"))
+            .distinct()
+        )
+
+    def _small_star(frame: DataFrame) -> DataFrame:
+        s = frame.unionAll(frame.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        smaller = s.filter(F.col("b") < F.col("a"))  # node a, smaller neighbor b
+        m = smaller.groupBy("a").agg(F.min("b").alias("m"))
+        relink = (  # (v, m(u)) for smaller neighbors v ≠ m
+            smaller.join(m, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("b"))
+        )
+        self_link = m.select(F.col("m").alias("a"), F.col("a").alias("b"))  # (u, m(u))
+        return relink.unionAll(self_link).distinct()
+
+    fp = _fingerprint(e)
+    converged = False
+    for _ in range(max_iter):
+        e = checkpointed(_small_star(_large_star(e)), checkpoint_dir)
+        nfp = _fingerprint(e)
+        if nfp == fp:
+            converged = True
+            break
+        fp = nfp
+    if not converged:
+        msg = (
+            f"small-star/large-star did not converge in {max_iter} rounds — "
+            "labels would be partial and dedup clusters split; raise max_iter"
+        )
+        if on_exhaust == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg)
+    # Stars: every edge is (root, child) with root = component min, so
+    # label(child) = its (unique) smaller endpoint, label(root) = root.
+    s = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        participants.join(s, "a", "left")
+        .groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("component"))
+    )
     isolated = all_nodes.join(participants, "a", "left_anti").select(
         "a", F.col("a").alias("component")
     )

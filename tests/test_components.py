@@ -179,3 +179,50 @@ def test_pagerank_weighted_determinism(spark):
     assert a[2] == base + 85 * (10**12 // 4) // 100
     b = {r.node: r.rank_units for r in pagerank(edges, n_iter=1, weight_col="w").collect()}
     assert a == b
+
+
+def test_star_method_known_graph(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["src", "dst"])
+    cc = {
+        r.id: r.component
+        for r in connected_components(nodes, edges, method="star").collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_star_method_1k_chain_logarithmic_rounds(spark):
+    """Adversarial long chain: a 1000-node path (diameter 999). The
+    small-star/large-star edge contraction must converge in
+    ≤ ceil(log2(diameter)) + 5 alternating rounds — the property that
+    makes it the choice for chain-shaped graphs, where plain
+    propagation would need ~diameter rounds."""
+    import math
+
+    n = 1000
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    budget = math.ceil(math.log2(n - 1)) + 5  # 15
+    cc = connected_components(nodes, edges, method="star", max_iter=budget)
+    assert cc.filter(F.col("component") != 0).count() == 0
+    assert cc.count() == n
+
+
+def test_star_equals_label_on_random_graph(spark):
+    """Both methods must produce identical (id, component) labelings —
+    seeded random graph with mixed cliques, chains, and isolates."""
+    import random
+
+    rng = random.Random(7)
+    n = 300
+    edges_py = [(i, i + 1) for i in range(40)]  # one 41-node chain
+    edges_py += [(rng.randrange(50, 200), rng.randrange(50, 200)) for _ in range(150)]
+    edges_py += [(200 + i, 200 + (i * 13 % 30)) for i in range(30)]  # modular tangle
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame(edges_py, ["src", "dst"])
+    a = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    b = {
+        r.id: r.component
+        for r in connected_components(nodes, edges, method="star").collect()
+    }
+    assert a == b
