@@ -271,8 +271,16 @@ def main(argv: list[str] | None = None) -> int:
             .option("header", True)
             .csv(weights_out)
         )
+        # K3 image sink (reference scrappy.py:519-526 wordcloud.png):
+        # rendered with the engine's own bitmap-font + PNG encoder —
+        # no imaging library required.
+        from .ml.wordcloud import save_wordcloud_png
+
+        png_out = os.path.splitext(args.output)[0] + "_wordcloud.png"
+        n_words = save_wordcloud_png(wordcloud_weights(out), png_out)
         print(f"taxonomy written to {args.output}")
         print(f"word weights written to {weights_out}")
+        print(f"wordcloud ({n_words} words) written to {png_out}")
         return 0
 
     if args.build_tree:

@@ -4,11 +4,13 @@ metadata (north-star extension; no counterpart in the reference).
 Pattern for 100 TB media pipelines: the payload is an opaque
 ``binary`` column ingested as-is; all interpretation happens in
 Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
-Python row objects. Decode/resize/frame-sample need codec libraries
-that are NOT in this container, so the decode kernel is stubbed behind
-``NotImplementedError`` with a deterministic fake for tests — the
-Spark-side plumbing (schema, batch iteration, partition sizing, UDF
-signatures) is real and tested.
+Python row objects. Image decode/resize and audio features do REAL
+work via the dependency-free codecs in ``codecs.py`` (PNG/BMP/PPM,
+WAV; Pillow preferred when importable). Video frame-sampling still
+needs a codec library the container lacks, so that one kernel keeps
+the documented ``NotImplementedError`` + deterministic-fake contract;
+each operator also retains ``fake=True`` for non-media payloads (the
+text-derived test fixtures).
 
 Scale notes: media rows are huge (MBs) — ``files.maxPartitionBytes``
 should shrink so a partition holds tens of rows, not thousands;
@@ -95,10 +97,12 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def decode_image(df: DataFrame, id_col: str = "doc_id", fake: bool = False) -> DataFrame:
-    """Decode payloads to pixel features. REAL decode needs an imaging
-    library (not in this container) → NotImplementedError; ``fake=True``
-    exercises the identical plumbing with a deterministic stand-in
-    (byte histogram as the 'pixels')."""
+    """Decode payloads to pixel features: (width, height, 16-bin pixel
+    histogram). The REAL path decodes PNG/BMP/PPM with the
+    dependency-free codecs in ``operators/codecs.py`` (Pillow preferred
+    when importable — the soft-import contract); ``fake=True`` keeps the
+    deterministic byte-histogram stand-in for payloads that are not
+    images (the test fixtures)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -109,19 +113,27 @@ def decode_image(df: DataFrame, id_col: str = "doc_id", fake: bool = False) -> D
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError(
-                "image decode requires an imaging library (e.g. Pillow); "
-                "install one and replace this kernel, or pass fake=True"
-            )
+        import numpy as np
+
+        from .codecs import decode_image_bytes
+
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf["payload"]):
                 data = bytes(b)
-                hist = [0] * 16
-                for byte in data:
-                    hist[byte >> 4] += 1
-                rows.append((i, len(data), 1, hist))
+                if fake:
+                    hist = [0] * 16
+                    for byte in data:
+                        hist[byte >> 4] += 1
+                    rows.append((i, len(data), 1, hist))
+                else:
+                    pixels = decode_image_bytes(data)
+                    hist = np.bincount(
+                        pixels.reshape(-1) >> 4, minlength=16
+                    ).astype("int64")
+                    rows.append(
+                        (i, pixels.shape[1], pixels.shape[0], hist.tolist())
+                    )
             yield pd.DataFrame(rows, columns=[id_col, "width", "height", "hist"])
 
     return df.select(id_col, "payload").mapInPandas(run, schema=out_schema)
@@ -134,10 +146,11 @@ def resize_image(
     fake: bool = False,
 ) -> DataFrame:
     """Resize payloads to ``target`` (the training-input normalization
-    step). Real resize needs an imaging library → NotImplementedError;
-    the fake emits a deterministic payload (truncated/cycled bytes to
-    the target pixel count) through the identical Arrow plumbing —
-    same schema, same batch iteration, same one-in/one-out shape."""
+    step). The REAL path decodes (PNG/BMP/PPM via codecs.py),
+    nearest-neighbor resamples, and re-encodes as PNG — ``resized`` is
+    a decodable image. ``fake=True`` keeps the deterministic
+    truncated/cycled-bytes stand-in for non-image payloads through the
+    identical Arrow plumbing."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -149,18 +162,23 @@ def resize_image(
     w, h = target
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError(
-                "image resize requires an imaging library (e.g. Pillow); "
-                "install one and replace this kernel, or pass fake=True"
-            )
+        from .codecs import decode_image_bytes, encode_png, nearest_resize
+
         n = w * h
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf["payload"]):
                 data = bytes(b)
-                reps = (n // max(len(data), 1)) + 1
-                rows.append((i, w, h, (data * reps)[:n]))
+                if fake:
+                    reps = (n // max(len(data), 1)) + 1
+                    rows.append((i, w, h, (data * reps)[:n]))
+                else:
+                    small = nearest_resize(decode_image_bytes(data), w, h)
+                    if small.shape[2] == 1:
+                        small = small[:, :, 0]  # encode_png gray form
+                    elif small.shape[2] == 2:
+                        small = small[:, :, 0]  # gray+alpha → gray
+                    rows.append((i, w, h, encode_png(small)))
             yield pd.DataFrame(rows, columns=[id_col, "width", "height", "resized"])
 
     return df.select(id_col, "payload").mapInPandas(run, schema=out_schema)
@@ -170,11 +188,11 @@ def audio_features(
     df: DataFrame, frame_len: int = 256, id_col: str = "doc_id", fake: bool = False
 ) -> DataFrame:
     """Per-clip audio features (duration, RMS energy, zero-crossing
-    rate per frame → clip aggregates). Real decode needs an audio
-    codec → NotImplementedError; the fake interprets the raw bytes as
-    a centered int8 waveform so the feature MATH (framing, RMS, ZCR)
-    is the real implementation and fully tested — only the
-    bytes→samples decode is a stand-in."""
+    rate per frame → clip aggregates). The REAL path decodes WAV
+    (PCM 8/16/32-bit) with the stdlib ``wave`` module via codecs.py;
+    ``fake=True`` interprets the raw bytes as a centered int8 waveform
+    for non-audio payloads. The feature MATH (framing, RMS, ZCR) is
+    shared between both paths."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -186,26 +204,29 @@ def audio_features(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError(
-                "audio decode requires a codec library (e.g. soundfile); "
-                "install one and replace the decode step, or pass fake=True"
-            )
         import numpy as np
+
+        from .codecs import decode_wav_bytes
+
+        def features(wave: "np.ndarray", i) -> tuple:
+            n = len(wave)
+            n_frames = max((n + frame_len - 1) // frame_len, 0)
+            rms = float(np.sqrt(np.mean(wave**2))) if n else 0.0
+            zcr = (
+                float(np.mean(np.signbit(wave[1:]) != np.signbit(wave[:-1])))
+                if n > 1
+                else 0.0
+            )
+            return (i, n, n_frames, round(rms, 6), round(zcr, 6))
 
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf["payload"]):
-                wave = np.frombuffer(bytes(b), dtype=np.int8).astype(np.float64)
-                n = len(wave)
-                n_frames = max((n + frame_len - 1) // frame_len, 0)
-                rms = float(np.sqrt(np.mean(wave**2))) if n else 0.0
-                zcr = (
-                    float(np.mean(np.signbit(wave[1:]) != np.signbit(wave[:-1])))
-                    if n > 1
-                    else 0.0
-                )
-                rows.append((i, n, n_frames, round(rms, 6), round(zcr, 6)))
+                if fake:
+                    wave = np.frombuffer(bytes(b), dtype=np.int8).astype(np.float64)
+                else:
+                    _, wave = decode_wav_bytes(bytes(b))
+                rows.append(features(wave, i))
             yield pd.DataFrame(
                 rows, columns=[id_col, "n_samples", "n_frames", "rms", "zcr"]
             )

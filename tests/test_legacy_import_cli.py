@@ -119,6 +119,15 @@ def test_cli_build_taxonomy(seeded_store, tmp_path, capsys):
     words = {l.split(",")[0] for l in lines[1:]}
     assert "hospital" in words or "edge" in words
     assert "the" not in words  # stopwords excluded
+    # K3 image sink: a real, decodable PNG rendered without any
+    # imaging library (reference wordcloud.png, scrappy.py:519-526)
+    from scrappy_spark.operators.codecs import decode_image_bytes
+
+    png_path = str(tmp_path / "tax_wordcloud.png")
+    assert os.path.exists(png_path)
+    img = decode_image_bytes(open(png_path, "rb").read())
+    assert img.shape == (400, 800, 3)
+    assert (img != 255).any()  # words actually drawn
 
 
 PAYLOADS_DIR = os.path.join(os.path.dirname(__file__), "payloads")
