@@ -27,7 +27,7 @@ import warnings
 from pyspark.sql import DataFrame, functions as F
 
 
-def checkpointed(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+def checkpointed(df: DataFrame, checkpoint_dir: str | None, eager: bool = True) -> DataFrame:
     """Truncate lineage for an iterative loop.
 
     ``checkpoint_dir=None`` → ``localCheckpoint`` (executor-local
@@ -35,9 +35,14 @@ def checkpointed(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     tolerant — losing an executor loses the data). With a dir →
     reliable ``checkpoint()`` to that path (HDFS/object store on a
     cluster), which survives executor loss; set it for long cluster
-    runs."""
+    runs.
+
+    ``eager=False`` defers materialization to the caller's next action
+    on the returned frame — an iterative loop that follows each
+    checkpoint with a convergence-check action should use this so each
+    round runs ONE Spark job, not two (materialize + check)."""
     if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     current = sc._jsc.sc().getCheckpointDir()
     if current.isEmpty():
@@ -54,7 +59,7 @@ def checkpointed(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
             f"checkpoint dir is already {current.get()!r}; checkpoints will use "
             "the existing dir (set it before the first checkpointed operator)"
         )
-    return df.checkpoint(eager=True)
+    return df.checkpoint(eager=eager)
 
 
 def connected_components(
@@ -137,7 +142,9 @@ def connected_components(
         # The changed flag rides the same pass as the label update (old
         # label is already in hand), so convergence detection costs one
         # filter-count over the checkpointed result — not a second join
-        # against the previous labels.
+        # against the previous labels. The checkpoint is LAZY: the
+        # convergence count is the materializing action, so each round
+        # runs one Spark job instead of two.
         new_labels = checkpointed(
             cand.join(parent, cand.component == parent._p, "left").select(
                 "a",
@@ -152,6 +159,7 @@ def connected_components(
                 ).alias("_changed"),
             ),
             checkpoint_dir,
+            eager=False,
         )
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
@@ -254,7 +262,9 @@ def _connected_components_star(
     fp = _fingerprint(e)
     converged = False
     for _ in range(max_iter):
-        e = checkpointed(_small_star(_large_star(e)), checkpoint_dir)
+        # lazy checkpoint: the fingerprint agg is the materializing
+        # action → one job per round
+        e = checkpointed(_small_star(_large_star(e)), checkpoint_dir, eager=False)
         nfp = _fingerprint(e)
         if nfp == fp:
             converged = True

@@ -36,6 +36,39 @@ def _hash_col(prefix: Column, value: Column, hash_fn: str) -> Column:
     raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
 
 
+#: universal-hash family for MinHash: h_i(x) = (a_i·base(x) + b_i) mod P.
+#: ONE base hash per shingle feeds all k functions — the standard
+#: Carter-Wegman construction — so per-shingle cost is one digest plus
+#: k multiply-add-mods in codegen, instead of k digests (the naive
+#: seeded-digest shape is k× the hashing work AND k× the concat
+#: allocation). Constants are part of the signature definition: the
+#: DuckDB oracle SQL is generated from these same values.
+MINHASH_P = 2_147_483_647  # 2^31 − 1, prime
+#: (a, b) per seed; a odd and < 2^30 so a·base < 2^62 stays in int64
+#: under ANSI arithmetic (base < 2^32).
+MINHASH_AB: tuple[tuple[int, int], ...] = (
+    (972663749, 463922737),
+    (815999567, 742459249),
+    (294085213, 931980343),
+    (578251957, 235729183),
+    (925161197, 617364989),
+    (383478967, 85731),
+    (128864387, 402828283),
+    (674322551, 56598989),
+)
+
+
+def _minhash_base(value: Column, hash_fn: str) -> Column:
+    """Base hash → bigint in [0, 2^32): the first 8 md5 hex digits
+    (engine-portable — DuckDB computes the identical value), or
+    xxhash64 folded to 32 bits for the deployment path."""
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(value), 1, 8), 16, 10).cast("long")
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(value), F.lit(4_294_967_296)).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via content hash: (hash → representative id, count)."""
     return (
@@ -109,7 +142,10 @@ def minhash_signatures(
     shingle_k: int = 3,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """(id, seed, minhash) — per-seed min of md5(seed|shingle).
+    """(id, seed, minhash) — per-seed min of the universal-hash family
+    h_i(shingle) = (a_i·base + b_i) mod P over ONE base digest per
+    shingle (``MINHASH_AB``/``MINHASH_P``; Carter-Wegman — one md5 +
+    k codegen mult-add-mods instead of k md5s).
 
     Plan shape: one explode of per-doc distinct shingles, then ONE
     groupBy(id) computing all ``num_hashes`` mins as parallel aggregate
@@ -118,10 +154,19 @@ def minhash_signatures(
     and the number of hash functions (the naive seeds-explode shape
     shuffles num_hashes× more).
     """
-    sh = shingles(df, text_col, id_col, k=shingle_k)
+    if num_hashes > len(MINHASH_AB):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the {len(MINHASH_AB)}-entry "
+            "universal-hash constant table (extend MINHASH_AB)"
+        )
+    sh = shingles(df, text_col, id_col, k=shingle_k).select(
+        id_col, _minhash_base(F.col("shingle"), hash_fn).alias("__base")
+    )
     mins = [
-        F.min(_hash_col(F.lit(str(seed)), F.col("shingle"), hash_fn)).alias(f"h{seed}")
-        for seed in range(num_hashes)
+        F.min(
+            (F.lit(a) * F.col("__base") + F.lit(b)) % F.lit(MINHASH_P)
+        ).alias(f"h{seed}")
+        for seed, (a, b) in enumerate(MINHASH_AB[:num_hashes])
     ]
     wide = sh.groupBy(id_col).agg(*mins)
     stack_args = ", ".join(f"{s}, h{s}" for s in range(num_hashes))

@@ -92,10 +92,14 @@ def pagerank(
                 + F.expr(f"{damping_pct} * coalesce(in_mass, 0L) div 100")
             ).alias("rank_units"),
         )
+        # Lazy: each round's checkpoint materializes (and truncates
+        # lineage) when the caller's action first computes through it,
+        # so a 3-round run is one Spark job, not three — the shuffles
+        # per round are identical either way.
         ranks = (
-            ranks.checkpoint(eager=True)
+            ranks.checkpoint(eager=False)
             if checkpoint_dir is not None
-            else ranks.localCheckpoint(eager=True)
+            else ranks.localCheckpoint(eager=False)
         )
     return ranks.select(
         "node",

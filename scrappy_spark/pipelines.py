@@ -56,7 +56,8 @@ def dedup_corpus(
     # derive reps / doc→rep as free projections. localCheckpoint by
     # default; pass checkpoint_dir for fault-tolerant cluster runs.
     with_rep = checkpointed(
-        with_exact_rep(docs, text_col=text_col, id_col=id_col), checkpoint_dir
+        with_exact_rep(docs, text_col=text_col, id_col=id_col), checkpoint_dir,
+        eager=False,
     )
     reps = with_rep.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
     doc_to_rep = with_rep.select(id_col, "__rep")
@@ -69,6 +70,7 @@ def dedup_corpus(
             reps, text_col=text_col, id_col=id_col, num_hashes=num_hashes, hash_fn=hash_fn
         ),
         checkpoint_dir,
+        eager=False,
     )
     pairs = minhash_candidate_pairs(
         sig, id_col=id_col, min_matches=min_matches, max_bucket_size=max_bucket_size

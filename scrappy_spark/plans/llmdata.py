@@ -134,13 +134,21 @@ _SHINGLES_SQL = f"""
         FROM toks))
 """
 
+# The (seed, a, b) universal-hash constants come from the SAME table
+# the Spark operator uses (dedup_approx.MINHASH_AB) — one source of
+# truth, so the two sides cannot drift.
+_MINHASH_PARAMS_SQL = ", ".join(
+    f"({seed}, {a}, {b})" for seed, (a, b) in enumerate(DA.MINHASH_AB)
+)
+
 _SIG_SQL = f"""
     {_SHINGLES_SQL},
-    seeded AS (SELECT doc_id, shingle,
-                      unnest(generate_series(0, 7)) AS seed FROM sh),
-    sig AS (SELECT doc_id, seed,
-                   min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
-            FROM seeded GROUP BY doc_id, seed)
+    based AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS base
+              FROM sh),
+    sig AS (SELECT doc_id, seed, min((a * base + b) % {DA.MINHASH_P}) AS minhash
+            FROM based, (VALUES {_MINHASH_PARAMS_SQL}) AS params(seed, a, b)
+            GROUP BY doc_id, seed)
 """
 
 
@@ -150,8 +158,11 @@ _SIG_SQL = f"""
     WITH {_SIG_SQL}
     SELECT doc_id, CAST(seed AS BIGINT) AS seed, minhash FROM sig
     """,
-    doc="MinHash signatures (8 seeds, 3-token shingles, md5 hash family): "
-    "explode × seeds then partial-agg min — shuffle ≤ n_docs×8 rows.",
+    doc="MinHash signatures (8 functions, 3-token shingles): ONE md5 "
+    "base digest per shingle feeds a Carter-Wegman universal-hash "
+    "family (a_i·base + b_i mod 2^31−1) — k× less hashing than the "
+    "seeded-digest shape; explode then partial-agg min, shuffle ≤ "
+    "n_docs rows.",
     tags=("llm", "dedup"),
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -86,8 +86,12 @@ def test_dedup_corpus_removes_exact_dups(spark):
 
 def _heavy_dup_corpus(spark, copies=100):
     rows = [(i, "the exact same boilerplate text repeated across the crawl") for i in range(copies)]
+    # genuinely distinct texts (disjoint shingle sets): the earlier
+    # template shared ~5/12 shingles between "uniques", putting their
+    # Jaccard (~0.26) right AT the min_matches=2-of-8 LSH threshold,
+    # so whether they paired depended on the hash family draw
     rows += [
-        (copies + i, f"unique document number {i} with distinct content about subject {i} and more words {i}")
+        (copies + i, " ".join(f"w{i}x{j} term{i}q{j}" for j in range(8)))
         for i in range(5)
     ]
     return spark.createDataFrame(rows, ["doc_id", "text"])
