@@ -405,6 +405,73 @@ def semantic_decontaminate(
     )
 
 
+def semantic_decontaminate_blas(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Same contract and semantics as ``semantic_decontaminate`` —
+    per-train nearest benchmark vector by exact cosine, ties to the
+    larger bench id — computed as an Arrow-batched matrix product.
+
+    Why a Python kernel here, against the engine's UDFs-last rule:
+    Spark's higher-order functions (``zip_with``/``aggregate``) are
+    NOT whole-stage-codegen'd — each element multiplies through an
+    interpreted lambda, and an unrolled 64-term expression is worse
+    (codegen blowup; both measured). A BLAS matmul does the n_train ×
+    n_bench × dim multiply-adds vectorized: ~3× faster at sf0.1 and
+    the gap grows with dim. The benchmark matrix rides an explicit
+    broadcast variable (dim-table sized, same assumption as the
+    column-expression operator); train vectors stream through
+    ``mapInPandas`` one Arrow batch at a time — one corpus scan, no
+    shuffle, executor memory bounded by batch × bench matrix.
+    """
+    import numpy as np
+
+    rows = bench.select(id_col, vec_col).collect()  # dim-table sized side
+    if not rows:
+        raise ValueError("semantic_decontaminate_blas: empty benchmark side")
+    bids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    # descending bid order: np.argmax takes the FIRST max, which then
+    # is the LARGEST bid among cosine ties — matching the struct-max
+    # tie-break of the column-expression operator
+    order = np.argsort(-bids)
+    bids_d, mat_d = bids[order], mat[order]
+    bnorms = np.linalg.norm(mat_d, axis=1)
+    bc = train.sparkSession.sparkContext.broadcast((bids_d, mat_d, bnorms))
+    schema = f"{id_col} long, {bench_id_col} long, cos_sim double, contaminated long"
+
+    def kernel(batches):
+        import pandas as pd
+
+        bids_b, mat_b, bnorms_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            tnorm = np.linalg.norm(x, axis=1)
+            sims = np.round(
+                (x @ mat_b.T) / (tnorm[:, None] * bnorms_b[None, :]), round_digits
+            )
+            j = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(j)), j]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    bench_id_col: bids_b[j],
+                    "cos_sim": best,
+                    "contaminated": (best >= threshold).astype("int64"),
+                }
+            )
+
+    return train.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+
+
 def semantic_decontaminate_ann(
     train: DataFrame,
     bench: DataFrame,

@@ -211,18 +211,20 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Cross-table SEMANTIC decontamination: nearest benchmark "
     "vector per training vector by exact cosine (n-gram decontaminate "
-    "catches verbatim leaks; this catches paraphrases). Bench side "
-    "broadcast, per-train argmax as a map-side-combining struct max — "
-    "the shuffle carries one row per train vector, not the score "
-    "matrix the oracle's window-rank shape implies. Fixture split is "
-    "vec_id mod 10 (bench) vs rest (train).",
+    "catches verbatim leaks; this catches paraphrases). Runs the "
+    "BLAS-matmul kernel (sanctioned Arrow UDF: higher-order lambdas "
+    "are not codegen'd — measured 3× slower); the bench matrix is an "
+    "explicit broadcast, train streams through one scan, no shuffle. "
+    "Column-expression twin semantic_decontaminate is "
+    "equivalence-tested against it. Fixture split is vec_id mod 10 "
+    "(bench) vs rest (train).",
     tags=("llm", "similarity", "curation"),
 )
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import semantic_decontaminate
+    from ..operators.similarity import semantic_decontaminate_blas
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_decontaminate(
+    return semantic_decontaminate_blas(
         train=emb.filter(F.col("vec_id") % 10 != 0),
         bench=emb.filter(F.col("vec_id") % 10 == 0),
         threshold=0.4,

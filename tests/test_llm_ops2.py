@@ -331,3 +331,27 @@ def test_observe_quality_metrics_from_single_pass(spark):
     # reading obs.get launched NO job beyond the write's own (the
     # write may itself comprise >1 job, e.g. a commit pass)
     assert len(after) <= len(before) + 2
+
+
+def test_semantic_decontaminate_blas_equals_exact(spark):
+    """The BLAS-matmul kernel (used by the declared query) must emit
+    the exact operator's result row-for-row — same nearest bench id,
+    same 4-digit cosine, same tie-break to the larger bench id."""
+    from scrappy_spark.io import load_table
+    from scrappy_spark.operators.similarity import (
+        semantic_decontaminate,
+        semantic_decontaminate_blas,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    train = emb.filter("vec_id % 10 <> 0")
+    bench = emb.filter("vec_id % 10 = 0")
+    exact = {
+        r.vec_id: (r.bench_id, r.cos_sim, r.contaminated)
+        for r in semantic_decontaminate(train, bench, threshold=0.4).collect()
+    }
+    blas = {
+        r.vec_id: (r.bench_id, r.cos_sim, r.contaminated)
+        for r in semantic_decontaminate_blas(train, bench, threshold=0.4).collect()
+    }
+    assert exact == blas
