@@ -299,14 +299,17 @@ def dedup_clusters(
     pair_a: str = "id_a",
     pair_b: str = "id_b",
     checkpoint_dir: str | None = None,
+    method: str = "label",
 ) -> DataFrame:
     """(doc_id, component, is_canonical): group docs by near-dup
     cluster; the minimum id per cluster is the canonical keeper —
-    deterministic, matching the engine's keep-first convention."""
+    deterministic, matching the engine's keep-first convention.
+    ``method`` passes through to ``connected_components`` ("label"
+    default; "star" for adversarial long-chain pair graphs)."""
     nodes = docs.select(F.col(id_col).alias("id"))
     cc = connected_components(
         nodes, pairs, id_col="id", src_col=pair_a, dst_col=pair_b,
-        checkpoint_dir=checkpoint_dir,
+        checkpoint_dir=checkpoint_dir, method=method,
     )
     return cc.select(
         F.col("id").alias(id_col),
