@@ -105,7 +105,8 @@ def connected_components(
     sym = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).unionAll(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-    sym = checkpointed(sym.distinct(), checkpoint_dir)
+    # lazy: round 0's convergence count is the materializing action
+    sym = checkpointed(sym.distinct(), checkpoint_dir, eager=False)
 
     # Only nodes touched by an edge can ever change label; everything
     # else keeps its own id with no iteration. Restricting the loop to
@@ -212,7 +213,8 @@ def _connected_components_star(
     sym = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).unionAll(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-    # canonical undirected form (a < b), no self-loops
+    # canonical undirected form (a < b), no self-loops; lazy — the
+    # initial fingerprint is the materializing action
     e = checkpointed(
         sym.filter(F.col("a") != F.col("b"))
         .select(
@@ -220,10 +222,13 @@ def _connected_components_star(
         )
         .distinct(),
         checkpoint_dir,
+        eager=False,
     )
     all_nodes = nodes.select(F.col(id_col).alias("a"))
     participants = checkpointed(
-        sym.filter(F.col("a") != F.col("b")).select("a").distinct(), checkpoint_dir
+        sym.filter(F.col("a") != F.col("b")).select("a").distinct(),
+        checkpoint_dir,
+        eager=False,
     )
 
     def _fingerprint(frame: DataFrame):
