@@ -263,6 +263,92 @@ def remove_common_fragments(
 
 
 # --------------------------------------------------------------------------
+# Cross-document repeated-span removal (substring dedup)
+# --------------------------------------------------------------------------
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove token spans that appear VERBATIM in ≥ ``min_docs``
+    documents — span-level dedup in the style of the suffix-array
+    substring dedup used for LLM training corpora (a span repeated
+    across documents is memorization fuel even when neither document
+    is a near-dup of the other). Whole-doc dedup misses it; line
+    boilerplate removal (``remove_common_fragments``) only catches
+    delimiter-aligned repeats.
+
+    Plan (all linear, no suffix array needed for fixed ``span_len``):
+    posexplode the ``span_len``-token windows (position-keyed) → span
+    doc-frequency groupBy (partial-agg; shuffle ≤ distinct spans) →
+    join flagged spans back on the span key → explode each occurrence
+    to its covered token positions (span_len rows each) → anti-join
+    token positions → reassemble surviving tokens in order. Shuffles:
+    span key, then doc key — same budget as the boilerplate filter.
+    Overlapping repeated spans union their coverage via the distinct
+    on covered positions.
+
+    Output: (id, clean_text, n_tokens, n_removed). Docs whose every
+    token is covered survive with empty ``clean_text`` (the caller
+    filters); ``n_removed`` makes the audit explicit.
+    """
+    toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
+    spans = toks.select(
+        F.col(id_col),
+        F.posexplode(F.expr(ngrams_expr("toks", span_len))).alias("_pos", "_span"),
+    )
+    repeated = (
+        spans.groupBy("_span")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_span")
+    )
+    covered = (
+        spans.join(repeated, "_span")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(span_len - 1))
+            ).alias("_cpos"),
+        )
+        .distinct()
+    )
+    positions = toks.select(
+        F.col(id_col), F.posexplode("toks").alias("_tpos", "_tok")
+    )
+    kept = positions.join(
+        covered,
+        (positions[id_col] == covered[id_col]) & (F.col("_tpos") == F.col("_cpos")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_tpos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    base = toks.select(F.col(id_col), F.size("toks").cast("long").alias("n_tokens"))
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination
 # --------------------------------------------------------------------------
 

@@ -147,6 +147,55 @@ def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cross-document repeated-span removal
+# --------------------------------------------------------------------------
+
+_SPAN_LEN = 8
+
+@register(
+    "q_remove_repeated_spans",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents),
+    spans AS (
+      SELECT doc_id, u.i AS pos,
+             array_to_string(toks[u.i : u.i + {_SPAN_LEN - 1}], ' ') AS span
+      FROM t, unnest(generate_series(1, greatest(len(toks) - {_SPAN_LEN - 1}, 0))) AS u(i)),
+    rep AS (SELECT span FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT DISTINCT s.doc_id, s.pos + o.off AS cpos
+      FROM spans s JOIN rep r ON s.span = r.span,
+           unnest(generate_series(0, {_SPAN_LEN - 1})) AS o(off)),
+    pos AS (
+      SELECT doc_id, u.i AS tpos, toks[u.i] AS tok
+      FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+    kept AS (
+      SELECT p.* FROM pos p ANTI JOIN cov c
+        ON p.doc_id = c.doc_id AND p.tpos = c.cpos),
+    reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+    FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+    """,
+    doc=f"Cross-document repeated-span (substring) dedup: {_SPAN_LEN}-token "
+    "windows appearing verbatim in ≥2 documents are removed from every "
+    "document — the span-level memorization filter whole-doc dedup and "
+    "line-boilerplate removal both miss. Position-keyed window explode "
+    "→ span doc-freq partial agg → coverage explode (span_len rows per "
+    "hit) → positional anti-join → ordered reassembly; two linear "
+    "shuffles (span key, doc key), no suffix array needed at fixed "
+    "span length.",
+    tags=("llm", "curation", "dedup"),
+)
+def q_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.remove_repeated_spans(docs, span_len=_SPAN_LEN, min_docs=2)
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination
 # --------------------------------------------------------------------------
 

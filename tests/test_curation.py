@@ -279,3 +279,45 @@ def test_length_buckets_overflow_and_batching(spark):
     assert out[4].n_tokens == 900
     # batch_size=2 in bucket 0: doc 0,1 → batch 0; doc 2 → batch 1
     assert (out[0].batch_idx, out[1].batch_idx, out[2].batch_idx) == (0, 0, 1)
+
+
+def test_remove_repeated_spans(spark):
+    """A verbatim 8-token span shared by two docs is removed from BOTH;
+    unique text survives; overlapping coverage unions; a doc that is
+    entirely the shared span comes back empty."""
+    from scrappy_spark.operators.curation import remove_repeated_spans
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two three {span} outro four five six"),
+            (2, f"different lead {span} different tail words here"),
+            (3, "completely unrelated text with no shared content at all"),
+            (4, span),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in remove_repeated_spans(docs, span_len=8).collect()}
+    for d in (1, 2, 4):
+        assert "alpha" not in out[d].clean_text and "theta" not in out[d].clean_text
+        assert out[d].n_removed == 8
+    assert out[1].clean_text == "intro one two three outro four five six"
+    assert out[2].clean_text == "different lead different tail words here"
+    assert out[3].n_removed == 0
+    assert out[3].clean_text == "completely unrelated text with no shared content at all"
+    assert out[4].clean_text == "" and out[4].n_tokens == 8
+
+
+def test_remove_repeated_spans_overlap_union(spark):
+    """Two overlapping repeated spans in one doc remove the UNION of
+    their positions, not double-count."""
+    from scrappy_spark.operators.curation import remove_repeated_spans
+
+    nine = "a1 a2 a3 a4 a5 a6 a7 a8 a9"  # 9 tokens → two overlapping 8-spans
+    docs = spark.createDataFrame(
+        [(1, f"x {nine} y"), (2, f"p {nine} q")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in remove_repeated_spans(docs, span_len=8).collect()}
+    assert out[1].n_removed == 9  # union of [1..8] and [2..9]
+    assert out[1].clean_text == "x y"
+    assert out[2].clean_text == "p q"
