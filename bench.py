@@ -39,6 +39,7 @@ HEADLINE = [
     "q_dedup_corpus",
     "q_decontaminate",
     "q_remove_boilerplate",
+    "q_remove_repeated_spans",
     "q_pack_sequences",
     "q_tpch_q9_shape",
     "q_tpch_q21_shape",
