@@ -316,7 +316,13 @@ def remove_repeated_spans(
         )
         .distinct()
     )
-    positions = toks.select(
+    # Sparse fast path: span repetition touches a small fraction of a
+    # real corpus (45/500 fixture docs; rarer at web scale after
+    # boilerplate removal), so only AFFECTED docs pay the token
+    # explode → anti-join → ordered rebuild; untouched docs emit the
+    # same normalized reassembly (token join) as a pure projection.
+    affected = covered.select(id_col).distinct()
+    positions = toks.join(affected, id_col, "left_semi").select(
         F.col(id_col), F.posexplode("toks").alias("_tpos", "_tok")
     )
     kept = positions.join(
@@ -334,9 +340,12 @@ def remove_repeated_spans(
         ).alias("clean_text"),
         F.count("*").alias("_n_kept"),
     )
-    base = toks.select(F.col(id_col), F.size("toks").cast("long").alias("n_tokens"))
-    return (
-        base.join(rebuilt, id_col, "left")
+    base = toks.select(
+        F.col(id_col), "toks", F.size("toks").cast("long").alias("n_tokens")
+    )
+    affected_out = (
+        base.join(affected, id_col, "left_semi")
+        .join(rebuilt, id_col, "left")
         .select(
             id_col,
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
@@ -346,6 +355,13 @@ def remove_repeated_spans(
             ),
         )
     )
+    untouched_out = base.join(affected, id_col, "left_anti").select(
+        id_col,
+        F.array_join("toks", " ").alias("clean_text"),
+        "n_tokens",
+        F.lit(0).cast("long").alias("n_removed"),
+    )
+    return affected_out.unionAll(untouched_out)
 
 
 # --------------------------------------------------------------------------
