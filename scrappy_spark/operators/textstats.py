@@ -169,6 +169,57 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` token vocabulary — the tokenizer-health probe a
+    training pipeline runs before committing to a vocab budget (high
+    OOV mass ⇒ the vocab or the corpus mix is wrong).
+
+    Shape: ONE token explode feeds both sides — the corpus-frequency
+    groupBy whose top-k (count desc, token asc — deterministic
+    tie-break) becomes the broadcast vocab, and the per-doc OOV agg
+    that joins against it. Top-k is `TakeOrderedAndProject`, never a
+    full sort; the per-doc side shuffles once on the doc key.
+    Output: (id, n_tokens, n_oov, oov_rate) — multiplicity counts
+    (every occurrence of an OOV token counts), matching what the
+    token budget actually pays."""
+    toks = df.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))), "tok", "left"
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("__in_vocab").isNull()).cast("long")).alias("n_oov"),
+    )
+    base = df.select(id_col)
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.round(F.col("n_oov") / F.col("n_tokens"), 4),
+            )
+            .otherwise(0.0)
+            .alias("oov_rate"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical document fingerprint: md5 over the normalized
     space-joined token stream, plus the token count. Identical token

@@ -239,3 +239,36 @@ def q_expect_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.explode(rules).alias("r"), F.col("n_checked")
     ).select("r.rule", "r.violations", "n_checked")
+
+
+_VOCAB_K = 1000
+
+@register(
+    "q_vocab_coverage",
+    sql=f"""
+    WITH tk AS (SELECT doc_id, unnest({_RAW_TOKS}) AS tok FROM documents),
+    freq AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+    vocab AS (SELECT tok FROM freq ORDER BY cnt DESC, tok ASC LIMIT {_VOCAB_K}),
+    per AS (SELECT t.doc_id, count(*) AS n_tokens,
+                   sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+            FROM tk t LEFT JOIN vocab v ON t.tok = v.tok
+            GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(per.n_oov, 0) AS BIGINT) AS n_oov,
+           CASE WHEN coalesce(per.n_tokens, 0) > 0
+                THEN round(per.n_oov / per.n_tokens, 4) ELSE 0.0 END AS oov_rate
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+    doc=f"Per-document OOV rate against the corpus's own top-{_VOCAB_K} "
+    "token vocabulary (tokenizer-health probe before committing a vocab "
+    "budget). One explode feeds both the frequency top-k "
+    "(TakeOrderedAndProject, deterministic count-then-token tie-break, "
+    "broadcast back) and the per-doc OOV aggregation — occurrence "
+    "multiplicity counted, one doc-key shuffle.",
+    tags=("llm", "text", "quality"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import vocab_coverage
+
+    return vocab_coverage(load_table(spark, sf_dir, "documents"), vocab_size=_VOCAB_K)

@@ -133,3 +133,26 @@ def test_approx_count_distinct_error(spark):
     exact = li.select(F.countDistinct("l_partkey")).first()[0]
     approx = li.select(F.approx_count_distinct("l_partkey", 0.02)).first()[0]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_vocab_coverage_known_corpus(spark):
+    """Top-2 vocab over a tiny corpus: 'a' and 'b' dominate; OOV
+    occurrences count with multiplicity; empty docs survive at 0."""
+    from scrappy_spark.operators.textstats import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b rare1"),
+            (2, "a b b rare2 rare2"),
+            (3, "a b"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in vocab_coverage(docs, vocab_size=2).collect()}
+    # freq: a=5, b=5 → vocab {a, b} (count desc, token asc tie-break)
+    assert out[1].n_tokens == 6 and out[1].n_oov == 1
+    assert out[2].n_tokens == 5 and out[2].n_oov == 2  # multiplicity
+    assert out[3].n_oov == 0 and out[3].oov_rate == 0.0
+    assert out[4].n_tokens == 0 and out[4].oov_rate == 0.0
+    assert abs(out[2].oov_rate - 0.4) < 1e-9
