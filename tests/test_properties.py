@@ -120,3 +120,49 @@ def test_quantize_roundtrip_bound(spark, vecs):
         assert all(0 <= c <= 255 for c in r.codes)
         for x, xhat in zip(r.embedding, r.dequantized):
             assert abs(x - xhat) <= r.q_scale / 2 + 1e-6
+
+
+_span_words = st.sampled_from(["w1", "w2", "w3", "w4", "w5", "shared"])
+_span_docs = st.lists(
+    st.lists(_span_words, min_size=0, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=_span_docs)
+@_SETTINGS
+def test_remove_repeated_spans_invariants(spark, docs):
+    """For ANY corpus: n_removed accounting is exact, surviving tokens
+    are an order-preserving subsequence of the original, and removal
+    only fires when the span genuinely occurs in >= 2 documents."""
+    from scrappy_spark.operators.curation import remove_repeated_spans
+
+    L = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in remove_repeated_spans(df, span_len=L).collect()}
+
+    # which L-token spans occur in >= 2 docs (ground truth, python-side)
+    span_docs = {}
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - L + 1):
+            span_docs.setdefault(" ".join(toks[p : p + L]), set()).add(i)
+    repeated = {s for s, ds in span_docs.items() if len(ds) >= 2}
+
+    assert set(out) == set(range(len(docs)))  # every doc surfaces
+    for i, toks in enumerate(docs):
+        r = out[i]
+        kept = r.clean_text.split() if r.clean_text else []
+        assert r.n_tokens == len(toks)
+        assert r.n_removed == len(toks) - len(kept)  # exact accounting
+        # order-preserving subsequence of the original tokens
+        it = iter(toks)
+        assert all(any(t == k for t in it) for k in kept)
+        has_repeated = any(
+            " ".join(toks[p : p + L]) in repeated for p in range(len(toks) - L + 1)
+        )
+        if not has_repeated:
+            assert r.n_removed == 0 and kept == toks
+        else:
+            assert r.n_removed >= L
