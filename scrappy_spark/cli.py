@@ -262,9 +262,13 @@ def main(argv: list[str] | None = None) -> int:
         # image is a view of — renderable anywhere, no matplotlib needed)
         from .ml.taxonomy import wordcloud_weights
 
+        # one aggregation feeds both artifacts (CSV + PNG) — building
+        # the frame twice would re-run the c-TF-IDF explode+groupBy and
+        # the taxonomy transform beneath it for each action
+        weights = wordcloud_weights(out).localCheckpoint(eager=False)
         weights_out = os.path.splitext(args.output)[0] + "_word_weights.csv"
         (
-            wordcloud_weights(out)
+            weights
             .orderBy(F.desc("weight"), F.asc("word"))
             .coalesce(1)
             .write.mode("overwrite")
@@ -277,7 +281,7 @@ def main(argv: list[str] | None = None) -> int:
         from .ml.wordcloud import save_wordcloud_png
 
         png_out = os.path.splitext(args.output)[0] + "_wordcloud.png"
-        n_words = save_wordcloud_png(wordcloud_weights(out), png_out)
+        n_words = save_wordcloud_png(weights, png_out)
         print(f"taxonomy written to {args.output}")
         print(f"word weights written to {weights_out}")
         print(f"wordcloud ({n_words} words) written to {png_out}")

@@ -120,19 +120,19 @@ def _color(word: str) -> np.ndarray:
     return _PALETTE[h % len(_PALETTE)]
 
 
-def render_word_cloud(
+def _render(
     weights: list[tuple[str, float]],
-    width: int = 800,
-    height: int = 400,
-    min_scale: int = 1,
-    max_scale: int = 6,
-    pad: int = 3,
-) -> bytes:
-    """(word, weight) pairs → PNG bytes. Font scale ∝ sqrt(weight /
-    max_weight) (area ∝ weight, the word-cloud convention); words are
-    shelf-packed in weight order and words that no longer fit are
-    dropped — same behavior as the reference renderer at a full canvas."""
+    width: int,
+    height: int,
+    min_scale: int,
+    max_scale: int,
+    pad: int,
+) -> tuple[np.ndarray, int]:
+    """Shelf-pack words onto a white canvas; returns (canvas, n_drawn).
+    Words too wide for the canvas are skipped and packing stops when a
+    shelf would overflow the bottom, so n_drawn ≤ len(weights)."""
     canvas = np.full((height, width, 3), 255, dtype=np.uint8)
+    drawn = 0
     if weights:
         wmax = max(w for _, w in weights) or 1.0
         x = y = pad
@@ -153,8 +153,25 @@ def render_word_cloud(
             region[bm == 1] = _color(word)
             x += bw + 2 * pad
             row_h = max(row_h, bh)
+            drawn += 1
+    return canvas, drawn
+
+
+def render_word_cloud(
+    weights: list[tuple[str, float]],
+    width: int = 800,
+    height: int = 400,
+    min_scale: int = 1,
+    max_scale: int = 6,
+    pad: int = 3,
+) -> bytes:
+    """(word, weight) pairs → PNG bytes. Font scale ∝ sqrt(weight /
+    max_weight) (area ∝ weight, the word-cloud convention); words are
+    shelf-packed in weight order and words that no longer fit are
+    dropped — same behavior as the reference renderer at a full canvas."""
     from ..operators.codecs import encode_png
 
+    canvas, _ = _render(weights, width, height, min_scale, max_scale, pad)
     return encode_png(canvas)
 
 
@@ -169,7 +186,11 @@ def save_wordcloud_png(
 ) -> int:
     """Render the top-``max_words`` of a (word, weight) DataFrame to a
     PNG file. The top-N selection runs distributed; only N rows reach
-    the driver (bounded action). Returns the number of words rendered."""
+    the driver (bounded action). Returns the number of words ACTUALLY
+    drawn — canvas overflow drops words, so this can be smaller than
+    ``max_words``."""
+    from ..operators.codecs import encode_png
+
     top = (
         weights_df.select(
             F.col(word_col).alias("word"), F.col(weight_col).cast("double").alias("weight")
@@ -179,7 +200,7 @@ def save_wordcloud_png(
         .collect()
     )
     pairs = [(r.word, r.weight) for r in top]
-    png = render_word_cloud(pairs, width=width, height=height)
+    canvas, drawn = _render(pairs, width, height, min_scale=1, max_scale=6, pad=3)
     with open(path, "wb") as f:
-        f.write(png)
-    return len(pairs)
+        f.write(encode_png(canvas))
+    return drawn

@@ -57,9 +57,17 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
     """bytes → HxWxC uint8 array (C ∈ {1,2,3,4}). Pillow when present,
     else the stdlib decoders below."""
     if _PIL_Image is not None:
-        # keep the native channel count so results are identical to the
-        # stdlib path when both can decode the same file
-        arr = np.asarray(_PIL_Image.open(io.BytesIO(data))).astype(np.uint8)
+        img = _PIL_Image.open(io.BytesIO(data))
+        # palette images expand to RGB so both decode paths agree (the
+        # stdlib PNG decoder maps PLTE indices to RGB); other modes keep
+        # their native channel count
+        if img.mode == "P":
+            img = img.convert("RGB")
+        arr = np.asarray(img)
+        if arr.dtype != np.uint8:
+            # 16-bit and float inputs would silently wrap under astype;
+            # the stdlib path rejects them too — never a silent answer
+            raise ValueError(f"unsupported image bit depth (mode {img.mode!r})")
         return arr[:, :, None] if arr.ndim == 2 else arr
     fmt = sniff_format(data)
     if fmt == "png":

@@ -36,25 +36,28 @@ def _hash_col(prefix: Column, value: Column, hash_fn: str) -> Column:
     raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
 
 
-#: universal-hash family for MinHash: h_i(x) = (a_i·base(x) + b_i) mod P.
-#: ONE base hash per shingle feeds all k functions — the standard
-#: Carter-Wegman construction — so per-shingle cost is one digest plus
-#: k multiply-add-mods in codegen, instead of k digests (the naive
-#: seeded-digest shape is k× the hashing work AND k× the concat
-#: allocation). Constants are part of the signature definition: the
-#: DuckDB oracle SQL is generated from these same values.
+#: universal-hash family for MinHash over ONE base digest per shingle
+#: (Carter-Wegman): per-shingle cost is one digest plus k codegen
+#: mult-add-mods instead of k digests. The 32-bit base is split into
+#: 16-bit halves and hashed as a vector —
+#:     h_i(x) = (a1_i·hi16(x) + a2_i·lo16(x) + b_i) mod P
+#: — because the scalar form (a·x + b) mod P is NOT universal when the
+#: key domain (2^32) exceeds P: base pairs congruent mod P would
+#: collide under every function simultaneously. With both halves
+#: < 2^16 < P the family is universal, and every term stays < 2^47,
+#: far inside ANSI int64. Constants are part of the signature
+#: definition: the DuckDB oracle SQL is generated from these values.
 MINHASH_P = 2_147_483_647  # 2^31 − 1, prime
-#: (a, b) per seed; a odd and < 2^30 so a·base < 2^62 stays in int64
-#: under ANSI arithmetic (base < 2^32).
-MINHASH_AB: tuple[tuple[int, int], ...] = (
-    (972663749, 463922737),
-    (815999567, 742459249),
-    (294085213, 931980343),
-    (578251957, 235729183),
-    (925161197, 617364989),
-    (383478967, 85731),
-    (128864387, 402828283),
-    (674322551, 56598989),
+#: (a1, a2, b) per seed; a1/a2 odd and < 2^30, b < P.
+MINHASH_ABC: tuple[tuple[int, int, int], ...] = (
+    (972663749, 384179861, 463922737),
+    (815999567, 651723103, 742459249),
+    (294085213, 129374561, 931980343),
+    (578251957, 887310683, 235729183),
+    (925161197, 443087617, 617364989),
+    (383478967, 761230409, 85731),
+    (128864387, 555027179, 402828283),
+    (674322551, 213040289, 56598989),
 )
 
 
@@ -143,8 +146,8 @@ def minhash_signatures(
     hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, seed, minhash) — per-seed min of the universal-hash family
-    h_i(shingle) = (a_i·base + b_i) mod P over ONE base digest per
-    shingle (``MINHASH_AB``/``MINHASH_P``; Carter-Wegman — one md5 +
+    h_i = (a1_i·hi16 + a2_i·lo16 + b_i) mod P over ONE base digest per
+    shingle (``MINHASH_ABC``/``MINHASH_P``; Carter-Wegman — one md5 +
     k codegen mult-add-mods instead of k md5s).
 
     Plan shape: one explode of per-doc distinct shingles, then ONE
@@ -154,19 +157,21 @@ def minhash_signatures(
     and the number of hash functions (the naive seeds-explode shape
     shuffles num_hashes× more).
     """
-    if num_hashes > len(MINHASH_AB):
+    if num_hashes > len(MINHASH_ABC):
         raise ValueError(
-            f"num_hashes={num_hashes} exceeds the {len(MINHASH_AB)}-entry "
-            "universal-hash constant table (extend MINHASH_AB)"
+            f"num_hashes={num_hashes} exceeds the {len(MINHASH_ABC)}-entry "
+            "universal-hash constant table (extend MINHASH_ABC)"
         )
     sh = shingles(df, text_col, id_col, k=shingle_k).select(
         id_col, _minhash_base(F.col("shingle"), hash_fn).alias("__base")
     )
+    hi = F.shiftright(F.col("__base"), 16)
+    lo = F.col("__base").bitwiseAND(F.lit(65535))
     mins = [
         F.min(
-            (F.lit(a) * F.col("__base") + F.lit(b)) % F.lit(MINHASH_P)
+            (F.lit(a1) * hi + F.lit(a2) * lo + F.lit(b)) % F.lit(MINHASH_P)
         ).alias(f"h{seed}")
-        for seed, (a, b) in enumerate(MINHASH_AB[:num_hashes])
+        for seed, (a1, a2, b) in enumerate(MINHASH_ABC[:num_hashes])
     ]
     wide = sh.groupBy(id_col).agg(*mins)
     stack_args = ", ".join(f"{s}, h{s}" for s in range(num_hashes))

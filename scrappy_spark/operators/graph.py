@@ -92,14 +92,17 @@ def pagerank(
                 + F.expr(f"{damping_pct} * coalesce(in_mass, 0L) div 100")
             ).alias("rank_units"),
         )
-        # Lazy: each round's checkpoint materializes (and truncates
-        # lineage) when the caller's action first computes through it,
-        # so a 3-round run is one Spark job, not three — the shuffles
-        # per round are identical either way.
+        # EAGER on purpose: this loop has no per-round action, and
+        # RDD.doCheckpoint only honors the FIRST marked ancestor it
+        # meets (checkpointAllMarkedAncestors defaults to false) — with
+        # lazy marks only the last round would ever checkpoint, leaving
+        # intermediate lineage uncut and reliable checkpoints unwritten.
+        # The loops in components.py can be lazy precisely because each
+        # round's convergence action materializes its own checkpoint.
         ranks = (
-            ranks.checkpoint(eager=False)
+            ranks.checkpoint(eager=True)
             if checkpoint_dir is not None
-            else ranks.localCheckpoint(eager=False)
+            else ranks.localCheckpoint(eager=True)
         )
     return ranks.select(
         "node",

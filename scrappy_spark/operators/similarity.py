@@ -450,22 +450,36 @@ def semantic_decontaminate_blas(
         import pandas as pd
 
         bids_b, mat_b, bnorms_b = bc.value
+        scale = 10.0**round_digits
+
+        def round_half_up(a: np.ndarray) -> np.ndarray:
+            # Spark F.round and DuckDB round() are HALF_UP (away from
+            # zero); np.round is banker's half-even, which disagrees on
+            # boundary values (np.round(0.00025, 4) = 0.0002 vs 0.0003)
+            return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
+
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             tnorm = np.linalg.norm(x, axis=1)
-            sims = np.round(
-                (x @ mat_b.T) / (tnorm[:, None] * bnorms_b[None, :]), round_digits
-            )
-            j = np.argmax(sims, axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = round_half_up(
+                    (x @ mat_b.T) / (tnorm[:, None] * bnorms_b[None, :])
+                )
+            j = np.argmax(sims, axis=1)  # NaN rows → index 0 = largest bid,
+            # matching Spark's struct-max (NaN cosines tie, bid breaks)
             best = sims[np.arange(len(j)), j]
+            # Spark orders NaN above every double, so a NaN cosine is
+            # `>= threshold` there; numpy's NaN comparison is False —
+            # align explicitly
+            flag = (best >= threshold) | np.isnan(best)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype("int64"),
                     bench_id_col: bids_b[j],
                     "cos_sim": best,
-                    "contaminated": (best >= threshold).astype("int64"),
+                    "contaminated": flag.astype("int64"),
                 }
             )
 

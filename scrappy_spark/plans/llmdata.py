@@ -134,11 +134,13 @@ _SHINGLES_SQL = f"""
         FROM toks))
 """
 
-# The (seed, a, b) universal-hash constants come from the SAME table
-# the Spark operator uses (dedup_approx.MINHASH_AB) — one source of
-# truth, so the two sides cannot drift.
+# The (seed, a1, a2, b) universal-hash constants come from the SAME
+# table the Spark operator uses (dedup_approx.MINHASH_ABC) — one source
+# of truth, so the two sides cannot drift. The base splits into 16-bit
+# halves (vector hashing) so the family is universal on the full 32-bit
+# base domain; see the MINHASH_ABC docstring.
 _MINHASH_PARAMS_SQL = ", ".join(
-    f"({seed}, {a}, {b})" for seed, (a, b) in enumerate(DA.MINHASH_AB)
+    f"({seed}, {a1}, {a2}, {b})" for seed, (a1, a2, b) in enumerate(DA.MINHASH_ABC)
 )
 
 _SIG_SQL = f"""
@@ -146,8 +148,10 @@ _SIG_SQL = f"""
     based AS (SELECT doc_id,
                      CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS base
               FROM sh),
-    sig AS (SELECT doc_id, seed, min((a * base + b) % {DA.MINHASH_P}) AS minhash
-            FROM based, (VALUES {_MINHASH_PARAMS_SQL}) AS params(seed, a, b)
+    sig AS (SELECT doc_id, seed,
+                   min((a1 * (base // 65536) + a2 * (base % 65536) + b)
+                       % {DA.MINHASH_P}) AS minhash
+            FROM based, (VALUES {_MINHASH_PARAMS_SQL}) AS params(seed, a1, a2, b)
             GROUP BY doc_id, seed)
 """
 

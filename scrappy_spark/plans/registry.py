@@ -117,23 +117,28 @@ _R01_VERIFIED = frozenset({
 })
 
 # Green in CORRECTNESS_r02.json AND CORRECTNESS_r03.json (identical key
-# sets); excluded from the prefix so round 4's 50 driver slots land on
-# the 46 queries the driver has never checked.
+# sets); excluded from the prefix so round 4's driver slots land on
+# queries the driver has never checked. Round-4 REIMPLEMENTATIONS are
+# deliberately absent even though they were r3-green — a verification
+# from before an implementation change is void, so the driver must
+# re-check them: q_minhash_signatures / q_minhash_pairs /
+# q_dup_clusters / q_dedup_corpus (new universal hash family) and
+# q_semantic_decontaminate (BLAS kernel).
 _R03_VERIFIED = frozenset({
     "q_agg_increment", "q_arrow_udf_score", "q_chunk_documents",
     "q_cogroup_asof", "q_corpus_mix", "q_correlated_avg", "q_decontaminate",
-    "q_dedup_corpus", "q_dedup_exact_hash", "q_domain_stats", "q_dup_clusters",
+    "q_dedup_exact_hash", "q_domain_stats",
     "q_embedding_cosine_topk", "q_embedding_near_dups", "q_embedding_quantize",
     "q_event_transitions", "q_expect_audit", "q_filter_institution",
     "q_fingerprint", "q_funnel_stages", "q_fuzzy_name_pairs", "q_gapfill_locf",
     "q_hash_sample", "q_jaccard_pairs", "q_label_centroids", "q_lang_id",
-    "q_length_batches", "q_map_funcs", "q_matryoshka_energy", "q_minhash_pairs",
-    "q_minhash_signatures", "q_moving_range_window", "q_multimodal_meta",
+    "q_length_batches", "q_map_funcs", "q_matryoshka_energy",
+    "q_moving_range_window", "q_multimodal_meta",
     "q_pack_sequences", "q_pagerank_pages", "q_pii_scrub", "q_profile_columns",
     "q_quality_score", "q_quantile_normalize", "q_quota_sample",
     "q_remove_boilerplate", "q_repetition_stats", "q_retention_cohorts",
     "q_rolling_hash", "q_safe_cast_quality", "q_scd2_merge",
-    "q_semantic_decontaminate", "q_shard_manifest", "q_simhash",
+    "q_shard_manifest", "q_simhash",
     "q_skew_salted_agg", "q_tfidf_topk",
 })
 

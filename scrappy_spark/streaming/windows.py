@@ -94,16 +94,21 @@ def streaming_dedup(
 def read_events_stream(spark, path: str, schema, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over an events directory (parquet parts).
 
-    ``ts`` is normalized to TIMESTAMP: a tz-naive source (or an NTZ
-    entry in the caller's schema) would surface TIMESTAMP_NTZ, which
-    ``withWatermark`` rejects as event time. The cast is a streaming-safe
-    projection and an identity under the UTC session timezone, mirroring
-    the batch normalization in io._load_events."""
+    ``ts`` is normalized to TIMESTAMP, mirroring io._load_events for
+    every fixture encoding: nanos-as-int64 (bigint in the caller's
+    schema) converts via exact integer division — a bare
+    ``cast("timestamp")`` would read nanosecond counts as epoch
+    SECONDS, silently placing events ~30,000 years out; tz-naive
+    sources surface TIMESTAMP_NTZ, which ``withWatermark`` rejects as
+    event time, so those cast to TIMESTAMP (identity under the UTC
+    session timezone). Both are streaming-safe projections."""
     df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
     if "ts" in df.columns:
+        if dict(df.dtypes)["ts"] == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

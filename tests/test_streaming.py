@@ -136,3 +136,35 @@ def test_stream_over_ntz_source_equals_batch(spark, events_dir):
         assert _sorted_rows(out) == _sorted_rows(tumbling_window_agg(batch))
     finally:
         shutil.rmtree(ntz_dir, ignore_errors=True)
+
+
+def test_stream_over_nanos_long_source_equals_batch(spark, events_dir):
+    """A rounds-1/2-style source whose ts column arrives as int64
+    nanoseconds must stream correctly: read_events_stream converts via
+    exact integer division — a bare cast would read nano counts as
+    epoch SECONDS (~30,000 years out) and silently break every
+    watermark."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from scrappy_spark.streaming.windows import read_events_stream
+
+    batch = load_table(spark, SF_DIR, "events")
+    nanos_dir = tempfile.mkdtemp(prefix="events_stream_nanos_")
+    try:
+        batch.withColumn(
+            "ts", (F.unix_micros("ts") * F.lit(1000)).cast("long")
+        ).repartition(4).write.mode("overwrite").parquet(nanos_dir)
+        schema = StructType(
+            [
+                f if f.name != "ts" else StructField("ts", LongType())
+                for f in batch.schema.fields
+            ]
+        )
+        stream_in = read_events_stream(spark, nanos_dir, schema, max_files_per_trigger=2)
+        assert dict(stream_in.dtypes)["ts"] == "timestamp"
+        out = _run_stream_to_memory(
+            spark, tumbling_window_agg(stream_in), "mem_nanos_tumbling", "complete"
+        )
+        assert _sorted_rows(out) == _sorted_rows(tumbling_window_agg(batch))
+    finally:
+        shutil.rmtree(nanos_dir, ignore_errors=True)
