@@ -142,7 +142,32 @@ _R03_VERIFIED = frozenset({
     "q_skew_salted_agg", "q_tfidf_topk",
 })
 
-_DRIVER_VERIFIED = _R01_VERIFIED | _R03_VERIFIED
+# Green in CORRECTNESS_r04.json (40 oracle-green + 10 rows-only, all
+# clean). Round-5 REIMPLEMENTATIONS are deliberately absent so the
+# driver re-checks them after the change: q_minhash_pairs /
+# q_dedup_corpus / q_dup_clusters (default LSH skew cap),
+# q_remove_repeated_spans (self-join alias), q_frame_sample (real
+# video decode + new oracle), q_hll_union_rollup (new oracle).
+_R04_VERIFIED = frozenset({
+    "q_ann_lsh_topk", "q_classifier_predict", "q_embed_vectors",
+    "q_embedding_near_dups_ann", "q_ivf_ann_topk", "q_kll_quantiles",
+    "q_minhash_signatures", "q_multimodal_decode",
+    "q_semantic_decontaminate", "q_semantic_decontaminate_ann",
+    "q_time_weighted_avg", "q_token_count", "q_token_pmi",
+    "q_tpch_q1_shape", "q_tpch_q2_shape", "q_tpch_q4_shape",
+    "q_tpch_q6_shape", "q_tpch_q7_shape", "q_tpch_q8_shape",
+    "q_tpch_q9_shape", "q_tpch_q10_shape", "q_tpch_q11_shape",
+    "q_tpch_q12_shape", "q_tpch_q13_shape", "q_tpch_q14_shape",
+    "q_tpch_q15_shape", "q_tpch_q16_shape", "q_tpch_q17_shape",
+    "q_tpch_q18_shape", "q_tpch_q19_shape", "q_tpch_q20_shape",
+    "q_tpch_q21_shape", "q_tpch_q22_shape", "q_train_val_split",
+    "q_truncate", "q_unigram_surprisal", "q_unpivot_metrics",
+    "q_value_histogram", "q_variant_extract", "q_view_click_attribution",
+    "q_vocab_coverage", "q_weighted_sample", "q_window_lead_lag",
+    "q_zorder_key",
+})
+
+_DRIVER_VERIFIED = _R01_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
 
 
 def queries() -> dict[str, QueryFn]:
