@@ -81,13 +81,26 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
 
 def _png_chunks(data: bytes):
     pos = 8
+    saw_iend = False
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
-        yield ctype, data[pos + 8 : pos + 8 + length]
+        if pos + 12 + length > len(data):
+            raise ValueError(
+                f"PNG truncated: chunk {ctype!r} declares {length} payload bytes "
+                f"but only {len(data) - pos - 12} remain"
+            )
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch (corrupt payload)")
+        yield ctype, payload
         pos += 12 + length  # len + type + payload + crc
         if ctype == b"IEND":
+            saw_iend = True
             break
+    if not saw_iend:
+        raise ValueError("PNG truncated: no IEND chunk")
 
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -98,8 +111,12 @@ def _decode_png(data: bytes) -> np.ndarray:
     idat = bytearray()
     for ctype, payload in _png_chunks(data):
         if ctype == b"IHDR":
+            if len(payload) != 13:
+                raise ValueError(f"PNG IHDR length {len(payload)} (expected 13)")
             ihdr = struct.unpack(">IIBBBBB", payload)
         elif ctype == b"PLTE":
+            if len(payload) % 3:
+                raise ValueError(f"PNG PLTE length {len(payload)} not a multiple of 3")
             plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(payload)
@@ -157,16 +174,25 @@ def _decode_png(data: bytes) -> np.ndarray:
 def _decode_bmp(data: bytes) -> np.ndarray:
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(data) < 34:
+        raise ValueError(f"BMP truncated: {len(data)} bytes is too short for the headers")
     (pixel_off,) = struct.unpack("<I", data[10:14])
     width, height = struct.unpack("<ii", data[18:26])
     (bpp,) = struct.unpack("<H", data[28:30])
     (compression,) = struct.unpack("<I", data[30:34])
     if compression != 0 or bpp not in (24, 32):
         raise ValueError(f"BMP variant unsupported (bpp={bpp}, compression={compression})")
+    if width <= 0 or height == 0:
+        raise ValueError(f"BMP dimensions invalid ({width}x{height})")
     top_down = height < 0
     height = abs(height)
     nch = bpp // 8
     row_bytes = (width * nch + 3) & ~3
+    need = pixel_off + (height - 1) * row_bytes + width * nch
+    if need > len(data):
+        raise ValueError(
+            f"BMP truncated: {width}x{height}@{bpp}bpp needs {need} bytes, have {len(data)}"
+        )
     rows = []
     for y in range(height):
         off = pixel_off + y * row_bytes
@@ -183,6 +209,8 @@ def _decode_ppm(data: bytes) -> np.ndarray:
     while len(fields) < 3:
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
+        if pos >= len(data):
+            raise ValueError("PPM truncated: header ends before width/height/maxval")
         if data[pos : pos + 1] == b"#":  # comment to EOL
             while pos < len(data) and data[pos] != 0x0A:
                 pos += 1
@@ -192,10 +220,18 @@ def _decode_ppm(data: bytes) -> np.ndarray:
             pos += 1
         fields.append(data[start:pos])
     pos += 1  # the single whitespace before the raster
+    if not all(f.isdigit() for f in fields):
+        raise ValueError(f"PPM header fields not numeric: {fields!r}")
     width, height, maxval = (int(f) for f in fields)
     if maxval != 255:
         raise ValueError(f"PPM maxval {maxval} unsupported (only 255)")
-    raster = np.frombuffer(data[pos : pos + width * height * 3], dtype=np.uint8)
+    need = width * height * 3
+    if pos + need > len(data):
+        raise ValueError(
+            f"PPM truncated: {width}x{height} raster needs {need} bytes, "
+            f"have {len(data) - pos}"
+        )
+    raster = np.frombuffer(data[pos : pos + need], dtype=np.uint8)
     return raster.reshape(height, width, 3)
 
 

@@ -40,7 +40,17 @@ def checkpointed(df: DataFrame, checkpoint_dir: str | None, eager: bool = True) 
     ``eager=False`` defers materialization to the caller's next action
     on the returned frame — an iterative loop that follows each
     checkpoint with a convergence-check action should use this so each
-    round runs ONE Spark job, not two (materialize + check)."""
+    round runs ONE Spark job, not two (materialize + check).
+
+    Caveat for the reliable path: ``checkpoint(eager=False)`` only
+    materializes when an action's lineage traversal REACHES the marked
+    frame, and traversal stops at the first marked ancestor — so a lazy
+    reliable checkpoint shadowed by a nearer checkpointed descendant is
+    never written and its frame is recomputed from source every reuse.
+    Frames checkpointed OUTSIDE the per-round action must therefore
+    pass ``eager=(checkpoint_dir is not None)``; ``localCheckpoint`` is
+    immune because it persists as a side effect of whichever job first
+    computes the frame, marked-ancestor hierarchy or not."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
@@ -105,8 +115,12 @@ def connected_components(
     sym = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).unionAll(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-    # lazy: round 0's convergence count is the materializing action
-    sym = checkpointed(sym.distinct(), checkpoint_dir, eager=False)
+    # sym is reused by every round's join but is NOT the target of the
+    # per-round action — each round checkpoints new_labels, and reliable
+    # doCheckpoint stops there, never reaching sym. Materialize eagerly
+    # on the reliable path; localCheckpoint persists lazily at first
+    # compute regardless, so stay lazy there (one job in round 0).
+    sym = checkpointed(sym.distinct(), checkpoint_dir, eager=checkpoint_dir is not None)
 
     # Only nodes touched by an edge can ever change label; everything
     # else keeps its own id with no iteration. Restricting the loop to

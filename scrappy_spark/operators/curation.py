@@ -325,9 +325,14 @@ def remove_repeated_spans(
     positions = toks.join(affected, id_col, "left_semi").select(
         F.col(id_col), F.posexplode("toks").alias("_tpos", "_tok")
     )
+    # Both sides share lineage from df; rename the right side's keys so
+    # the join condition is between distinct names rather than relying
+    # on dataset-id disambiguation of `doc_id == doc_id` (which works
+    # but is fragile and trips Spark's trivially-true-predicate warning).
+    covered_r = covered.withColumnRenamed(id_col, "_cid")
     kept = positions.join(
-        covered,
-        (positions[id_col] == covered[id_col]) & (F.col("_tpos") == F.col("_cpos")),
+        covered_r,
+        (positions[id_col] == covered_r["_cid"]) & (F.col("_tpos") == F.col("_cpos")),
         "left_anti",
     )
     rebuilt = kept.groupBy(id_col).agg(

@@ -383,11 +383,25 @@ def semantic_decontaminate(
     t = train.select(
         id_col, vec_col, norm(F.col(vec_col)).alias("__tnorm")
     )
+    # Degenerate pairs — zero-norm vectors (ANSI division error) or NaN
+    # components — get cosine NULL, not NaN: NULL is the one "undefined"
+    # value an Arrow-batched kernel can also emit (pandas→Arrow coerces
+    # NaN to null), so the BLAS twin can match bit-for-bit. NULL sorts
+    # FIRST in the struct max, so a degenerate bench vector never beats
+    # a defined cosine; an all-undefined train row deterministically
+    # reports the largest bench id and contaminated=1 (can't be proven
+    # clean — flag it for audit rather than dropping or crashing).
+    den = F.col("__tnorm") * F.col("__bnorm")
+    null_d = F.lit(None).cast("double")
     scored = t.crossJoin(b).select(
         id_col,
         F.round(
-            dot(F.col(vec_col), F.col("__bvec"))
-            / (F.col("__tnorm") * F.col("__bnorm")),
+            F.nanvl(
+                F.when(den == 0, null_d).otherwise(
+                    dot(F.col(vec_col), F.col("__bvec")) / den
+                ),
+                null_d,
+            ),
             round_digits,
         ).alias("__cos"),
         F.col("__bid"),
@@ -399,8 +413,8 @@ def semantic_decontaminate(
         id_col,
         F.col("__best.__bid").alias(bench_id_col),
         F.col("__best.__cos").alias("cos_sim"),
-        (F.col("__best.__cos") >= F.lit(threshold))
-        .cast("long")
+        F.when(F.col("__best.__cos").isNull(), F.lit(1))
+        .otherwise((F.col("__best.__cos") >= F.lit(threshold)).cast("long"))
         .alias("contaminated"),
     )
 
@@ -429,6 +443,16 @@ def semantic_decontaminate_blas(
     column-expression operator); train vectors stream through
     ``mapInPandas`` one Arrow batch at a time — one corpus scan, no
     shuffle, executor memory bounded by batch × bench matrix.
+
+    Equivalence caveat: the matmul accumulates the dot product in a
+    different order (and possibly FMA-fused) than the column
+    expression's element-by-element sum, so the unrounded cosines can
+    differ in the last ulp. Rounding is HALF_UP on both sides, but a
+    last-ulp difference that straddles an exact .5 rounding boundary
+    could round differently — equivalence with
+    ``semantic_decontaminate`` is therefore empirical (held across all
+    fixture seeds; see test_similarity's multi-seed equivalence test),
+    not guaranteed bit-exact on adversarial boundary values.
     """
     import numpy as np
 
@@ -467,12 +491,18 @@ def semantic_decontaminate_blas(
                 sims = round_half_up(
                     (x @ mat_b.T) / (tnorm[:, None] * bnorms_b[None, :])
                 )
-            j = np.argmax(sims, axis=1)  # NaN rows → index 0 = largest bid,
-            # matching Spark's struct-max (NaN cosines tie, bid breaks)
+            # Undefined cosines (zero norm → 0/0, NaN components) must
+            # never outrank a defined one (plain argmax treats NaN as
+            # max): mask to -inf, so an all-undefined row falls to
+            # index 0 = largest bid — the same pick as the column twin,
+            # where NULL sorts first in the struct max and bid breaks
+            # the all-NULL tie.
+            defined = ~np.isnan(sims)
+            j = np.argmax(np.where(defined, sims, -np.inf), axis=1)
             best = sims[np.arange(len(j)), j]
-            # Spark orders NaN above every double, so a NaN cosine is
-            # `>= threshold` there; numpy's NaN comparison is False —
-            # align explicitly
+            # NaN best → cos_sim NULL on the wire (pandas→Arrow coerces
+            # NaN to null — exactly the column twin's NULL) and
+            # contaminated=1: undefined can't be proven clean.
             flag = (best >= threshold) | np.isnan(best)
             yield pd.DataFrame(
                 {

@@ -55,9 +55,16 @@ def dedup_corpus(
     # cluster fan-out, cleaned output), so materialize it ONCE and
     # derive reps / doc→rep as free projections. localCheckpoint by
     # default; pass checkpoint_dir for fault-tolerant cluster runs.
+    # Eager on the reliable path: neither frame is the direct target of
+    # the first action (the component loop checkpoints its own rounds,
+    # and reliable doCheckpoint stops at the first marked ancestor, so a
+    # lazy mark here would never be written and the window/explode work
+    # would rerun per consumer). localCheckpoint persists at first
+    # compute, so it stays lazy.
+    eager = checkpoint_dir is not None
     with_rep = checkpointed(
         with_exact_rep(docs, text_col=text_col, id_col=id_col), checkpoint_dir,
-        eager=False,
+        eager=eager,
     )
     reps = with_rep.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
     doc_to_rep = with_rep.select(id_col, "__rep")
@@ -70,7 +77,7 @@ def dedup_corpus(
             reps, text_col=text_col, id_col=id_col, num_hashes=num_hashes, hash_fn=hash_fn
         ),
         checkpoint_dir,
-        eager=False,
+        eager=eager,
     )
     pairs = minhash_candidate_pairs(
         sig, id_col=id_col, min_matches=min_matches, max_bucket_size=max_bucket_size

@@ -147,12 +147,14 @@ _R03_VERIFIED = frozenset({
 # driver re-checks them after the change: q_minhash_pairs /
 # q_dedup_corpus / q_dup_clusters (default LSH skew cap),
 # q_remove_repeated_spans (self-join alias), q_frame_sample (real
-# video decode + new oracle), q_hll_union_rollup (new oracle).
+# video decode + new oracle), q_hll_union_rollup (new oracle),
+# q_semantic_decontaminate (BLAS kernel NaN-masked argmax + NULL-cosine
+# contract for degenerate vectors).
 _R04_VERIFIED = frozenset({
     "q_ann_lsh_topk", "q_classifier_predict", "q_embed_vectors",
     "q_embedding_near_dups_ann", "q_ivf_ann_topk", "q_kll_quantiles",
     "q_minhash_signatures", "q_multimodal_decode",
-    "q_semantic_decontaminate", "q_semantic_decontaminate_ann",
+    "q_semantic_decontaminate_ann",
     "q_time_weighted_avg", "q_token_count", "q_token_pmi",
     "q_tpch_q1_shape", "q_tpch_q2_shape", "q_tpch_q4_shape",
     "q_tpch_q6_shape", "q_tpch_q7_shape", "q_tpch_q8_shape",

@@ -122,6 +122,44 @@ def test_unknown_format_raises():
         decode_image_bytes(b"FAKEnot an image")
 
 
+def test_truncated_and_corrupt_payloads_raise_named_errors():
+    """Bounds/CRC validation: damaged inputs must fail with a ValueError
+    naming the sniffed format, not a cryptic numpy/zlib/struct error."""
+    from scrappy_spark.operators.codecs import _decode_bmp, _decode_png, _decode_ppm
+
+    # PNG: truncated mid-chunk
+    good = encode_png(rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="PNG truncated"):
+        _decode_png(good[: len(good) - 20])
+    # PNG: single flipped payload byte caught by the chunk CRC
+    corrupt = bytearray(good)
+    corrupt[len(PNG_MAGIC) + 8 + 13 + 4 + 8] ^= 0xFF  # first IDAT payload byte
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        _decode_png(bytes(corrupt))
+    # BMP: headers promise more pixels than the payload carries
+    w, h = 3, 2
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    row_bytes = (w * 3 + 3) & ~3
+    body = b"".join(
+        px[y][:, [2, 1, 0]].tobytes() + b"\x00" * (row_bytes - w * 3)
+        for y in range(h - 1, -1, -1)
+    )
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    with pytest.raises(ValueError, match="BMP truncated"):
+        _decode_bmp(hdr + body[: len(body) // 2])
+    with pytest.raises(ValueError, match="BMP truncated"):
+        _decode_bmp(hdr[:20])
+    # PPM: raster shorter than width*height*3, and header cut mid-field
+    with pytest.raises(ValueError, match="PPM truncated"):
+        _decode_ppm(b"P6\n3 2\n255\n" + b"\x00" * 5)
+    with pytest.raises(ValueError, match="PPM truncated"):
+        _decode_ppm(b"P6\n3 ")
+
+
 def test_nearest_resize_identity_and_shape():
     px = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
     assert (nearest_resize(px, 3, 2) == px).all()

@@ -54,6 +54,39 @@ def test_components_reliable_checkpoint_dir(spark, tmp_path):
     assert any(files for _, _, files in os.walk(ckpt))  # checkpoint data landed
 
 
+def test_lazy_reliable_checkpoint_is_shadowed_by_descendant(spark, tmp_path):
+    """Why shared frames pass eager=True on the reliable path: a lazy
+    checkpoint() mark shadowed by a nearer marked descendant is never
+    written (doCheckpoint stops at the first marked ancestor), so the
+    shared frame would be recomputed from source on every reuse."""
+    import os
+
+    from scrappy_spark.operators.components import checkpointed
+
+    def rdd_dirs(root):
+        return [
+            p for p, _, files in os.walk(root)
+            if os.path.basename(p).startswith("rdd-") and files
+        ]
+
+    ckpt = str(tmp_path / "ck")
+    spark.sparkContext.setCheckpointDir(ckpt)  # global dir may be set by earlier tests
+    base = spark.range(100).withColumn("x", F.col("id") * 2)
+    parent = checkpointed(base, ckpt, eager=False)
+    child = checkpointed(parent.filter(F.col("x") > 10), ckpt, eager=False)
+    child.count()
+    assert len(rdd_dirs(ckpt)) == 1  # only child landed; parent shadowed
+
+    ckpt2 = str(tmp_path / "ck2")
+    spark.sparkContext.setCheckpointDir(ckpt2)  # helper reuses global dir
+    parent2 = checkpointed(base, ckpt2, eager=True)
+    n_after_parent = len(rdd_dirs(ckpt2))
+    assert n_after_parent >= 1  # eager mark materializes immediately
+    child2 = checkpointed(parent2.filter(F.col("x") > 10), ckpt2, eager=False)
+    child2.count()
+    assert len(rdd_dirs(ckpt2)) == n_after_parent + 1
+
+
 def test_components_long_chain_converges(spark):
     n = 12
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])

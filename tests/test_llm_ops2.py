@@ -355,3 +355,37 @@ def test_semantic_decontaminate_blas_equals_exact(spark):
         for r in semantic_decontaminate_blas(train, bench, threshold=0.4).collect()
     }
     assert exact == blas
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_semantic_decontaminate_blas_equals_exact_random_seeds(spark, seed):
+    """Summation-order differences between the matmul and the column
+    expression's element sum could in principle flip a .5 rounding
+    boundary (docstring caveat); keep the equivalence empirical over
+    several seeds, duplicate vectors (cosine exactly 1.0 ties), and a
+    zero vector (NaN cosine path)."""
+    import numpy as np
+
+    from scrappy_spark.operators.similarity import (
+        semantic_decontaminate,
+        semantic_decontaminate_blas,
+    )
+
+    rng = np.random.default_rng(seed)
+    dim, n_train, n_bench = 16, 60, 7
+    vecs = rng.standard_normal((n_train + n_bench, dim)).round(3)
+    vecs[3] = 0.0  # zero norm → NaN cosine
+    vecs[4] = vecs[n_train + 1]  # exact bench dup → cosine 1.0
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    train = df.filter(f"vec_id < {n_train}")
+    bench = df.filter(f"vec_id >= {n_train}")
+    exact = {
+        r.vec_id: (r.bench_id, r.cos_sim, r.contaminated)
+        for r in semantic_decontaminate(train, bench, threshold=0.4).collect()
+    }
+    blas = {
+        r.vec_id: (r.bench_id, r.cos_sim, r.contaminated)
+        for r in semantic_decontaminate_blas(train, bench, threshold=0.4).collect()
+    }
+    assert exact == blas
