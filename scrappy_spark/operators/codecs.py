@@ -14,8 +14,11 @@ plumbing around it stays columnar.
 
 Scope (documented, enforced): PNG 8-bit depth, color types
 0/2/3/4/6, non-interlaced; BMP uncompressed 24/32-bit; PPM P6
-maxval 255; WAV PCM 8/16/32-bit. Other inputs raise ``ValueError``
-with the sniffed format named — never a silent wrong answer.
+maxval 255; WAV PCM 8/16/32-bit; video Y4M (YUV4MPEG2 — mono, 444,
+420 colorspaces, BT.601 full-range to RGB) and uncompressed AVI
+(BI_RGB 24/32-bit DIB frames, the BMP row logic per frame). Other
+inputs raise ``ValueError`` with the sniffed format named — never a
+silent wrong answer.
 """
 
 from __future__ import annotations
@@ -47,6 +50,10 @@ def sniff_format(data: bytes) -> str:
         return "ppm"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:9] == b"YUV4MPEG2":
+        return "y4m"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     return "unknown"
 
 
@@ -304,3 +311,244 @@ def decode_wav_bytes(data: bytes) -> tuple[int, np.ndarray]:
     if nch > 1:
         samples = samples.reshape(-1, nch).mean(axis=1)
     return rate, samples / scale
+
+
+# ----------------------------------------------------------------- video
+#
+# Two uncompressed containers cover real frame sampling without a codec
+# library: Y4M (YUV4MPEG2 — an ASCII header line, then "FRAME\n" +
+# raw planar YUV per frame; the interchange format every ffmpeg
+# pipeline can emit) and AVI restricted to BI_RGB DIB streams (each
+# '..db' chunk is a BMP pixel array — same bottom-up BGR row logic as
+# ``_decode_bmp``).
+
+
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Full-range BT.601 YCbCr → RGB (the JPEG/C420jpeg convention —
+    deterministic, no studio-swing scaling), uint8 in/out."""
+    yf, uf, vf = (p.astype(np.float64) for p in (y, u - 128.0, v - 128.0))
+    rgb = np.stack(
+        [
+            yf + 1.402 * vf,
+            yf - 0.344136 * uf - 0.714136 * vf,
+            yf + 1.772 * uf,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_y4m(data: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Y4M bytes → (width, height, frames). Frames are HxWx1 uint8 for
+    ``Cmono`` streams, HxWx3 RGB (BT.601 full-range) for ``C444`` and
+    ``C420*`` (chroma upsampled nearest — deterministic, seam-free,
+    same rationale as ``nearest_resize``)."""
+    if not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M stream")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise ValueError("Y4M truncated: header line has no newline")
+    cs = "420jpeg"  # spec default when no C tag
+    width = height = None
+    for tok in data[9:nl].split():
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"C":
+            cs = val.decode("ascii")
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    if cs == "mono":
+        plane_sizes = [(height, width)]
+    elif cs == "444":
+        plane_sizes = [(height, width)] * 3
+    elif cs.startswith("420"):
+        if width % 2 or height % 2:
+            raise ValueError(f"Y4M C{cs} needs even dimensions, got {width}x{height}")
+        plane_sizes = [(height, width), (height // 2, width // 2), (height // 2, width // 2)]
+    else:
+        raise ValueError(f"Y4M colorspace C{cs} unsupported (mono/444/420*)")
+    fsize = sum(h * w for h, w in plane_sizes)
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError(
+                f"Y4M corrupt: frame {len(frames)} marker missing or truncated"
+            )
+        pos = fnl + 1
+        if pos + fsize > len(data):
+            raise ValueError(
+                f"Y4M truncated: frame {len(frames)} needs {fsize} bytes, "
+                f"have {len(data) - pos}"
+            )
+        planes = []
+        for h, w in plane_sizes:
+            planes.append(
+                np.frombuffer(data[pos : pos + h * w], dtype=np.uint8).reshape(h, w)
+            )
+            pos += h * w
+        if cs == "mono":
+            frames.append(planes[0][:, :, None])
+        else:
+            y, u, v = planes
+            if cs.startswith("420"):
+                u = u.repeat(2, axis=0).repeat(2, axis=1)
+                v = v.repeat(2, axis=0).repeat(2, axis=1)
+            frames.append(_yuv_to_rgb(y, u, v))
+    return width, height, frames
+
+
+def encode_y4m(frames: list[np.ndarray], colorspace: str = "mono") -> bytes:
+    """Frames → Y4M bytes. ``mono``: HxW (or HxWx1) uint8 luma.
+    ``444``: HxWx3 uint8 **YCbCr** planes (pre-converted — this encoder
+    does not do RGB→YCbCr, keeping fixture bytes exact)."""
+    if not frames:
+        raise ValueError("encode_y4m needs at least one frame")
+    first = np.asarray(frames[0])
+    h, w = first.shape[:2]
+    if colorspace not in ("mono", "444"):
+        raise ValueError(f"encode_y4m colorspace {colorspace!r} unsupported")
+    out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C%s\n" % (w, h, colorspace.encode()))
+    for f in frames:
+        arr = np.ascontiguousarray(np.asarray(f, dtype=np.uint8))
+        if arr.shape[:2] != (h, w):
+            raise ValueError("encode_y4m frames must share one shape")
+        out += b"FRAME\n"
+        if colorspace == "mono":
+            out += arr.reshape(h, w).tobytes()
+        else:
+            for c in range(3):  # planar Y, Cb, Cr
+                out += arr[:, :, c].tobytes()
+    return bytes(out)
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_offset, payload_size) for RIFF sub-chunks
+    in data[start:end); chunks are word-aligned."""
+    pos = start
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + size > end:
+            raise ValueError(
+                f"AVI truncated: chunk {cid!r} declares {size} bytes, "
+                f"only {end - pos - 8} remain"
+            )
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def decode_avi(data: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Uncompressed AVI bytes → (width, height, frames as HxWxC RGB(A)).
+
+    Scope: single 'vids' stream, BI_RGB (biCompression=0) 24/32-bit
+    DIB frames in '..db'/'..dc' movi chunks — each frame decodes with
+    the BMP convention (bottom-up BGR rows, 4-byte stride padding)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    end = min(8 + riff_size, len(data))
+    width = height = bpp = None
+    frame_payloads: list[bytes] = []
+
+    def walk(start: int, stop: int) -> None:
+        nonlocal width, height, bpp
+        for cid, off, size in _riff_chunks(data, start, stop):
+            if cid == b"LIST":
+                walk(off + 4, off + size)  # skip the list-type fourcc
+            elif cid == b"strf" and width is None:
+                if size < 20:
+                    raise ValueError(f"AVI strf header truncated ({size} bytes)")
+                w, h = struct.unpack("<ii", data[off + 4 : off + 12])
+                (bits,) = struct.unpack("<H", data[off + 14 : off + 16])
+                (compression,) = struct.unpack("<I", data[off + 16 : off + 20])
+                if compression != 0 or bits not in (24, 32):
+                    raise ValueError(
+                        f"AVI variant unsupported (bpp={bits}, "
+                        f"compression={compression}); supported: BI_RGB 24/32-bit"
+                    )
+                width, height, bpp = w, abs(h), bits
+            elif cid[2:4] in (b"db", b"dc") and size:
+                frame_payloads.append(data[off : off + size])
+
+    walk(12, end)
+    if width is None:
+        raise ValueError("AVI missing a BI_RGB 'strf' stream format header")
+    nch = bpp // 8
+    row_bytes = (width * nch + 3) & ~3
+    frames = []
+    for k, payload in enumerate(frame_payloads):
+        if len(payload) < row_bytes * (height - 1) + width * nch:
+            raise ValueError(
+                f"AVI frame {k} truncated: {width}x{height}@{bpp}bpp needs "
+                f"{row_bytes * height} bytes, have {len(payload)}"
+            )
+        rows = [
+            np.frombuffer(
+                payload[y * row_bytes : y * row_bytes + width * nch], dtype=np.uint8
+            ).reshape(width, nch)
+            for y in range(height)
+        ]
+        arr = np.stack(rows[::-1])  # bottom-up storage
+        frames.append(arr[:, :, [2, 1, 0]] if nch == 3 else arr[:, :, [2, 1, 0, 3]])
+    return width, height, frames
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 25) -> bytes:
+    """HxWx3 uint8 RGB frames → minimal uncompressed AVI (BI_RGB 24-bit,
+    one 'vids' stream, no index). Exact inverse of ``decode_avi``."""
+    if not frames:
+        raise ValueError("encode_avi needs at least one frame")
+    h, w = np.asarray(frames[0]).shape[:2]
+    nch = 3
+    row_bytes = (w * nch + 3) & ~3
+    frame_size = row_bytes * h
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return cid + struct.pack("<I", len(payload)) + payload + (b"\x00" * (len(payload) & 1))
+
+    def lst(four: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", four + payload)
+
+    dibs = []
+    for f in frames:
+        arr = np.ascontiguousarray(np.asarray(f, dtype=np.uint8))
+        if arr.shape != (h, w, nch):
+            raise ValueError("encode_avi frames must share one HxWx3 shape")
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up BGR with stride pad
+            row = arr[y][:, [2, 1, 0]].tobytes()
+            body += row + b"\x00" * (row_bytes - len(row))
+        dibs.append(chunk(b"00db", bytes(body)))
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_size * fps, 0, 0, len(frames), 0, 1, frame_size,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames), frame_size, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(dibs))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_video_frames(data: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """bytes → (width, height, frames): Y4M or uncompressed AVI by
+    sniffed magic; anything else raises with the format named."""
+    fmt = sniff_format(data)
+    if fmt == "y4m":
+        return decode_y4m(data)
+    if fmt == "avi":
+        return decode_avi(data)
+    raise ValueError(f"unsupported video format {fmt!r} (supported: y4m/avi)")

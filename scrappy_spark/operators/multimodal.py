@@ -4,13 +4,13 @@ metadata (north-star extension; no counterpart in the reference).
 Pattern for 100 TB media pipelines: the payload is an opaque
 ``binary`` column ingested as-is; all interpretation happens in
 Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
-Python row objects. Image decode/resize and audio features do REAL
-work via the dependency-free codecs in ``codecs.py`` (PNG/BMP/PPM,
-WAV; Pillow preferred when importable). Video frame-sampling still
-needs a codec library the container lacks, so that one kernel keeps
-the documented ``NotImplementedError`` + deterministic-fake contract;
-each operator also retains ``fake=True`` for non-media payloads (the
-text-derived test fixtures).
+Python row objects. Image decode/resize, audio features, AND video
+frame sampling all do REAL work via the dependency-free codecs in
+``codecs.py`` (PNG/BMP/PPM images, WAV audio, Y4M / uncompressed-AVI
+video; Pillow preferred for images when importable). Compressed video
+(H.264 etc.) is out of scope without a codec library — those payloads
+raise a named ``ValueError``; each operator also retains ``fake=True``
+for non-media payloads (the text-derived test fixtures).
 
 Scale notes: media rows are huge (MBs) — ``files.maxPartitionBytes``
 should shrink so a partition holds tens of rows, not thousands;
@@ -234,25 +234,96 @@ def audio_features(
     return df.select(id_col, "payload").mapInPandas(run, schema=out_schema)
 
 
+def attach_synthetic_video(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Deterministic REAL video per row: the utf-8 text bytes, chunked
+    into ``width*height`` luma frames (last frame space-padded), wrapped
+    as a mono Y4M clip — a decodable stream the frame-sampling kernel
+    can exercise end-to-end without media files in the container.
+    Stands in for ``binaryFile`` ingestion, like ``attach_fake_payload``."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+    fsize = width * height
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import encode_y4m
+
+        for pdf in batches:
+            rows = []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                data = text.encode("utf-8") or b" "
+                n_frames = (len(data) + fsize - 1) // fsize
+                data = data.ljust(n_frames * fsize, b" ")
+                frames = [
+                    np.frombuffer(
+                        data[k * fsize : (k + 1) * fsize], dtype=np.uint8
+                    ).reshape(height, width)
+                    for k in range(n_frames)
+                ]
+                clip = encode_y4m(frames, colorspace="mono")
+                rows.append(
+                    (
+                        i,
+                        clip,
+                        ("video", "y4m", len(clip), hashlib.md5(clip).hexdigest()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "payload", "media_meta"])
+
+    return df.select(id_col, text_col).mapInPandas(build, schema=out_schema)
+
+
 def sample_frames(
-    df: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id", fake: bool = False
+    df: DataFrame,
+    every_n_bytes: int = 64,
+    id_col: str = "doc_id",
+    fake: bool = False,
+    frame_stride: int = 1,
+    as_png: bool = True,
 ) -> DataFrame:
     """Frame sampling (video → N frames): one-to-many mapInPandas
-    expansion. Real implementation needs a codec; the fake slices the
-    payload every ``every_n_bytes`` to exercise the expansion shape."""
+    expansion. The REAL path decodes Y4M / uncompressed AVI containers
+    with the dependency-free parsers in ``codecs.py``, keeps every
+    ``frame_stride``-th frame (``frame_idx`` stays the index in the
+    SOURCE clip), and emits each as PNG (``as_png=True``, a decodable
+    image for downstream vision kernels) or raw C-order pixel bytes.
+    ``fake=True`` keeps the byte-slicer stand-in (every
+    ``every_n_bytes``) for non-video payloads through the identical
+    Arrow plumbing."""
+    if frame_stride < 1:
+        raise ValueError(f"frame_stride must be >= 1, got {frame_stride}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError(
-                "frame sampling requires a video codec library; pass fake=True "
-                "to exercise the plumbing"
-            )
+        from .codecs import decode_video_frames, encode_png
+
         for pdf in batches:
             out = []
             for i, b in zip(pdf[id_col], pdf["payload"]):
                 data = bytes(b)
-                for k, off in enumerate(range(0, len(data), every_n_bytes)):
-                    out.append((i, k, data[off : off + every_n_bytes]))
+                if fake:
+                    for k, off in enumerate(range(0, len(data), every_n_bytes)):
+                        out.append((i, k, data[off : off + every_n_bytes]))
+                    continue
+                _, _, frames = decode_video_frames(data)
+                for k in range(0, len(frames), frame_stride):
+                    arr = frames[k]
+                    if as_png:
+                        img = arr[:, :, 0] if arr.shape[2] == 1 else arr
+                        out.append((i, k, encode_png(img)))
+                    else:
+                        out.append((i, k, arr.tobytes()))
             yield pd.DataFrame(out, columns=[id_col, "frame_idx", "frame_bytes"])
 
     return df.select(id_col, "payload").mapInPandas(run, schema=FRAME_SCHEMA)

@@ -10,7 +10,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import load_table
 from ..operators.filters import truncate_col
-from ..operators.multimodal import attach_fake_payload, decode_image, extract_meta, sample_frames
+from ..operators.multimodal import (
+    attach_fake_payload,
+    attach_synthetic_video,
+    decode_image,
+    extract_meta,
+    sample_frames,
+)
 from .registry import register
 
 
@@ -98,14 +104,21 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_frame_sample",
-    sql=None,
-    doc="Frame-sampling one-to-many expansion (video→frames shape) with "
-    "the stub slicer kernel — rows-only pending a real codec.",
-    tags=("multimodal", "stub"),
+    sql=None,  # PNG frame bytes aren't SQL-reproducible; rows-only
+    doc="Frame-sampling one-to-many expansion over REAL video: each doc's "
+    "text becomes a mono Y4M clip (deterministic frames), the kernel "
+    "parses the container, samples frames, and re-encodes PNG — the full "
+    "decode path, not the byte-slicer fake.",
+    tags=("multimodal",),
 )
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return sample_frames(attach_fake_payload(docs), every_n_bytes=64, fake=True)
+    frames = sample_frames(attach_synthetic_video(docs), fake=False)
+    # md5 of the PNG bytes keeps the rows-only payload small while
+    # still pinning the decoded content per frame.
+    return frames.select(
+        "doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5")
+    )
 
 
 @register(

@@ -150,3 +150,77 @@ def test_real_audio_features(real_media):
     assert abs(r.rms - (30000 / 32768) / np.sqrt(2)) < 1e-3
     # 220 Hz at 8 kHz → 2 crossings/cycle → zcr ≈ 2*220/8000
     assert abs(r.zcr - 2 * 220 / 8000) < 0.01
+
+
+def test_real_frame_sampling_y4m_and_avi(spark):
+    """The REAL video path: hand-built Y4M and AVI clips decode through
+    sample_frames, every emitted frame is a decodable PNG whose pixels
+    match the source frames, and frame_stride keeps source indices."""
+    import numpy as np
+
+    from scrappy_spark.operators.codecs import (
+        decode_image_bytes,
+        encode_avi,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(7)
+    y4m_frames = [rng.integers(0, 256, size=(6, 8), dtype=np.uint8) for _ in range(5)]
+    avi_frames = [rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8) for _ in range(3)]
+    rows = [
+        (1, bytearray(encode_y4m(y4m_frames, colorspace="mono"))),
+        (2, bytearray(encode_avi(avi_frames))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {}
+    for r in sample_frames(df, fake=False, frame_stride=2).collect():
+        out.setdefault(r.doc_id, {})[r.frame_idx] = bytes(r.frame_bytes)
+    assert sorted(out[1]) == [0, 2, 4]  # stride 2 over 5 frames, source idx kept
+    assert sorted(out[2]) == [0, 2]
+    for k, png in out[1].items():
+        assert (decode_image_bytes(png)[:, :, 0] == y4m_frames[k]).all()
+    for k, png in out[2].items():
+        assert (decode_image_bytes(png) == avi_frames[k]).all()
+
+
+def test_y4m_color_and_truncation():
+    """C444 converts BT.601 full-range YCbCr→RGB; C420 upsamples chroma
+    nearest; damaged streams raise named errors."""
+    import numpy as np
+
+    from scrappy_spark.operators.codecs import decode_y4m, decode_video_frames, encode_y4m
+
+    rng = np.random.default_rng(3)
+    ycc = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    w, h, frames = decode_y4m(encode_y4m([ycc], colorspace="444"))
+    assert (w, h) == (6, 4) and len(frames) == 1
+    yf = ycc[:, :, 0].astype(np.float64)
+    uf = ycc[:, :, 1].astype(np.float64) - 128.0
+    vf = ycc[:, :, 2].astype(np.float64) - 128.0
+    expect = np.clip(
+        np.round(
+            np.stack(
+                [yf + 1.402 * vf, yf - 0.344136 * uf - 0.714136 * vf, yf + 1.772 * uf],
+                axis=-1,
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert (frames[0] == expect).all()
+    # C420: half-res chroma planes, nearest-upsampled
+    y = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    u = np.full((2, 2), 128, np.uint8)
+    v = np.full((2, 2), 128, np.uint8)
+    clip420 = (
+        b"YUV4MPEG2 W4 H4 C420jpeg\nFRAME\n" + y.tobytes() + u.tobytes() + v.tobytes()
+    )
+    _, _, f420 = decode_video_frames(clip420)
+    assert (f420[0][:, :, 0] == y).all()  # neutral chroma → R=G=B=Y
+    import pytest as _pytest
+
+    good = encode_y4m([np.zeros((4, 4), np.uint8)] * 2, colorspace="mono")
+    with _pytest.raises(ValueError, match="Y4M truncated"):
+        decode_y4m(good[:-5])
+    with _pytest.raises(ValueError, match="unsupported video format"):
+        decode_video_frames(b"NOTAVIDEO")
