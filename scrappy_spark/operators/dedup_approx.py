@@ -181,11 +181,17 @@ def minhash_signatures(
     ).select(id_col, "seed", "minhash")
 
 
+#: default LSH skew cap: buckets larger than this are dropped from
+#: candidate generation. Part of the operator's SEMANTICS — the DuckDB
+#: oracle SQL for the declared queries is generated from this value.
+LSH_MAX_BUCKET = 1000
+
+
 def minhash_candidate_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
     min_matches: int = 2,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """LSH candidate pairs (r=1 bands): docs sharing ≥ ``min_matches``
     per-seed min-hashes. Self-join on (seed, minhash) — i.e. a bucket
@@ -195,11 +201,16 @@ def minhash_candidate_pairs(
     ``max_bucket_size`` is the skew guard: a (seed, minhash) bucket of
     size d emits d² join rows, so one hot bucket (boilerplate shingle,
     residual exact-dup mass) can dominate the whole job at web scale.
-    Buckets above the cap are dropped from candidate generation — a
-    recall trade the caller makes explicitly; run exact-dup collapse
-    first (``collapse_exact_dups``) so identical texts never form hot
-    buckets in the first place. The size filter aggregates on the join
-    key itself, so it reuses the bucket-join shuffle partitioning."""
+    Buckets above the cap are dropped from candidate generation — ON BY
+    DEFAULT (``LSH_MAX_BUCKET``): a direct caller on a duplicate-heavy
+    corpus should get the scale-safe behavior without opting in, and a
+    pair lost to a >1000-doc bucket still has ``num_hashes - 1`` other
+    seeds to surface through. Pass ``None`` to opt out explicitly (e.g.
+    to prove collapse-neutrality against an uncapped oracle); run
+    exact-dup collapse first (``collapse_exact_dups``) so identical
+    texts never form hot buckets in the first place. The size filter
+    aggregates on the join key itself, so it reuses the bucket-join
+    shuffle partitioning."""
     if max_bucket_size is not None:
         sizes = (
             sig.groupBy("seed", "minhash")

@@ -174,19 +174,33 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc_id", F.col("seed").cast("long").alias("seed"), "minhash")
 
 
+# Bucket-size skew cap, shared with the Spark operator (its default) so
+# the two sides cannot drift — same one-source-of-truth trick as
+# MINHASH_ABC above.
+_CAPPED_SIG_SQL = f"""
+    ok_buckets AS (SELECT seed, minhash FROM sig
+                   GROUP BY seed, minhash
+                   HAVING count(*) <= {DA.LSH_MAX_BUCKET}),
+    fsig AS (SELECT s.doc_id, s.seed, s.minhash
+             FROM sig s JOIN ok_buckets USING (seed, minhash))
+"""
+
+
 @register(
     "q_minhash_pairs",
     sql=f"""
-    WITH {_SIG_SQL}
+    WITH {_SIG_SQL},
+    {_CAPPED_SIG_SQL}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_match
-    FROM sig a JOIN sig b
+    FROM fsig a JOIN fsig b
       ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING count(*) >= 2
     """,
     doc="MinHash-LSH near-dup candidate pairs: bucket join on "
     "(seed, minhash) — never an all-pairs product — then a match-count "
-    "filter (≥2 of 8 seeds ⇒ est. Jaccard ≳ 0.25).",
+    "filter (≥2 of 8 seeds ⇒ est. Jaccard ≳ 0.25). Buckets larger than "
+    "the default skew cap are excluded on BOTH sides (shared constant).",
     tags=("llm", "dedup"),
 )
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

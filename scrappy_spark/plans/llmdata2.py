@@ -152,7 +152,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(load_table(spark, sf_dir, "documents"))
 
 
-from .llmdata import _SIG_SQL  # shared MinHash signature CTE
+from .llmdata import _CAPPED_SIG_SQL, _SIG_SQL  # shared MinHash signature CTEs
 
 
 @register(
@@ -160,9 +160,10 @@ from .llmdata import _SIG_SQL  # shared MinHash signature CTE
     sql=f"""
     WITH RECURSIVE
     {_SIG_SQL},
+    {_CAPPED_SIG_SQL},
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sig a JOIN sig b
+      FROM fsig a JOIN fsig b
         ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
     edges AS (SELECT id_a AS a, id_b AS b FROM cand
@@ -177,8 +178,9 @@ from .llmdata import _SIG_SQL  # shared MinHash signature CTE
       GROUP BY d.doc_id)
     SELECT doc_id, component, doc_id = component AS is_canonical FROM comp
     """,
-    doc="Near-dup clusters: MinHash pairs → connected components "
-    "(iterative min-label propagation; oracle = recursive-CTE "
+    doc="Near-dup clusters: MinHash pairs (default bucket-size skew cap, "
+    "mirrored in the oracle via the shared constant) → connected "
+    "components (iterative min-label propagation; oracle = recursive-CTE "
     "transitive closure) → canonical keeper per cluster. The step that "
     "turns pair detection into actual corpus deduplication.",
     tags=("llm", "dedup", "graph"),
@@ -217,7 +219,8 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="End-to-end corpus dedup pipeline: exact-hash pre-collapse → "
     "LSH over unique texts → connected components → fan-out → canonical "
     "keepers. The oracle is the UNcollapsed recursive-CTE closure, so a "
-    "hash match proves the pre-collapse optimization changes no result.",
+    "hash match proves the pre-collapse optimization changes no result; "
+    "the bucket cap is explicitly opted out (None) to keep that parity.",
     tags=("llm", "dedup", "pipeline"),
 )
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,6 +59,23 @@ def test_minhash_identical_docs_share_signature(spark):
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
 
 
+def test_lsh_bucket_cap_is_default_on(spark):
+    """A hot (seed, minhash) bucket emits d² join rows; the skew cap
+    must be the DEFAULT so a direct caller on a duplicate-heavy corpus
+    never pays that blowup. None is the explicit opt-out."""
+    hot = [(i, s, mh) for i in range(DA.LSH_MAX_BUCKET + 1) for s, mh in ((0, 7), (1, 9))]
+    cold = [(i, s, mh) for i in (5000, 5001) for s, mh in ((0, 11), (1, 13))]
+    sig = spark.createDataFrame(hot + cold, "doc_id long, seed int, minhash long")
+    capped = DA.minhash_candidate_pairs(sig, min_matches=2)  # default cap
+    assert [(p.id_a, p.id_b) for p in capped.collect()] == [(5000, 5001)]
+    n = DA.LSH_MAX_BUCKET + 1
+    uncapped = DA.minhash_candidate_pairs(sig, min_matches=2, max_bucket_size=None)
+    assert uncapped.count() == n * (n - 1) // 2 + 1  # d² pairs are back
+    # cap exactly at the bucket size keeps it
+    kept = DA.minhash_candidate_pairs(sig, min_matches=2, max_bucket_size=n)
+    assert kept.count() == n * (n - 1) // 2 + 1
+
+
 def test_minhash_xxhash64_variant(spark):
     """The deployment hash (xxhash64) preserves LSH semantics: identical
     docs share full signatures; long-typed minhashes still min-order."""
