@@ -86,13 +86,33 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_meta(attach_fake_payload(docs))
 
 
+# The fake decoder's byte histogram buckets by HIGH NIBBLE (byte >> 4),
+# which is exactly the character at every odd position of the payload's
+# hex dump — so DuckDB reproduces the histogram with string ops alone:
+# strip every second hex char, then count each digit by length delta.
+_NIBBLE_COUNTS = ",\n           ".join(
+    f"CAST(len(hi) - len(replace(hi, '{d}', '')) AS VARCHAR)" for d in "0123456789ABCDEF"
+)
+
+
 @register(
     "q_multimodal_decode",
-    sql=None,  # fake-decode features; plumbing check only
-    doc="Image-decode kernel plumbing (mapInPandas, Arrow batches) with "
-    "the deterministic fake decoder — real decode is stubbed behind "
-    "NotImplementedError pending an imaging library.",
-    tags=("multimodal", "stub"),
+    sql=rf"""
+    WITH p AS (SELECT doc_id, encode('FAKE' || text) AS b FROM documents),
+    nib AS (SELECT doc_id, octet_length(b) AS n,
+                   regexp_replace(upper(hex(b)), '(.).', '\1', 'g') AS hi
+            FROM p)
+    SELECT doc_id, CAST(n AS INT) AS width, 1 AS height,
+           concat_ws(',', {_NIBBLE_COUNTS}) AS hist
+    FROM nib
+    """,
+    doc="Image-decode kernel (mapInPandas, Arrow batches) with the "
+    "deterministic fake decoder over fake payloads — the oracle "
+    "recomputes the 16-bin high-nibble byte histogram from the hex dump "
+    "of the same payload bytes, upgrading this from a rows-only check "
+    "to a full value-hash gate. Real decode is q_frame_sample's and the "
+    "multimodal tests' territory (PNG/BMP/PPM payloads).",
+    tags=("multimodal",),
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -149,11 +149,13 @@ _R03_VERIFIED = frozenset({
 # q_remove_repeated_spans (self-join alias), q_frame_sample (real
 # video decode + new oracle), q_hll_union_rollup (new oracle),
 # q_semantic_decontaminate (BLAS kernel NaN-masked argmax + NULL-cosine
-# contract for degenerate vectors).
+# contract for degenerate vectors), q_multimodal_decode (upgraded from
+# rows-only to a hex-nibble-histogram oracle — the r4 row was the
+# weaker check).
 _R04_VERIFIED = frozenset({
     "q_ann_lsh_topk", "q_classifier_predict", "q_embed_vectors",
     "q_embedding_near_dups_ann", "q_ivf_ann_topk", "q_kll_quantiles",
-    "q_minhash_signatures", "q_multimodal_decode",
+    "q_minhash_signatures",
     "q_semantic_decontaminate_ann",
     "q_time_weighted_avg", "q_token_count", "q_token_pmi",
     "q_tpch_q1_shape", "q_tpch_q2_shape", "q_tpch_q4_shape",

@@ -4,10 +4,12 @@ The 100 TB aggregation pattern these lock in: build small per-stratum
 sketches ONCE (map-side, mergeable, fixed size), then answer any
 rollup by merging sketches instead of rescanning rows — distinct
 counts (HLL), quantiles (KLL), and set algebra over distinct sets
-(theta). All three queries emit the sketch ESTIMATE next to the exact
-value computed in the same pass, so the error is visible in the
-output; tests assert the bounds. Estimates are engine-specific →
-rows-only checks by design (the exact columns are the audit).
+(theta). Every query computes the exact value in the same pass so the
+sketch error is auditable. Raw estimates are engine-specific, so the
+KLL/theta queries stay rows-only with the estimate beside the exact
+column and tests asserting the bounds; the HLL rollup instead emits a
+BANDED flag the DuckDB oracle pins to 1, promoting it to the full
+value-hash gate.
 """
 
 from __future__ import annotations
@@ -18,15 +20,28 @@ from ..io import load_table
 from .registry import register
 
 
+#: relative-error band the merged-HLL estimate must sit in (lgK=12
+#: default sketch ⇒ ~1.6% RSE; 2% leaves headroom without going weak)
+HLL_BAND_PCT = 2.0
+
+
 @register(
     "q_hll_union_rollup",
-    sql=None,  # sketch estimates are engine-specific; exact column audits
+    sql=f"""
+    SELECT CAST(sum(cnt) AS BIGINT)   AS exact_total,
+           CAST(count(*) AS BIGINT)   AS n_sketches,
+           CAST(1 AS BIGINT)          AS est_within_band
+    FROM (SELECT source, count(DISTINCT doc_id) AS cnt
+          FROM documents GROUP BY source)
+    """,
     doc="Mergeable HLL rollup: per-source HLL sketches of the doc-id "
     "population, merged with hll_union_agg for the corpus-wide "
-    "distinct estimate — the build-once/merge-anywhere sketch "
-    "pattern (per-partition sketches at 100 TB, any rollup without "
-    "rescanning). Output carries the exact distinct count beside the "
-    "estimate; the test asserts <2% relative error.",
+    "distinct estimate — the build-once/merge-anywhere sketch pattern "
+    "(per-partition sketches at 100 TB, any rollup without rescanning). "
+    "The estimate itself is engine-specific, so the query emits a "
+    f"banded flag (within {HLL_BAND_PCT}% of the in-pass exact count) "
+    "that the oracle pins to 1 — a wrong or drifting estimate now fails "
+    "the value hash instead of hiding behind a rows-only check.",
     tags=("sketch", "approx", "agg"),
 )
 def q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,10 +50,21 @@ def q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("doc_id").alias("sk"),
         F.count_distinct("doc_id").alias("exact_distinct"),
     )
-    return per_source.agg(
+    rolled = per_source.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total"),
         F.sum("exact_distinct").alias("exact_total"),  # doc_id unique per source
         F.count("*").alias("n_sketches"),
+    )
+    band = F.lit(HLL_BAND_PCT / 100.0)
+    return rolled.select(
+        "exact_total",
+        "n_sketches",
+        (
+            F.abs(F.col("est_total") - F.col("exact_total"))
+            <= band * F.col("exact_total")
+        )
+        .cast("long")
+        .alias("est_within_band"),
     )
 
 

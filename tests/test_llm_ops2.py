@@ -214,9 +214,20 @@ def test_sketch_suite_error_bounds(spark):
     qs = registry.queries()
     sf = "/root/testdata/sf0.01"
 
+    # q_hll_union_rollup now emits the in-band flag (oracle pins it to
+    # 1); the estimate's error bound is asserted against the operators
+    # directly so the raw value is still exercised here.
     hll = qs["q_hll_union_rollup"](spark, sf).first()
-    assert abs(hll.est_total - hll.exact_total) / hll.exact_total < 0.02
+    assert hll.est_within_band == 1
     assert hll.n_sketches == 20
+    from scrappy_spark.io import load_table
+
+    docs = load_table(spark, sf, "documents")
+    raw = docs.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("doc_id")).alias("est"),
+        F.count_distinct("doc_id").alias("exact"),
+    ).first()
+    assert abs(raw.est - raw.exact) / raw.exact < 0.02
 
     kll = qs["q_kll_quantiles"](spark, sf).first()
     # KLL default k: normalized rank error ~1.7%; price range spans
