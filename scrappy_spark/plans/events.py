@@ -379,6 +379,34 @@ def q_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_click_attribution(e, max_delay="10 minutes")
 
 
+@register(
+    "q_view_click_attribution_outer",
+    sql="""
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click')
+    SELECT v.user_id, v.view_id, v.view_ts, c.click_id, c.click_ts,
+           date_diff('second', v.view_ts, c.click_ts) AS delay_sec
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+     AND c.click_ts >= v.view_ts
+     AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE
+    """,
+    doc="Left-outer view→click attribution: every view, with its "
+    "in-window clicks or NULLs — the conversion-rate denominator. "
+    "Batch twin of the watermarked stream-stream LEFT OUTER interval "
+    "join (streaming/joins.py; unmatched views emit once the watermark "
+    "proves no click can still arrive), completing the join-mode "
+    "matrix over the events fixtures.",
+    tags=("join", "streaming-twin", "events"),
+)
+def q_view_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import view_click_attribution
+
+    e = load_table(spark, sf_dir, "events")
+    return view_click_attribution(e, max_delay="10 minutes", how="left_outer")
+
+
 # --------------------------------------------------------------------------
 # Graph: PageRank over the page-transition graph
 # --------------------------------------------------------------------------

@@ -151,7 +151,8 @@ _R03_VERIFIED = frozenset({
 # q_semantic_decontaminate (BLAS kernel NaN-masked argmax + NULL-cosine
 # contract for degenerate vectors), q_multimodal_decode (upgraded from
 # rows-only to a hex-nibble-histogram oracle — the r4 row was the
-# weaker check).
+# weaker check), q_view_click_attribution (interval_join rekeys the
+# right side so outer mode keeps the left join key).
 _R04_VERIFIED = frozenset({
     "q_ann_lsh_topk", "q_classifier_predict", "q_embed_vectors",
     "q_embedding_near_dups_ann", "q_ivf_ann_topk", "q_kll_quantiles",
@@ -166,7 +167,7 @@ _R04_VERIFIED = frozenset({
     "q_tpch_q18_shape", "q_tpch_q19_shape", "q_tpch_q20_shape",
     "q_tpch_q21_shape", "q_tpch_q22_shape", "q_train_val_split",
     "q_truncate", "q_unigram_surprisal", "q_unpivot_metrics",
-    "q_value_histogram", "q_variant_extract", "q_view_click_attribution",
+    "q_value_histogram", "q_variant_extract",
     "q_vocab_coverage", "q_weighted_sample", "q_window_lead_lag",
     "q_zorder_key",
 })

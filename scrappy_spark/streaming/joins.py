@@ -26,25 +26,48 @@ def interval_join(
     right_ts: str = "r_ts",
     max_delay: str = "10 minutes",
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join ``left`` and ``right`` on ``key`` where the right
-    event lands in ``[left_ts, left_ts + max_delay]``.
+    """Join ``left`` and ``right`` on ``key`` where the right event
+    lands in ``[left_ts, left_ts + max_delay]``.
+
+    ``how="inner"`` (default) keeps matched pairs only;
+    ``how="left_outer"`` also emits every unmatched left row with the
+    right columns (and ``delay_sec``) NULL — the "views that never
+    converted" shape. On STREAMS a left-outer interval join requires
+    watermarks on both sides (Spark refuses otherwise): a left row can
+    only be declared unmatched once the watermark proves no right row
+    within ``max_delay`` can still arrive, so unmatched rows emit with
+    that delay, and rows newer than (final watermark − max_delay) are
+    still in state when an ``availableNow`` run terminates — the
+    batch/stream equivalence is exact for matched rows and
+    watermark-bounded for unmatched ones (see test_streaming).
 
     Columns (other than ``key``) must already be disambiguated by the
     caller (e.g. prefixed) — the joined frame carries both sides'
     columns plus ``delay_sec``.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     if watermark is not None:
         left = left.withWatermark(left_ts, watermark)
         right = right.withWatermark(right_ts, watermark)
+    # Rename the right key instead of joining left[key] == right[key]:
+    # both sides typically derive from ONE source frame (type-split
+    # streams), where same-name column references resolve ambiguously
+    # (Spark's trivially-true-predicate warning) and drop(right[key])
+    # can remove the LEFT key — which surfaces as NULL keys on
+    # unmatched left-outer rows. Distinct names make the condition and
+    # the drop unambiguous.
+    right = right.withColumnRenamed(key, "__rkey")
     cond = (
-        (left[key] == right[key])
-        & (right[right_ts] >= left[left_ts])
-        & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+        (left[key] == F.col("__rkey"))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
     )
     return (
-        left.join(right, cond, "inner")
-        .drop(right[key])
+        left.join(right, cond, how)
+        .drop("__rkey")
         .withColumn(
             "delay_sec",
             (F.unix_timestamp(right_ts) - F.unix_timestamp(left_ts)).cast("long"),
@@ -53,12 +76,16 @@ def interval_join(
 
 
 def view_click_attribution(
-    events: DataFrame, max_delay: str = "10 minutes", watermark: str | None = None
+    events: DataFrame,
+    max_delay: str = "10 minutes",
+    watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Attribute each click to every view by the same user in the
     preceding ``max_delay`` — the canonical two-stream correlation,
     derived from one events frame by type split (each split is its own
-    stream/scan)."""
+    stream/scan). ``how="left_outer"`` keeps unconverted views with
+    NULL click columns (conversion-rate denominators)."""
     views = events.filter(F.col("event_type") == "view").select(
         "user_id",
         F.col("event_id").alias("view_id"),
@@ -77,6 +104,7 @@ def view_click_attribution(
         right_ts="click_ts",
         max_delay=max_delay,
         watermark=watermark,
+        how=how,
     )
 
 

@@ -91,6 +91,53 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
     assert len(out.collect()) > 0  # fixture actually produces matches
 
 
+def test_stream_stream_left_outer_interval_join_watermark_bounded(spark, events_dir):
+    """LEFT OUTER stream-stream interval join: matched rows equal the
+    batch twin exactly; unmatched views emit only once the final
+    watermark proves no in-window click can still arrive, so the
+    streaming output is the batch output restricted to views older
+    than (final watermark − max_delay) — exact on matched rows,
+    watermark-bounded on unmatched ones."""
+    import datetime as dt
+
+    from scrappy_spark.streaming.joins import view_click_attribution
+
+    cols = ["user_id", "view_id", "view_ts", "click_id", "click_ts", "delay_sec"]
+
+    def named_rows(df):  # column order differs between stream/batch plans
+        return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+    batch = load_table(spark, SF_DIR, "events")
+    stream_in = spark.readStream.schema(batch.schema).parquet(events_dir)
+    joined = view_click_attribution(stream_in, watermark="1 hour", how="left_outer")
+    assert joined.isStreaming
+    out = _run_stream_to_memory(spark, joined, "mem_vc_outer", "append")
+    got = named_rows(out)
+    got_matched = [r for r in got if r[3] is not None]
+    got_unmatched = [r for r in got if r[3] is None]
+    assert all(r[0] is not None for r in got), "unmatched rows must keep the join key"
+
+    batch_outer = view_click_attribution(batch, how="left_outer")
+    expect_matched = named_rows(batch_outer.filter(F.col("click_id").isNotNull()))
+    assert got_matched == expect_matched and len(got_matched) > 0
+
+    # final watermark = min over both sides of (max event time − 1 h)
+    max_view, max_click = (
+        batch.filter(F.col("event_type") == t).agg(F.max("ts")).first()[0]
+        for t in ("view", "click")
+    )
+    w = min(max_view, max_click) - dt.timedelta(hours=1)
+    cutoff = w - dt.timedelta(minutes=10)  # view_ts + max_delay vs watermark
+    unmatched = batch_outer.filter(F.col("click_id").isNull())
+    candidates = (
+        named_rows(unmatched.filter(F.col("view_ts") < cutoff)),
+        named_rows(unmatched.filter(F.col("view_ts") <= cutoff)),
+    )
+    assert got_unmatched in candidates and len(got_unmatched) > 0
+    # and nothing unmatched leaked past the watermark bound
+    assert all(r[2] <= cutoff for r in got_unmatched)
+
+
 def test_stream_static_enrichment_equals_batch(spark, events_dir):
     from scrappy_spark.streaming.joins import enrich_with_static
 
