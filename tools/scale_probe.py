@@ -42,6 +42,8 @@ PROBES = [
     "q_profile_columns",
     "q_tpch_q21_shape",
     "q_unigram_surprisal",
+    "q_remove_repeated_spans",
+    "q_dup_clusters",
 ]
 
 
