@@ -208,17 +208,41 @@ def minhash_candidate_pairs(
     seeds to surface through. Pass ``None`` to opt out explicitly (e.g.
     to prove collapse-neutrality against an uncapped oracle); run
     exact-dup collapse first (``collapse_exact_dups``) so identical
-    texts never form hot buckets in the first place. The size filter
-    aggregates on the join key itself, so it reuses the bucket-join
-    shuffle partitioning."""
+    texts never form hot buckets in the first place.
+
+    Plan shape: with the cap active, ``sig`` is consumed EXACTLY ONCE —
+    one groupBy(seed, minhash) collects each bucket's sorted id list
+    (cap enforcement is a free ``size()`` filter on it), and the d·(d−1)/2
+    pairs per bucket come from an array expression, so the signature
+    pipeline upstream (shingle explode + min-agg) is never recomputed
+    and per-task memory is bounded by cap² pair structs. The uncapped
+    opt-out keeps the self-join shape instead — materializing an
+    unbounded bucket's id list in one row would be the OOM the cap
+    exists to prevent."""
     if max_bucket_size is not None:
-        sizes = (
+        buckets = (
             sig.groupBy("seed", "minhash")
-            .agg(F.count("*").alias("__bsz"))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .select("seed", "minhash")
+            .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids"))
+            .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket_size))
         )
-        sig = sig.join(sizes, on=["seed", "minhash"], how="left_semi")
+        pair = F.explode(
+            F.expr(
+                "flatten(transform(__ids, (x, i) -> "
+                "transform(slice(__ids, i + 2, size(__ids)), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("__p")
+        return (
+            buckets.select(pair)
+            .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
+            # ids are sorted, so id_a <= id_b always; the strict filter
+            # only drops self-pairs if a caller feeds duplicate
+            # (id, seed) rows, matching the self-join shape's behavior.
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_match"))
+            .filter(F.col("n_match") >= min_matches)
+        )
     a = sig.select(F.col(id_col).alias("id_a"), "seed", "minhash")
     b = sig.select(F.col(id_col).alias("id_b"), "seed", "minhash")
     return (

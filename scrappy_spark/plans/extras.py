@@ -128,7 +128,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Frame-sampling one-to-many expansion over REAL video: each doc's "
     "text becomes a mono Y4M clip (deterministic frames), the kernel "
     "parses the container, samples frames, and re-encodes PNG — the full "
-    "decode path, not the byte-slicer fake.",
+    "decode path, not the byte-slicer fake. Rows-only: PNG frame bytes "
+    "aren't SQL-reproducible in DuckDB; pytest pins the decoded pixels.",
     tags=("multimodal",),
 )
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
