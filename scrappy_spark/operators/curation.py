@@ -177,6 +177,72 @@ def mix_corpora(
     return df.withColumn("kept", _bucket(F.col(id_col), salt) < thr)
 
 
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based group rebalancing: sample so group g's share of
+    the output follows p_g^α (normalized) instead of its corpus share
+    p_g — the standard multilingual-LM mixing rule (α=1 keeps the
+    natural distribution, α→0 approaches uniform; mBERT/XLM-R style
+    exponent smoothing). Head groups are downsampled toward the tail;
+    a group whose boosted target exceeds its size is kept whole (rate
+    caps at 1 — no replacement).
+
+    Determinism/parity contract: every cross-row reduction is INTEGER
+    (group counts; per-group weights snapped to micro units before the
+    normalizing sum), so no float-summation-order drift can move a
+    threshold. The per-group keep rate becomes an integer threshold on
+    the row's 32-bit md5 uniform — floor(rate·2³²) — making the kept
+    set reproducible bit-for-bit on any engine with md5.
+
+    Shape: one tiny groupBy for the per-group counts (|groups| rows,
+    broadcast back), then a scan-only filter of the corpus — the data
+    itself is never shuffled. Output: the kept rows of ``df``.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__ng"))
+    totals = counts.agg(F.sum("__ng").alias("__n"))
+    # per-group boost weight, snapped to integer micro-units on the
+    # |groups|-row frame so the normalizing sum is exact
+    w = counts.join(F.broadcast(totals)).select(
+        group_col,
+        "__ng",
+        F.round(
+            F.pow(F.col("__ng").cast("double") / F.col("__n"), F.lit(alpha)) * 1_000_000
+        )
+        .cast("long")
+        .alias("__w"),
+        F.col("__n"),
+    )
+    sums = w.agg(F.sum("__w").alias("__sw"))
+    # keep rate = min(1, target_total·q_g / n_g) with q_g = w_g/Σw —
+    # a single double expression over integer inputs (bit-identical
+    # cross-engine), floored onto the 2³² uniform scale.
+    rate = F.least(
+        F.lit(1.0),
+        (F.round(F.lit(target_frac) * F.col("__n")) * F.col("__w")).cast("double")
+        / (F.col("__sw") * F.col("__ng")).cast("double"),
+    )
+    thr = w.join(F.broadcast(sums)).select(
+        group_col,
+        F.floor(rate * F.lit(4294967296.0)).cast("long").alias("__thr"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(u < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 # --------------------------------------------------------------------------
 # PII scrubbing
 # --------------------------------------------------------------------------

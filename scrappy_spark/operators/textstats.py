@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .mining import STOPWORDS, tokens_col
+from .mining import STOPWORDS, ngrams_expr, tokens_col
 
 #: tiny per-language marker-word lists for the n-gram language heuristic.
 #: Deterministic and self-contained; swap in real frequency tables at
@@ -277,5 +277,86 @@ def unigram_surprisal(
                 / 1_000_000
                 / F.col("n_tokens")
             ).alias("avg_surprisal"),
+        )
+    )
+
+
+def doc_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document perplexity under the corpus's own interpolated
+    bigram LM — the standard CCNet/Gopher-style quality signal one
+    rung above :func:`unigram_surprisal`: repetitive boilerplate sits
+    LOW (its bigrams dominate the corpus), shuffled-word gibberish
+    sits HIGH (frequent unigrams, never-seen bigrams) — a separation
+    the unigram model cannot make.
+
+    Model: p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N, where c(w₁·)
+    is the context count (bigrams starting with w₁) and N the corpus
+    token total. Interpolation (Jelinek–Mercer) keeps every probability
+    nonzero without train/held-out splits. Per-bigram log-probs are
+    snapped to integer MICRO-NATS on the bigram-TYPE table, so the
+    per-document reduction is an exact integer sum (associative,
+    engine-stable); perplexity = exp(nll/n) is one float op per doc.
+
+    Shape: one bigram explode; bigram-type counts (one shuffle on the
+    bigram string); context counts derived FROM the bigram table (a
+    re-agg of the small type table, not a second corpus pass); unigram
+    table reused from the token stream. Probability tables follow
+    Heaps' law — they fit executor memory at any corpus size — and are
+    broadcast back onto the exploded stream, so the corpus itself is
+    never shuffled on a model key. Docs with < 2 tokens are absent.
+    """
+    toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cu"))
+    )
+    total = uni.agg(F.sum("cu").alias("n"))
+    big = toks.select(
+        F.col(id_col),
+        F.explode(F.expr(ngrams_expr("toks", 2))).alias("bigram"),
+    )
+    bfreq = big.groupBy("bigram").agg(F.count("*").alias("cb"))
+    ctx = (
+        bfreq.select(F.substring_index("bigram", " ", 1).alias("w1"), "cb")
+        .groupBy("w1")
+        .agg(F.sum("cb").alias("c1"))
+    )
+    # per-TYPE log-prob table: micro-nat snap happens here, once per
+    # distinct bigram, so the doc-level sum is integer-exact.
+    p = (
+        F.lit(lam) * F.col("cb").cast("double") / F.col("c1")
+        + F.lit(1.0 - lam) * F.col("cu").cast("double") / F.col("n")
+    )
+    lp = (
+        bfreq.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w2")), "w2")
+        .join(F.broadcast(total))
+        .select("bigram", F.round(F.log(p) * 1_000_000).cast("long").alias("lp_micro"))
+    )
+    return (
+        big.join(F.broadcast(lp), "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (-F.sum("lp_micro")).alias("nll_micro"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "nll_micro",
+            F.round(
+                F.exp(
+                    F.col("nll_micro").cast("double") / 1_000_000 / F.col("n_bigrams")
+                ),
+                4,
+            ).alias("ppl"),
         )
     )

@@ -67,6 +67,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llmdata3,
         llmdata4,
         llmdata5,
+        llmdata6,
         timeseries,
         sketches,
         extras,

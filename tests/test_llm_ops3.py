@@ -1,0 +1,138 @@
+"""Round-5 LLM-corpus operators: Bloom filter, bigram perplexity,
+temperature resampling. Properties here go beyond the DuckDB oracle
+(which pins exact values): Bloom's zero-false-negative guarantee and
+mergeability, the perplexity signal's boilerplate/gibberish
+separation, and the resampler's distribution-flattening direction.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrappy_spark.operators import bloom as B
+from scrappy_spark.operators.curation import temperature_sample
+from scrappy_spark.operators.textstats import doc_perplexity
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bloom_parts(spark):
+    members = spark.createDataFrame([(f"member{i}",) for i in range(2000)], "key string")
+    bank = B.bloom_build(members, "key")
+    return members, bank
+
+
+def test_bloom_no_false_negatives(spark, bloom_parts):
+    members, bank = bloom_parts
+    probed = B.bloom_probe(members, bank, "key")
+    assert probed.filter(F.col("bloom_hit") == 0).count() == 0
+
+
+def test_bloom_fpr_bounded(spark, bloom_parts):
+    _, bank = bloom_parts
+    absent = spark.createDataFrame([(f"other{i}",) for i in range(5000)], "key string")
+    fp = B.bloom_probe(absent, bank, "key").filter(F.col("bloom_hit") == 1).count()
+    # n=2000, m=2^18, k=4 → theoretical FPR ≈ (1-e^{-kn/m})^4 ≈ 8e-6;
+    # allow 100× slack and it still must be essentially zero here.
+    assert fp <= 5, f"{fp}/5000 false positives — far above the m/k design point"
+
+
+def test_bloom_bank_bounded_and_mergeable(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(500)], "key string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(500)], "key string")
+    bank_union = B.bloom_build(a.unionAll(b), "key")
+    merged = (
+        B.bloom_build(a, "key")
+        .unionAll(B.bloom_build(b, "key"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    assert bank_union.count() <= B.BLOOM_M_BITS // 32
+    assert merged.exceptAll(bank_union).count() == 0
+    assert bank_union.exceptAll(merged).count() == 0
+
+
+def test_bloom_rejects_non_power_of_two():
+    with pytest.raises(ValueError, match="power of two"):
+        B.bloom_positions(F.lit("x"), m_bits=1000)
+
+
+# ---------------------------------------------------------------------------
+# Bigram perplexity
+# ---------------------------------------------------------------------------
+
+
+def test_perplexity_separates_boilerplate_from_gibberish(spark):
+    # 8 near-identical boilerplate docs (their bigrams dominate the
+    # corpus) + 1 doc of the same unigrams in a never-seen order.
+    boiler = [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)]
+    gibber = [(100, "dog the over quick lazy fox brown jumps the")]
+    df = spark.createDataFrame(boiler + gibber, "doc_id long, text string")
+    ppl = {r["doc_id"]: r["ppl"] for r in doc_perplexity(df).collect()}
+    assert ppl[100] > 2 * ppl[0], (
+        f"gibberish ppl {ppl[100]} should far exceed boilerplate ppl {ppl[0]}"
+    )
+
+
+def test_perplexity_short_docs_absent_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "three tokens here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in doc_perplexity(df).collect()}
+    assert set(rows) == {3}
+    assert rows[3]["n_bigrams"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Temperature resampling
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    rows = (
+        [(i, "en") for i in range(800)]
+        + [(1000 + i, "fr") for i in range(150)]
+        + [(2000 + i, "zh") for i in range(50)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_temperature_flattens_distribution(spark, skewed):
+    kept = temperature_sample(skewed, alpha=0.3, target_frac=0.5)
+    shares = {
+        r["lang"]: r["c"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    total = sum(shares.values())
+    # natural shares: en .80 / fr .15 / zh .05 — after α=0.3 smoothing
+    # the head must shrink and the tail must grow, and small groups
+    # whose boosted target exceeds their size are kept whole.
+    assert shares["en"] / total < 0.70
+    assert shares["zh"] / total > 0.05
+    assert shares["zh"] == 50  # rate capped at 1 → whole group kept
+
+
+def test_temperature_alpha_one_is_uniform_rate(spark, skewed):
+    # α=1 ⇒ q_g = p_g ⇒ every group's keep rate is target_frac: group
+    # shares of the output match the input within sampling noise.
+    kept = temperature_sample(skewed, alpha=1.0, target_frac=0.5)
+    shares = {
+        r["lang"]: r["c"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    total = sum(shares.values())
+    assert abs(shares["en"] / total - 0.80) < 0.06
+    assert abs(total / 1000 - 0.5) < 0.08
+
+
+def test_temperature_deterministic(spark, skewed):
+    a = sorted(r["doc_id"] for r in temperature_sample(skewed).collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(skewed).collect())
+    assert a == b and len(a) > 0
