@@ -632,3 +632,35 @@ def length_buckets(
         )
         .withColumn("pad_len", pad_len)
     )
+
+
+def quality_floor(
+    df: DataFrame,
+    frac: float = 0.2,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Drop each group's bottom ``frac`` by quality score — the
+    Gopher-style per-language quality floor (a global cutoff would
+    gut low-resource languages whose score distribution sits lower;
+    the floor must be WITHIN-group).
+
+    Exactly ``floor(frac·n_g)`` rows drop per group — an integer rule,
+    so no percent-rank float boundary can flip a row cross-engine —
+    with (score asc, id asc) as the deterministic drop order. One
+    window shuffle on ``group_col``; rank and count share the same
+    exchange. Skewed-group note: same as ``quota_sample`` — pre-thin
+    a pathologically large group with ``hash_sample`` first if its
+    sort exceeds executor memory.
+    """
+    if not 0.0 <= frac < 1.0:
+        raise ValueError(f"frac must be in [0, 1), got {frac}")
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    wn = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wn))
+        .filter(F.col("__rk") > F.floor(F.lit(frac) * F.col("__n")))
+        .drop("__rk", "__n")
+    )

@@ -254,6 +254,71 @@ def minhash_candidate_pairs(
     )
 
 
+def incremental_minhash_pairs(
+    sig_new: DataFrame,
+    sig_base: DataFrame,
+    id_col: str = "doc_id",
+    min_matches: int = 2,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """LSH candidate pairs for an INCREMENT against an already-indexed
+    corpus: every pair touching at least one new document (new-new and
+    new-base), with base-base pairs — already found when the base was
+    deduped — never generated or counted.
+
+    This is the daily-ingest shape at 100 TB: the base corpus keeps its
+    signature table on disk (n_docs × num_hashes rows, tiny next to the
+    text); each increment computes signatures for NEW docs only, and
+    this join prices by bucket co-occupancy, not base size — the base
+    text is never re-read, never re-shingled.
+
+    Same single-pass grouped-bucket plan as the capped
+    :func:`minhash_candidate_pairs` (ids carry a new/base tag through
+    ``collect_list``; base-base pairs are filtered inside the pair-
+    generation expression before the explode, so they never exist as
+    rows). Output adds ``n_new_sides`` (2 = new-new, 1 = new-base).
+    ``max_bucket_size`` caps the UNION bucket — a bucket hot in the
+    base must be skipped even if only one new doc lands in it.
+    """
+    if max_bucket_size is None:
+        raise ValueError(
+            "incremental_minhash_pairs requires a finite max_bucket_size: "
+            "the grouped-bucket plan materializes each bucket's id list"
+        )
+    tagged = sig_new.select(
+        F.col(id_col).alias("id"), "seed", "minhash", F.lit(1).alias("nw")
+    ).unionAll(
+        sig_base.select(
+            F.col(id_col).alias("id"), "seed", "minhash", F.lit(0).alias("nw")
+        )
+    )
+    buckets = (
+        tagged.groupBy("seed", "minhash")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "nw"))).alias("__items"))
+        .filter((F.size("__items") >= 2) & (F.size("__items") <= max_bucket_size))
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(__items, (a, i) -> "
+            "filter(transform(slice(__items, i + 2, size(__items)), "
+            "b -> struct(a.id AS id_a, b.id AS id_b, a.nw + b.nw AS nnew)), "
+            "p -> p.nnew > 0)))"
+        )
+    ).alias("__p")
+    return (
+        buckets.select(pair)
+        .select(
+            F.col("__p.id_a").alias("id_a"),
+            F.col("__p.id_b").alias("id_b"),
+            F.col("__p.nnew").alias("nnew"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_match"), F.max("nnew").alias("n_new_sides"))
+        .filter(F.col("n_match") >= min_matches)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

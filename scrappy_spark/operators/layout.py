@@ -90,3 +90,101 @@ def range_partition_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve
+# ---------------------------------------------------------------------------
+
+
+def hilbert_attach(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    bits: int = 8,
+    out_col: str = "h",
+) -> DataFrame:
+    """Attach the Hilbert-curve index of ``(x, y)`` on a 2^bits-square
+    grid. Strictly better clustering than the Morton code for layout:
+    consecutive Hilbert indices are ALWAYS grid-adjacent (Manhattan
+    distance 1), so a sorted write never places a file boundary across
+    a locality jump — Z-order takes jumps of up to 2^bits at quadrant
+    seams (`test_layout.py` measures both).
+
+    The standard xy→d walk (per-level quadrant digit + rotate/reflect)
+    carries (x, y) state across levels, so it cannot be ONE column
+    expression — each level references the previous level's x twice
+    and y twice, and inlining would grow the tree ~4^bits. Instead
+    each level is a separate projection (``withColumns``): Catalyst
+    keeps the per-level aliases (CollapseProject refuses to inline
+    multiply-referenced non-trivial aliases), the whole ladder stays
+    inside one whole-stage-codegen span, and the cost is ``bits``
+    cheap integer ops per row — same as the Morton key, zero shuffle.
+    ``hilbert_sql`` mirrors the ladder as chained CTEs bit-for-bit.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    n = 1 << bits
+    out = df.withColumns(
+        {
+            "__hx": x.cast("long"),
+            "__hy": y.cast("long"),
+            "__hd": F.lit(0).cast("long"),
+        }
+    )
+    for level in range(bits):
+        k = bits - 1 - level
+        s = 1 << k
+        rx = F.shiftright(F.col("__hx"), k).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("__hy"), k).bitwiseAND(F.lit(1))
+        out = out.withColumns(
+            {
+                "__hd": F.col("__hd")
+                + F.lit(s * s) * (F.lit(3) * rx).bitwiseXOR(ry),
+                "__hx": F.when(ry == 1, F.col("__hx"))
+                .when(rx == 1, F.lit(n - 1) - F.col("__hy"))
+                .otherwise(F.col("__hy")),
+                "__hy": F.when(ry == 1, F.col("__hy"))
+                .when(rx == 1, F.lit(n - 1) - F.col("__hx"))
+                .otherwise(F.col("__hx")),
+            }
+        )
+    return out.withColumnRenamed("__hd", out_col).drop("__hx", "__hy")
+
+
+def hilbert_sql(
+    source_sql: str,
+    key_cols: str,
+    x_sql: str,
+    y_sql: str,
+    bits: int = 8,
+    out_col: str = "h",
+) -> str:
+    """Engine-portable SQL mirror of :func:`hilbert_attach`: the same
+    per-level ladder as chained CTEs with level-numbered column names
+    (no lateral-alias ambiguity on any engine). Returns a full SELECT
+    over ``source_sql``."""
+    n = 1 << bits
+    ctes = [
+        f"__h0 AS (SELECT {key_cols}, CAST({x_sql} AS BIGINT) AS hx0, "
+        f"CAST({y_sql} AS BIGINT) AS hy0, CAST(0 AS BIGINT) AS hd0 FROM {source_sql})"
+    ]
+    for level in range(bits):
+        k = bits - 1 - level
+        s = 1 << k
+        i, j = level, level + 1
+        rx = f"((hx{i} >> {k}) & 1)"
+        ry = f"((hy{i} >> {k}) & 1)"
+        ctes.append(
+            f"__h{j} AS (SELECT {key_cols}, "
+            f"hd{i} + {s * s} * xor(3 * {rx}, {ry}) AS hd{j}, "
+            f"CASE WHEN {ry} = 1 THEN hx{i} WHEN {rx} = 1 THEN {n - 1} - hy{i} "
+            f"ELSE hy{i} END AS hx{j}, "
+            f"CASE WHEN {ry} = 1 THEN hy{i} WHEN {rx} = 1 THEN {n - 1} - hx{i} "
+            f"ELSE hx{i} END AS hy{j} "
+            f"FROM __h{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT {key_cols}, hd{bits} AS {out_col} FROM __h{bits}"
+    )

@@ -1,6 +1,8 @@
 """LLM-corpus operators, round-5 batch: distributed Bloom-filter
-decontamination, interpolated-bigram document perplexity, and
-temperature-based group rebalancing.
+decontamination, interpolated-bigram document perplexity,
+temperature-based group rebalancing, incremental LSH dedup against a
+stored signature index, per-group quality floors, and Hilbert-curve
+layout keys.
 
 The reference has no equivalents (its membership test is a pandas
 ``isin`` on titles, scrappy.py:214-218; it has no LM scoring or
@@ -194,3 +196,127 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(
         docs, alpha=_TEMP_ALPHA, target_frac=_TEMP_FRAC
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup, quality floor, Hilbert layout key
+# ---------------------------------------------------------------------------
+
+from ..operators.curation import quality_floor
+from ..operators.layout import hilbert_attach, hilbert_sql
+from ..operators.textstats import quality_score
+from .llmdata import _CAPPED_SIG_SQL, _SIG_SQL
+
+_INC_NEW_MAX_ID = 100  # docs below this id form the "new batch"
+
+
+@register(
+    "q_incremental_dedup_pairs",
+    sql=f"""
+    WITH {_SIG_SQL},
+    {_CAPPED_SIG_SQL}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_match,
+           CAST(max(CASE WHEN a.doc_id < {_INC_NEW_MAX_ID} THEN 1 ELSE 0 END
+                    + CASE WHEN b.doc_id < {_INC_NEW_MAX_ID} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new_sides
+    FROM fsig a JOIN fsig b
+      ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    WHERE a.doc_id < {_INC_NEW_MAX_ID} OR b.doc_id < {_INC_NEW_MAX_ID}
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+    doc="Incremental LSH dedup: candidate pairs for a NEW batch "
+    "against an already-indexed base corpus — new-new and new-base "
+    "pairs only; base-base pairs are filtered inside the pair-"
+    "generation expression, so they never exist as rows. The base "
+    "corpus contributes only its stored signature table (never "
+    "re-read, never re-shingled) — the daily-ingest shape at 100 TB.",
+    tags=("llm", "dedup", "incremental"),
+)
+def q_incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = DA.minhash_signatures(docs)
+    sig_new = sig.filter(F.col("doc_id") < _INC_NEW_MAX_ID)
+    sig_base = sig.filter(F.col("doc_id") >= _INC_NEW_MAX_ID)
+    out = DA.incremental_minhash_pairs(sig_new, sig_base, min_matches=2)
+    return out.withColumn("n_new_sides", F.col("n_new_sides").cast("long"))
+
+
+_QFLOOR_SQL = """
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    s AS (SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END AS distinct_ratio,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks, x -> x IN
+                        ('a','an','and','are','as','at','be','by','for','from',
+                         'has','in','is','it','its','of','on','that','the','to',
+                         'was','were','will','with'))) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END AS stopword_ratio
+          FROM t),
+    q AS (SELECT doc_id,
+                 round(0.4 * least(n_tokens / 64.0, 1.0)
+                       + 0.3 * distinct_ratio
+                       + 0.3 * (1.0 - abs(stopword_ratio - 0.08) / 0.92), 4)
+                     AS quality_score
+          FROM s),
+    r AS (SELECT d.doc_id, d.lang, q.quality_score,
+                 row_number() OVER (PARTITION BY d.lang
+                                    ORDER BY q.quality_score ASC, d.doc_id ASC) AS rk,
+                 count(*) OVER (PARTITION BY d.lang) AS n
+          FROM documents d JOIN q USING (doc_id))
+    SELECT doc_id, lang, quality_score FROM r WHERE rk > floor(0.2 * n)
+"""
+
+
+@register(
+    "q_quality_floor",
+    sql=_QFLOOR_SQL,
+    doc="Per-language quality floor: drop each language's bottom 20% "
+    "by composite quality score (a GLOBAL cutoff would gut low-"
+    "resource languages whose score distribution sits lower). "
+    "Exactly floor(frac*n_g) rows drop per group — an integer rule "
+    "with deterministic (score, id) drop order, so no percent-rank "
+    "float boundary can flip a row cross-engine. One window shuffle.",
+    tags=("llm", "quality", "sampling"),
+)
+def q_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "quality_score")
+    joined = docs.select("doc_id", "lang").join(scored, "doc_id")
+    return quality_floor(joined, frac=0.2).select("doc_id", "lang", "quality_score")
+
+
+@register(
+    "q_hilbert_key",
+    sql=hilbert_sql(
+        "orders",
+        "o_orderkey",
+        "o_custkey % 256",
+        "year(o_orderdate) - 1995",
+        bits=8,
+    ),
+    doc="Hilbert-curve clustering key over (custkey bucket, order "
+    "year): strictly better write layout than the Morton code "
+    "(q_zorder_key) — consecutive Hilbert indices are ALWAYS grid-"
+    "adjacent, so a sorted write never spans a locality jump, where "
+    "Z-order jumps up to 2^bits at quadrant seams (measured in "
+    "test_layout.py). The xy->d rotate/reflect walk runs as a ladder "
+    "of per-level projections (one column expression would grow "
+    "~4^bits); all integer ops, codegen, oracle-checked bit-for-bit "
+    "via the identical chained-CTE SQL.",
+    tags=("layout", "scalar"),
+)
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return hilbert_attach(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        F.col("o_custkey") % 256,
+        F.year("o_orderdate") - 1995,
+        bits=8,
+    ).select("o_orderkey", "h")

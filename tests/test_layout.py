@@ -99,3 +99,43 @@ def test_range_partition_write_prunes_to_single_file(spark, tmp_path):
     back = spark.read.parquet(ranged)
     assert back.count() == 4096
     assert back.agg(F.sum("payload")).first()[0] == 4096 * 4095 // 2
+
+
+def test_hilbert_bijection_and_locality_beats_zorder(spark):
+    """Hilbert index on a 16x16 grid: a bijection whose consecutive
+    indices are ALWAYS grid-adjacent (Manhattan distance 1), vs
+    Z-order's quadrant-seam jumps (up to 2^bits). This adjacency gap
+    is exactly why a Hilbert-sorted write has tighter per-file
+    min-max ranges than a Morton-sorted one."""
+    from scrappy_spark.operators.layout import hilbert_attach, z_value
+
+    n = 16
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    rows = hilbert_attach(grid, F.col("x"), F.col("y"), bits=4).withColumn(
+        "z", z_value(F.col("x"), F.col("y"), bits=4)
+    ).collect()
+    by_h = {r["h"]: (r["x"], r["y"]) for r in rows}
+    by_z = {r["z"]: (r["x"], r["y"]) for r in rows}
+    assert len(by_h) == n * n  # bijection
+    h_steps = [
+        abs(by_h[d][0] - by_h[d + 1][0]) + abs(by_h[d][1] - by_h[d + 1][1])
+        for d in range(n * n - 1)
+    ]
+    z_steps = [
+        abs(by_z[d][0] - by_z[d + 1][0]) + abs(by_z[d][1] - by_z[d + 1][1])
+        for d in range(n * n - 1)
+    ]
+    assert max(h_steps) == 1
+    assert max(z_steps) > 1  # Z-order jumps at quadrant seams
+
+
+def test_hilbert_rejects_bad_bits(spark):
+    import pytest as _pytest
+
+    from scrappy_spark.operators.layout import hilbert_attach
+
+    df = spark.range(1).select(F.col("id").alias("x"), F.col("id").alias("y"))
+    with _pytest.raises(ValueError, match="bits"):
+        hilbert_attach(df, F.col("x"), F.col("y"), bits=0)

@@ -136,3 +136,65 @@ def test_temperature_deterministic(spark, skewed):
     a = sorted(r["doc_id"] for r in temperature_sample(skewed).collect())
     b = sorted(r["doc_id"] for r in temperature_sample(skewed).collect())
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup / quality floor
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_pairs_exclude_base_base(spark):
+    from scrappy_spark.operators.dedup_approx import (
+        incremental_minhash_pairs,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # 2 base dups (10, 11), 1 new doc duplicating the base pair (1),
+    # and 2 new dups of each other (2, 3).
+    base = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+         (11, "alpha beta gamma delta epsilon zeta eta theta"),
+         (12, "totally different words in this base document here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine"),
+         (3, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    sig_new, sig_base = minhash_signatures(new), minhash_signatures(base)
+    got = {
+        (r["id_a"], r["id_b"]): r["n_new_sides"]
+        for r in incremental_minhash_pairs(sig_new, sig_base).collect()
+    }
+    assert (10, 11) not in got  # base-base never generated
+    assert got[(2, 3)] == 2  # new-new
+    assert got[(1, 10)] == 1 and got[(1, 11)] == 1  # new-base
+    # and the increment's pair set matches a full recompute minus
+    # base-base, proving the index reuse is result-neutral
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(sig_new.unionAll(sig_base)).collect()
+    }
+    assert set(got) == {p for p in full if not (p[0] >= 10 and p[1] >= 10)}
+
+
+def test_quality_floor_drops_exact_fraction_per_group(spark):
+    from scrappy_spark.operators.curation import quality_floor
+
+    rows = [(i, "en", float(i)) for i in range(10)] + [
+        (100 + i, "fr", float(i)) for i in range(4)
+    ] + [(200, "zh", 1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, quality_score double")
+    kept = quality_floor(df, frac=0.25)
+    by_lang = {
+        r["lang"]: sorted(x["doc_id"] for x in kept.filter(F.col("lang") == r["lang"]).collect())
+        for r in kept.select("lang").distinct().collect()
+    }
+    # en: floor(.25*10)=2 lowest drop; fr: floor(.25*4)=1 drops;
+    # zh: floor(.25*1)=0 — single-row group survives intact.
+    assert by_lang["en"] == list(range(2, 10))
+    assert by_lang["fr"] == [101, 102, 103]
+    assert by_lang["zh"] == [200]
