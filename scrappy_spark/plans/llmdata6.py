@@ -320,3 +320,50 @@ def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate") - 1995,
         bits=8,
     ).select("o_orderkey", "h")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training / encoding
+# ---------------------------------------------------------------------------
+
+from ..operators.bpe import encode_bpe, learn_bpe
+
+_BPE_MERGES = 20
+_BPE_BATCH = 4
+
+
+@register(
+    "q_bpe_merges",
+    sql=None,  # learned model (iterative driver loop) -> rows-only
+    doc="Distributed BPE training: learn the top merge rules from the "
+    "corpus's word-frequency table (the ONLY corpus-wide pass; every "
+    "round after is one agg over the Heaps-law-bounded word table). "
+    "Rows-only: the merge list is a learned model from an iterative "
+    "loop; batch=1 equivalence with textbook BPE is pinned against a "
+    "pure-Python reference in test_llm_ops3.py.",
+    tags=("llm", "tokenizer", "model"),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = learn_bpe(docs, n_merges=_BPE_MERGES, batch=_BPE_BATCH)
+    return spark.createDataFrame(
+        [(m["merge_idx"], m["left"], m["right"], m["merged"], m["pair_count"]) for m in merges],
+        "merge_idx long, left string, right string, merged string, pair_count long",
+    )
+
+
+@register(
+    "q_bpe_tokenize",
+    sql=None,  # output depends on the learned model -> rows-only
+    doc="BPE corpus encoding with the learned vocabulary: scan + "
+    "broadcast join of the per-word segmentation table; unseen words "
+    "fall back to a character split through the merge fold. Rows-only "
+    "(model-derived); the reconstruction invariant (pieces re-concat "
+    "to the word) and textbook equivalence live in test_llm_ops3.py.",
+    tags=("llm", "tokenizer", "model"),
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges, word_pieces = learn_bpe(docs, n_merges=_BPE_MERGES, batch=_BPE_BATCH)
+    enc = encode_bpe(docs.filter(F.col("doc_id") < 50), merges, word_pieces)
+    return enc.select("doc_id", "word_pos", "word", "pieces_str", "n_pieces")

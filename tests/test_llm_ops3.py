@@ -198,3 +198,83 @@ def test_quality_floor_drops_exact_fraction_per_group(spark):
     assert by_lang["en"] == list(range(2, 10))
     assert by_lang["fr"] == [101, 102, 103]
     assert by_lang["zh"] == [200]
+
+
+# ---------------------------------------------------------------------------
+# BPE
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(word_counts, n_merges):
+    """Textbook BPE: strictly sequential merges, (count desc, pair asc)
+    tie-break, leftmost non-overlapping application."""
+    words = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        (a, b), cnt = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append((a, b, cnt))
+        new = {}
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        words = new
+    return merges
+
+
+def test_bpe_batch1_matches_textbook(spark):
+    from collections import Counter
+
+    from scrappy_spark.operators.bpe import learn_bpe
+
+    corpus = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new newer"),
+        (3, "wide wider widest low new"),
+    ]
+    wc = Counter(w for _, t in corpus for w in t.split())
+    expected = _ref_bpe(dict(wc), 10)
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges, _ = learn_bpe(df, n_merges=10, batch=1)
+    got = [(m["left"], m["right"], m["pair_count"]) for m in merges]
+    assert got == expected
+
+
+def test_bpe_encode_roundtrip_and_fallback(spark):
+    from scrappy_spark.operators.bpe import encode_bpe, learn_bpe
+
+    train = spark.createDataFrame(
+        [(1, "lower lower lowest newest newest")], "doc_id long, text string"
+    )
+    merges, word_pieces = learn_bpe(train, n_merges=8, batch=2)
+    # encode a corpus containing a word never seen in training
+    test = spark.createDataFrame(
+        [(9, "lower unseenword lowest")], "doc_id long, text string"
+    )
+    enc = encode_bpe(test, merges, word_pieces).collect()
+    sep = chr(0x2581)
+    for r in enc:
+        assert r["pieces_str"].replace(sep, "") == r["word"]  # reconstruction
+        assert r["n_pieces"] == len(r["pieces_str"].split(sep))
+    by_word = {r["word"]: r for r in enc}
+    assert by_word["unseenword"]["n_pieces"] >= 1  # fallback path ran
+
+
+def test_bpe_rejects_bad_params(spark):
+    from scrappy_spark.operators.bpe import learn_bpe
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        learn_bpe(df, n_merges=0)
