@@ -44,6 +44,11 @@ PROBES = [
     "q_unigram_surprisal",
     "q_remove_repeated_spans",
     "q_dup_clusters",
+    "q_bloom_decontaminate",
+    "q_doc_perplexity",
+    "q_incremental_dedup_pairs",
+    "q_temperature_sample",
+    "q_quality_floor",
 ]
 
 
