@@ -46,6 +46,8 @@ HEADLINE = [
     "q_pagerank_pages",
     "q_semantic_decontaminate",
     "q_profile_columns",
+    "q_bloom_decontaminate",
+    "q_doc_perplexity",
 ]
 
 
