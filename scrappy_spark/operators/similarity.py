@@ -562,3 +562,149 @@ def semantic_decontaminate_ann(
             ).alias("contaminated"),
         )
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection: reduce ``dim``-d vectors
+    to ``out_dim`` components y_j = Σ_i x_i·s_ij / √k with s_ij ∈ {±1}
+    (Achlioptas' database-friendly JL variant — sign matrices preserve
+    pairwise distances/cosines within the JL distortion bound, no
+    Gaussian sampling needed). The cheap pre-step before ANN/clustering
+    when 64-d is still too wide at corpus scale.
+
+    Determinism/parity contract: the sign matrix derives from md5
+    parity (no stored model, reproducible on any engine) and the input
+    components quantize to integer micro-units FIRST, so the per-
+    component reduction is an exact integer sum — the only float ops
+    are one division and round at the end, making the output
+    oracle-checkable bit-for-bit.
+
+    Shape: posexplode (n·d rows) → broadcast join of the d×k sign
+    table → one groupBy(id, j) with integer partial aggs. The n·d·k
+    intermediate is the price of exactness; for throughput-critical
+    paths the BLAS-kernel pattern of ``semantic_decontaminate_blas``
+    applies unchanged (matmul against the same ±1 matrix).
+
+    Output long-form, k rows per vector: ``comp_micro`` is the exact
+    integer contract (the oracle column — a rounded float column would
+    sit ON half boundaries by construction, where engines disagree on
+    decimal-vs-binary rounding); ``comp`` = comp_micro/(10⁶·√k) is the
+    float view for consumers.
+    """
+    first = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    dim = first["n"] if first is not None else 0
+    spark = df.sparkSession
+    signs = (
+        spark.range(dim)
+        .select(F.col("id").alias("i"))
+        .crossJoin(spark.range(out_dim).select(F.col("id").alias("j")))
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("|", F.lit(salt), F.col("i"), F.col("j"))),
+                            1,
+                            1,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2
+                )
+                * 2
+                - 1
+            ).alias("s"),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    ).select(
+        id_col,
+        "i",
+        F.round(F.col("x").cast("double") * 1_000_000).cast("long").alias("x_micro"),
+    )
+    return (
+        exploded.join(F.broadcast(signs), "i")
+        .groupBy(id_col, "j")
+        .agg(F.sum(F.col("x_micro") * F.col("s")).alias("comp_micro"))
+        .select(
+            id_col,
+            "j",
+            "comp_micro",
+            (
+                F.col("comp_micro").cast("double") / 1_000_000 / float(out_dim) ** 0.5
+            ).alias("comp"),
+        )
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    threshold: float = 0.95,
+    seed: int = 13,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): KMeans-cluster
+    the embedding space, then mark semantic duplicates WITHIN each
+    cluster — a vector is dropped when its cosine to any lower-id
+    vector of the same cluster reaches ``threshold`` (the one-pass
+    deterministic relaxation of the paper's greedy representative
+    selection; lowest id survives as the keeper).
+
+    Scale shape: clustering bounds the pairwise stage to O(Σ c_g²)
+    instead of n² — the cluster id is the block key. The per-cluster
+    self-join shuffles on the cluster id; for clusters too large even
+    for that, compose with ``embedding_near_dup_pairs`` inside the
+    cluster (LSH blocking within the block). KMeans is MLlib's
+    (seeded, deterministic for a fixed input); model-based → rows-only
+    contract, behavior pinned in tests on constructed clusters.
+
+    Output: (id, cluster, kept ∈ {0,1}).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = df.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__v")
+    )
+    km = KMeans(k=k, seed=seed, featuresCol="__v", predictionCol="__c")
+    clustered = (
+        km.fit(with_vec)
+        .transform(with_vec)
+        .select(id_col, vec_col, F.col("__c").cast("long").alias("cluster"))
+    )
+    a = clustered.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cluster"
+    )
+    b = clustered.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "cluster"
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return (
+        clustered.join(
+            dropped.withColumn("__drop", F.lit(1)), id_col, "left"
+        )
+        .select(
+            id_col,
+            "cluster",
+            F.when(F.col("__drop").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("kept"),
+        )
+    )

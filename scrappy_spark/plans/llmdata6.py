@@ -367,3 +367,62 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, word_pieces = learn_bpe(docs, n_merges=_BPE_MERGES, batch=_BPE_BATCH)
     enc = encode_bpe(docs.filter(F.col("doc_id") < 50), merges, word_pieces)
     return enc.select("doc_id", "word_pos", "word", "pieces_str", "n_pieces")
+
+
+# ---------------------------------------------------------------------------
+# JL random projection / SemDeDup
+# ---------------------------------------------------------------------------
+
+from ..operators.similarity import random_projection, semdedup
+
+_JL_K = 16
+
+
+@register(
+    "q_random_projection",
+    sql=f"""
+    WITH dims AS (SELECT unnest(range(0, 64)) AS i),
+    outd AS (SELECT unnest(range(0, {_JL_K})) AS j),
+    signs AS (SELECT i, j,
+                     (CAST(('0x' || substr(md5('jl|' || i || '|' || j), 1, 1))
+                           AS BIGINT) % 2) * 2 - 1 AS s
+              FROM dims CROSS JOIN outd),
+    ex AS (SELECT vec_id, g.i,
+                  CAST(round(CAST(embedding[g.i + 1] AS DOUBLE) * 1000000)
+                       AS BIGINT) AS x_micro
+           FROM embeddings,
+                (SELECT unnest(range(0, 64)) AS i) g)
+    SELECT vec_id, j, CAST(sum(x_micro * s) AS BIGINT) AS comp_micro
+    FROM ex JOIN signs USING (i)
+    GROUP BY vec_id, j
+    """,
+    doc="Johnson-Lindenstrauss sign projection 64d -> 16d (Achlioptas "
+    "database-friendly variant): the sign matrix derives from md5 "
+    "parity (no stored model) and input components quantize to integer "
+    "micro-units first, so the per-component reduction is an exact "
+    "integer sum -- bit-for-bit cross-engine despite being a float "
+    "algorithm. The declared output is the exact integer comp_micro "
+    "(a rounded float would sit ON half boundaries by construction); "
+    "the operator also exposes comp = comp_micro/(1e6*sqrt(k)).",
+    tags=("llm", "similarity"),
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb, out_dim=_JL_K).select("vec_id", "j", "comp_micro")
+
+
+@register(
+    "q_semdedup",
+    sql=None,  # KMeans model inside -> rows-only; behavior pinned in tests
+    doc="SemDeDup (Abbas et al. 2023): KMeans-cluster the embedding "
+    "space, then drop within-cluster semantic near-duplicates (cosine "
+    ">= 0.95 to a lower-id vector; lowest id survives). Clustering "
+    "bounds the pairwise stage to sum(c_g^2) -- the cluster id is the "
+    "block key. Rows-only: the MLlib model makes it model-based; "
+    "keeper/dropped behavior is pinned in test_llm_ops3.py on "
+    "constructed clusters.",
+    tags=("llm", "dedup", "model"),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=16, threshold=0.95)

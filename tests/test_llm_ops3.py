@@ -278,3 +278,70 @@ def test_bpe_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_merges"):
         learn_bpe(df, n_merges=0)
+
+
+# ---------------------------------------------------------------------------
+# JL random projection / SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_preserves_cosine_approximately(spark):
+    import math
+    import random
+
+    from scrappy_spark.operators.similarity import random_projection
+
+    rng = random.Random(7)
+    dim = 64
+    # 3 direction groups: pairs within a group are highly similar,
+    # across groups near-orthogonal-ish
+    bases = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(3)]
+    vecs = []
+    for vid in range(12):
+        base = bases[vid % 3]
+        vecs.append((vid, [b + rng.gauss(0, 0.05) for b in base]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    proj = random_projection(df, out_dim=16)
+    by_id = {}
+    for r in proj.collect():
+        by_id.setdefault(r["vec_id"], {})[r["j"]] = r["comp"]
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / (math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v)))
+    orig = {vid: v for vid, v in vecs}
+    pvec = {vid: [by_id[vid][j] for j in range(16)] for vid in orig}
+    # high-similarity pairs (same base direction) survive projection
+    # almost exactly — this is what SemDeDup/ANN consumers rely on
+    for a, b in [(0, 3), (1, 4), (2, 5), (3, 6), (4, 7)]:
+        before, after = cos(orig[a], orig[b]), cos(pvec[a], pvec[b])
+        assert before > 0.99 and abs(before - after) < 0.05
+    # near-orthogonal pairs wander by ~1/sqrt(k) each; individual draws
+    # can be bad at k=16, but the MEAN absolute distortion across all
+    # cross-direction pairs must respect the JL bound
+    cross_pairs = [(a, b) for a in range(6) for b in range(a + 1, 6) if a % 3 != b % 3]
+    dist = [abs(cos(orig[a], orig[b]) - cos(pvec[a], pvec[b])) for a, b in cross_pairs]
+    assert sum(dist) / len(dist) < 0.35, dist
+    # and same-direction similarity stays above cross-direction on average
+    same_avg = sum(cos(pvec[a], pvec[b]) for a, b in [(0, 3), (1, 4), (2, 5)]) / 3
+    cross_avg = sum(cos(pvec[a], pvec[b]) for a, b in cross_pairs) / len(cross_pairs)
+    assert same_avg > cross_avg + 0.2
+
+
+def test_semdedup_drops_within_cluster_dups_keeps_lowest(spark):
+    from scrappy_spark.operators.similarity import semdedup
+
+    # two far-apart clusters; ids 0/1/2 identical in cluster A,
+    # ids 10/11 identical in cluster B, 12 distinct in B
+    a = [1.0] * 32 + [0.0] * 32
+    b = [0.0] * 32 + [1.0] * 32
+    c = [0.0] * 16 + [1.0] * 16 + [0.0] * 32
+    rows = [(0, a), (1, a), (2, a), (10, b), (11, b), (12, c)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semdedup(df, k=2, threshold=0.95).collect()}
+    assert out[0]["kept"] == 1          # lowest id survives
+    assert out[1]["kept"] == 0 and out[2]["kept"] == 0
+    assert out[10]["kept"] == 1 and out[11]["kept"] == 0
+    assert out[12]["kept"] == 1          # distinct vector untouched
+    # dups landed in the same cluster as their keeper
+    assert out[1]["cluster"] == out[0]["cluster"]
+    assert out[11]["cluster"] == out[10]["cluster"]
