@@ -123,3 +123,70 @@ def q_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.theta_sketch_estimate("sk_c").alias("est_clickers"),
         F.theta_sketch_estimate("sk_p").alias("est_buyers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (deterministic -> full oracle, unlike HLL/KLL)
+# ---------------------------------------------------------------------------
+
+from ..operators import cms as CMS
+
+_CMS_RAW_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+_CMS_SQL = f"""
+    t AS (SELECT unnest({_CMS_RAW_TOKS}) AS tok FROM documents),
+    cells AS (SELECT r, ((CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                          + r * (CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) | 1))
+                         % {CMS.CMS_WIDTH}) AS pos
+              FROM t, (SELECT unnest(range(0, {CMS.CMS_DEPTH})) AS r) d),
+    grid AS (SELECT r, pos, CAST(count(*) AS BIGINT) AS cnt
+             FROM cells GROUP BY r, pos),
+    exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+              FROM t GROUP BY tok),
+    probe AS (SELECT tok FROM exact ORDER BY exact_count DESC, tok LIMIT 40),
+    ppos AS (SELECT tok, r, ((CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                              + r * (CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) | 1))
+                             % {CMS.CMS_WIDTH}) AS pos
+             FROM probe, (SELECT unnest(range(0, {CMS.CMS_DEPTH})) AS r) d),
+    est AS (SELECT tok, CAST(min(coalesce(grid.cnt, 0)) AS BIGINT) AS cms_est
+            FROM ppos LEFT JOIN grid USING (r, pos)
+            GROUP BY tok)
+"""
+
+
+@register(
+    "q_cms_heavy_hitters",
+    sql=f"""
+    WITH {_CMS_SQL}
+    SELECT est.tok, exact.exact_count, est.cms_est,
+           CAST(est.cms_est - exact.exact_count AS BIGINT) AS overcount
+    FROM est JOIN exact USING (tok)
+    """,
+    doc="Count-min sketch over the corpus token stream (4x1024 grid, "
+    "md5 double hashing), probed at the top-40 tokens beside their "
+    "exact counts. The CMS is a DETERMINISTIC approximation -- "
+    "min-of-counters never undercounts, and every cell reproduces "
+    "bit-for-bit cross-engine -- so unlike the HLL/KLL estimates this "
+    "sketch query takes the full value-hash gate, overcount column "
+    "included. Build is one partial-agg groupBy to <= d*w cells; "
+    "probe broadcasts the grid.",
+    tags=("sketch", "approx", "agg"),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mining import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    grid = CMS.cms_build(toks, "tok")
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    probe = exact.orderBy(F.desc("exact_count"), F.asc("tok")).limit(40).select("tok")
+    est = CMS.cms_estimate(probe, grid, "tok")
+    return (
+        est.join(exact, "tok")
+        .select(
+            "tok",
+            "exact_count",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_count")).alias("overcount"),
+        )
+    )

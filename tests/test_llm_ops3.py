@@ -345,3 +345,41 @@ def test_semdedup_drops_within_cluster_dups_keeps_lowest(spark):
     # dups landed in the same cluster as their keeper
     assert out[1]["cluster"] == out[0]["cluster"]
     assert out[11]["cluster"] == out[10]["cluster"]
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    from scrappy_spark.operators import cms as C
+
+    rows = [(f"k{i % 50}",) for i in range(2000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "key string")
+    grid = C.cms_build(df, "key")
+    exact = df.groupBy("key").agg(F.count("*").alias("c"))
+    est = C.cms_estimate(df, grid, "key")
+    joined = est.join(exact, "key").collect()
+    assert all(r["cms_est"] >= r["c"] for r in joined)  # never undercount
+    hot = [r for r in joined if r["key"] == "hot"][0]
+    # heavy hitter estimated within the eps*N bound (e/w * N ~ 7 here)
+    assert hot["cms_est"] - hot["c"] <= (2.718 / C.CMS_WIDTH) * 2500 + 1
+    # mergeability: cell-wise sum of two halves == grid of the union
+    h1 = spark.createDataFrame(rows[:1000], "key string")
+    h2 = spark.createDataFrame(rows[1000:], "key string")
+    merged = (
+        C.cms_build(h1, "key")
+        .unionAll(C.cms_build(h2, "key"))
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(grid).count() == 0
+    assert grid.exceptAll(merged).count() == 0
+
+
+def test_cms_rejects_bad_width(spark):
+    from scrappy_spark.operators import cms as C
+
+    with pytest.raises(ValueError, match="power of two"):
+        C.cms_positions(F.lit("x"), width=1000)
