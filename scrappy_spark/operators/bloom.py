@@ -126,3 +126,46 @@ def bloom_probe(
         )
     )
     return probed.groupBy(key_col).agg(F.min("bit_set").alias(out_col))
+
+
+def bank_to_dense(bank: DataFrame, m_bits: int = BLOOM_M_BITS) -> list[int]:
+    """Collapse a bank DataFrame to the dense word list (length m/32,
+    zeros for absent words) — a bounded driver-side collect (≤ m/32
+    rows by construction, ~64 KB at the default geometry) that turns
+    the filter into a broadcastable literal."""
+    words = [0] * (m_bits // 32)
+    for r in bank.collect():
+        words[r["word_idx"]] = r["word"]
+    return words
+
+
+def bloom_contains(
+    key: Column,
+    dense_words: list[int],
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> Column:
+    """Pure column-expression membership test against a dense bank.
+
+    No join, no aggregation — the bank rides along as an array literal
+    in the plan (Catalyst broadcasts it inside the serialized
+    expression), so this form works ANYWHERE a column does: streaming
+    filters (where ``bloom_probe``'s groupBy would force a stateful
+    agg), join pruning, generated columns. This is the right shape for
+    stream-side decontamination: the stream is filtered scan-side,
+    row by row, with zero state.
+    """
+    arr = F.lit(dense_words)
+    pos = bloom_positions(key, m_bits, k)
+    checks = []
+    for i in range(k):
+        p = pos.getItem(i)
+        word = F.element_at(arr, (F.shiftright(p, 5) + 1).cast("int"))
+        # pyspark's shiftleft wants a literal shift amount; 2^(p&31)
+        # is exact in double up to 2^31, so pow+cast gives the mask.
+        mask = F.pow(F.lit(2.0), p.bitwiseAND(F.lit(31))).cast("long")
+        checks.append(word.bitwiseAND(mask) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out

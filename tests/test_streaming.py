@@ -215,3 +215,35 @@ def test_stream_over_nanos_long_source_equals_batch(spark, events_dir):
         assert _sorted_rows(out) == _sorted_rows(tumbling_window_agg(batch))
     finally:
         shutil.rmtree(nanos_dir, ignore_errors=True)
+
+
+def test_stream_bloom_decontamination_equals_batch(spark):
+    """Scan-side Bloom decontamination on a STREAM: the bank built from
+    a benchmark set collapses to a dense array literal
+    (bloom_contains), so the stream is filtered row-by-row with zero
+    state — no join, no aggregation — and one availableNow pass equals
+    the batch filter exactly (same expression, same bank)."""
+    from scrappy_spark.operators import bloom as B
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") < 25).select(F.md5("text").alias("h"))
+    dense = B.bank_to_dense(B.bloom_build(bench, "h"))
+
+    d = tempfile.mkdtemp(prefix="docs_stream_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(d)
+        stream_in = spark.readStream.schema(docs.schema).parquet(d)
+        flagged = stream_in.select(
+            "doc_id", B.bloom_contains(F.md5("text"), dense).alias("contaminated")
+        )
+        assert flagged.isStreaming
+        out = _run_stream_to_memory(spark, flagged, "mem_bloom", "append")
+        batch = docs.select(
+            "doc_id", B.bloom_contains(F.md5("text"), dense).alias("contaminated")
+        )
+        assert _sorted_rows(out) == _sorted_rows(batch)
+        # every benchmark doc flags itself (no false negatives)
+        flagged_ids = {r[0] for r in out.collect() if r[1]}
+        assert set(range(25)) <= flagged_ids
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
