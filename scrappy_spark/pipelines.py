@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .operators.components import checkpointed, dedup_clusters
 from .operators.dedup_approx import (
+    incremental_minhash_pairs,
     minhash_candidate_pairs,
     minhash_signatures,
     with_exact_rep,
@@ -105,3 +106,110 @@ def dedup_corpus(
         how="left_semi",
     )
     return cleaned, clusters
+
+
+def dedup_corpus_incremental(
+    new_docs: DataFrame,
+    base_sig: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    min_matches: int = 2,
+    hash_fn: str = "md5",
+    max_bucket_size: int = 1000,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Daily-ingest dedup: clean a NEW batch against an already-indexed
+    corpus using only the base's stored SIGNATURE table — base text is
+    never re-read, never re-shingled, and base-base pairs never exist.
+
+    Returns ``(cleaned_new, verdict_map, sig_out)``:
+
+    - ``cleaned_new``: new rows that survive — not an exact dup within
+      the batch, not near-dup-connected to the base corpus, and the
+      canonical (min-id) member of their within-batch near-dup cluster.
+    - ``verdict_map``: (doc_id, component, verdict) for EVERY new doc —
+      'exact_dup_in_batch' | 'dup_of_base' | 'near_dup_in_batch' |
+      'kept'. A whole within-batch cluster is 'dup_of_base' when ANY
+      member pairs with the base (the cluster is the same content
+      neighborhood the base already covers).
+    - ``sig_out``: signatures of the kept reps — union into the stored
+      index so tomorrow's batch dedups against today's acceptances.
+
+    Stage shape mirrors ``dedup_corpus`` (collapse → LSH → components
+    → fan-out) with ``incremental_minhash_pairs`` as the pair stage;
+    all shuffles price by batch size and bucket co-occupancy, not base
+    size. ``n_new_sides`` from the pair stage splits the graph: ==2
+    edges drive the within-batch components, ==1 edges mark
+    base-connected reps.
+    """
+    eager = checkpoint_dir is not None
+    with_rep = checkpointed(
+        with_exact_rep(new_docs, text_col=text_col, id_col=id_col),
+        checkpoint_dir,
+        eager=eager,
+    )
+    reps = with_rep.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
+    doc_to_rep = with_rep.select(id_col, "__rep")
+    sig_new = checkpointed(
+        minhash_signatures(
+            reps, text_col=text_col, id_col=id_col, num_hashes=num_hashes, hash_fn=hash_fn
+        ),
+        checkpoint_dir,
+        eager=eager,
+    )
+    pairs = incremental_minhash_pairs(
+        sig_new,
+        base_sig,
+        id_col=id_col,
+        min_matches=min_matches,
+        max_bucket_size=max_bucket_size,
+    )
+    nn = pairs.filter(F.col("n_new_sides") == 2).select("id_a", "id_b")
+    nb = pairs.filter(F.col("n_new_sides") == 1)
+    rep_ids = reps.select(id_col)
+    base_connected = (
+        nb.join(rep_ids.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi")
+        .select(F.col("id_a").alias(id_col))
+        .unionAll(
+            nb.join(rep_ids.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi")
+            .select(F.col("id_b").alias(id_col))
+        )
+        .distinct()
+    )
+    comp = dedup_clusters(reps, nn, id_col=id_col, checkpoint_dir=checkpoint_dir)
+    bad_comps = (
+        comp.join(base_connected, id_col, "left_semi").select("component").distinct()
+    )
+    rep_v = (
+        comp.join(bad_comps.withColumn("__bad", F.lit(1)), "component", "left")
+        .select(
+            id_col,
+            "component",
+            F.when(F.col("__bad").isNotNull(), F.lit("dup_of_base"))
+            .when(F.col(id_col) != F.col("component"), F.lit("near_dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )
+    verdict_map = (
+        doc_to_rep.join(
+            rep_v.select(
+                F.col(id_col).alias("__rep"),
+                "component",
+                F.col("verdict").alias("__rep_verdict"),
+            ),
+            "__rep",
+        )
+        .select(
+            id_col,
+            "component",
+            F.when(F.col(id_col) != F.col("__rep"), F.lit("exact_dup_in_batch"))
+            .otherwise(F.col("__rep_verdict"))
+            .alias("verdict"),
+        )
+    )
+    kept = rep_v.filter(F.col("verdict") == "kept").select(id_col)
+    cleaned = reps.join(kept, id_col, "left_semi")
+    sig_out = sig_new.join(kept, id_col, "left_semi")
+    return cleaned, verdict_map, sig_out

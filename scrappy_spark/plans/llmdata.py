@@ -125,14 +125,19 @@ def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DA.exact_dup_groups(load_table(spark, sf_dir, "documents"))
 
 
-_SHINGLES_SQL = f"""
-    toks AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents),
+def _shingles_sql_for(source: str) -> str:
+    """Shingle CTE chain over any relation with (doc_id, text)."""
+    return f"""
+    toks AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM {source}),
     sh AS (SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                unnest([array_to_string(toks[i : i + 2], ' ')
                        FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
         FROM toks))
 """
+
+
+_SHINGLES_SQL = _shingles_sql_for("documents")
 
 # The (seed, a1, a2, b) universal-hash constants come from the SAME
 # table the Spark operator uses (dedup_approx.MINHASH_ABC) — one source
@@ -143,8 +148,10 @@ _MINHASH_PARAMS_SQL = ", ".join(
     f"({seed}, {a1}, {a2}, {b})" for seed, (a1, a2, b) in enumerate(DA.MINHASH_ABC)
 )
 
-_SIG_SQL = f"""
-    {_SHINGLES_SQL},
+def _sig_sql_for(source: str) -> str:
+    """MinHash-signature CTE chain over any relation with (doc_id, text)."""
+    return f"""
+    {_shingles_sql_for(source)},
     based AS (SELECT doc_id,
                      CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS base
               FROM sh),
@@ -154,6 +161,9 @@ _SIG_SQL = f"""
             FROM based, (VALUES {_MINHASH_PARAMS_SQL}) AS params(seed, a1, a2, b)
             GROUP BY doc_id, seed)
 """
+
+
+_SIG_SQL = _sig_sql_for("documents")
 
 
 @register(

@@ -426,3 +426,85 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup(emb, k=16, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# Incremental end-to-end corpus dedup (daily-ingest pipeline)
+# ---------------------------------------------------------------------------
+
+from .llmdata import _sig_sql_for
+
+
+@register(
+    "q_incremental_dedup_corpus",
+    sql=f"""
+    WITH RECURSIVE
+    nwin AS (SELECT doc_id, text,
+                    min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+             FROM documents WHERE doc_id < {_INC_NEW_MAX_ID}),
+    nrep AS (SELECT doc_id, text FROM nwin WHERE doc_id = rep),
+    corpus AS (SELECT doc_id, text FROM nrep
+               UNION ALL
+               SELECT doc_id, text FROM documents
+               WHERE doc_id >= {_INC_NEW_MAX_ID}),
+    {_sig_sql_for("corpus")},
+    ok_buckets AS (SELECT seed, minhash FROM sig
+                   GROUP BY seed, minhash
+                   HAVING count(*) <= {DA.LSH_MAX_BUCKET}),
+    fsig AS (SELECT s.doc_id, s.seed, s.minhash
+             FROM sig s JOIN ok_buckets USING (seed, minhash)),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM fsig a JOIN fsig b
+                ON a.seed = b.seed AND a.minhash = b.minhash
+               AND a.doc_id < b.doc_id
+              WHERE a.doc_id < {_INC_NEW_MAX_ID} OR b.doc_id < {_INC_NEW_MAX_ID}
+              GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+    bh AS (SELECT DISTINCT CASE WHEN id_a < {_INC_NEW_MAX_ID} THEN id_a ELSE id_b END AS id
+           FROM pairs
+           WHERE (id_a < {_INC_NEW_MAX_ID}) <> (id_b < {_INC_NEW_MAX_ID})),
+    ne AS (SELECT id_a AS a, id_b AS b FROM pairs
+           WHERE id_a < {_INC_NEW_MAX_ID} AND id_b < {_INC_NEW_MAX_ID}
+           UNION
+           SELECT id_b, id_a FROM pairs
+           WHERE id_a < {_INC_NEW_MAX_ID} AND id_b < {_INC_NEW_MAX_ID}),
+    reach(a, b) AS (
+      SELECT a, b FROM ne
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN ne e ON r.b = e.a),
+    comp AS (SELECT n.doc_id,
+                    least(n.doc_id, coalesce(min(r.b), n.doc_id)) AS component
+             FROM nrep n LEFT JOIN reach r ON r.a = n.doc_id
+             GROUP BY n.doc_id),
+    badc AS (SELECT DISTINCT c.component
+             FROM comp c JOIN bh ON bh.id = c.doc_id),
+    repv AS (SELECT c.doc_id, c.component,
+                    CASE WHEN badc.component IS NOT NULL THEN 'dup_of_base'
+                         WHEN c.doc_id <> c.component THEN 'near_dup_in_batch'
+                         ELSE 'kept' END AS verdict
+             FROM comp c LEFT JOIN badc ON badc.component = c.component)
+    SELECT w.doc_id, repv.component,
+           CASE WHEN w.doc_id <> w.rep THEN 'exact_dup_in_batch'
+                ELSE repv.verdict END AS verdict
+    FROM nwin w JOIN repv ON repv.doc_id = w.rep
+    """,
+    doc="Incremental END-TO-END corpus dedup (the daily-ingest "
+    "pipeline): collapse the new batch's exact dups, LSH-pair the "
+    "batch reps against the stored base SIGNATURE index (base text "
+    "never re-read; base-base pairs never exist), run components over "
+    "the within-batch pair graph, and fan verdicts to every new doc — "
+    "kept / exact_dup_in_batch / near_dup_in_batch / dup_of_base (a "
+    "whole batch cluster drops when ANY member pairs with base). The "
+    "oracle recomputes the same semantics as an uncollapsed "
+    "recursive-CTE closure over a reconstructed corpus relation, "
+    "proving the index-reuse optimization result-neutral.",
+    tags=("llm", "dedup", "incremental", "pipeline"),
+)
+def q_incremental_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines import dedup_corpus_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") < _INC_NEW_MAX_ID)
+    base = docs.filter(F.col("doc_id") >= _INC_NEW_MAX_ID)
+    base_sig = DA.minhash_signatures(base)
+    _, verdict_map, _ = dedup_corpus_incremental(new, base_sig)
+    return verdict_map.select("doc_id", "component", "verdict")

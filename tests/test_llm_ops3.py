@@ -383,3 +383,41 @@ def test_cms_rejects_bad_width(spark):
 
     with pytest.raises(ValueError, match="power of two"):
         C.cms_positions(F.lit("x"), width=1000)
+
+
+def test_incremental_dedup_corpus_verdicts_and_idempotence(spark):
+    from scrappy_spark.operators.dedup_approx import minhash_signatures
+    from scrappy_spark.pipelines import dedup_corpus_incremental
+
+    base = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (101, "completely different base content about other things entirely here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # dup of base
+            (2, "one two three four five six seven eight nine ten"),          # fresh
+            (3, "one two three four five six seven eight nine ten"),          # exact dup of 2
+            (4, "one two three four five six seven eight nine eleven"),       # near dup of 2
+            (5, "unique snowflake content found nowhere else in any corpus"), # fresh
+        ],
+        "doc_id long, text string",
+    )
+    base_sig = minhash_signatures(base)
+    cleaned, verdicts, sig_out = dedup_corpus_incremental(new, base_sig)
+    v = {r["doc_id"]: r["verdict"] for r in verdicts.collect()}
+    assert v[1] == "dup_of_base"
+    assert v[2] == "kept"
+    assert v[3] == "exact_dup_in_batch"
+    assert v[4] == "near_dup_in_batch"
+    assert v[5] == "kept"
+    assert sorted(r["doc_id"] for r in cleaned.collect()) == [2, 5]
+    # index update closes the loop: re-ingesting the same batch against
+    # base_sig + sig_out drops EVERYTHING (nothing new survives twice)
+    updated = base_sig.unionAll(sig_out)
+    renew = new.withColumn("doc_id", F.col("doc_id") + 50)
+    cleaned2, v2, _ = dedup_corpus_incremental(renew, updated)
+    assert cleaned2.count() == 0
+    kept_twice = [r["doc_id"] for r in v2.collect() if r["verdict"] == "kept"]
+    assert kept_twice == []
