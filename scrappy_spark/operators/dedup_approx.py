@@ -285,10 +285,23 @@ def incremental_minhash_pairs(
             "incremental_minhash_pairs requires a finite max_bucket_size: "
             "the grouped-bucket plan materializes each bucket's id list"
         )
+    # Prune the base index to the buckets the batch actually touches:
+    # a bucket with no new doc cannot produce a new-involved pair, and
+    # matching buckets keep ALL their base rows, so the union-bucket
+    # cap is unchanged. The batch's distinct keys are batch-sized —
+    # broadcastable — so base-side work prices by bucket co-occupancy,
+    # not base size (measured: 10x dup-heavy base, where matching
+    # buckets genuinely hold 10x occupants, costs 1.6x wall;
+    # ARCHITECTURE.md. A non-matching base row costs only its scan,
+    # and a bucketed stored index prunes even that).
+    batch_keys = sig_new.select("seed", "minhash").distinct()
+    base_pruned = sig_base.join(
+        F.broadcast(batch_keys), ["seed", "minhash"], "left_semi"
+    )
     tagged = sig_new.select(
         F.col(id_col).alias("id"), "seed", "minhash", F.lit(1).alias("nw")
     ).unionAll(
-        sig_base.select(
+        base_pruned.select(
             F.col(id_col).alias("id"), "seed", "minhash", F.lit(0).alias("nw")
         )
     )
