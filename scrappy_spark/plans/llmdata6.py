@@ -508,3 +508,60 @@ def q_incremental_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_sig = DA.minhash_signatures(base)
     _, verdict_map, _ = dedup_corpus_incremental(new, base_sig)
     return verdict_map.select("doc_id", "component", "verdict")
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split assignment
+# ---------------------------------------------------------------------------
+
+from ..operators.curation import assign_splits, sample_threshold
+
+_SPLIT_T1 = sample_threshold(0.8)
+_SPLIT_T2 = sample_threshold(0.9)
+
+
+@register(
+    "q_leakage_safe_split",
+    sql=f"""
+    WITH RECURSIVE
+    {_sig_sql_for("documents")},
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+    edges AS (SELECT id_a AS a, id_b AS b FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (
+      SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id)
+    SELECT doc_id, component,
+           CASE WHEN substr(md5('split|' || component), 1, 4) < '{_SPLIT_T1}'
+                THEN 'train'
+                WHEN substr(md5('split|' || component), 1, 4) < '{_SPLIT_T2}'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp
+    """,
+    doc="Leakage-safe train/val/test assignment: the split bucket "
+    "hashes the near-dup CLUSTER id, not the doc id, so no two "
+    "near-duplicates can straddle a split boundary (train/test "
+    "contamination via paraphrase twins -- the leak a per-doc hash "
+    "split cannot prevent). Composes the dedup pipeline's components "
+    "with md5-bucket split assignment; the oracle recomputes both via "
+    "the recursive-CTE closure.",
+    tags=("llm", "sampling", "dedup", "pipeline"),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines import dedup_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, clusters = dedup_corpus(docs, min_matches=2, max_bucket_size=None)
+    return assign_splits(clusters, id_col="component").select(
+        "doc_id", "component", "split"
+    )

@@ -421,3 +421,36 @@ def test_incremental_dedup_corpus_verdicts_and_idempotence(spark):
     assert cleaned2.count() == 0
     kept_twice = [r["doc_id"] for r in v2.collect() if r["verdict"] == "kept"]
     assert kept_twice == []
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from scrappy_spark.operators.curation import assign_splits
+    from scrappy_spark.pipelines import dedup_corpus
+
+    # many exact-dup pairs with ids far apart: a doc-id hash split
+    # separates some pair, the component-keyed split never does
+    rows = []
+    for i in range(40):
+        text = f"shared duplicate content number {i} with several more words appended"
+        rows.append((i, text))
+        rows.append((1000 + i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    _, clusters = dedup_corpus(docs, max_bucket_size=None)
+    safe = assign_splits(clusters, id_col="component")
+    # every component is entirely inside one split
+    n_multi = (
+        safe.groupBy("component")
+        .agg(F.count_distinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert n_multi == 0
+    # whereas the naive per-doc split DOES separate at least one pair
+    naive = assign_splits(clusters, id_col="doc_id")
+    n_multi_naive = (
+        naive.groupBy("component")
+        .agg(F.count_distinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert n_multi_naive > 0
