@@ -136,6 +136,12 @@ def dedup_corpus_incremental(
     - ``sig_out``: signatures of the kept reps — union into the stored
       index so tomorrow's batch dedups against today's acceptances.
 
+    New and base id spaces MUST be disjoint: the pair stage tags rows
+    through a union, and its ``id_a < id_b`` convention cannot pair a
+    doc with an indexed twin sharing its id (callers ingesting
+    possibly-redelivered data should anti-join batch ids against the
+    index first — ``stream_dedup_into_corpus`` does).
+
     Stage shape mirrors ``dedup_corpus`` (collapse → LSH → components
     → fan-out) with ``incremental_minhash_pairs`` as the pair stage;
     all shuffles price by batch size and bucket co-occupancy, not base

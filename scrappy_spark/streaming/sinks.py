@@ -61,3 +61,78 @@ def stream_append_parquet(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_into_corpus(
+    stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Continuously deduplicated corpus ingestion: every micro-batch of
+    documents runs the INCREMENTAL dedup pipeline against the stored
+    signature index, appends only the surviving rows to
+    ``{corpus_dir}/docs``, and appends the survivors' signatures to
+    ``{corpus_dir}/sig`` — so each batch dedups against everything
+    ever accepted (exact dups, near dups, and near-dups of prior
+    batches all drop), while base text is never re-read.
+
+    This is the streaming face of ``pipelines.dedup_corpus_incremental``
+    (same stages, same verdicts); the signature index IS the state, and
+    it lives in storage rather than stream state — unbounded corpora
+    can't keep dedup state in the state store (watermarked
+    ``dropDuplicates`` ages it out by design; corpus identity must
+    not age out). Checkpointing makes redelivery effectively
+    exactly-once: a replayed batch re-dedups against an index that
+    already contains its survivors, so every row drops as
+    ``dup_of_base`` — idempotent by construction (tested).
+
+    Returns the started StreamingQuery.
+    """
+    import os
+
+    from ..pipelines import dedup_corpus_incremental
+
+    docs_path = os.path.join(corpus_dir, "docs")
+    sig_path = os.path.join(corpus_dir, "sig")
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if os.path.exists(sig_path):
+            base_sig = spark.read.parquet(sig_path)
+        else:
+            base_sig = spark.createDataFrame(
+                [], f"{id_col} long, seed int, minhash long"
+            )
+        # Exactly-once by id FIRST: a redelivered row carries the same
+        # id as its indexed twin, and the pair stage's id_a < id_b
+        # cannot pair a doc with itself — so drop already-indexed ids
+        # before content dedup (also keeps new/base id spaces
+        # disjoint, which the union-tagged pair stage requires).
+        batch_df = batch_df.join(
+            base_sig.select(id_col).distinct(), id_col, "left_anti"
+        )
+        if batch_df.isEmpty():
+            return
+        cleaned, _, sig_out = dedup_corpus_incremental(
+            batch_df, base_sig, id_col=id_col, text_col=text_col
+        )
+        # Materialize survivors BEFORE either write: both outputs
+        # derive from the same frame, and the docs append must not
+        # race the sig append's recompute.
+        cleaned = cleaned.localCheckpoint()
+        cleaned.write.mode("append").parquet(docs_path)
+        sig_out.write.mode("append").parquet(sig_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

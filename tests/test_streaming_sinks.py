@@ -76,3 +76,65 @@ def test_stream_append_parquet_partitioned(spark):
         assert set(r.source for r in out.select("source").collect()) == {"IEEE", "arXiv"}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_dedup_into_corpus_dedups_across_batches(spark):
+    import os
+    import shutil
+
+    from scrappy_spark.streaming.sinks import stream_dedup_into_corpus
+
+    base = tempfile.mkdtemp(prefix="stream_corpus_")
+    src = os.path.join(base, "in")
+    corpus = os.path.join(base, "corpus")
+    ckpt1 = os.path.join(base, "ck1")
+    ckpt2 = os.path.join(base, "ck2")
+    try:
+        # batch 1: three distinct docs; batch 2: one dup of batch 1,
+        # one in-batch exact dup pair, one fresh doc
+        b1 = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+             (2, "one two three four five six seven eight nine"),
+             (3, "completely different content in the first batch here")],
+            "doc_id long, text string",
+        )
+        b2 = spark.createDataFrame(
+            [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+             (11, "brand new second batch document with fresh words"),
+             (12, "brand new second batch document with fresh words"),
+             (13, "another genuinely new document arriving in batch two")],
+            "doc_id long, text string",
+        )
+        b1.coalesce(1).write.parquet(os.path.join(src, "f1"))
+        b2.coalesce(1).write.parquet(os.path.join(src, "f2"))
+        schema = b1.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = stream_dedup_into_corpus(stream, corpus, ckpt1)
+        q.awaitTermination(120)
+        docs = spark.read.parquet(os.path.join(corpus, "docs"))
+        texts = [r["text"] for r in docs.collect()]
+        assert len(texts) == len(set(texts))  # no dup texts survive
+        kept = sorted(r["doc_id"] for r in docs.collect())
+        assert 1 in kept and 2 in kept and 3 in kept
+        assert 10 not in kept            # cross-batch dup dropped
+        assert (11 in kept) != (12 in kept)  # one of the in-batch pair
+        assert 13 in kept
+        n_before = docs.count()
+        sig_rows = spark.read.parquet(os.path.join(corpus, "sig")).count()
+        assert sig_rows == n_before * 8  # index covers every keeper
+        # redelivery with a FRESH checkpoint reprocesses everything —
+        # the index already holds the survivors, so nothing re-enters
+        stream2 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q2 = stream_dedup_into_corpus(stream2, corpus, ckpt2)
+        q2.awaitTermination(120)
+        assert spark.read.parquet(os.path.join(corpus, "docs")).count() == n_before
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
