@@ -4,6 +4,7 @@ article batches: merge idempotence, dedup subset, keep-first stability."""
 import datetime
 
 from hypothesis import HealthCheck, given, settings
+from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
 from scrappy_spark.operators.dedup import (
@@ -166,3 +167,70 @@ def test_remove_repeated_spans_invariants(spark, docs):
             assert r.n_removed == 0 and kept == toks
         else:
             assert r.n_removed >= L
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators
+# ---------------------------------------------------------------------------
+
+_corpora = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),
+        st.sampled_from(
+            ["alpha beta gamma delta", "one two three four", "alpha beta gamma delta epsilon",
+             "totally different words here", "one two three four five"]
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=_corpora, frac=st.sampled_from([0.0, 0.25, 0.5, 0.9]))
+@_SETTINGS
+def test_temperature_sample_invariants(spark, docs, frac):
+    """Kept set ⊆ input; determinism; empty target keeps nothing;
+    every group's kept count never exceeds its size."""
+    from scrappy_spark.operators.curation import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, t, ["en", "fr", "zh"][i % 3]) for i, t in docs],
+        "doc_id long, text string, lang string",
+    )
+    kept = temperature_sample(df, alpha=0.5, target_frac=frac)
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    all_ids = {i for i, _ in docs}
+    assert set(kept_ids) <= all_ids
+    again = sorted(r["doc_id"] for r in temperature_sample(df, alpha=0.5, target_frac=frac).collect())
+    assert kept_ids == again
+    if frac == 0.0:
+        assert kept_ids == []
+
+
+@given(docs=_corpora)
+@_SETTINGS
+def test_incremental_equals_full_minus_base_base(spark, docs):
+    """For ANY split of the corpus, incremental pairs = full-corpus
+    pairs minus base-base pairs, with n_match preserved."""
+    from scrappy_spark.operators.dedup_approx import (
+        incremental_minhash_pairs,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(list(docs), "doc_id long, text string")
+    cut = 30
+    sig = minhash_signatures(df)
+    sig_new = sig.filter(F.col("doc_id") < cut)
+    sig_base = sig.filter(F.col("doc_id") >= cut)
+    inc = {
+        (r["id_a"], r["id_b"]): r["n_match"]
+        for r in incremental_minhash_pairs(sig_new, sig_base).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["n_match"]
+        for r in minhash_candidate_pairs(sig).collect()
+    }
+    expected = {p: m for p, m in full.items() if not (p[0] >= cut and p[1] >= cut)}
+    assert inc == expected
