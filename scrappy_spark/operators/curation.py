@@ -664,3 +664,81 @@ def quality_floor(
         .filter(F.col("__rk") > F.floor(F.lit(frac) * F.col("__n")))
         .drop("__rk", "__n")
     )
+
+
+def span_corrupt(
+    df: DataFrame,
+    mask_rate: float = 0.15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mask",
+) -> DataFrame:
+    """T5-style span corruption: deterministically mask ~``mask_rate``
+    of each document's tokens, merge adjacent masked tokens into
+    spans, and emit the (input, target) training pair — input has each
+    span replaced by its ``<extra_id_K>`` sentinel, target lists every
+    sentinel followed by the tokens it hides.
+
+    Masking is a pure function of (salt, doc, position) — the same md5
+    bucket rule as the samplers — so example generation is reproducible
+    across runs, engines, and retries: the property a dataset card can
+    actually cite. (The original T5 sampler draws span lengths ~Poisson;
+    adjacent-merge of i.i.d. token masks is the deterministic analogue
+    with geometric span lengths, same corruption semantics.)
+
+    Shape: one explode, one (doc, pos) window pass for the running
+    span index (a span starts where a masked token follows an
+    unmasked one), then one groupBy(doc) that rebuilds both strings
+    with order-insensitive ``array_sort(collect_list(struct(pos, …)))``
+    — deterministic under any shuffle order, and the window and the
+    groupBy share the doc-key exchange. Docs with zero tokens are
+    absent from the output.
+    """
+    thr = sample_threshold(mask_rate)
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok")
+    )
+    m = (
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(salt), F.col(id_col).cast("string"), F.col("pos").cast("string")
+                )
+            ),
+            1,
+            4,
+        )
+        < F.lit(thr)
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = toks.withColumn("__m", m).withColumn(
+        "__start",
+        (F.col("__m") & ~F.coalesce(F.lag("__m").over(w), F.lit(False))).cast("int"),
+    )
+    # running span index: 0-based K of the span this masked token is in
+    spanned = flagged.withColumn(
+        "__k", F.sum("__start").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("__k").cast("string"), F.lit(">"))
+    inp_piece = F.when(~F.col("__m"), F.col("tok")).when(
+        F.col("__start") == 1, sentinel
+    )  # masked non-start -> NULL, dropped from the input
+    tgt_piece = F.when(
+        F.col("__m") & (F.col("__start") == 1), F.concat(sentinel, F.lit(" "), F.col("tok"))
+    ).when(F.col("__m"), F.col("tok"))
+
+    def _joined(piece: Column) -> Column:
+        pairs = F.array_sort(
+            F.collect_list(F.when(piece.isNotNull(), F.struct(F.col("pos"), piece.alias("p"))))
+        )
+        return F.array_join(F.transform(pairs, lambda s: s["p"]), " ")
+
+    return (
+        spanned.groupBy(id_col)
+        .agg(
+            _joined(inp_piece).alias("input_text"),
+            _joined(tgt_piece).alias("target_text"),
+            F.sum(F.col("__m").cast("long")).alias("n_masked"),
+            F.sum("__start").cast("long").alias("n_spans"),
+        )
+    )

@@ -565,3 +565,57 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_splits(clusters, id_col="component").select(
         "doc_id", "component", "split"
     )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption
+# ---------------------------------------------------------------------------
+
+from ..operators.curation import span_corrupt
+
+_MASK_THR = sample_threshold(0.15)
+
+
+@register(
+    "q_span_corrupt",
+    sql=f"""
+    WITH base AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS tok,
+                 generate_subscripts(toks, 1) - 1 AS pos
+          FROM base),
+    f AS (SELECT doc_id, pos, tok,
+                 substr(md5('mask|' || doc_id || '|' || pos), 1, 4)
+                     < '{_MASK_THR}' AS m
+          FROM t),
+    s AS (SELECT *, CASE WHEN m AND NOT coalesce(
+                       lag(m) OVER (PARTITION BY doc_id ORDER BY pos), false)
+                    THEN 1 ELSE 0 END AS st
+          FROM f),
+    k AS (SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS kk
+          FROM s)
+    SELECT doc_id,
+           coalesce(string_agg(
+             CASE WHEN NOT m THEN tok
+                  WHEN st = 1 THEN '<extra_id_' || kk || '>' END,
+             ' ' ORDER BY pos), '') AS input_text,
+           coalesce(string_agg(
+             CASE WHEN m AND st = 1 THEN '<extra_id_' || kk || '>' || ' ' || tok
+                  WHEN m THEN tok END,
+             ' ' ORDER BY pos), '') AS target_text,
+           CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(sum(st) AS BIGINT) AS n_spans
+    FROM k GROUP BY doc_id
+    """,
+    doc="T5-style span corruption (15% token mask, adjacent merge into "
+    "sentinel spans): emits the (input, target) training pair per doc. "
+    "Masking is a pure md5 function of (salt, doc, position) -- "
+    "reproducible example generation across runs/engines/retries, the "
+    "property a dataset card can cite. One explode + one doc-key "
+    "window + one groupBy sharing the exchange; strings rebuilt via "
+    "order-insensitive sorted collect, deterministic under any "
+    "shuffle order.",
+    tags=("llm", "curation"),
+)
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return span_corrupt(docs, mask_rate=0.15)

@@ -454,3 +454,40 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         .count()
     )
     assert n_multi_naive > 0
+
+
+def test_span_corrupt_roundtrip_and_structure(spark):
+    from scrappy_spark.operators.curation import span_corrupt
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = span_corrupt(df, mask_rate=0.3).collect()
+    assert len(out) == 20
+    for r in out:
+        inp, tgt = r["input_text"].split(), r["target_text"].split()
+        sent_in = [t for t in inp if t.startswith("<extra_id_")]
+        sent_tgt = [t for t in tgt if t.startswith("<extra_id_")]
+        # sentinels appear once per span, in order, identical on both sides
+        assert sent_in == [f"<extra_id_{k}>" for k in range(r["n_spans"])]
+        assert sent_tgt == sent_in
+        # reconstruction: replacing each input sentinel with its target
+        # span yields the original token sequence
+        spans, cur = {}, None
+        for t in tgt:
+            if t.startswith("<extra_id_"):
+                cur = t
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        rebuilt = []
+        for t in inp:
+            rebuilt.extend(spans[t] if t.startswith("<extra_id_") else [t])
+        assert rebuilt == ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                           "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+        assert r["n_masked"] == sum(len(v) for v in spans.values())
+    # deterministic
+    again = span_corrupt(df, mask_rate=0.3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
