@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .mining import tokens_col
+
 
 def profile_columns(
     df: DataFrame, cols: list[str] | None = None, approximate: bool = False
@@ -73,4 +75,50 @@ def profile_columns(
         "min_value",
         "max_value",
         (F.col("total_len").cast("double") / F.col("n_rows")).alias("avg_len"),
+    )
+
+
+def dataset_card(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: tuple[str, str] = ("lang", "source"),
+) -> DataFrame:
+    """One-pass dataset card: per-language rows, per-source rows, and a
+    corpus-total row (GROUPING SETS — disjoint dimensions plus grand
+    total, one expand-based aggregate, never three scans), each with
+    doc count, token totals, exact median doc length, and a quality
+    proxy (mean distinct-token ratio). This is the summary a training
+    run pins next to its data mix — auditable because every number is
+    deterministic and cheap because the corpus is read once.
+
+    Exact ``percentile`` keeps the numbers oracle-checkable;
+    ``percentile_approx`` is the drop-in at 100 TB (same plan shape,
+    mergeable sketch state).
+    """
+    a, b = dims
+    toks = tokens_col(F.col(text_col))
+    per_doc = df.select(
+        F.col(a),
+        F.col(b),
+        F.size(toks).alias("__n"),
+        (
+            F.when(
+                F.size(toks) > 0,
+                F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+            ).otherwise(F.lit(0.0))
+        ).alias("__dr"),
+    )
+    per_doc.createOrReplaceTempView("__card_docs")
+    return df.sparkSession.sql(
+        f"""
+        SELECT {a}, {b},
+               count(*)                                   AS n_docs,
+               CAST(sum(__n) AS BIGINT)                   AS total_tokens,
+               round(avg(__n), 4)                         AS avg_doc_tokens,
+               round(percentile(__n, 0.5), 4)             AS median_doc_tokens,
+               round(avg(__dr), 4)                        AS avg_distinct_ratio
+        FROM __card_docs
+        GROUP BY GROUPING SETS (({a}), ({b}), ())
+        """
     )

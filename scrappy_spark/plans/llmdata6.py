@@ -619,3 +619,41 @@ _MASK_THR = sample_threshold(0.15)
 def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return span_corrupt(docs, mask_rate=0.15)
+
+
+# ---------------------------------------------------------------------------
+# Dataset card
+# ---------------------------------------------------------------------------
+
+from ..operators.profile import dataset_card
+
+
+@register(
+    "q_dataset_card",
+    sql=f"""
+    WITH d AS (SELECT lang, source,
+                      len({_RAW_TOKS}) AS n,
+                      CASE WHEN len({_RAW_TOKS}) > 0
+                           THEN CAST(len(list_distinct({_RAW_TOKS})) AS DOUBLE)
+                                / len({_RAW_TOKS})
+                           ELSE 0.0 END AS dr
+               FROM documents)
+    SELECT lang, source,
+           count(*)                          AS n_docs,
+           CAST(sum(n) AS BIGINT)            AS total_tokens,
+           round(avg(n), 4)                  AS avg_doc_tokens,
+           round(quantile_cont(n, 0.5), 4)   AS median_doc_tokens,
+           round(avg(dr), 4)                 AS avg_distinct_ratio
+    FROM d
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+    doc="One-pass dataset card: per-language, per-source, and corpus-"
+    "total rows (GROUPING SETS, one expand-based aggregate) with doc "
+    "counts, token totals, exact median doc length, and a mean "
+    "distinct-token-ratio quality proxy -- the auditable summary a "
+    "training run pins next to its data mix. percentile_approx is the "
+    "drop-in at 100 TB (same plan shape, mergeable state).",
+    tags=("llm", "profiling", "agg"),
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataset_card(load_table(spark, sf_dir, "documents"))
