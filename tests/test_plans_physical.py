@@ -187,3 +187,51 @@ def test_q21_semi_then_anti_on_fact(spark):
     plan = _plan(spark, "q_tpch_q21_shape")
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_probe_broadcasts_bank(spark):
+    """The bank side of the probe must broadcast — the operator's whole
+    point is never shuffling the corpus on the key."""
+    plan = _plan(spark, "q_bloom_decontaminate")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_broadcasts_model_tables(spark):
+    """Probability tables (Heaps-law-bounded) broadcast back onto the
+    exploded stream; the corpus never shuffles on a model key."""
+    plan = _plan(spark, "q_doc_perplexity")
+    assert plan.count("BroadcastExchange") >= 3  # ctx, uni, total
+    assert "CartesianProduct" not in plan
+
+
+def test_capped_lsh_single_signature_consumption(spark):
+    """The capped pair plan consumes the signature pipeline ONCE: one
+    shingle explode feeds one groupBy(seed, minhash); no self-join of
+    the signature frame remains."""
+    plan = _plan(spark, "q_minhash_pairs")
+    # the bucket-collect aggregate exists...
+    assert "collect_list" in plan or "sort_array" in plan
+    # ...and the signature aggregation appears exactly once (the old
+    # shape re-derived it for the size filter and both join sides)
+    assert plan.count("Generate explode") <= 2  # shingles + pair explode
+
+
+def test_incremental_pairs_prunes_base_with_broadcast(spark):
+    """The base index is semi-joined against the batch's broadcast
+    bucket keys before the union-tag aggregate."""
+    plan = _plan(spark, "q_incremental_dedup_pairs")
+    assert "BroadcastExchange" in plan
+    assert "LeftSemi" in plan
+
+
+def test_temperature_sample_is_scan_side(spark):
+    """The corpus is filtered via a broadcast of the |groups|-row
+    threshold table — no shuffle of the data itself."""
+    plan = _plan(spark, "q_temperature_sample")
+    assert "BroadcastExchange" in plan
+    # the only exchanges are broadcasts of the tiny derived tables
+    import re
+
+    shuffle_exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(c in ("lang",) or c.startswith("_") for c in shuffle_exchanges), shuffle_exchanges
