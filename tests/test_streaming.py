@@ -247,3 +247,28 @@ def test_stream_bloom_decontamination_equals_batch(spark):
         assert set(range(25)) <= flagged_ids
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_scan_only_curation_ops_compose_with_streams(spark):
+    """hash_sample / mix_corpora / assign_splits / scrub are pure
+    column expressions, so they run UNCHANGED on a stream — the
+    unified-API guarantee that lets one curation codebase serve both
+    the batch backfill and the live ingest path."""
+    from scrappy_spark.operators.curation import assign_splits, hash_sample, mix_corpora
+
+    docs = load_table(spark, SF_DIR, "documents")
+    d = tempfile.mkdtemp(prefix="docs_cur_stream_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(d)
+        stream_in = spark.readStream.schema(docs.schema).parquet(d)
+        pipe = assign_splits(
+            mix_corpora(hash_sample(stream_in, 0.5), {"src0": 1.0}, default_rate=0.25)
+        ).select("doc_id", "kept", "split")
+        assert pipe.isStreaming
+        out = _run_stream_to_memory(spark, pipe, "mem_curation", "append")
+        batch = assign_splits(
+            mix_corpora(hash_sample(docs, 0.5), {"src0": 1.0}, default_rate=0.25)
+        ).select("doc_id", "kept", "split")
+        assert _sorted_rows(out) == _sorted_rows(batch)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
