@@ -219,3 +219,79 @@ def dedup_corpus_incremental(
     cleaned = reps.join(kept, id_col, "left_semi")
     sig_out = sig_new.join(kept, id_col, "left_semi")
     return cleaned, verdict_map, sig_out
+
+
+def rag_retrieve(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    chunk_len: int = 200,
+    chunk_stride: int = 150,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    encoder_factory=None,
+    dim: int = 64,
+) -> DataFrame:
+    """RAG retrieval, end to end: overlapping chunking (codegen
+    sequence+substr, zero shuffle) → chunk embeddings (Arrow-batched
+    pandas UDF, encoder built once per worker) → query embeddings →
+    brute-force cosine top-k (query side broadcast, corpus scanned
+    once) → chunks with provenance (doc id, chunk index, text, score,
+    rank).
+
+    The retrieval stage is swappable: at index scale where one scan
+    per query batch stops being acceptable, `ann_lsh_topk`/`ivf_topk`
+    take the same (corpus, queries) shape. Chunk ids are
+    deterministic (doc_id·10⁶ + chunk_idx), so retrieved provenance is
+    stable across runs — no monotonically_increasing_id.
+    """
+    from .ml.embeddings import embed_texts
+
+    starts = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.lit(1), F.length(F.col(text_col))),
+                F.lit(chunk_stride),
+            )
+        ).alias("__start"),
+    )
+    chunks = starts.select(
+        id_col,
+        ((F.col("__start") - 1) / chunk_stride).cast("long").alias("chunk_idx"),
+        F.substring(F.col(text_col), F.col("__start"), chunk_len).alias("chunk_text"),
+    ).withColumn(
+        "chunk_id", F.col(id_col) * 1_000_000 + F.col("chunk_idx")
+    )
+    emb_chunks = embed_texts(
+        chunks, text_col="chunk_text", encoder_factory=encoder_factory, dim=dim
+    )
+    emb_q = embed_texts(
+        queries.select(F.col(query_id_col), F.col(query_text_col)),
+        text_col=query_text_col,
+        encoder_factory=encoder_factory,
+        dim=dim,
+    )
+    from .operators.similarity import cosine_topk
+
+    top = cosine_topk(
+        emb_chunks.select(F.col("chunk_id"), F.col("embedding")),
+        emb_q.select(query_id_col, "embedding"),
+        k=k,
+        id_col="chunk_id",
+        query_id_col=query_id_col,
+    )
+    return (
+        top.join(chunks, "chunk_id")
+        .select(
+            query_id_col,
+            F.col(id_col),
+            "chunk_idx",
+            "chunk_text",
+            "cos_sim",
+        )
+    )

@@ -657,3 +657,34 @@ from ..operators.profile import dataset_card
 )
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_card(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# RAG retrieval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rag_retrieve",
+    sql=None,  # encoder (pandas-UDF model) inside -> rows-only
+    doc="End-to-end RAG retrieval: overlapping chunking (codegen, zero "
+    "shuffle) -> chunk + query embeddings (Arrow pandas UDF, encoder "
+    "once per worker) -> broadcast brute-force cosine top-k -> chunks "
+    "with provenance. Rows-only: the encoder makes it model-derived; "
+    "self-retrieval sanity (a chunk's own text retrieves that chunk "
+    "at rank 1, cosine 1.0) is pinned in test_llm_ops3.py. The "
+    "retrieval stage swaps to ann_lsh_topk/ivf_topk at index scale.",
+    tags=("llm", "similarity", "pipeline", "model"),
+)
+def q_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines import rag_retrieve
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.substring("text", 1, 80).alias("query_text"),
+        )
+    )
+    return rag_retrieve(docs, queries, k=5)

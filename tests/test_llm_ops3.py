@@ -491,3 +491,23 @@ def test_span_corrupt_roundtrip_and_structure(spark):
     # deterministic
     again = span_corrupt(df, mask_rate=0.3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_rag_retrieve_self_retrieval(spark):
+    from scrappy_spark.pipelines import rag_retrieve
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} talks about topic {i} in depth with many words "
+             f"and continues for a while describing subject {i} thoroughly")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    # query with doc 3's first chunk verbatim -> that chunk must come
+    # back at rank 1 with cosine 1.0 (identical text, same encoder)
+    q = docs.filter(F.col("doc_id") == 3).select(
+        F.lit(0).alias("query_id"),
+        F.substring("text", 1, 200).alias("query_text"),
+    )
+    out = rag_retrieve(docs, q, k=3).orderBy(F.desc("cos_sim")).collect()
+    assert out[0]["doc_id"] == 3 and out[0]["chunk_idx"] == 0
+    assert out[0]["cos_sim"] == 1.0
