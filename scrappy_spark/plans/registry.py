@@ -68,6 +68,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llmdata4,
         llmdata5,
         llmdata6,
+        llmdata7,
         timeseries,
         sketches,
         extras,
