@@ -1,0 +1,194 @@
+"""Perceptual image hashing (dHash) and near-duplicate image pairs.
+
+Image dedup for multimodal training corpora: a 64-bit difference hash
+(dHash — public recipe: hackerfactor.com "Kind of Like That"; gradient
+sign between horizontally adjacent cells of a 9×8 downsample) is
+resilient to re-encoding and mild resizing, so near-identical images
+collide within a small Hamming radius even when their bytes differ.
+
+Engine spelling:
+
+- ``dhash_images``: Arrow ``mapInPandas`` kernel over a binary image
+  column — REAL decode via the dependency-free codecs (PNG/BMP/PPM,
+  operators/codecs.py), nearest-neighbor 9×8 downsample, 64 gradient
+  bits. The hash is returned as 4×16-bit integer bands (b0..b3) plus a
+  hex string: 16-bit bands sidestep signed-64 overflow on bit 63 in
+  BOTH engines, and they are exactly the LSH bucketing unit.
+- ``dhash_pairs``: banded LSH join — two images are candidates iff
+  they share at least one exact 16-bit band. By pigeonhole this has
+  PERFECT recall for Hamming ≤ 3 (three differing bits cannot touch
+  all 4 bands); above that, recall decays like any LSH banding (a
+  pair at distance 6 is missed only if its bits spread across all 4
+  bands). Candidates are verified with the exact popcount distance. Bucket lists are capped
+  like the MinHash path (dedup_approx.LSH_MAX_BUCKET) so a hot band
+  (flat images, exact-dup mass) cannot go d².
+
+At 100 TB: hashing is scan-side (one kernel pass, no shuffle), the
+pair stage shuffles 4 small rows per image, and candidate verification
+touches only banded collisions — never all pairs.
+
+Reference parity: none — the reference is text-only (scrappy.py); this
+extends the multimodal surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from .dedup_approx import LSH_MAX_BUCKET
+
+#: dHash geometry: 9×8 downsample → 8 rows × 8 horizontal gradients.
+DHASH_W, DHASH_H = 9, 8
+
+#: synthetic-payload image side (dhash_from_text): 16×16 gray.
+IMG_SIDE = 16
+
+_SIG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash_hex", StringType()),
+        StructField("b0", LongType()),
+        StructField("b1", LongType()),
+        StructField("b2", LongType()),
+        StructField("b3", LongType()),
+    ]
+)
+
+
+def _dhash_bits(arr) -> int:
+    """HxW (or HxWx1) uint8 → 64-bit dHash int (bit k = i*8+j set iff
+    cell(i,j) < cell(i,j+1) of the 9×8 nearest-neighbor downsample)."""
+    import numpy as np
+
+    from .codecs import nearest_resize
+
+    if arr.ndim == 3:
+        if arr.shape[2] == 1:
+            arr = arr[:, :, 0]
+        else:  # integer luma (Rec.601 weights scaled by 1024) — exact
+            a = arr.astype(np.int64)
+            arr = (
+                (306 * a[:, :, 0] + 601 * a[:, :, 1] + 117 * a[:, :, 2]) >> 10
+            ).astype(np.uint8)
+    small = nearest_resize(arr, DHASH_W, DHASH_H).astype(np.int64)
+    h = 0
+    for i in range(DHASH_H):
+        for j in range(DHASH_W - 1):
+            if small[i, j] < small[i, j + 1]:
+                h |= 1 << (i * 8 + j)
+    return h
+
+
+def _sig_row(doc_id: int, h: int) -> tuple:
+    return (
+        doc_id,
+        f"{h:016x}",
+        (h >> 0) & 0xFFFF,
+        (h >> 16) & 0xFFFF,
+        (h >> 32) & 0xFFFF,
+        (h >> 48) & 0xFFFF,
+    )
+
+
+def dhash_images(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, dhash_hex, b0..b3) per image — real decode, scan-side."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_image_bytes
+
+        for pdf in batches:
+            rows = [
+                _sig_row(int(i), _dhash_bits(decode_image_bytes(bytes(p))))
+                for i, p in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in _SIG_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, _SIG_SCHEMA)
+
+
+def dhash_from_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic image fixture + the REAL codec path in one kernel:
+    each doc's utf-8 bytes are tiled into a 16×16 gray image, PNG-
+    encoded, then decoded + hashed through the production code path
+    (`encode_png` → `decode_image_bytes` → `_dhash_bits`). Because the
+    PNG roundtrip is lossless, the hash is a pure function of the text
+    bytes — which is what lets a SQL oracle reproduce it bit-for-bit
+    while Spark still exercises the actual codec."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import decode_image_bytes, encode_png
+
+        n = IMG_SIDE * IMG_SIDE
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = t.encode()
+                if not raw:
+                    continue
+                tiled = (raw * (n // len(raw) + 1))[:n]
+                pix = np.frombuffer(tiled, np.uint8).reshape(IMG_SIDE, IMG_SIDE)
+                arr = decode_image_bytes(encode_png(pix))
+                rows.append(_sig_row(int(i), _dhash_bits(arr)))
+            yield pd.DataFrame(rows, columns=[f.name for f in _SIG_SCHEMA.fields])
+
+    return df.select(id_col, text_col).mapInPandas(run, _SIG_SCHEMA)
+
+
+def dhash_pairs(
+    sig: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Near-duplicate image pairs: banded candidate join + exact
+    popcount verify. Output (id_a < id_b, hamming)."""
+    banded = sig.select(
+        id_col,
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band_idx", "band_val"),
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col), "b0", "b1", "b2", "b3"))
+            ).alias("__m")
+        )
+        .filter((F.size("__m") >= 2) & (F.size("__m") <= (max_bucket_size or (1 << 30))))
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(__m, (x, i) -> "
+            "transform(slice(__m, i + 2, size(__m)), y -> struct(x AS a, y AS b))))"
+        )
+    ).alias("__p")
+    ham = sum(
+        F.bit_count(
+            F.col(f"__p.a.b{k}").bitwiseXOR(F.col(f"__p.b.b{k}"))
+        )
+        for k in range(4)
+    )
+    return (
+        buckets.select(pair)
+        .select(
+            F.col(f"__p.a.{id_col}").alias("id_a"),
+            F.col(f"__p.b.{id_col}").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,220 @@
+"""LLM-corpus operators, round-5 third batch: perceptual image-hash
+dedup over the real codec path, DoReMi-style domain reweighting, and
+deterministic epoch shuffling.
+
+The reference is text-only with no sampling or mixtures (scrappy.py);
+these extend the multimodal + curation surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from ..operators.phash import IMG_SIDE, dhash_from_text, dhash_pairs
+from ..operators.ranking import global_rank
+from ..operators.reweight import domain_reweight
+from ..operators.textstats import unigram_surprisal
+from .registry import register
+
+#: DuckDB mirror of operators/mining.py::tokens_col
+_RAW_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+# ---------------------------------------------------------------------------
+# dHash: the oracle recomputes the 64 gradient bits straight from the
+# text bytes. This is sound because the Spark kernel's PNG roundtrip is
+# lossless (encode_png → decode_image_bytes is identity on pixels), so
+# the REAL-codec hash is a pure function of the tiled utf-8 bytes —
+# shared geometry constants keep the two derivations aligned.
+# ---------------------------------------------------------------------------
+
+#: nearest_resize column map for 16 → 9 (operators/codecs.py:nearest_resize)
+_XS = [(j * IMG_SIDE) // 9 for j in range(9)]
+_HEX_LEN = 2 * IMG_SIDE * IMG_SIDE  # 512 hex chars = 256 bytes
+
+
+def _sql_byte(pos: int) -> str:
+    return f"CAST(('0x' || substr(h2, {2 * pos + 1}, 2)) AS INT)"
+
+
+def _sql_band(b: int) -> str:
+    terms = []
+    for i in (2 * b, 2 * b + 1):  # nearest_resize row map 16→8 is r=2i
+        for j in range(8):
+            w = 1 << ((i * 8 + j) - 16 * b)
+            pl = 32 * i + _XS[j]
+            pr = 32 * i + _XS[j + 1]
+            terms.append(
+                f"CASE WHEN {_sql_byte(pl)} < {_sql_byte(pr)} THEN {w} ELSE 0 END"
+            )
+    return " + ".join(terms)
+
+
+_DHASH_SQL = f"""
+    p AS (SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents
+          WHERE len(text) > 0),
+    rep AS (SELECT doc_id,
+                   substr(repeat(hx, CAST(ceil({_HEX_LEN}.0 / len(hx)) AS INT)),
+                          1, {_HEX_LEN}) AS h2
+            FROM p),
+    sig AS (SELECT doc_id,
+                   CAST({_sql_band(0)} AS BIGINT) AS b0,
+                   CAST({_sql_band(1)} AS BIGINT) AS b1,
+                   CAST({_sql_band(2)} AS BIGINT) AS b2,
+                   CAST({_sql_band(3)} AS BIGINT) AS b3
+            FROM rep)
+"""
+
+
+@register(
+    "q_image_dhash",
+    sql=f"""
+    WITH {_DHASH_SQL}
+    SELECT doc_id, printf('%04x%04x%04x%04x', b3, b2, b1, b0) AS dhash_hex,
+           b0, b1, b2, b3
+    FROM sig
+    """,
+    doc="Perceptual image hash (dHash) through the REAL codec path: "
+    "each doc's bytes tile a 16x16 gray image, PNG-encode, PNG-decode "
+    "(production decoder, all in the Arrow kernel), 9x8 nearest "
+    "downsample, 64 gradient-sign bits as 4 16-bit bands. The oracle "
+    "recomputes the bits from the raw bytes — valid exactly because "
+    "the PNG roundtrip is lossless — so the full decode+hash kernel is "
+    "value-hash-gated, not rows-only.",
+    tags=("multimodal", "dedup", "phash"),
+)
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return dhash_from_text(docs)
+
+
+@register(
+    "q_image_near_dups",
+    sql=f"""
+    WITH {_DHASH_SQL}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                AS BIGINT) AS hamming
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 6
+    """,
+    doc="Near-duplicate images: banded LSH join on exact 16-bit dHash "
+    "bands (perfect recall at Hamming<=3, pigeonhole), exact popcount "
+    "verify at <=6. Engine side caps bucket lists (LSH_MAX_BUCKET) and "
+    "expands pairs from sorted id arrays — one groupBy, never an "
+    "all-pairs product; the oracle's O(n^2) join is the spec, not the "
+    "plan.",
+    tags=("multimodal", "dedup", "phash"),
+)
+def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return dhash_pairs(dhash_from_text(docs), max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-lite domain reweighting over unigram surprisal
+# ---------------------------------------------------------------------------
+
+_RW_TAU = 0.5
+_RW_BUDGET = 10_000
+
+
+@register(
+    "q_domain_reweight",
+    sql=f"""
+    WITH t AS (SELECT doc_id, unnest({_RAW_TOKS}) AS tok FROM documents),
+    freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM freq),
+    lp AS (SELECT tok,
+                  CAST(round(ln(CAST(c AS DOUBLE) / s) * 1000000) AS BIGINT)
+                      AS lp_micro
+           FROM freq, tot),
+    doc AS (SELECT t.doc_id, d.lang, count(*) AS n_toks,
+                   -sum(lp.lp_micro) AS loss_micro
+            FROM t JOIN lp USING (tok)
+                   JOIN documents d ON d.doc_id = t.doc_id
+            GROUP BY 1, 2),
+    g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                 CAST(sum(loss_micro) AS BIGINT) AS loss_micro
+          FROM doc GROUP BY 1),
+    tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                  CAST(sum(loss_micro) AS BIGINT) AS tot_loss FROM g),
+    s AS (SELECT lang, n_docs, n_tokens,
+                 loss_micro / n_tokens / 1e6 AS mean_loss,
+                 greatest(0, loss_micro / n_tokens / 1e6
+                           - tot_loss / tot_tokens / 1e6) AS excess,
+                 CAST(n_tokens AS DOUBLE) / tot_tokens AS share
+          FROM g, tt),
+    u AS (SELECT *, share * exp(excess / {_RW_TAU}) AS u FROM s),
+    z AS (SELECT sum(u) AS z FROM u)
+    SELECT lang, n_docs, n_tokens,
+           round(mean_loss, 6) AS mean_loss_r,
+           round(excess, 6)    AS excess_r,
+           round(u / z, 6)     AS weight_r,
+           CAST(floor(u / z * {_RW_BUDGET}) AS BIGINT) AS doc_budget
+    FROM u, z
+    """,
+    doc="DoReMi-style one-step domain reweighting (arXiv 2305.10429): "
+    "per-lang token-weighted mean unigram surprisal, excess over the "
+    "global mean, weight = share * exp(excess/tau) normalized, plus an "
+    "integer doc budget. Everything past the per-doc loss aggregation "
+    "runs on a <= n_domains-row frame; loss sums are integer "
+    "micro-nats, so the heavy aggregation is cross-engine exact.",
+    tags=("llm", "curation", "mixture"),
+)
+def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    doc_loss = unigram_surprisal(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    out = domain_reweight(
+        doc_loss, "lang", "surprisal_micro", "n_tokens", tau=_RW_TAU, budget=_RW_BUDGET
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round("mean_loss", 6).alias("mean_loss_r"),
+        F.round("excess", 6).alias("excess_r"),
+        F.round("weight", 6).alias("weight_r"),
+        "doc_budget",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle
+# ---------------------------------------------------------------------------
+
+_EPOCH_SALT = "ep1:"
+_EPOCH_SHARD = 128
+
+
+@register(
+    "q_epoch_shuffle",
+    sql=f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+                ORDER BY md5('{_EPOCH_SALT}' || CAST(doc_id AS VARCHAR)), doc_id)
+                - 1 AS BIGINT) AS position,
+           CAST((row_number() OVER (
+                ORDER BY md5('{_EPOCH_SALT}' || CAST(doc_id AS VARCHAR)), doc_id)
+                - 1) // {_EPOCH_SHARD} AS BIGINT) AS shard_id
+    FROM documents
+    """,
+    doc="Deterministic epoch shuffle: global permutation ordered by "
+    "md5(salt||id) — reproducible across engines and runs, new salt "
+    "per epoch — cut into fixed-size shards. Uses the two-phase "
+    "distributed rank (operators/ranking.py), not the single-task "
+    "global window the oracle spells.",
+    tags=("llm", "curation", "ranking"),
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(F.concat(F.lit(_EPOCH_SALT), F.col("doc_id").cast("string")))
+    ranked = global_rank(docs, [key, F.col("doc_id")], rank_col="position")
+    return ranked.withColumn(
+        "shard_id", (F.col("position") / F.lit(_EPOCH_SHARD)).cast("long")
+    )

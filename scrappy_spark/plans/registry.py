@@ -69,6 +69,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llmdata5,
         llmdata6,
         llmdata7,
+        llmdata8,
         timeseries,
         sketches,
         extras,

@@ -1,0 +1,158 @@
+"""Unit tests: perceptual image dHash + near-dup pairs, DoReMi-lite
+domain reweighting, deterministic epoch shuffle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrappy_spark.operators.codecs import encode_png
+from scrappy_spark.operators.phash import (
+    _dhash_bits,
+    dhash_from_text,
+    dhash_images,
+    dhash_pairs,
+)
+from scrappy_spark.operators.reweight import domain_reweight
+
+
+# ---------------------------------------------------------------------------
+# dHash kernel math
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_bits_known_gradient():
+    # strictly increasing rows: every left<right comparison true → all
+    # 64 bits set
+    arr = np.tile(np.arange(16, dtype=np.uint8) * 10, (16, 1))
+    assert _dhash_bits(arr) == (1 << 64) - 1
+    # constant image: no strict inequality → zero hash
+    assert _dhash_bits(np.full((16, 16), 7, np.uint8)) == 0
+    # flipping the gradient flips every bit
+    assert _dhash_bits(arr[:, ::-1].copy()) == 0
+
+
+def test_dhash_rgb_luma_path():
+    rgb = np.zeros((16, 16, 3), np.uint8)
+    rgb[:, 8:, :] = 255  # right half white → increasing across the seam
+    h = _dhash_bits(rgb)
+    assert h != 0
+    gray = np.zeros((16, 16), np.uint8)
+    gray[:, 8:] = 255
+    assert h == _dhash_bits(gray)
+
+
+def test_dhash_images_real_png_decode(spark):
+    rng = np.random.default_rng(7)
+    imgs = {i: rng.integers(0, 256, (16, 16), dtype=np.uint8) for i in range(5)}
+    rows = [(i, bytearray(encode_png(a))) for i, a in imgs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in dhash_images(df).collect()}
+    for i, a in imgs.items():
+        want = _dhash_bits(a)
+        assert out[i]["dhash_hex"] == f"{want:016x}"
+        got = (
+            out[i]["b0"]
+            | (out[i]["b1"] << 16)
+            | (out[i]["b2"] << 32)
+            | (out[i]["b3"] << 48)
+        )
+        assert got == want
+
+
+def test_dhash_pairs_exact_and_near(spark):
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] ^= 0xFF  # perturb one pixel → few bit flips
+    far = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    rows = [
+        (0, bytearray(encode_png(base))),
+        (1, bytearray(encode_png(base))),  # exact dup of 0
+        (2, bytearray(encode_png(near))),
+        (3, bytearray(encode_png(far))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sig = dhash_images(df)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dhash_pairs(sig).collect()}
+    assert pairs[(0, 1)] == 0  # exact dup at hamming 0
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_dhash_from_text_tiling_identity(spark):
+    # text whose bytes tile deterministically; kernel goes through a
+    # REAL png encode/decode, so hash must equal direct pixel hash
+    text = "abcdefgh" * 3
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    [row] = dhash_from_text(df).collect()
+    raw = text.encode()
+    tiled = (raw * (256 // len(raw) + 1))[:256]
+    pix = np.frombuffer(tiled, np.uint8).reshape(16, 16)
+    assert row["dhash_hex"] == f"{_dhash_bits(pix):016x}"
+
+
+def test_dhash_from_text_skips_empty(spark):
+    df = spark.createDataFrame([(0, ""), (1, "xyz")], "doc_id long, text string")
+    out = dhash_from_text(df).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+# ---------------------------------------------------------------------------
+# domain reweight
+# ---------------------------------------------------------------------------
+
+
+def test_domain_reweight_upweights_high_loss(spark):
+    # two domains, equal token mass; domain b has double the per-token
+    # loss → its weight must exceed its 0.5 share; budgets sum ≤ budget
+    rows = [
+        ("a", 100, 1_000_000 * 100),
+        ("a", 100, 1_000_000 * 100),
+        ("b", 100, 2_000_000 * 100),
+        ("b", 100, 2_000_000 * 100),
+    ]
+    df = spark.createDataFrame(rows, "lang string, n_tokens long, loss long")
+    out = {
+        r["lang"]: r
+        for r in domain_reweight(df, "lang", "loss", "n_tokens", budget=1000).collect()
+    }
+    assert out["b"]["excess"] == pytest.approx(0.5)  # 2.0 - global 1.5
+    assert out["a"]["excess"] == 0.0
+    assert out["b"]["weight"] > 0.5 > out["a"]["weight"]
+    assert out["a"]["weight"] + out["b"]["weight"] == pytest.approx(1.0)
+    assert out["a"]["doc_budget"] + out["b"]["doc_budget"] <= 1000
+    assert out["a"]["mean_loss"] == pytest.approx(1.0)
+
+
+def test_domain_reweight_uniform_loss_keeps_shares(spark):
+    rows = [("a", 300, 1_000_000 * 300), ("b", 100, 1_000_000 * 100)]
+    df = spark.createDataFrame(rows, "lang string, n_tokens long, loss long")
+    out = {
+        r["lang"]: r
+        for r in domain_reweight(df, "lang", "loss", "n_tokens").collect()
+    }
+    # zero excess everywhere → weights collapse to token shares
+    assert out["a"]["weight"] == pytest.approx(0.75)
+    assert out["b"]["weight"] == pytest.approx(0.25)
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle (registered query semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_permutation_and_determinism(spark):
+    from scrappy_spark.plans.registry import all_specs
+
+    fn = all_specs()["q_epoch_shuffle"].fn
+    a = fn(spark, "/root/testdata/sf0.001").collect()
+    b = fn(spark, "/root/testdata/sf0.001").collect()
+    pos_a = sorted(r["position"] for r in a)
+    assert pos_a == list(range(len(a)))  # exact permutation
+    assert {(r["doc_id"], r["position"]) for r in a} == {
+        (r["doc_id"], r["position"]) for r in b
+    }  # deterministic
+    # shuffled: positions must not follow doc_id order
+    by_id = [r["position"] for r in sorted(a, key=lambda r: r["doc_id"])]
+    assert by_id != sorted(by_id)
