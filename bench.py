@@ -48,6 +48,9 @@ HEADLINE = [
     "q_profile_columns",
     "q_bloom_decontaminate",
     "q_doc_perplexity",
+    "q_dsir_weights",
+    "q_curriculum_shards",
+    "q_image_near_dups",
 ]
 
 

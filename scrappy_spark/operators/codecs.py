@@ -286,6 +286,22 @@ def nearest_resize(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 _WAV_DTYPES = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}
 
 
+def encode_wav(samples_u8: np.ndarray, rate: int = 8000) -> bytes:
+    """uint8 mono samples (unsigned 8-bit PCM, centered at 128) → WAV
+    bytes via the stdlib ``wave`` module — the encode twin of
+    ``decode_wav_bytes``'s 1-byte path."""
+    import wave
+
+    samples_u8 = np.ascontiguousarray(samples_u8, dtype=np.uint8)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(rate)
+        w.writeframes(samples_u8.tobytes())
+    return buf.getvalue()
+
+
 def decode_wav_bytes(data: bytes) -> tuple[int, np.ndarray]:
     """WAV bytes → (sample_rate, float64 mono waveform in [-1, 1])
     via the stdlib ``wave`` module (PCM 8/16/32-bit)."""

@@ -1,4 +1,5 @@
-"""Perceptual image hashing (dHash) and near-duplicate image pairs.
+"""Perceptual fingerprints: image dHash and audio energy-delta bits,
+with banded near-duplicate pair generation for both.
 
 Image dedup for multimodal training corpora: a 64-bit difference hash
 (dHash — public recipe: hackerfactor.com "Kind of Like That"; gradient
@@ -144,27 +145,28 @@ def dhash_from_text(
     return df.select(id_col, text_col).mapInPandas(run, _SIG_SCHEMA)
 
 
-def dhash_pairs(
+def band_pairs(
     sig: DataFrame,
-    max_hamming: int = 6,
+    band_cols: list[str],
+    max_hamming: int,
     id_col: str = "doc_id",
     max_bucket_size: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
-    """Near-duplicate image pairs: banded candidate join + exact
-    popcount verify. Output (id_a < id_b, hamming)."""
+    """Generic banded-fingerprint near-dup pairs: candidates share at
+    least one exact band value; exact popcount Hamming verifies.
+    Output (id_a < id_b, hamming). Bucket id lists are capped like the
+    MinHash path, and pairs expand from sorted arrays — one groupBy,
+    never an all-pairs product."""
     banded = sig.select(
         id_col,
-        "b0",
-        "b1",
-        "b2",
-        "b3",
-        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band_idx", "band_val"),
+        *band_cols,
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_val"),
     )
     buckets = (
         banded.groupBy("band_idx", "band_val")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col(id_col), "b0", "b1", "b2", "b3"))
+                F.collect_list(F.struct(F.col(id_col), *band_cols))
             ).alias("__m")
         )
         .filter((F.size("__m") >= 2) & (F.size("__m") <= (max_bucket_size or (1 << 30))))
@@ -176,10 +178,8 @@ def dhash_pairs(
         )
     ).alias("__p")
     ham = sum(
-        F.bit_count(
-            F.col(f"__p.a.b{k}").bitwiseXOR(F.col(f"__p.b.b{k}"))
-        )
-        for k in range(4)
+        F.bit_count(F.col(f"__p.a.{c}").bitwiseXOR(F.col(f"__p.b.{c}")))
+        for c in band_cols
     )
     return (
         buckets.select(pair)
@@ -192,3 +192,95 @@ def dhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dhash_pairs(
+    sig: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Near-duplicate image pairs over the 4 dHash bands."""
+    return band_pairs(sig, ["b0", "b1", "b2", "b3"], max_hamming, id_col, max_bucket_size)
+
+
+# --------------------------------------------------------------- audio
+#
+# Chromaprint-style energy-delta fingerprint, radically simplified to
+# stay dependency-free and integer-exact: frame the waveform, take the
+# SIGN OF THE ENERGY DELTA between consecutive frames as one bit each
+# (the same "does the signal rise here" idea chromaprint applies per
+# filter bank). 8-bit PCM keeps every energy an exact integer —
+# (b-128)/128 and its inverse are powers-of-two float ops — so the
+# bits survive any engine's float arithmetic unchanged.
+
+#: audio fingerprint geometry: 256 samples → 32 frames of 8 → 31 bits
+#: packed as a 16-bit + 15-bit band pair (same LSH unit as dHash).
+AFP_N = 256
+AFP_FRAME = 8
+AFP_FRAMES = AFP_N // AFP_FRAME
+
+_AFP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("afp_hex", StringType()),
+        StructField("b0", LongType()),
+        StructField("b1", LongType()),
+    ]
+)
+
+
+def _afp_bits(wave) -> int:
+    """float64 mono waveform (8-bit PCM provenance) → 31 delta bits."""
+    import numpy as np
+
+    q = np.rint(wave[:AFP_N] * 128.0).astype(np.int64)  # exact b-128
+    e = (q.reshape(AFP_FRAMES, AFP_FRAME) ** 2).sum(axis=1)
+    bits = 0
+    for f in range(AFP_FRAMES - 1):
+        if e[f + 1] > e[f]:
+            bits |= 1 << f
+    return bits
+
+
+def audio_fp_from_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic audio fixture + the REAL codec path in one kernel:
+    utf-8 bytes tile a 256-sample 8-bit PCM clip, WAV-encode, then
+    decode + fingerprint through the production path (`encode_wav` →
+    `decode_wav_bytes` → `_afp_bits`). Lossless roundtrip ⇒ the bits
+    are a pure function of the text bytes, SQL-oracle-reproducible."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import decode_wav_bytes, encode_wav
+
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = t.encode()
+                if not raw:
+                    continue
+                tiled = (raw * (AFP_N // len(raw) + 1))[:AFP_N]
+                samples = np.frombuffer(tiled, np.uint8)
+                _, wave = decode_wav_bytes(encode_wav(samples))
+                bits = _afp_bits(wave)
+                rows.append(
+                    (int(i), f"{bits:08x}", bits & 0xFFFF, bits >> 16)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _AFP_SCHEMA.fields])
+
+    return df.select(id_col, text_col).mapInPandas(run, _AFP_SCHEMA)
+
+
+def audio_fp_pairs(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Near-duplicate audio pairs over the 2 fingerprint bands
+    (perfect recall at Hamming ≤ 1; LSH-style decay above)."""
+    return band_pairs(sig, ["b0", "b1"], max_hamming, id_col, max_bucket_size)

@@ -50,13 +50,19 @@ def _sql_band(b: int) -> str:
     return " + ".join(terms)
 
 
-_DHASH_SQL = f"""
+#: byte-tiling CTE shared by the image and audio fingerprints (both
+#: tile the utf-8 bytes to 256 = 16x16 = AFP_N).
+_TILE_SQL = f"""
     p AS (SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents
           WHERE len(text) > 0),
     rep AS (SELECT doc_id,
                    substr(repeat(hx, CAST(ceil({_HEX_LEN}.0 / len(hx)) AS INT)),
                           1, {_HEX_LEN}) AS h2
-            FROM p),
+            FROM p)
+"""
+
+_DHASH_SQL = f"""
+    {_TILE_SQL},
     sig AS (SELECT doc_id,
                    CAST({_sql_band(0)} AS BIGINT) AS b0,
                    CAST({_sql_band(1)} AS BIGINT) AS b1,
@@ -113,6 +119,83 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     return dhash_pairs(dhash_from_text(docs), max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint (energy-delta bits; operators/phash.py audio half)
+# ---------------------------------------------------------------------------
+
+
+def _sql_energy(f: int) -> str:
+    return " + ".join(
+        f"(({_sql_byte(8 * f + k)} - 128) * ({_sql_byte(8 * f + k)} - 128))"
+        for k in range(8)
+    )
+
+
+_AFP_EN = ",\n            ".join(f"{_sql_energy(f)} AS e{f}" for f in range(32))
+_AFP_B0 = " + ".join(
+    f"CASE WHEN e{f + 1} > e{f} THEN {1 << f} ELSE 0 END" for f in range(16)
+)
+_AFP_B1 = " + ".join(
+    f"CASE WHEN e{f + 1} > e{f} THEN {1 << (f - 16)} ELSE 0 END" for f in range(16, 31)
+)
+
+_AFP_SQL = f"""
+    {_TILE_SQL},
+    en AS (SELECT doc_id,
+            {_AFP_EN}
+           FROM rep),
+    asig AS (SELECT doc_id,
+                    CAST({_AFP_B0} AS BIGINT) AS b0,
+                    CAST({_AFP_B1} AS BIGINT) AS b1
+             FROM en)
+"""
+
+
+@register(
+    "q_audio_fingerprint",
+    sql=f"""
+    WITH {_AFP_SQL}
+    SELECT doc_id, printf('%08x', b1 * 65536 + b0) AS afp_hex, b0, b1
+    FROM asig
+    """,
+    doc="Chromaprint-style audio fingerprint through the REAL codec "
+    "path: bytes tile a 256-sample 8-bit PCM clip, WAV-encode, "
+    "WAV-decode (stdlib wave both ways, in the Arrow kernel), then 31 "
+    "energy-delta sign bits over 32 frames. 8-bit PCM keeps every "
+    "frame energy an exact integer, so the oracle recomputes the bits "
+    "from the raw bytes and the kernel is value-hash-gated.",
+    tags=("multimodal", "dedup", "audio"),
+)
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.phash import audio_fp_from_text
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return audio_fp_from_text(docs)
+
+
+@register(
+    "q_audio_near_dups",
+    sql=f"""
+    WITH {_AFP_SQL}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                AS BIGINT) AS hamming
+    FROM asig a JOIN asig b
+      ON a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) <= 3
+    """,
+    doc="Near-duplicate audio clips: banded fingerprint LSH (2 bands, "
+    "perfect recall at Hamming<=1) + exact popcount verify at <=3; "
+    "same capped-bucket pair expansion as the image path.",
+    tags=("multimodal", "dedup", "audio"),
+)
+def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.phash import audio_fp_from_text, audio_fp_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return audio_fp_pairs(audio_fp_from_text(docs), max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

@@ -156,3 +156,42 @@ def test_epoch_shuffle_permutation_and_determinism(spark):
     # shuffled: positions must not follow doc_id order
     by_id = [r["position"] for r in sorted(a, key=lambda r: r["doc_id"])]
     assert by_id != sorted(by_id)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint
+# ---------------------------------------------------------------------------
+
+
+def test_afp_bits_integer_exact():
+    from scrappy_spark.operators.codecs import decode_wav_bytes, encode_wav
+    from scrappy_spark.operators.phash import _afp_bits
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(0, 256, 256, dtype=np.uint8)
+    _, wave = decode_wav_bytes(encode_wav(samples))
+    # roundtrip is lossless for 8-bit PCM: quantized wave == samples-128
+    assert np.array_equal(np.rint(wave * 128.0).astype(np.int64), samples.astype(np.int64) - 128)
+    e = ((samples.astype(np.int64) - 128).reshape(32, 8) ** 2).sum(axis=1)
+    want = sum(1 << f for f in range(31) if e[f + 1] > e[f])
+    assert _afp_bits(wave) == want
+
+
+def test_afp_constant_silence_is_zero():
+    from scrappy_spark.operators.codecs import decode_wav_bytes, encode_wav
+    from scrappy_spark.operators.phash import _afp_bits
+
+    _, wave = decode_wav_bytes(encode_wav(np.full(256, 128, np.uint8)))
+    assert _afp_bits(wave) == 0
+
+
+def test_audio_fp_pairs_exact_dup(spark):
+    from scrappy_spark.operators.phash import audio_fp_from_text, audio_fp_pairs
+
+    df = spark.createDataFrame(
+        [(0, "same clip text"), (1, "same clip text"), (2, "another thing entirely zz")],
+        "doc_id long, text string",
+    )
+    sig = audio_fp_from_text(df)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in audio_fp_pairs(sig).collect()}
+    assert pairs.get((0, 1)) == 0

@@ -49,6 +49,9 @@ PROBES = [
     "q_incremental_dedup_pairs",
     "q_temperature_sample",
     "q_quality_floor",
+    "q_dsir_weights",
+    "q_curriculum_shards",
+    "q_image_near_dups",
 ]
 
 
