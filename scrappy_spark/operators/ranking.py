@@ -44,12 +44,19 @@ def global_rank(
     ranged = df.repartitionByRange(*cols).withColumn("__pid", F.spark_partition_id())
     w_local = Window.partitionBy("__pid").orderBy(*cols)
     local = ranged.withColumn("__local", F.row_number().over(w_local) - F.lit(1))
-    # one row per partition; prefix-sum on ~n_partitions rows, broadcast back
+    # one row per partition; the prefix sum over the ~n_partitions-row
+    # counts frame is a triangular self-join rather than a global-order
+    # window — same O(p²) on a tiny frame, but no un-partitioned
+    # WindowExec (whose "moving all data to a single partition" warning
+    # would be noise here and a real hazard if the frame were data-
+    # scale; a join can't silently become one).
     counts = ranged.groupBy("__pid").agg(F.count("*").cast("long").alias("__n"))
-    w_prefix = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "__offset", F.coalesce(F.sum("__n").over(w_prefix), F.lit(0))
-    ).select("__pid", "__offset")
+    before = counts.select(F.col("__pid").alias("__bpid"), F.col("__n").alias("__bn"))
+    offsets = (
+        counts.join(before, F.col("__bpid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__bn"), F.lit(0)).cast("long").alias("__offset"))
+    )
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(rank_col, (F.col("__offset") + F.col("__local")).cast("long"))

@@ -54,10 +54,16 @@ def assign_shards(
     totals = ranged.groupBy("__pid").agg(
         F.sum(size_col).cast("long").alias("__psize")
     )
-    w_prefix = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "__offset", F.coalesce(F.sum("__psize").over(w_prefix), F.lit(0))
-    ).select("__pid", "__offset")
+    # prefix sum as a triangular self-join on the tiny counts frame —
+    # no un-partitioned WindowExec (see ranking.global_rank).
+    before = totals.select(
+        F.col("__pid").alias("__bpid"), F.col("__psize").alias("__bsize")
+    )
+    offsets = (
+        totals.join(before, F.col("__bpid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__bsize"), F.lit(0)).cast("long").alias("__offset"))
+    )
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(
