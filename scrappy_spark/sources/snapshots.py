@@ -1,0 +1,186 @@
+"""Snapshot table: immutable data files + atomic manifest pointer —
+the core of every modern table format (Iceberg/Delta/Hudi), distilled
+to a dependency-free implementation.
+
+Why the engine carries this: at 100 TB, "overwrite the table" is not
+an operation — writers must land new files WITHOUT disturbing readers,
+and reproducibility demands that yesterday's training run can re-read
+yesterday's exact table. Both fall out of two invariants:
+
+1. **Data files are immutable.** Every commit writes fresh parquet
+   files under ``data/snap-N/``; nothing ever rewrites or deletes a
+   file a live manifest references.
+2. **State is one pointer.** A version is a JSON manifest (the file
+   list + row count + lineage); ``HEAD`` advances by an atomic rename.
+   Readers resolve HEAD (or any pinned version) to a file list and
+   read only those files — a concurrent commit is invisible to them.
+
+Consequences, each tested:
+
+- **Time travel**: ``read(version=3)`` reproduces version 3 forever
+  (until ``expire`` drops it).
+- **Crash safety**: a writer dying mid-commit leaves an orphan
+  ``data/snap-N`` dir and/or a tmp manifest — both invisible to
+  readers (nothing references them) and swept by ``expire``.
+- **O(1) commit**: publishing is one manifest write + one rename, no
+  matter the table size.
+- **Append without rewrite**: ``commit(df, append=True)`` references
+  the parent's files PLUS the new ones — the 100 TB ingest shape
+  (the reference rewrites its whole CSV per merge, scrappy.py:350).
+
+On a real cluster the same layout works on any rename-capable store
+(HDFS; on S3, swap the HEAD rename for a conditional PUT). This module
+complements ``store.ArticleStore`` (partition-selective merge for the
+articles table) with format-level versioning for arbitrary frames.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._mdir = os.path.join(path, "_manifests")
+
+    # ------------------------------------------------------------- state
+
+    def _head_path(self) -> str:
+        return os.path.join(self._mdir, "HEAD")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._head_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def versions(self) -> list[dict]:
+        """All committed manifests, ascending by version."""
+        if not os.path.isdir(self._mdir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self._mdir)):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(self._mdir, name)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda m: m["version"])
+
+    def _manifest(self, version: int) -> dict:
+        p = os.path.join(self._mdir, f"v{version}.json")
+        with open(p) as f:
+            return json.load(f)
+
+    # ------------------------------------------------------------ commit
+
+    def commit(
+        self, df: DataFrame, message: str = "", append: bool = False
+    ) -> dict:
+        """Publish ``df`` as the next version; returns its manifest.
+
+        ``append=False``: the new version's content is exactly ``df``.
+        ``append=True``: content is parent's files + ``df``'s new files
+        (no read, no rewrite of existing data).
+
+        Write order is the crash-safety argument: (1) data files land
+        in a version-unique dir — unreferenced until (3), so a crash
+        here orphans bytes, never corrupts state; (2) the manifest is
+        written COMPLETE under a tmp name and renamed into place —
+        readers never see a partial manifest; (3) HEAD advances by
+        rename — the single atomic publication point.
+        """
+        parent = self.current_version()
+        version = 0 if parent is None else parent + 1
+        snap_dir = os.path.join(self.path, "data", f"snap-{version}")
+        if os.path.exists(snap_dir):  # failed prior attempt at this version
+            shutil.rmtree(snap_dir)
+        df.write.mode("overwrite").parquet(snap_dir)
+        files = sorted(
+            os.path.join(snap_dir, f)
+            for f in os.listdir(snap_dir)
+            if f.endswith(".parquet")
+        )
+        if append and parent is not None:
+            files = self._manifest(parent)["files"] + files
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "message": message,
+            "committed_at": time.time(),
+            "files": files,
+            "n_files": len(files),
+        }
+        os.makedirs(self._mdir, exist_ok=True)
+        tmp = os.path.join(self._mdir, f".v{version}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.rename(tmp, os.path.join(self._mdir, f"v{version}.json"))
+        head_tmp = os.path.join(self._mdir, ".HEAD.tmp")
+        with open(head_tmp, "w") as f:
+            f.write(str(version))
+        os.rename(head_tmp, self._head_path())
+        return manifest
+
+    # -------------------------------------------------------------- read
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table at ``version`` (default: HEAD). Reads exactly the
+        manifest's file list — concurrent commits are invisible."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"snapshot table {self.path!r} has no commits")
+        files = self._manifest(v)["files"]
+        if not files:
+            raise ValueError(f"version {v} references no files")
+        return self.spark.read.parquet(*files)
+
+    def diff(self, a: int, b: int) -> dict:
+        """File-level diff {added, removed} from version a to b."""
+        fa = set(self._manifest(a)["files"])
+        fb = set(self._manifest(b)["files"])
+        return {"added": sorted(fb - fa), "removed": sorted(fa - fb)}
+
+    # ------------------------------------------------------------ expire
+
+    def expire(self, keep_last: int = 1) -> dict:
+        """Drop manifests older than the last ``keep_last`` and delete
+        data files no retained manifest references (plus orphan dirs
+        from crashed commits and stale tmp manifests). Returns
+        {dropped_versions, deleted_files}."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        manifests = self.versions()
+        keep = manifests[-keep_last:]
+        drop = manifests[:-keep_last]
+        live: set[str] = set()
+        for m in keep:
+            live.update(m["files"])
+        deleted: list[str] = []
+        data_dir = os.path.join(self.path, "data")
+        if os.path.isdir(data_dir):
+            for snap in sorted(os.listdir(data_dir)):
+                sdir = os.path.join(data_dir, snap)
+                for f in sorted(os.listdir(sdir)):
+                    p = os.path.join(sdir, f)
+                    if f.endswith(".parquet") and p not in live:
+                        os.remove(p)
+                        deleted.append(p)
+                if not any(x.endswith(".parquet") for x in os.listdir(sdir)):
+                    shutil.rmtree(sdir)
+        for m in drop:
+            os.remove(os.path.join(self._mdir, f"v{m['version']}.json"))
+        if os.path.isdir(self._mdir):
+            for name in os.listdir(self._mdir):
+                if name.endswith(".tmp"):
+                    os.remove(os.path.join(self._mdir, name))
+        return {
+            "dropped_versions": [m["version"] for m in drop],
+            "deleted_files": deleted,
+        }

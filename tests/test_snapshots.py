@@ -1,0 +1,101 @@
+"""SnapshotTable: time travel, atomic pointer, append-without-rewrite,
+crash orphan handling, expiry."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from scrappy_spark.sources.snapshots import SnapshotTable
+
+
+def _ids(df) -> list[int]:
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_commit_read_time_travel(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    assert t.current_version() is None
+    t.commit(spark.range(0, 5), "v0")
+    t.commit(spark.range(10, 15), "v1 full replace")
+    assert t.current_version() == 1
+    assert _ids(t.read()) == list(range(10, 15))
+    assert _ids(t.read(version=0)) == list(range(5))  # time travel
+    vs = t.versions()
+    assert [m["version"] for m in vs] == [0, 1]
+    assert vs[1]["parent"] == 0 and vs[1]["message"] == "v1 full replace"
+
+
+def test_append_references_parent_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    m0 = t.commit(spark.range(0, 3).coalesce(1), "base")
+    m1 = t.commit(spark.range(3, 6).coalesce(1), "incr", append=True)
+    assert set(m0["files"]) < set(m1["files"])  # no rewrite: superset
+    assert _ids(t.read()) == list(range(6))
+    d = t.diff(0, 1)
+    assert d["removed"] == [] and len(d["added"]) >= 1
+
+
+def test_old_reader_unaffected_by_new_commit(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 4))
+    pinned = t.read(version=0)  # resolve files BEFORE the next commit
+    t.commit(spark.range(100, 104))
+    assert _ids(pinned) == list(range(4))  # still reads v0's files
+
+
+def test_crash_orphans_are_invisible_and_swept(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 3))
+    # simulate a writer that died after writing data but before the
+    # manifest: an orphan snap dir + a partial tmp manifest
+    orphan = tmp_path / "t" / "data" / "snap-1"
+    os.makedirs(orphan)
+    (orphan / "part-00000.parquet").write_bytes(b"garbage")
+    (tmp_path / "t" / "_manifests" / ".v1.json.tmp").write_text("{ partial")
+    # readers see only v0; versions() ignores the tmp file
+    assert t.current_version() == 0
+    assert _ids(t.read()) == [0, 1, 2]
+    assert [m["version"] for m in t.versions()] == [0]
+    # a retried commit reuses the version slot cleanly
+    t.commit(spark.range(5, 8))
+    assert _ids(t.read()) == [5, 6, 7]
+    rep = t.expire(keep_last=1)
+    assert rep["dropped_versions"] == [0]
+    assert _ids(t.read()) == [5, 6, 7]
+
+
+def test_expire_keeps_live_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 3).coalesce(1))
+    t.commit(spark.range(3, 6).coalesce(1), append=True)
+    t.commit(spark.range(6, 9).coalesce(1), append=True)
+    rep = t.expire(keep_last=2)
+    assert rep["dropped_versions"] == [0]
+    # v0's files are still referenced by v1/v2 (append lineage) → kept
+    assert rep["deleted_files"] == []
+    assert _ids(t.read(version=1)) == list(range(6))
+    assert _ids(t.read()) == list(range(9))
+    with pytest.raises(FileNotFoundError):
+        t._manifest(0)
+
+
+def test_expire_deletes_unreferenced(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 3).coalesce(1))
+    t.commit(spark.range(10, 13).coalesce(1))  # full replace: v0 files dead
+    rep = t.expire(keep_last=1)
+    assert rep["dropped_versions"] == [0] and len(rep["deleted_files"]) >= 1
+    assert not (tmp_path / "t" / "data" / "snap-0").exists()
+    assert _ids(t.read()) == [10, 11, 12]
+
+
+def test_manifest_is_valid_json_with_lineage(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 2))
+    with open(tmp_path / "t" / "_manifests" / "v0.json") as f:
+        m = json.load(f)
+    assert m["parent"] is None and m["n_files"] == len(m["files"]) > 0
+    assert all(p.endswith(".parquet") for p in m["files"])
