@@ -301,3 +301,31 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.withColumn(
         "shard_id", (F.col("position") / F.lit(_EPOCH_SHARD)).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN (operators/pq.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pq_ann_topk",
+    sql=None,  # approximate + KMeans-derived codebook; recall vs brute force in tests
+    doc="Product-quantization ANN (Jegou et al. 2011): 64-d embeddings "
+    "-> 8 codes from per-subspace 16-centroid codebooks (~32x memory "
+    "compression); asymmetric-distance search scores every doc from "
+    "broadcast m*ksub lookup tables without reading any embedding. "
+    "Recall vs brute-force cosine is pinned in tests, like the "
+    "LSH/IVF paths.",
+    tags=("llm", "similarity", "approx"),
+)
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    book = PQ.pq_train(e)
+    codes = PQ.pq_encode(e, book)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return PQ.pq_search(codes, book, queries, k=10)

@@ -195,3 +195,49 @@ def test_audio_fp_pairs_exact_dup(spark):
     sig = audio_fp_from_text(df)
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in audio_fp_pairs(sig).collect()}
     assert pairs.get((0, 1)) == 0
+
+
+# ---------------------------------------------------------------------------
+# product quantization ANN
+# ---------------------------------------------------------------------------
+
+
+def test_pq_recall_and_self_retrieval(spark):
+    from collections import defaultdict
+
+    from scrappy_spark.io import load_table
+    from scrappy_spark.operators import pq as PQ
+    from scrappy_spark.operators.similarity import cosine_topk
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    book = PQ.pq_train(e)
+    assert book.count() == PQ.PQ_M * PQ.PQ_KSUB  # broadcast-sized
+    codes = PQ.pq_encode(e, book)
+    [row] = codes.limit(1).collect()
+    assert len(row["codes"]) == PQ.PQ_M  # 64 floats -> 16 codes
+    approx = PQ.pq_search(codes, book, qs, k=10).collect()
+    brute = cosine_topk(e, qs, k=10).collect()
+    ap, bp = defaultdict(set), defaultdict(set)
+    for r in approx:
+        ap[r["query_id"]].add(r["vec_id"])
+    for r in brute:
+        bp[r["query_id"]].add(r["vec_id"])
+    # near-random fixture vectors are PQ's worst case; measured ~0.6
+    overlaps = [len(ap[q] & bp[q]) / 10 for q in bp]
+    assert sum(overlaps) / len(overlaps) >= 0.4
+    # the quantized self is still each query's own nearest neighbour
+    assert all(q in ap[q] for q in bp)
+
+
+def test_pq_encode_deterministic(spark):
+    from scrappy_spark.io import load_table
+    from scrappy_spark.operators import pq as PQ
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    book = PQ.pq_train(e)
+    a = {r["vec_id"]: r["codes"] for r in PQ.pq_encode(e, book).collect()}
+    b = {r["vec_id"]: r["codes"] for r in PQ.pq_encode(e, book).collect()}
+    assert a == b
