@@ -329,3 +329,52 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return PQ.pq_search(codes, book, queries, k=10)
+
+
+# ---------------------------------------------------------------------------
+# contrastive negative sampling (operators/contrastive.py)
+# ---------------------------------------------------------------------------
+
+_CN_B = 64
+_CN_PROBE = 2
+_CN_K = 4
+
+
+@register(
+    "q_contrastive_negatives",
+    sql=f"""
+    WITH cand AS (SELECT doc_id AS cand_id, text AS ctext,
+            (CAST(('0x' || substr(md5('cb:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_CN_B}) AS bucket
+          FROM documents),
+    probes AS (SELECT doc_id AS anchor_id, text AS atext,
+            (CAST(('0x' || substr(md5('ab' || CAST(i AS VARCHAR) || ':'
+                       || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_CN_B}) AS bucket
+          FROM documents, (SELECT unnest(range(0, {_CN_PROBE})) AS i) g
+          WHERE doc_id < 50),
+    pool AS (SELECT DISTINCT anchor_id, cand_id
+             FROM probes JOIN cand USING (bucket)
+             WHERE cand_id <> anchor_id AND ctext <> atext),
+    ranked AS (SELECT anchor_id, cand_id,
+            CAST(row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY md5('nr:' || CAST(anchor_id AS VARCHAR) || '|'
+                              || CAST(cand_id AS VARCHAR)), cand_id)
+                 AS BIGINT) AS rank
+          FROM pool)
+    SELECT anchor_id, cand_id, rank FROM ranked WHERE rank <= {_CN_K}
+    """,
+    doc="Deterministic contrastive negative sampling: anchors probe 2 "
+    "md5-derived candidate buckets (equi-join -- each anchor sees "
+    "~n_probe/n_buckets of the corpus, never all of it), exact-dup "
+    "false negatives are excluded, and the per-anchor permutation is "
+    "md5(anchor||cand) -- reproducible bit-for-bit across engines and "
+    "task retries, which rand()-based sampling is not.",
+    tags=("llm", "curation", "contrastive"),
+)
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.contrastive import contrastive_negatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    anchors = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    return contrastive_negatives(docs, anchors, k=_CN_K, n_probe=_CN_PROBE)

@@ -241,3 +241,28 @@ def test_pq_encode_deterministic(spark):
     a = {r["vec_id"]: r["codes"] for r in PQ.pq_encode(e, book).collect()}
     b = {r["vec_id"]: r["codes"] for r in PQ.pq_encode(e, book).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# contrastive negatives
+# ---------------------------------------------------------------------------
+
+
+def test_contrastive_negatives_deterministic_and_guarded(spark):
+    from scrappy_spark.io import load_table
+    from scrappy_spark.operators.contrastive import contrastive_negatives
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    anchors = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    a = contrastive_negatives(docs, anchors, k=4).collect()
+    b = contrastive_negatives(docs, anchors, k=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    per_anchor = {}
+    for r in a:
+        assert r["cand_id"] != r["anchor_id"]
+        assert texts[r["cand_id"]] != texts[r["anchor_id"]]  # no exact dups
+        per_anchor.setdefault(r["anchor_id"], []).append(r["rank"])
+    for ranks in per_anchor.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))  # dense 1..k'
+        assert len(ranks) <= 4

@@ -235,3 +235,25 @@ def test_temperature_sample_is_scan_side(spark):
 
     shuffle_exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert all(c in ("lang",) or c.startswith("_") for c in shuffle_exchanges), shuffle_exchanges
+
+
+def test_dsir_ratio_join_broadcasts_and_scan_prunes(spark):
+    plan = _plan(spark, "q_dsir_weights")
+    # the <=256-row log-ratio table must come in as a broadcast, and
+    # the documents scan must read only the 3 needed columns
+    assert "BroadcastHashJoin" in plan
+    read_schema = plan.split("ReadSchema: ")[1]
+    assert "source" not in read_schema and "n_chars" not in read_schema
+
+
+def test_curriculum_rank_is_range_partitioned(spark):
+    plan = _plan(spark, "q_curriculum_shards")
+    assert "rangepartitioning" in plan.lower()  # two-phase rank, phase 1
+    assert "BroadcastHashJoin" in plan  # prefix offsets join back broadcast
+
+
+def test_image_near_dups_has_no_product_join(spark):
+    plan = _plan(spark, "q_image_near_dups")
+    # banded bucket machinery, never an all-pairs product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
