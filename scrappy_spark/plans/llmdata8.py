@@ -206,10 +206,10 @@ _RW_TAU = 0.5
 _RW_BUDGET = 10_000
 
 
-@register(
-    "q_domain_reweight",
-    sql=f"""
-    WITH t AS (SELECT doc_id, unnest({_RAW_TOKS}) AS tok FROM documents),
+#: the reweight CTE chain, shared by q_domain_reweight and the
+#: mixture materializer — one source of truth for the math.
+_RW_CTE = f"""
+    t AS (SELECT doc_id, unnest({_RAW_TOKS}) AS tok FROM documents),
     freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
     tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM freq),
     lp AS (SELECT tok,
@@ -235,6 +235,13 @@ _RW_BUDGET = 10_000
           FROM g, tt),
     u AS (SELECT *, share * exp(excess / {_RW_TAU}) AS u FROM s),
     z AS (SELECT sum(u) AS z FROM u)
+"""
+
+
+@register(
+    "q_domain_reweight",
+    sql=f"""
+    WITH {_RW_CTE}
     SELECT lang, n_docs, n_tokens,
            round(mean_loss, 6) AS mean_loss_r,
            round(excess, 6)    AS excess_r,
@@ -378,3 +385,46 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     anchors = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
     return contrastive_negatives(docs, anchors, k=_CN_K, n_probe=_CN_PROBE)
+
+
+@register(
+    "q_domain_mixture_sample",
+    sql=f"""
+    WITH {_RW_CTE},
+    budgets AS (SELECT lang, CAST(floor(u / z * {_RW_BUDGET}) AS BIGINT)
+                       AS doc_budget
+                FROM u, z),
+    ranked AS (SELECT d.doc_id, d.lang,
+            CAST(row_number() OVER (PARTITION BY d.lang
+                 ORDER BY md5('mx:' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                 AS BIGINT) AS pick
+          FROM documents d)
+    SELECT ranked.doc_id, ranked.lang, ranked.pick
+    FROM ranked JOIN budgets USING (lang)
+    WHERE ranked.pick <= budgets.doc_budget
+    """,
+    doc="Materialize the DoReMi mixture: per-domain integer budgets "
+    "from q_domain_reweight's math (shared CTE -- one source of "
+    "truth), then a deterministic md5-ranked pick of that many docs "
+    "per domain. The rank window is PARTITIONED by domain (parallel), "
+    "budgets join back broadcast-sized; end-to-end reweight -> "
+    "materialized corpus in one declared query.",
+    tags=("llm", "curation", "mixture"),
+)
+def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_loss = unigram_surprisal(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    budgets = domain_reweight(
+        doc_loss, "lang", "surprisal_micro", "n_tokens", tau=_RW_TAU, budget=_RW_BUDGET
+    ).select("lang", "doc_budget")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("mx:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    ranked = docs.select("doc_id", "lang").withColumn(
+        "pick", F.row_number().over(w).cast("long")
+    )
+    return ranked.join(F.broadcast(budgets), "lang").filter(
+        F.col("pick") <= F.col("doc_budget")
+    ).select("doc_id", "lang", "pick")
