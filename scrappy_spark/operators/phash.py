@@ -275,6 +275,76 @@ def audio_fp_from_text(
     return df.select(id_col, text_col).mapInPandas(run, _AFP_SCHEMA)
 
 
+#: video fingerprint geometry: 512 bytes → 32 frames of 4×4 luma →
+#: 31 per-frame-sum delta bits (the video twin of the audio bits).
+VFP_SIDE = 4
+VFP_FRAMES = 32
+VFP_BYTES = VFP_SIDE * VFP_SIDE * VFP_FRAMES
+
+_VFP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("vfp_hex", StringType()),
+        StructField("b0", LongType()),
+        StructField("b1", LongType()),
+    ]
+)
+
+
+def video_fp_from_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic clip fixture + the REAL container path in one
+    kernel: utf-8 bytes TILED to 512 (same convention as the image and
+    audio halves — padding instead would give every short doc a blank
+    tail and collapse the fingerprint space) become 32 4×4 mono
+    frames, Y4M-encode, then decode + fingerprint through the
+    production parsers (`encode_y4m` → `decode_video_frames`).
+    Per-frame luma SUMS are exact integers, and mono Y4M stores raw
+    luma (lossless), so the bits are a pure function of the text
+    bytes — SQL-oracle-reproducible like the image/audio halves."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import decode_video_frames, encode_y4m
+
+        fsz = VFP_SIDE * VFP_SIDE
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = t.encode()
+                if not raw:
+                    continue
+                raw = (raw * (VFP_BYTES // len(raw) + 1))[:VFP_BYTES]
+                frames = [
+                    np.frombuffer(raw[k * fsz : (k + 1) * fsz], np.uint8).reshape(
+                        VFP_SIDE, VFP_SIDE
+                    )
+                    for k in range(VFP_FRAMES)
+                ]
+                _, _, decoded = decode_video_frames(encode_y4m(frames, "mono"))
+                e = [int(f.sum()) for f in decoded]
+                bits = 0
+                for f in range(VFP_FRAMES - 1):
+                    if e[f + 1] > e[f]:
+                        bits |= 1 << f
+                rows.append((int(i), f"{bits:08x}", bits & 0xFFFF, bits >> 16))
+            yield pd.DataFrame(rows, columns=[f.name for f in _VFP_SCHEMA.fields])
+
+    return df.select(id_col, text_col).mapInPandas(run, _VFP_SCHEMA)
+
+
+def video_fp_pairs(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Near-duplicate clips over the 2 fingerprint bands."""
+    return band_pairs(sig, ["b0", "b1"], max_hamming, id_col, max_bucket_size)
+
+
 def audio_fp_pairs(
     sig: DataFrame,
     max_hamming: int = 3,

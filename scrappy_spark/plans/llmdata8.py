@@ -428,3 +428,76 @@ def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(budgets), "lang").filter(
         F.col("pick") <= F.col("doc_budget")
     ).select("doc_id", "lang", "pick")
+
+
+# ---------------------------------------------------------------------------
+# video fingerprint (per-frame luma-sum delta bits; phash.py video half)
+# ---------------------------------------------------------------------------
+
+
+def _sql_venergy(f: int) -> str:
+    return " + ".join(f"{_sql_byte(16 * f + k)}" for k in range(16))
+
+
+_VFP_EN = ",\n            ".join(f"{_sql_venergy(f)} AS e{f}" for f in range(32))
+
+_VFP_SQL = f"""
+    pv AS (SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents
+           WHERE len(text) > 0),
+    repv AS (SELECT doc_id,
+                    substr(repeat(hx, CAST(ceil(1024.0 / len(hx)) AS INT)),
+                           1, 1024) AS h2
+             FROM pv),
+    env AS (SELECT doc_id,
+            {_VFP_EN}
+           FROM repv),
+    vsig AS (SELECT doc_id,
+                    CAST({_AFP_B0} AS BIGINT) AS b0,
+                    CAST({_AFP_B1} AS BIGINT) AS b1
+             FROM env)
+"""
+
+
+@register(
+    "q_video_fingerprint",
+    sql=f"""
+    WITH {_VFP_SQL}
+    SELECT doc_id, printf('%08x', b1 * 65536 + b0) AS vfp_hex, b0, b1
+    FROM vsig
+    """,
+    doc="Video fingerprint through the REAL container path: bytes "
+    "become a 32-frame 4x4 mono Y4M clip, encoded and decoded with "
+    "the production parsers, then 31 per-frame luma-sum delta bits "
+    "(the video twin of the audio energy bits). Mono Y4M is lossless "
+    "raw luma, so the oracle recomputes the bits from the bytes and "
+    "the decode kernel is value-hash-gated. Completes the perceptual "
+    "near-dup triad: image dHash / audio energy / video frame-sums.",
+    tags=("multimodal", "dedup", "video"),
+)
+def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.phash import video_fp_from_text
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return video_fp_from_text(docs)
+
+
+@register(
+    "q_video_near_dups",
+    sql=f"""
+    WITH {_VFP_SQL}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                AS BIGINT) AS hamming
+    FROM vsig a JOIN vsig b
+      ON a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) <= 3
+    """,
+    doc="Near-duplicate clips: banded video-fingerprint LSH + exact "
+    "popcount verify; same capped-bucket machinery as image/audio.",
+    tags=("multimodal", "dedup", "video"),
+)
+def q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.phash import video_fp_from_text, video_fp_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return video_fp_pairs(video_fp_from_text(docs), max_hamming=3)

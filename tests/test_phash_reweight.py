@@ -266,3 +266,36 @@ def test_contrastive_negatives_deterministic_and_guarded(spark):
     for ranks in per_anchor.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))  # dense 1..k'
         assert len(ranks) <= 4
+
+
+# ---------------------------------------------------------------------------
+# video fingerprint
+# ---------------------------------------------------------------------------
+
+
+def test_vfp_real_container_matches_byte_math(spark):
+    from scrappy_spark.operators.phash import VFP_BYTES, video_fp_from_text
+
+    text = "some video like content here"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    [row] = video_fp_from_text(df).collect()
+    raw = text.encode()
+    tiled = (raw * (VFP_BYTES // len(raw) + 1))[:VFP_BYTES]
+    e = [sum(tiled[k * 16 : (k + 1) * 16]) for k in range(32)]
+    want = sum(1 << f for f in range(31) if e[f + 1] > e[f])
+    assert row["vfp_hex"] == f"{want:08x}"
+    assert (row["b1"] << 16 | row["b0"]) == want
+
+
+def test_video_fp_pairs_exact_dup(spark):
+    from scrappy_spark.operators.phash import video_fp_from_text, video_fp_pairs
+
+    df = spark.createDataFrame(
+        [(0, "clip a"), (1, "clip a"), (2, "something very different indeed")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in video_fp_pairs(video_fp_from_text(df)).collect()
+    }
+    assert pairs.get((0, 1)) == 0
