@@ -1,6 +1,9 @@
-"""LLM-corpus operators, round-5 third batch: perceptual image-hash
-dedup over the real codec path, DoReMi-style domain reweighting, and
-deterministic epoch shuffling.
+"""LLM-corpus operators, round-5 third batch: the perceptual near-dup
+triad (image dHash / audio energy / video frame-sum fingerprints, each
+through the REAL codec path with a bit-exact oracle), DoReMi-style
+domain reweighting + mixture materialization, deterministic epoch
+shuffling, product-quantization ANN, and contrastive negative
+sampling.
 
 The reference is text-only with no sampling or mixtures (scrappy.py);
 these extend the multimodal + curation surface.
