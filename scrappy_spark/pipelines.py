@@ -295,3 +295,75 @@ def rag_retrieve(
             "cos_sim",
         )
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    floor_frac: float = 0.2,
+    split_salt: str = "split",
+    max_bucket_size: int | None = 1000,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The full pretraining-curation flow in one call:
+
+        near-dup dedup (exact collapse → LSH → components)
+        → benchmark decontamination (3-gram overlap vs ``bench``)
+        → per-group quality floor (drop each group's bottom frac)
+        → leakage-safe splits (hash of the near-dup CLUSTER id)
+
+    Returns (curated, report): ``curated`` is the surviving corpus with
+    ``component`` and ``split`` attached; ``report`` has one row per
+    input doc with its stage verdict — 'dup' / 'contaminated' /
+    'low_quality' / 'kept' — because a pipeline that can't say WHY a
+    document vanished can't be debugged. Every stage is an existing
+    operator; this function only wires them, so each keeps its own
+    scale contract (collapse-before-LSH, broadcast bench grams,
+    integer floor rule, scan-side split hash).
+    """
+    from .operators.curation import assign_splits, decontaminate, quality_floor
+    from .operators.textstats import quality_score
+
+    cleaned, clusters = dedup_corpus(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        max_bucket_size=max_bucket_size,
+        checkpoint_dir=checkpoint_dir,
+    )
+    flagged = decontaminate(cleaned, bench, id_col=id_col, text_col=text_col)
+    decon = flagged.filter(~F.col("contaminated")).drop("contaminated")
+    scored = decon.join(
+        quality_score(decon, text_col=text_col, id_col=id_col).select(
+            id_col, "quality_score"
+        ),
+        id_col,
+    )
+    survivors = quality_floor(
+        scored, frac=floor_frac, group_col=group_col, id_col=id_col
+    )
+    comp = clusters.select(id_col, "component")
+    curated = assign_splits(
+        survivors.join(comp, id_col), id_col="component", salt=split_salt
+    )
+    report = (
+        clusters.join(flagged.select(id_col, "contaminated"), id_col, "left")
+        .join(
+            survivors.select(id_col).withColumn("__q", F.lit(True)), id_col, "left"
+        )
+        .join(curated.select(id_col, "split"), id_col, "left")
+        .select(
+            id_col,
+            "component",
+            F.when(~F.col("is_canonical"), F.lit("dup"))
+            .when(F.col("contaminated"), F.lit("contaminated"))
+            .when(F.col("__q").isNull(), F.lit("low_quality"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+            "split",
+        )
+    )
+    return curated, report

@@ -70,6 +70,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llmdata6,
         llmdata7,
         llmdata8,
+        llmdata9,
         timeseries,
         sketches,
         extras,

@@ -299,3 +299,39 @@ def test_video_fp_pairs_exact_dup(spark):
         for r in video_fp_pairs(video_fp_from_text(df)).collect()
     }
     assert pairs.get((0, 1)) == 0
+
+
+# ---------------------------------------------------------------------------
+# composed curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_curate_corpus_report_is_consistent(spark):
+    from scrappy_spark.io import load_table
+    from scrappy_spark.pipelines import curate_corpus, dedup_corpus
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    curated, report = curate_corpus(train, bench, max_bucket_size=None)
+    rep = report.collect()
+    assert len(rep) == train.count()  # one verdict per input doc
+    by_v = {}
+    for r in rep:
+        by_v.setdefault(r["verdict"], []).append(r)
+    # kept docs and only kept docs carry a split
+    assert all(r["split"] in ("train", "val", "test") for r in by_v["kept"])
+    for v in ("dup", "contaminated", "low_quality"):
+        assert all(r["split"] is None for r in by_v.get(v, []))
+    # curated == the kept set, with component+split attached
+    cur = curated.collect()
+    assert {r["doc_id"] for r in cur} == {r["doc_id"] for r in by_v["kept"]}
+    # dup verdicts match the dedup stage run standalone
+    _, clusters = dedup_corpus(train, max_bucket_size=None)
+    n_dups = clusters.filter(~F.col("is_canonical")).count()
+    assert len(by_v.get("dup", [])) == n_dups
+    # leakage safety: all members of one component share one split fate
+    comp_splits = {}
+    for r in cur:
+        comp_splits.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in comp_splits.values())
