@@ -74,6 +74,7 @@ def all_specs() -> dict[str, QuerySpec]:
         timeseries,
         sketches,
         extras,
+        webingest,
     )
 
     # Deterministic enumeration, independent of module import order

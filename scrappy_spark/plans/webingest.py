@@ -1,0 +1,244 @@
+"""Web-corpus ingestion queries: HTML extraction, URL normalization,
+license/canary scanning (operators/web.py).
+
+The documents fixture carries clean text, so each query deterministically
+CONSTRUCTS the raw artifact (an HTML page, a messy URL) from fixture
+columns — identically on the Spark and DuckDB sides — then runs the
+operator on one side and the generated SQL twin on the other. Same
+trick as the codec queries (plans/llmdata8.py): the construction is the
+fixture, the extraction is what's under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from ..operators.web import (
+    extract_html_text,
+    html_extract_sql,
+    license_scan,
+    license_scan_sql,
+    normalize_urls,
+    normalize_urls_sql,
+    CANARY_TOKEN,
+    LICENSE_MARKERS,
+)
+from .registry import register
+
+# --------------------------------------------------------------------------
+# Shared fixture constructions (Spark expression + SQL twin, one source
+# of truth per construction rule)
+# --------------------------------------------------------------------------
+
+_HTML_SQL = (
+    "'<html><head><title>' || source || '</title>'"
+    " || '<style type=\"text/css\">p{margin:0} .x>y{}</style>'"
+    " || '<script>if(a<b&&c>d){alert(\"x\")}</script></head>'"
+    " || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'"
+    " || '<!-- crawl ' || CAST(doc_id AS VARCHAR) || ' <meta> -->'"
+    " || '<p>' || text || '</p>'"
+    " || '<ul><li>lang &amp; ' || lang || '</li>'"
+    " || '<li>&lt;raw&gt; &quot;q&#39;s&quot;&nbsp;end</li></ul>'"
+    " || '</body></html>'"
+)
+
+
+def _html_col():
+    return F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit("</title>"),
+        F.lit('<style type="text/css">p{margin:0} .x>y{}</style>'),
+        F.lit('<script>if(a<b&&c>d){alert("x")}</script></head>'),
+        F.lit("<body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>"),
+        F.lit("<!-- crawl "),
+        F.col("doc_id").cast("string"),
+        F.lit(" <meta> -->"),
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.lit("<ul><li>lang &amp; "),
+        F.col("lang"),
+        F.lit("</li>"),
+        F.lit("<li>&lt;raw&gt; &quot;q&#39;s&quot;&nbsp;end</li></ul>"),
+        F.lit("</body></html>"),
+    )
+
+
+# Messy-URL construction: uppercase scheme + www, mixed TLDs (one
+# two-label public suffix), default AND non-default explicit ports,
+# trailing slashes, tracking params interleaved with real ones, and a
+# fragment — every normalization rule gets exercised by some residue
+# class of doc_id.
+_URL_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)"
+    " || '://WWW.' || source"
+    " || (CASE WHEN doc_id % 7 = 0 THEN '.co.uk' ELSE '.com' END)"
+    " || (CASE WHEN doc_id % 5 = 0 THEN ':8080'"
+    "          WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)"
+    " || '/A/' || lang || '/' || CAST(doc_id AS VARCHAR)"
+    " || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)"
+    " || (CASE WHEN doc_id % 3 = 0 THEN"
+    "        '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)"
+    "          || '&utm_campaign=x&ref=tw'"
+    "      WHEN doc_id % 3 = 1 THEN"
+    "        '?id=' || CAST(doc_id AS VARCHAR) || '&utm_medium=m&q=spark'"
+    "      ELSE '' END)"
+    " || (CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+def _url_col():
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://WWW."),
+        F.col("source"),
+        F.when(did % 7 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.when(did % 5 == 0, F.lit(":8080"))
+        .when(did % 2 == 0, F.lit(":443"))
+        .otherwise(F.lit(":80")),
+        F.lit("/A/"),
+        F.col("lang"),
+        F.lit("/"),
+        did.cast("string"),
+        F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                did.cast("string"),
+                F.lit("&utm_campaign=x&ref=tw"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("?id="), did.cast("string"), F.lit("&utm_medium=m&q=spark")
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+# License-marker injection: residues 0-3 of doc_id % 11 get one marker
+# each (in LICENSE_MARKERS order), residue 4 gets the canary token,
+# residue 5 gets TWO markers (priority order must break the tie),
+# everything else stays unmarked.
+_MARKER_TEXTS = (
+    "This work is licensed under a Creative Commons Attribution 4.0 License.",
+    "Released under the MIT License.",
+    "Licensed under the Apache License, Version 2.0.",
+    "GNU General Public License v3.",
+    f"eval fixture {CANARY_TOKEN} do not train",
+    "Dual: MIT License or Creative Commons Attribution.",
+)
+
+_MARKED_SQL = (
+    "text || CASE doc_id % 11 "
+    + " ".join(f"WHEN {i} THEN ' {t}'" for i, t in enumerate(_MARKER_TEXTS))
+    + " ELSE '' END"
+)
+
+
+def _marked_col():
+    suffix = F.lit("")
+    for i, t in enumerate(_MARKER_TEXTS):
+        suffix = F.when(F.col("doc_id") % 11 == i, F.lit(" " + t)).otherwise(suffix)
+    return F.concat(F.col("text"), suffix)
+
+
+# --------------------------------------------------------------------------
+# Declared queries
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_html_extract",
+    sql=f"""
+    WITH h AS (SELECT doc_id, {_HTML_SQL} AS html FROM documents)
+    SELECT doc_id,
+           {html_extract_sql('html')} AS clean_text,
+           CAST(length({html_extract_sql('html')}) AS BIGINT) AS clean_len
+    FROM h
+    """,
+    doc="HTML -> text extraction over constructed pages (script/style/"
+    "comment removal, block structure, entity decode, ws collapse)",
+    tags=("web", "curation"),
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _html_col().alias("html"))
+    out = extract_html_text(pages, html_col="html")
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.length("clean_text").cast("bigint").alias("clean_len"),
+    )
+
+
+@register(
+    "q_url_normalize",
+    sql=(
+        lambda cols: f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+    SELECT doc_id,
+           {cols['url_norm']} AS url_norm,
+           {cols['scheme']} AS scheme,
+           {cols['host']} AS host,
+           {cols['registered_domain']} AS registered_domain,
+           {cols['path_norm']} AS path_norm,
+           {cols['query_clean']} AS query_clean
+    FROM u
+    """
+    )(normalize_urls_sql("url")),
+    doc="URL canonicalization: scheme/host lowering, www + default-port "
+    "+ fragment + tracking-param stripping, public-suffix registered "
+    "domain",
+    tags=("web", "curation"),
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", _url_col().alias("url"))
+    out = normalize_urls(urls, url_col="url")
+    return out.select(
+        "doc_id",
+        "url_norm",
+        "scheme",
+        "host",
+        "registered_domain",
+        "path_norm",
+        "query_clean",
+    )
+
+
+@register(
+    "q_license_filter",
+    sql=(
+        lambda cols: f"""
+    WITH m AS (SELECT doc_id, {_MARKED_SQL} AS text FROM documents)
+    SELECT doc_id,
+           {cols['license']} AS license,
+           {cols['canary_hit']} AS canary_hit
+    FROM m
+    """
+    )(license_scan_sql("text")),
+    doc="License-marker tagging (priority order on dual-licensed docs) "
+    "+ contamination-canary flag",
+    tags=("web", "curation"),
+)
+def q_license_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    marked = docs.select("doc_id", _marked_col().alias("text"))
+    out = license_scan(marked, text_col="text")
+    return out.select("doc_id", "license", "canary_hit")
+
+
+# Self-check that the priority constant count matches the injection
+# fixture (residue 5 exercises the tie-break; if someone extends
+# LICENSE_MARKERS they must extend _MARKER_TEXTS too).
+assert len(_MARKER_TEXTS) == len(LICENSE_MARKERS) + 2
