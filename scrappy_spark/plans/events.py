@@ -407,6 +407,34 @@ def q_view_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFram
     return view_click_attribution(e, max_delay="10 minutes", how="left_outer")
 
 
+@register(
+    "q_view_click_attribution_full",
+    sql="""
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click')
+    SELECT coalesce(v.user_id, c.user_id) AS user_id,
+           v.view_id, v.view_ts, c.click_id, c.click_ts,
+           date_diff('second', v.view_ts, c.click_ts) AS delay_sec
+    FROM v FULL JOIN c ON v.user_id = c.user_id
+     AND c.click_ts >= v.view_ts
+     AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE
+    """,
+    doc="Full-outer view→click attribution: unconverted views AND "
+    "orphan clicks (no view in the preceding 10 minutes) in one pass — "
+    "batch twin of the watermarked stream-stream FULL OUTER interval "
+    "join (streaming/joins.py coalesces the key from whichever side "
+    "matched), completing the interval-join mode matrix.",
+    tags=("join", "streaming-twin", "events"),
+)
+def q_view_click_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import view_click_attribution
+
+    e = load_table(spark, sf_dir, "events")
+    return view_click_attribution(e, max_delay="10 minutes", how="full_outer")
+
+
 # --------------------------------------------------------------------------
 # Graph: PageRank over the page-transition graph
 # --------------------------------------------------------------------------

@@ -43,12 +43,20 @@ def interval_join(
     batch/stream equivalence is exact for matched rows and
     watermark-bounded for unmatched ones (see test_streaming).
 
+    ``how="full_outer"`` additionally emits unmatched RIGHT rows (the
+    "clicks with no preceding view" shape — orphan detection) with the
+    left columns NULL; the output ``key`` is coalesced from whichever
+    side is present. Same watermark requirement and eviction bound as
+    left-outer, applied on both sides.
+
     Columns (other than ``key``) must already be disambiguated by the
     caller (e.g. prefixed) — the joined frame carries both sides'
     columns plus ``delay_sec``.
     """
-    if how not in ("inner", "left_outer"):
-        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    if how not in ("inner", "left_outer", "full_outer"):
+        raise ValueError(
+            f"how must be 'inner', 'left_outer' or 'full_outer', got {how!r}"
+        )
     if watermark is not None:
         left = left.withWatermark(left_ts, watermark)
         right = right.withWatermark(right_ts, watermark)
@@ -65,8 +73,14 @@ def interval_join(
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
     )
+    # Coalesce the output key from whichever side matched: on
+    # full_outer an unmatched right row has left[key] NULL and only
+    # __rkey carries the key — dropping __rkey without the coalesce
+    # would orphan those rows. (On inner/left_outer the coalesce is a
+    # no-op: left[key] is always present.)
     return (
         left.join(right, cond, how)
+        .withColumn(key, F.coalesce(left[key], F.col("__rkey")))
         .drop("__rkey")
         .withColumn(
             "delay_sec",

@@ -138,6 +138,60 @@ def test_stream_stream_left_outer_interval_join_watermark_bounded(spark, events_
     assert all(r[2] <= cutoff for r in got_unmatched)
 
 
+def test_stream_stream_full_outer_interval_join_watermark_bounded(spark, events_dir):
+    """FULL OUTER stream-stream interval join: matched rows equal the
+    batch twin; unmatched rows on EACH side emit once the watermark
+    proves the other side can't still match — views once
+    (view_ts + max_delay) < watermark, clicks once click_ts < watermark
+    (a matching view would be no later than the click). The coalesced
+    key must survive on both kinds of unmatched rows."""
+    import datetime as dt
+
+    from scrappy_spark.streaming.joins import view_click_attribution
+
+    cols = ["user_id", "view_id", "view_ts", "click_id", "click_ts", "delay_sec"]
+
+    def named_rows(df):
+        return sorted(
+            (tuple(r[c] for c in cols) for r in df.select(*cols).collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    batch = load_table(spark, SF_DIR, "events")
+    stream_in = spark.readStream.schema(batch.schema).parquet(events_dir)
+    joined = view_click_attribution(stream_in, watermark="1 hour", how="full_outer")
+    assert joined.isStreaming
+    out = _run_stream_to_memory(spark, joined, "mem_vc_full", "append")
+    got = named_rows(out)
+    assert all(r[0] is not None for r in got), "coalesced key must never be NULL"
+    got_matched = [r for r in got if r[1] is not None and r[3] is not None]
+    got_no_click = [r for r in got if r[3] is None]
+    got_no_view = [r for r in got if r[1] is None]
+
+    batch_full = view_click_attribution(batch, how="full_outer")
+    expect_matched = named_rows(
+        batch_full.filter(F.col("view_id").isNotNull() & F.col("click_id").isNotNull())
+    )
+    assert got_matched == expect_matched and len(got_matched) > 0
+
+    max_view, max_click = (
+        batch.filter(F.col("event_type") == t).agg(F.max("ts")).first()[0]
+        for t in ("view", "click")
+    )
+    w = min(max_view, max_click) - dt.timedelta(hours=1)
+    view_cutoff = w - dt.timedelta(minutes=10)
+    no_click = batch_full.filter(F.col("click_id").isNull())
+    assert got_no_click in (
+        named_rows(no_click.filter(F.col("view_ts") < view_cutoff)),
+        named_rows(no_click.filter(F.col("view_ts") <= view_cutoff)),
+    ) and len(got_no_click) > 0
+    no_view = batch_full.filter(F.col("view_id").isNull())
+    assert got_no_view in (
+        named_rows(no_view.filter(F.col("click_ts") < w)),
+        named_rows(no_view.filter(F.col("click_ts") <= w)),
+    ) and len(got_no_view) > 0
+
+
 def test_stream_static_enrichment_equals_batch(spark, events_dir):
     from scrappy_spark.streaming.joins import enrich_with_static
 
