@@ -147,6 +147,45 @@ class SnapshotTable:
         fb = set(self._manifest(b)["files"])
         return {"added": sorted(fb - fa), "removed": sorted(fa - fb)}
 
+    def row_diff(self, a: int, b: int, key_cols: list[str]) -> DataFrame:
+        """Row-level change-data feed from version ``a`` to ``b``:
+        key columns plus ``change`` ∈ {'added','removed','changed'};
+        unchanged rows are absent. Keys must be unique per version
+        (the usual primary-key contract for CDC).
+
+        Scale shape: each side is reduced to (key, 64-bit payload
+        hash) AT THE SCAN — wide payload columns never cross the
+        shuffle — then one full-outer join on the key classifies every
+        row. Two scans + one join, no collect, works at any table
+        width.
+        """
+        from pyspark.sql import functions as F
+
+        da, db = self.read(a), self.read(b)
+        if set(da.columns) != set(db.columns):
+            raise ValueError(
+                f"schema mismatch between versions {a} and {b}: "
+                f"{sorted(da.columns)} vs {sorted(db.columns)}"
+            )
+        payload = [c for c in da.columns if c not in key_cols]
+
+        def keyed(df: DataFrame, tag: str) -> DataFrame:
+            h = F.xxhash64(*payload) if payload else F.lit(0)
+            return df.select(*key_cols, h.alias(f"_h_{tag}"))
+
+        old, new = keyed(da, "a"), keyed(db, "b")
+        joined = old.join(new, on=key_cols, how="full_outer")
+        change = (
+            F.when(F.col("_h_a").isNull(), F.lit("added"))
+            .when(F.col("_h_b").isNull(), F.lit("removed"))
+            .when(F.col("_h_a") != F.col("_h_b"), F.lit("changed"))
+        )
+        return (
+            joined.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(*key_cols, "change")
+        )
+
     # ------------------------------------------------------------ expire
 
     def expire(self, keep_last: int = 1) -> dict:

@@ -99,3 +99,58 @@ def test_manifest_is_valid_json_with_lineage(spark, tmp_path):
         m = json.load(f)
     assert m["parent"] is None and m["n_files"] == len(m["files"]) > 0
     assert all(p.endswith(".parquet") for p in m["files"])
+
+
+def test_row_diff_classifies_changes(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    v0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "s", "v"]
+    )
+    v1 = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 99), (4, "d", 40)], ["id", "s", "v"]
+    )
+    t.commit(v0, "v0")
+    t.commit(v1, "v1")
+    got = {r["id"]: r["change"] for r in t.row_diff(0, 1, ["id"]).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged -> absent
+
+
+def test_row_diff_direction_and_identity(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 3).withColumnRenamed("id", "id"), "v0")
+    t.commit(spark.range(1, 4), "v1")
+    fwd = {r["id"]: r["change"] for r in t.row_diff(0, 1, ["id"]).collect()}
+    rev = {r["id"]: r["change"] for r in t.row_diff(1, 0, ["id"]).collect()}
+    assert fwd == {0: "removed", 3: "added"}
+    assert rev == {0: "added", 3: "removed"}
+    assert t.row_diff(1, 1, ["id"]).count() == 0  # self-diff is empty
+
+
+def test_row_diff_schema_mismatch_raises(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 3), "v0")
+    t.commit(spark.range(0, 3).selectExpr("id", "0 AS extra"), "v1")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.row_diff(0, 1, ["id"])
+
+
+def test_row_diff_payload_stays_out_of_shuffle(spark, tmp_path):
+    """The join operands must be (key, hash) projections — the payload
+    column name may not appear anywhere after the Exchange."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 10).selectExpr("id", "repeat('x', 100) AS widepayload")
+    t.commit(df, "v0")
+    t.commit(df.filter("id < 9"), "v1")
+    plan = t.row_diff(0, 1, ["id"])._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # Strip the hash expressions (they legitimately consume the payload)
+    # and the scan lines (the file reader must read it to hash it); the
+    # payload name must then be gone — in particular from every Project
+    # feeding an Exchange, so only (key, hash) rows are shuffled.
+    cleaned = "\n".join(
+        line
+        for line in re.sub(r"xxhash64\([^)]*\)", "", plan).splitlines()
+        if "Scan" not in line and "ReadSchema" not in line
+    )
+    assert "Exchange" in cleaned and "widepayload" not in cleaned
