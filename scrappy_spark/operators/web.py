@@ -218,6 +218,36 @@ def normalize_urls_sql(expr: str) -> dict[str, str]:
 
 
 # --------------------------------------------------------------------------
+# Domain blocklist filtering
+# --------------------------------------------------------------------------
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    domain_col: str = "registered_domain",
+    block_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose registered domain appears on a blocklist (the
+    UT1/adult/spam-list shape every web-corpus pipeline applies).
+
+    Broadcast LEFT ANTI join: blocklists are small (10⁵-10⁶ domains —
+    megabytes) against a corpus of billions of rows, so the corpus
+    never shuffles; each task filters its partition against the
+    broadcast hash set. Normalize the blocklist side defensively
+    (lower + trim) — lists are hand-curated text files.
+    """
+    bl = blocklist.select(
+        F.lower(F.trim(F.col(block_col))).alias("__blocked_domain")
+    ).distinct()
+    return df.join(
+        F.broadcast(bl),
+        F.col(domain_col) == F.col("__blocked_domain"),
+        "left_anti",
+    )
+
+
+# --------------------------------------------------------------------------
 # License / canary scanning
 # --------------------------------------------------------------------------
 

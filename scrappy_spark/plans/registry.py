@@ -89,15 +89,26 @@ def all_specs() -> dict[str, QuerySpec]:
     # Within the unchecked group, oracle-backed specs outrank
     # rows-only ones: a driver slot spent on a no-oracle query records
     # a weaker check than the local replica already provides.
+    # _NEVER_RUN_PIN outranks everything: those specs have missed the
+    # 50-slot cap in EVERY round so far (rows-only specs sort last, and
+    # each round's new queries kept pushing them out), so they get the
+    # front of the prefix until a CORRECTNESS file finally records them.
     unchecked_first = sorted(
         _REGISTRY,
         key=lambda n: (
+            n not in _NEVER_RUN_PIN,
             n in _DRIVER_VERIFIED,
             _REGISTRY[n].sql is None,
             n,
         ),
     )
     return {name: _REGISTRY[name] for name in unchecked_first}
+
+
+#: Declared in round 2, green under the local replica every round,
+#: but never in any CORRECTNESS_r*.json — pinned first so round 5's
+#: driver pass finally records them (VERDICT r4, Next #1).
+_NEVER_RUN_PIN = frozenset({"q_taxonomy_topics", "q_theta_sketch_overlap"})
 
 
 # Queries already driver-verified (green in CORRECTNESS_r01.json); kept

@@ -242,3 +242,65 @@ def q_license_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixture (residue 5 exercises the tie-break; if someone extends
 # LICENSE_MARKERS they must extend _MARKER_TEXTS too).
 assert len(_MARKER_TEXTS) == len(LICENSE_MARKERS) + 2
+
+
+# --------------------------------------------------------------------------
+# Composed ingestion pipeline
+# --------------------------------------------------------------------------
+
+#: Domains excluded by the fixture blocklist — one .com and one
+#: two-label-suffix domain so the blocklist exercises both
+#: registered-domain shapes.
+BLOCKED_DOMAINS = ("src1.com", "src0.co.uk")
+
+
+@register(
+    "q_web_ingest",
+    sql=(
+        lambda ucols, lcols: f"""
+    WITH m AS (SELECT doc_id, lang, source, {_MARKED_SQL} AS text
+               FROM documents),
+    h AS (SELECT doc_id, {_HTML_SQL} AS html, {_URL_SQL} AS url FROM m),
+    e AS (SELECT doc_id, url, {html_extract_sql('html')} AS clean_text
+          FROM h),
+    u AS (SELECT doc_id, clean_text,
+                 {ucols['registered_domain']} AS registered_domain
+          FROM e)
+    SELECT doc_id, registered_domain,
+           {lcols['license']} AS license,
+           CAST(length(clean_text) AS BIGINT) AS clean_len
+    FROM u
+    WHERE registered_domain NOT IN {BLOCKED_DOMAINS!r}
+      AND NOT {lcols['canary_hit']}
+    """
+    )(normalize_urls_sql("url"), license_scan_sql("clean_text")),
+    doc="Composed web-ingestion pipeline: HTML extraction -> URL "
+    "canonicalization -> broadcast blocklist anti-join -> license tag "
+    "+ canary drop, hash-verified end-to-end via the same stitched "
+    "fragments as the stage queries",
+    tags=("web", "curation", "pipeline"),
+)
+def q_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.web import blocklist_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang", "source", _marked_col().alias("text"))
+    pages = base.select(
+        "doc_id", _html_col().alias("html"), _url_col().alias("url")
+    )
+    ext = extract_html_text(pages, html_col="html")
+    urls = normalize_urls(ext, url_col="url")
+    blocklist = spark.createDataFrame(
+        [(d,) for d in BLOCKED_DOMAINS], ["domain"]
+    )
+    kept = blocklist_filter(urls, blocklist)
+    scanned = license_scan(kept, text_col="clean_text")
+    return (
+        scanned.filter(~F.col("canary_hit"))
+        .select(
+            "doc_id",
+            "registered_domain",
+            "license",
+            F.length("clean_text").cast("bigint").alias("clean_len"),
+        )
+    )

@@ -115,6 +115,32 @@ class TestNormalizeUrls:
         assert "Exchange" not in plan
 
 
+class TestBlocklistFilter:
+    def test_drops_blocked_keeps_rest(self, spark):
+        from scrappy_spark.operators.web import blocklist_filter
+
+        df = spark.createDataFrame(
+            [(1, "ex.com"), (2, "bad.com"), (3, "news.co.uk")],
+            ["id", "registered_domain"],
+        )
+        bl = spark.createDataFrame([(" BAD.com ",), ("other.org",)], ["domain"])
+        out = blocklist_filter(df, bl)
+        assert sorted(r["id"] for r in out.collect()) == [1, 3]  # list normalized
+
+    def test_plan_broadcasts_blocklist(self, spark):
+        from scrappy_spark.operators.web import blocklist_filter
+
+        df = spark.createDataFrame([(1, "ex.com")], ["id", "registered_domain"])
+        bl = spark.createDataFrame([("bad.com",)], ["domain"])
+        plan = (
+            blocklist_filter(df, bl)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 class TestLicenseScan:
     def _scan(self, spark, text):
         df = spark.createDataFrame([(text,)], "text string")
