@@ -68,3 +68,37 @@ def newly_added(existing: DataFrame, new: DataFrame, keys: list[str]) -> DataFra
     itself — see ``ArticleStore.merge``.
     """
     return new.join(existing.select(*keys).distinct(), on=keys, how="left_anti")
+
+
+def best_keeper_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Pick the highest-quality member of each near-dup cluster as its
+    keeper (``quality_col`` DESC, ``id_col`` ASC tie-break) — "keep
+    best", not "keep first".
+
+    Min-id keepers (what ``pipelines.dedup_corpus`` emits) are the
+    right default for determinism, but a curation pipeline usually
+    wants the LONGEST / highest-scoring variant of a near-dup family:
+    truncated or boilerplate-wrapped copies should lose to the full
+    article regardless of which crawled first. Plug any per-doc score
+    in as ``quality_col`` (e.g. ``quality_score``'s output).
+
+    One join docs→clusters on id, one window shuffle on the cluster
+    key; cluster sizes are small by construction (near-dup families),
+    so the per-partition sort is trivial and skew is bounded by the
+    biggest dup family.
+    """
+    joined = docs.join(clusters.select(id_col, cluster_col), id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

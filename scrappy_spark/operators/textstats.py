@@ -360,3 +360,60 @@ def doc_perplexity(
             ).alias("ppl"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct word
+    ``n``-grams whose FIRST corpus occurrence (minimum ``id_col``) is
+    this document — the standard "how much does this doc add"
+    curation signal (low-novelty docs are recombinations of text the
+    corpus already has; cf. n-gram-overlap novelty filtering in web-
+    corpus pipelines).
+
+    The ratio is emitted as integer basis points (``novel_bp`` =
+    ``n_novel · 10⁴ div n_grams``) — integer-exact, so the value is
+    bit-stable across engines and shuffle orders (house rule: no float
+    ties in oracle-checked columns).
+
+    Shape: distinct-gram explode → ONE shuffle on gram where a
+    partition-local window ``min`` tags each gram's first owner (no
+    gram-keyed join needed) → one groupBy(doc). A pathologically
+    common gram makes a fat gram partition; AQE's skew split handles
+    it (the window is a full-partition agg, safe to split by key
+    range). Zero-gram docs (fewer than ``n`` tokens) surface with
+    ``n_grams = 0`` and NULL ``novel_bp``.
+    """
+    from pyspark.sql import Window
+
+    grams = (
+        df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.expr(ngrams_expr("toks", n)))).alias(
+                "gram"
+            ),
+        )
+    )
+    first = F.min(id_col).over(Window.partitionBy("gram"))
+    scored = (
+        grams.withColumn("_first", first)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum((F.col("_first") == F.col(id_col)).cast("long"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.expr("n_novel * 10000 div n_grams").alias("novel_bp"),
+        )
+    )

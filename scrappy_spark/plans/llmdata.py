@@ -363,3 +363,41 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import unigram_surprisal
 
     return unigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_ngram_novelty",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(
+                   CASE WHEN len(toks) >= 3 THEN
+                     list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                   ELSE [] END)) AS gram
+          FROM t),
+    o AS (SELECT doc_id, gram,
+                 min(doc_id) OVER (PARTITION BY gram) AS first_id
+          FROM g),
+    s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_novel
+          FROM o GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(s.n_novel, 0) AS BIGINT) AS n_novel,
+           coalesce(s.n_novel, 0) * 10000 // coalesce(s.n_grams, 0)
+               AS novel_bp
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+    doc="Per-doc n-gram novelty (share of distinct 3-grams first seen "
+    "in this doc, as integer basis points — min-id ownership, one "
+    "gram-shuffle window + one doc groupBy; low-novelty docs are "
+    "recombinations the corpus already has). Integer div: NULL on "
+    "zero-gram docs in BOTH engines.",
+    tags=("llm", "quality", "dedup"),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import ngram_novelty
+
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))

@@ -254,3 +254,52 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.ivf_topk(e, queries, cents, k=10, n_probe=2)
+
+
+@register(
+    "q_dedup_best_keeper",
+    sql=f"""
+    WITH RECURSIVE
+    {_SIG_SQL},
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+    edges AS (SELECT id_a AS a, id_b AS b FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (
+      SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id),
+    ranked AS (
+      SELECT c.doc_id, c.component, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id)
+                 AS rn
+      FROM comp c JOIN documents d USING (doc_id))
+    SELECT doc_id, component, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Best-keeper dedup: near-dup clusters from the full pipeline, "
+    "but each cluster keeps its HIGHEST-quality member (n_chars DESC, "
+    "id tie-break) instead of the min id — truncated copies lose to "
+    "the full document. Oracle = recursive closure + the same keeper "
+    "window; bucket cap opted out (None) for closure parity, matching "
+    "q_dedup_corpus.",
+    tags=("llm", "dedup", "pipeline"),
+)
+def q_dedup_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import best_keeper_per_cluster
+    from ..pipelines import dedup_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, clusters = dedup_corpus(docs, min_matches=2, max_bucket_size=None)
+    keepers = best_keeper_per_cluster(docs, clusters)
+    return keepers.select(
+        "doc_id", "component", F.col("n_chars").cast("bigint").alias("n_chars")
+    )

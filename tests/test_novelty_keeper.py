@@ -1,0 +1,85 @@
+"""ngram_novelty (first-occurrence ownership, integer basis points)
+and best_keeper_per_cluster (quality-argmax keeper selection)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scrappy_spark.operators.dedup import best_keeper_per_cluster
+from scrappy_spark.operators.textstats import ngram_novelty
+
+
+class TestNgramNovelty:
+    def test_ownership_and_bp(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d"),      # grams: "a b c", "b c d" — both first here
+                (2, "a b c d"),      # exact copy — nothing novel
+                (3, "a b c x y z"),  # "a b c" seen; "b c x","c x y","x y z" new
+                (4, "a"),            # too short — zero grams
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r.asDict() for r in ngram_novelty(df, n=3).collect()}
+        assert (got[1]["n_grams"], got[1]["n_novel"], got[1]["novel_bp"]) == (2, 2, 10000)
+        assert (got[2]["n_grams"], got[2]["n_novel"], got[2]["novel_bp"]) == (2, 0, 0)
+        assert (got[3]["n_grams"], got[3]["n_novel"], got[3]["novel_bp"]) == (4, 3, 7500)
+        assert (got[4]["n_grams"], got[4]["n_novel"], got[4]["novel_bp"]) == (0, 0, None)
+
+    def test_distinct_grams_within_doc(self, spark):
+        # a repeated gram inside ONE doc counts once (distinct set)
+        df = spark.createDataFrame([(1, "a b c a b c a b c")], ["doc_id", "text"])
+        row = ngram_novelty(df, n=3).collect()[0]
+        # distinct 3-grams of a b c a b c a b c: abc, bca, cab — all novel
+        assert row["n_grams"] == 3 and row["novel_bp"] == 10000
+
+    def test_every_input_doc_appears(self, spark):
+        df = spark.createDataFrame(
+            [(i, "x" if i % 2 else "p q r s") for i in range(10)],
+            ["doc_id", "text"],
+        )
+        assert ngram_novelty(df, n=3).count() == 10
+
+
+class TestBestKeeper:
+    def _fixture(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "short", 5),
+                (2, "the full long article", 21),
+                (3, "medium text", 11),
+                (10, "solo", 4),
+            ],
+            ["doc_id", "text", "n_chars"],
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10)], ["doc_id", "component"]
+        )
+        return docs, clusters
+
+    def test_keeps_highest_quality_not_min_id(self, spark):
+        docs, clusters = self._fixture(spark)
+        got = {r["component"]: r["doc_id"] for r in
+               best_keeper_per_cluster(docs, clusters).collect()}
+        assert got == {1: 2, 10: 10}  # doc 2 wins on n_chars despite id 1 existing
+
+    def test_tiebreak_is_min_id(self, spark):
+        docs = spark.createDataFrame(
+            [(7, "aaaa", 4), (5, "bbbb", 4)], ["doc_id", "text", "n_chars"]
+        )
+        clusters = spark.createDataFrame([(7, 5), (5, 5)], ["doc_id", "component"])
+        got = best_keeper_per_cluster(docs, clusters).collect()
+        assert len(got) == 1 and got[0]["doc_id"] == 5
+
+    def test_one_keeper_per_cluster(self, spark):
+        docs, clusters = self._fixture(spark)
+        out = best_keeper_per_cluster(docs, clusters)
+        assert out.groupBy("component").count().filter("count > 1").count() == 0
+
+    def test_custom_quality_column(self, spark):
+        docs = spark.createDataFrame(
+            [(1, 0.9), (2, 0.1)], ["doc_id", "score"]
+        )
+        clusters = spark.createDataFrame([(1, 1), (2, 1)], ["doc_id", "component"])
+        got = best_keeper_per_cluster(docs, clusters, quality_col="score").collect()
+        assert got[0]["doc_id"] == 1
