@@ -51,6 +51,8 @@ HEADLINE = [
     "q_dsir_weights",
     "q_curriculum_shards",
     "q_image_near_dups",
+    "q_web_ingest",
+    "q_ngram_novelty",
 ]
 
 

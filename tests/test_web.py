@@ -141,6 +141,40 @@ class TestBlocklistFilter:
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+class TestNormalizeIdempotence:
+    def test_normalize_is_idempotent_over_adversarial_grid(self, spark):
+        """normalize(normalize(u)) == normalize(u) for the cartesian
+        grid of every feature the normalizer handles — the canonical-
+        form property that makes url_norm a safe dedup key (re-crawled
+        already-normal URLs must map to themselves)."""
+        from itertools import product
+
+        from scrappy_spark.operators.web import normalize_urls
+
+        schemes = ["http", "HTTPS", "ftp"]
+        hosts = [
+            "WWW.Ex.COM", "ex.co.uk", "a.b.Ex.org",
+            "EX.com:8080", "ex.com:443", "ex.com:80",
+        ]
+        paths = ["", "/", "/A/b/", "/x//y///"]
+        queries = ["", "?utm_source=1", "?a=1&utm_x=2&b=2", "?ref=x", "?a=1&a=2"]
+        frags = ["", "#f"]
+        urls = [
+            (f"{s}://{h}{p}{q}{f},".rstrip(","),)
+            for s, h, p, q, f in product(schemes, hosts, paths, queries, frags)
+        ]
+        df = spark.createDataFrame(urls, "url string")
+        once = normalize_urls(df).select(
+            "url_norm", "scheme", "host", "registered_domain"
+        )
+        twice = normalize_urls(
+            once.select(F.col("url_norm").alias("url")), "url"
+        ).select("url_norm", "scheme", "host", "registered_domain")
+        a = sorted(tuple(r) for r in once.collect())
+        b = sorted(tuple(r) for r in twice.collect())
+        assert a == b and len(a) == len(urls)
+
+
 class TestLicenseScan:
     def _scan(self, spark, text):
         df = spark.createDataFrame([(text,)], "text string")

@@ -52,6 +52,9 @@ PROBES = [
     "q_dsir_weights",
     "q_curriculum_shards",
     "q_image_near_dups",
+    "q_web_ingest",
+    "q_ngram_novelty",
+    "q_dedup_best_keeper",
 ]
 
 
