@@ -122,3 +122,56 @@ def dataset_card(
         GROUP BY GROUPING SETS (({a}), ({b}), ())
         """
     )
+
+
+def footer_stats(
+    spark, path: str, cols: list[str], id_sample: int = 0
+) -> DataFrame:
+    """count / min / max per column answered from parquet FOOTER
+    metadata — Spark's DSv2 aggregate pushdown, no row-group scan.
+
+    At 100 TB the difference between "read every row to count it" and
+    "sum the row counts the writers already recorded" is hours vs
+    seconds: every parquet footer carries row count and per-column
+    min/max, and the v2 parquet reader can answer whole-table
+    COUNT/MIN/MAX straight from them (``PushedAggregation`` in the
+    scan node). The v1 reader (Spark's default) cannot, so this
+    operator flips to v2 + ``parquet.aggregatePushdown`` INSIDE a
+    restore-guarded block and materializes the one-row result while
+    the conf is active (physical planning happens at the action — a
+    lazily returned frame would silently re-plan on v1 after the
+    restore). The conf flip is session-visible for the duration of
+    the (sub-second, metadata-only) action; the returned frame is a
+    local one-row re-wrap.
+
+    Caveats, same as the underlying Spark feature: no filters, no
+    grouping (pushdown disables itself otherwise), and min/max on
+    floating columns honor parquet's NaN-unsafe statistics rules.
+    """
+    sets = [
+        ("spark.sql.parquet.aggregatePushdown", "true"),
+        (
+            "spark.sql.sources.useV1SourceList",
+            ",".join(
+                s
+                for s in spark.conf.get("spark.sql.sources.useV1SourceList").split(",")
+                if s.strip() != "parquet"
+            ),
+        ),
+    ]
+    saved = {k: spark.conf.get(k) for k, _ in sets}
+    exprs = ["count(*) AS n_rows"]
+    for c in cols:
+        exprs += [f"min({c}) AS min_{c}", f"max({c}) AS max_{c}"]
+    try:
+        for k, v in sets:
+            spark.conf.set(k, v)
+        agg = spark.read.parquet(path).selectExpr(*exprs)
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        rows = agg.collect()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    out = spark.createDataFrame(rows, agg.schema)
+    out.pushed_aggregation = "PushedAggregation" in plan
+    return out

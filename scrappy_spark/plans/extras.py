@@ -191,3 +191,28 @@ def q_taxonomy_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "Topic", F.array_join("topic_keywords", ",").alias("topic_kw")
     )
+
+
+@register(
+    "q_footer_stats",
+    sql="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_quantity) AS min_l_quantity,
+           max(l_quantity) AS max_l_quantity,
+           min(l_orderkey) AS min_l_orderkey,
+           max(l_orderkey) AS max_l_orderkey
+    FROM lineitem
+    """,
+    doc="Whole-table count/min/max answered from parquet FOOTER "
+    "metadata (DSv2 aggregate pushdown — PushedAggregation in the "
+    "scan, no row-group read). The 100 TB stats query that costs "
+    "seconds instead of a full scan; oracle proves footer stats equal "
+    "scan-derived truth.",
+    tags=("stats", "pushdown", "scan"),
+)
+def q_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import footer_stats
+
+    return footer_stats(
+        spark, f"{sf_dir}/lineitem.parquet", ["l_quantity", "l_orderkey"]
+    )

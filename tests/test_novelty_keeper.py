@@ -83,3 +83,42 @@ class TestBestKeeper:
         clusters = spark.createDataFrame([(1, 1), (2, 1)], ["doc_id", "component"])
         got = best_keeper_per_cluster(docs, clusters, quality_col="score").collect()
         assert got[0]["doc_id"] == 1
+
+
+class TestFooterStats:
+    def test_pushdown_active_and_values_match_scan(self, spark):
+        from scrappy_spark.operators.profile import footer_stats
+
+        path = "/root/testdata/sf0.001/lineitem.parquet"
+        out = footer_stats(spark, path, ["l_quantity", "l_orderkey"])
+        assert out.pushed_aggregation, "v2 scan must carry PushedAggregation"
+        row = out.collect()[0]
+        truth = (
+            spark.read.parquet(path)
+            .selectExpr(
+                "count(*) AS n_rows",
+                "min(l_quantity) AS min_l_quantity",
+                "max(l_quantity) AS max_l_quantity",
+                "min(l_orderkey) AS min_l_orderkey",
+                "max(l_orderkey) AS max_l_orderkey",
+            )
+            .collect()[0]
+        )
+        assert row.asDict() == truth.asDict()
+
+    def test_confs_restored_even_on_error(self, spark):
+        import pytest
+
+        from scrappy_spark.operators.profile import footer_stats
+
+        before = {
+            k: spark.conf.get(k)
+            for k in (
+                "spark.sql.parquet.aggregatePushdown",
+                "spark.sql.sources.useV1SourceList",
+            )
+        }
+        with pytest.raises(Exception):
+            footer_stats(spark, "/nonexistent/path.parquet", ["x"])
+        after = {k: spark.conf.get(k) for k in before}
+        assert after == before
