@@ -257,3 +257,40 @@ def test_image_near_dups_has_no_product_join(spark):
     # banded bucket machinery, never an all-pairs product
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    """Spark's runtime row-level filtering: a selective filter on the
+    dim side of a shuffle join grows a bloom_filter_agg subquery whose
+    might_contain() is pushed onto the fact side's scan — rows that
+    can't join are dropped BEFORE the shuffle. The size thresholds are
+    tuned for clusters (application side >= 10 GB), so the test scopes
+    them down to fixture scale; at 100 TB the defaults fire on exactly
+    this join shape with zero configuration."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        orders = spark.read.parquet(
+            "/root/testdata/sf0.001/orders.parquet"
+        ).filter("o_totalprice > 500000")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy()
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt and "bloom_filter_agg" in opt
+        # and the filtered count is unaffected by the bloom (no false negatives)
+        expected = (
+            li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey).count()
+        )
+        assert j.collect()[0]["count"] == expected
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
