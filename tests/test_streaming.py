@@ -326,3 +326,39 @@ def test_scan_only_curation_ops_compose_with_streams(spark):
         assert _sorted_rows(out) == _sorted_rows(batch)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_web_ingestion_ops_compose_with_streams(spark):
+    """extract_html_text / normalize_urls / license_scan are pure
+    column expressions, so the web-ingestion front door also runs
+    UNCHANGED on a live capture stream — same unified-API guarantee as
+    the curation ops above."""
+    from scrappy_spark.operators.web import (
+        extract_html_text,
+        license_scan,
+        normalize_urls,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("<p>"), "text", F.lit("</p><script>x<y</script>")).alias("html"),
+        F.concat(F.lit("HTTPS://WWW."), "source", F.lit(".com:443/A?utm_x=1&id=2#f")).alias("url"),
+    )
+    d = tempfile.mkdtemp(prefix="web_stream_")
+    try:
+        pages.repartition(4).write.mode("overwrite").parquet(d)
+        stream_in = spark.readStream.schema(pages.schema).parquet(d)
+
+        def pipe(df):
+            return license_scan(
+                normalize_urls(extract_html_text(df), "url"), text_col="clean_text"
+            ).select("doc_id", "clean_text", "url_norm", "license", "canary_hit")
+
+        s = pipe(stream_in)
+        assert s.isStreaming
+        out = _run_stream_to_memory(spark, s, "mem_web_ingest", "append")
+        assert _sorted_rows(out) == _sorted_rows(pipe(pages))
+        assert out.count() == docs.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
