@@ -88,3 +88,13 @@ def test_every_registered_query_is_documented():
         cov = f.read()
     missing = [n for n in registry.all_specs() if n not in cov]
     assert not missing, f"queries not documented in COVERAGE.md: {missing}"
+
+
+def test_plan_lint_no_scale_antipatterns(spark):
+    """Registry-wide plan QA: no un-allowlisted CartesianProduct,
+    row-at-a-time Python UDF, or single-task global Sort/Window in ANY
+    declared query's physical plan (tools/plan_lint.py; allowlist
+    entries each carry a written justification)."""
+    import tools.plan_lint as pl
+
+    assert pl.lint() == 0
