@@ -216,3 +216,56 @@ def q_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return footer_stats(
         spark, f"{sf_dir}/lineitem.parquet", ["l_quantity", "l_orderkey"]
     )
+
+
+from ..operators.curation import PII_RULES, sample_threshold
+
+
+def _scrub_sql_twin(expr: str) -> str:
+    out = expr
+    for pat, repl in PII_RULES:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+@register(
+    "q_config_pipeline",
+    sql=(
+        lambda thr, scrub: f"""
+    WITH s AS (SELECT * FROM documents
+               WHERE substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                     < '{thr}'),
+    p AS (SELECT doc_id, {scrub} AS text FROM s)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS text_len,
+           CASE WHEN substring(md5(concat('split', '|', CAST(doc_id AS VARCHAR))), 1, 4)
+                     < 'cccc' THEN 'train'
+                WHEN substring(md5(concat('split', '|', CAST(doc_id AS VARCHAR))), 1, 4)
+                     < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM p
+    """
+    )(sample_threshold(0.5), _scrub_sql_twin("text")),
+    doc="Config-driven pipeline surface: the JSON spec "
+    "[hash_sample(0.5), scrub_pii, assign_splits] compiled by "
+    "pipeline_config.compile_pipeline onto the same operators the "
+    "stage queries check individually — the oracle stitches the same "
+    "shared fragments, value-hash-gating the declarative composition "
+    "path itself.",
+    tags=("pipeline", "curation", "config"),
+)
+def q_config_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline_config import run_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    spec = {
+        "stages": [
+            {"op": "hash_sample", "rate": 0.5},
+            {"op": "scrub_pii"},
+            {"op": "assign_splits"},
+        ]
+    }
+    out = run_pipeline(docs, spec)
+    return out.select(
+        "doc_id", F.length("text").cast("bigint").alias("text_len"), "split"
+    )

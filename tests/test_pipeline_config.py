@@ -1,0 +1,84 @@
+"""Declarative pipeline compiler: strict compile-time validation and
+composition equivalence with hand-written operator chains."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrappy_spark.io import load_table
+from scrappy_spark.operators.curation import assign_splits, hash_sample, scrub_pii
+from scrappy_spark.pipeline_config import OPS, compile_pipeline, run_pipeline
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+class TestValidation:
+    def test_unknown_op_names_valid_set(self):
+        with pytest.raises(ValueError, match=r"stage 1: unknown op 'nope'.*hash_sample"):
+            compile_pipeline([{"op": "hash_sample", "rate": 0.5}, {"op": "nope"}])
+
+    def test_unknown_param_names_signature(self):
+        with pytest.raises(ValueError, match=r"stage 0 \(hash_sample\).*ratee.*rate"):
+            compile_pipeline([{"op": "hash_sample", "ratee": 0.5}])
+
+    def test_empty_spec_rejected(self):
+        with pytest.raises(ValueError, match="non-empty"):
+            compile_pipeline([])
+        with pytest.raises(ValueError, match="non-empty"):
+            compile_pipeline({"stages": []})
+
+    def test_non_dict_stage_rejected(self):
+        with pytest.raises(ValueError, match="stage 0: expected an object"):
+            compile_pipeline(["hash_sample"])
+
+    def test_compile_touches_no_data(self):
+        # no SparkSession needed to compile — validation is pure
+        fn = compile_pipeline([{"op": "hash_sample", "rate": 0.1}])
+        assert fn.stages == [("hash_sample", {"rate": 0.1})]
+
+    def test_every_registered_op_is_df_first(self):
+        import inspect
+
+        for name, fn in OPS.items():
+            first = next(iter(inspect.signature(fn).parameters))
+            assert first in ("df", "docs"), f"{name}: first param {first!r}"
+
+
+class TestComposition:
+    def test_matches_hand_written_chain(self, spark):
+        docs = load_table(spark, SF_DIR, "documents")
+        spec = {
+            "stages": [
+                {"op": "hash_sample", "rate": 0.5},
+                {"op": "scrub_pii"},
+                {"op": "assign_splits"},
+            ]
+        }
+        got = run_pipeline(docs, spec).select("doc_id", "text", "split")
+        want = assign_splits(
+            hash_sample(docs, 0.5).withColumn("text", scrub_pii(F.col("text")))
+        ).select("doc_id", "text", "split")
+        assert _rows(got) == _rows(want)
+
+    def test_json_string_and_param_passthrough(self, spark):
+        docs = load_table(spark, SF_DIR, "documents")
+        spec = json.dumps([{"op": "hash_sample", "rate": 0.25, "salt": "other"}])
+        got = run_pipeline(docs, spec)
+        want = hash_sample(docs, 0.25, salt="other")
+        assert _rows(got.select("doc_id")) == _rows(want.select("doc_id"))
+
+    def test_web_ingestion_ops_compose(self, spark):
+        docs = load_table(spark, SF_DIR, "documents")
+        pages = docs.select(
+            "doc_id", F.concat(F.lit("<p>"), "text", F.lit("</p>")).alias("html")
+        )
+        out = run_pipeline(pages, [{"op": "extract_html_text"}])
+        row = out.filter("doc_id = 0").collect()[0]
+        assert row["clean_text"] and "<" not in row["clean_text"]
