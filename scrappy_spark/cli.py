@@ -172,10 +172,37 @@ def main(argv: list[str] | None = None) -> int:
         "--sql", help="run a Spark SQL query (store as 'articles'; fixture tables via --sf-dir)"
     )
     p.add_argument("--sf-dir", help="fixture-table dir to register for --sql")
+    p.add_argument(
+        "--run-pipeline",
+        help="JSON pipeline spec (file path or inline JSON; see "
+        "pipeline_config.py) applied to --pipeline-input parquet",
+    )
+    p.add_argument("--pipeline-input", help="input parquet path for --run-pipeline")
+    p.add_argument(
+        "--pipeline-output",
+        help="output parquet path for --run-pipeline (default: show)",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark("scrappy_spark_cli")
     store = ArticleStore(spark, args.store)
+
+    if args.run_pipeline:
+        from .pipeline_config import run_pipeline
+
+        if not args.pipeline_input:
+            print("--run-pipeline requires --pipeline-input", file=sys.stderr)
+            return 2
+        out = run_pipeline(
+            spark.read.parquet(args.pipeline_input), args.run_pipeline
+        )
+        if args.pipeline_output:
+            out.write.mode("overwrite").parquet(args.pipeline_output)
+            print(f"wrote {spark.read.parquet(args.pipeline_output).count()} rows "
+                  f"to {args.pipeline_output}")
+        else:
+            out.show(args.limit, truncate=False)
+        return 0
 
     if args.sql:
         from .sqlapi import run_sql

@@ -503,3 +503,64 @@ def q_pagerank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
     )
     return pagerank(edges, n_iter=3, weight_col="w")
+
+
+@register(
+    "q_session_top_paths",
+    sql="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events),
+    sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sessions GROUP BY user_id, session_id)
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path LIMIT 20
+    """,
+    doc="Top-20 session navigation paths: 30-min-gap sessionization "
+    "(same lag+cumsum twin as q_session_window_agg) → per-session "
+    "ordered event-type string (array_sort over (ts,event_id,type) "
+    "structs — deterministic under any shuffle order) → path "
+    "frequency top-k. The product-analytics 'common journeys' query; "
+    "two window shuffles on user, one groupBy on path, TakeOrdered "
+    "for the k.",
+    tags=("window", "session", "events", "topk"),
+)
+def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sessions = e.withColumn(
+        "is_new", F.when(gap_us > 1800 * 1_000_000, 1).otherwise(0)
+    ).withColumn("session_id", F.sum("is_new").over(wsum))
+    paths = sessions.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )

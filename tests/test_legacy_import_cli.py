@@ -283,3 +283,37 @@ def test_cli_full_workflow_end_to_end(spark, tmp_path, capsys):
          "SELECT count(*) AS n FROM articles"]
     ) == 0
     assert str(n0) in capsys.readouterr().out
+
+
+def test_cli_run_pipeline_writes_parquet(spark, tmp_path, capsys):
+    spec = '[{"op": "hash_sample", "rate": 0.2}, {"op": "assign_splits"}]'
+    out = str(tmp_path / "pipe_out")
+    rc = cli.main([
+        "--store", str(tmp_path / "store"),
+        "--run-pipeline", spec,
+        "--pipeline-input", "/root/testdata/sf0.001/documents.parquet",
+        "--pipeline-output", out,
+    ])
+    assert rc == 0
+    result = spark.read.parquet(out)
+    assert "split" in result.columns and 0 < result.count() < 500
+
+
+def test_cli_run_pipeline_requires_input(tmp_path, capsys):
+    rc = cli.main([
+        "--store", str(tmp_path / "store"),
+        "--run-pipeline", '[{"op": "hash_sample", "rate": 0.2}]',
+    ])
+    assert rc == 2
+    assert "--pipeline-input" in capsys.readouterr().err
+
+
+def test_cli_run_pipeline_bad_spec_raises_named_error(tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown op"):
+        cli.main([
+            "--store", str(tmp_path / "store"),
+            "--run-pipeline", '[{"op": "frobnicate"}]',
+            "--pipeline-input", "/root/testdata/sf0.001/documents.parquet",
+        ])
