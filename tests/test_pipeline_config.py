@@ -82,3 +82,42 @@ class TestComposition:
         out = run_pipeline(pages, [{"op": "extract_html_text"}])
         row = out.filter("doc_id = 0").collect()[0]
         assert row["clean_text"] and "<" not in row["clean_text"]
+
+
+class TestFuzzCompile:
+    """compile_pipeline is total over arbitrary JSON-shaped input:
+    either a compiled callable or a named ValueError — never a
+    KeyError/TypeError/AttributeError leaking from the internals."""
+
+    def test_fuzz_specs_never_cryptic(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        keys = st.sampled_from(["op", "rate", "salt", "weights", "x", "text_col"])
+        vals = st.one_of(
+            st.sampled_from(list(OPS) + ["nope", ""]),
+            st.floats(allow_nan=False, allow_infinity=False),
+            st.text(max_size=8),
+            st.none(),
+        )
+        stage = st.one_of(
+            st.dictionaries(keys, vals, max_size=4),
+            st.text(max_size=5),
+            st.integers(),
+        )
+        spec = st.one_of(
+            st.lists(stage, max_size=4),
+            st.fixed_dictionaries({"stages": st.lists(stage, max_size=3)}),
+            st.integers(),
+            st.none(),
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(spec)
+        def run(s):
+            try:
+                compile_pipeline(s)
+            except ValueError:
+                pass  # the contract: named ValueError only
+
+        run()
