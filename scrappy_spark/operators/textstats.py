@@ -417,3 +417,64 @@ def ngram_novelty(
             F.expr("n_novel * 10000 div n_grams").alias("novel_bp"),
         )
     )
+
+
+def token_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus drift report between two corpus versions: unigram KL
+    divergence KL(new ‖ old) over the shared vocabulary plus the
+    new-only (OOV) probability mass — the distribution-shift monitor a
+    training pipeline runs between crawls (a quiet KL with low OOV
+    mass means the new crawl is "more of the same"; spikes mean the
+    mixture changed and reweighting decisions are stale).
+
+    Integer-exact contract (house rule): per-token log-probs snap to
+    micro-nats exactly like ``unigram_surprisal``; each shared token
+    contributes ``c_new · (lp_new − lp_old)`` — an integer — and the
+    single float division by total_new happens once at the end, so the
+    value is bit-stable across engines and shuffle orders. OOV tokens
+    (unseen in ``old``) are excluded from the KL term (their log-ratio
+    is undefined) and reported as integer basis points of mass instead.
+
+    Shape: two explodes → two vocab-sized partial aggs → ONE
+    vocab-keyed full-outer join → a 1-row reduce. Nothing scales with
+    corpus size except the linear token scans; the joined frame is
+    vocab-sized (Heaps' law keeps it executor-friendly at 100 TB).
+    """
+    def vocab(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias(f"c_{tag}"))
+        )
+
+    vo, vn = vocab(old, "old"), vocab(new, "new")
+    tot_o = vo.agg(F.sum("c_old").alias("t_old"))
+    tot_n = vn.agg(F.sum("c_new").alias("t_new"))
+    joined = (
+        vn.join(vo, "tok", "full_outer")
+        .crossJoin(F.broadcast(tot_o))
+        .crossJoin(F.broadcast(tot_n))
+    )
+    lp = lambda c, t: F.round(F.log(c.cast("double") / t) * 1_000_000).cast("long")
+    shared = F.col("c_new").isNotNull() & F.col("c_old").isNotNull()
+    contrib = F.when(
+        shared,
+        F.col("c_new") * (lp(F.col("c_new"), F.col("t_new")) - lp(F.col("c_old"), F.col("t_old"))),
+    ).otherwise(F.lit(0))
+    oov_mass = F.when(
+        F.col("c_new").isNotNull() & F.col("c_old").isNull(), F.col("c_new")
+    ).otherwise(F.lit(0))
+    return joined.agg(
+        F.sum(F.when(F.col("c_old").isNotNull(), 1).otherwise(0)).cast("bigint").alias("vocab_old"),
+        F.sum(F.when(F.col("c_new").isNotNull(), 1).otherwise(0)).cast("bigint").alias("vocab_new"),
+        F.sum(F.when(shared, 1).otherwise(0)).cast("bigint").alias("vocab_shared"),
+        F.sum(contrib).cast("bigint").alias("kl_contrib_micro"),
+        F.expr("sum(CASE WHEN c_new IS NOT NULL AND c_old IS NULL THEN c_new ELSE 0 END) * 10000 div first(t_new)").alias("oov_new_bp"),
+        (
+            F.sum(contrib).cast("double") / 1_000_000 / F.first("t_new")
+        ).alias("kl_nats"),
+    )

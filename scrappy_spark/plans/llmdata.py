@@ -401,3 +401,54 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import ngram_novelty
 
     return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_token_drift",
+    sql=f"""
+    WITH o AS (SELECT unnest({_RAW_TOKS}) AS tok FROM documents
+               WHERE doc_id % 2 = 0),
+    n AS (SELECT unnest({_RAW_TOKS}) AS tok FROM documents
+          WHERE doc_id % 2 = 1),
+    vo AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_old FROM o GROUP BY tok),
+    vn AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_new FROM n GROUP BY tok),
+    j AS (SELECT c_new, c_old FROM vn FULL JOIN vo ON vn.tok = vo.tok),
+    t AS (SELECT (SELECT sum(c_old) FROM vo) AS t_old,
+                 (SELECT sum(c_new) FROM vn) AS t_new)
+    SELECT
+      CAST(sum(CASE WHEN c_old IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS vocab_old,
+      CAST(sum(CASE WHEN c_new IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS vocab_new,
+      CAST(sum(CASE WHEN c_new IS NOT NULL AND c_old IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS vocab_shared,
+      CAST(sum(CASE WHEN c_new IS NOT NULL AND c_old IS NOT NULL THEN
+          c_new * (CAST(round(ln(CAST(c_new AS DOUBLE) / t_new) * 1000000)
+                        AS BIGINT)
+                   - CAST(round(ln(CAST(c_old AS DOUBLE) / t_old) * 1000000)
+                          AS BIGINT))
+          ELSE 0 END) AS BIGINT) AS kl_contrib_micro,
+      CAST(sum(CASE WHEN c_new IS NOT NULL AND c_old IS NULL THEN c_new
+               ELSE 0 END) * 10000 // max(t_new) AS BIGINT) AS oov_new_bp,
+      CAST(sum(CASE WHEN c_new IS NOT NULL AND c_old IS NOT NULL THEN
+          c_new * (CAST(round(ln(CAST(c_new AS DOUBLE) / t_new) * 1000000)
+                        AS BIGINT)
+                   - CAST(round(ln(CAST(c_old AS DOUBLE) / t_old) * 1000000)
+                          AS BIGINT))
+          ELSE 0 END) AS DOUBLE) / 1000000 / max(t_new) AS kl_nats
+    FROM j, t
+    """,
+    doc="Corpus drift between two versions (old = even doc_ids, new = "
+    "odd): unigram KL(new‖old) in integer micro-nat contributions "
+    "(one float division at the end) + new-only OOV mass in basis "
+    "points — the distribution-shift monitor between crawls. Two "
+    "vocab aggs, one vocab-keyed full-outer join, 1-row reduce.",
+    tags=("llm", "quality", "drift"),
+)
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import token_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_drift(
+        docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+    )

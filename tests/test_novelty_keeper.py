@@ -122,3 +122,35 @@ class TestFooterStats:
             footer_stats(spark, "/nonexistent/path.parquet", ["x"])
         after = {k: spark.conf.get(k) for k in before}
         assert after == before
+
+
+class TestTokenDrift:
+    def test_identical_corpora_zero_drift(self, spark):
+        from scrappy_spark.operators.textstats import token_drift
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "c d e")], ["doc_id", "text"]
+        )
+        row = token_drift(df, df).collect()[0]
+        assert row["kl_contrib_micro"] == 0 and row["kl_nats"] == 0.0
+        assert row["oov_new_bp"] == 0
+        assert row["vocab_shared"] == row["vocab_old"] == row["vocab_new"]
+
+    def test_disjoint_corpora_full_oov(self, spark):
+        from scrappy_spark.operators.textstats import token_drift
+
+        old = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        new = spark.createDataFrame([(2, "x y z")], ["doc_id", "text"])
+        row = token_drift(old, new).collect()[0]
+        assert row["vocab_shared"] == 0
+        assert row["oov_new_bp"] == 10000  # 100% of new mass is unseen
+        assert row["kl_contrib_micro"] == 0  # no shared vocab -> no KL term
+
+    def test_shift_direction(self, spark):
+        from scrappy_spark.operators.textstats import token_drift
+
+        old = spark.createDataFrame([(1, "a a a b")], ["doc_id", "text"])
+        skewed = spark.createDataFrame([(2, "a b b b")], ["doc_id", "text"])
+        row = token_drift(old, skewed).collect()[0]
+        # 'b' got much more probable than before -> positive KL
+        assert row["kl_nats"] > 0 and row["oov_new_bp"] == 0
