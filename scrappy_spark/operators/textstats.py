@@ -478,3 +478,90 @@ def token_drift(
             F.sum(contrib).cast("double") / 1_000_000 / F.first("t_new")
         ).alias("kl_nats"),
     )
+
+
+def ngram_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Build the stored gram index for :func:`incremental_ngram_novelty`:
+    the distinct ``gram`` set of a corpus (store bucketed by gram so
+    daily ingest joins co-locate)."""
+    return (
+        df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
+        .select(
+            F.explode(F.array_distinct(F.expr(ngrams_expr("toks", n)))).alias("gram")
+        )
+        .distinct()
+    )
+
+
+def incremental_ngram_novelty(
+    new_docs: DataFrame,
+    base_grams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Daily-ingest form of :func:`ngram_novelty`: score a NEW batch
+    against a stored gram index without ever re-reading base text —
+    the same index-closes-the-loop contract as
+    ``dedup_corpus_incremental``.
+
+    ``base_grams`` is the stored index: one ``gram`` column (plus
+    anything else; only ``gram`` is read). A batch doc's gram is novel
+    iff it is absent from the index AND this doc is the min-id owner
+    within the batch — base ALWAYS wins regardless of id ordering,
+    because it was ingested earlier (this is where the incremental
+    semantics deliberately differ from min-id over the union).
+
+    Returns ``(scores, updated_index)``: scores matches
+    ``ngram_novelty``'s schema; updated_index = base ∪ the batch's new
+    grams, ready for the next ingest. Shapes: one gram-keyed window
+    over the batch (batch-sized), one gram join against the index
+    (index-sized, but the index side is (gram)-distinct and joins
+    shuffle-to-shuffle — at scale, bucket the stored index by gram so
+    the daily join co-locates for free).
+    """
+    from pyspark.sql import Window
+
+    grams = (
+        new_docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.expr(ngrams_expr("toks", n)))).alias("gram"),
+        )
+    )
+    batch_first = F.min(id_col).over(Window.partitionBy("gram"))
+    marked = (
+        grams.withColumn("_first", batch_first)
+        .join(
+            base_grams.select("gram").distinct().withColumn("_in_base", F.lit(True)),
+            "gram",
+            "left",
+        )
+        .withColumn(
+            "_novel",
+            (F.col("_in_base").isNull() & (F.col("_first") == F.col(id_col))).cast("long"),
+        )
+    )
+    scored = marked.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum("_novel").cast("bigint").alias("n_novel"),
+    )
+    scores = (
+        new_docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.expr("n_novel * 10000 div n_grams").alias("novel_bp"),
+        )
+    )
+    new_grams = (
+        marked.filter(F.col("_in_base").isNull())
+        .select("gram")
+        .distinct()
+    )
+    updated_index = base_grams.select("gram").unionByName(new_grams)
+    return scores, updated_index

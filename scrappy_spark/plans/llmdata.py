@@ -452,3 +452,59 @@ def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_drift(
         docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
     )
+
+
+@register(
+    "q_incremental_novelty",
+    sql=f"""
+    WITH bt AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents
+                WHERE doc_id % 2 = 0),
+    base_g AS (SELECT DISTINCT
+                 unnest(list_distinct(
+                   CASE WHEN len(toks) >= 3 THEN
+                     list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                   ELSE [] END)) AS gram
+               FROM bt),
+    nt AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents
+           WHERE doc_id % 2 = 1),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(
+                   CASE WHEN len(toks) >= 3 THEN
+                     list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                   ELSE [] END)) AS gram
+          FROM nt),
+    o AS (SELECT doc_id, gram,
+                 min(doc_id) OVER (PARTITION BY gram) AS batch_first,
+                 gram IN (SELECT gram FROM base_g) AS in_base
+          FROM g),
+    s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN NOT in_base AND batch_first = doc_id
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+          FROM o GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(s.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(coalesce(s.n_novel, 0) * 10000 // coalesce(s.n_grams, 0)
+                AS BIGINT) AS novel_bp
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN s USING (doc_id)
+    """,
+    doc="Incremental novelty: odd-doc batch scored against the gram "
+    "index built from even docs — base text never re-read, base wins "
+    "regardless of id ordering (ingest-order semantics, deliberately "
+    "different from min-id over the union). The daily-ingest twin of "
+    "q_ngram_novelty, mirroring q_incremental_dedup_pairs.",
+    tags=("llm", "quality", "dedup", "incremental"),
+)
+def q_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import incremental_ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    from ..operators.textstats import ngram_index
+
+    scores, _ = incremental_ngram_novelty(batch, ngram_index(base))
+    return scores

@@ -154,3 +154,48 @@ class TestTokenDrift:
         row = token_drift(old, skewed).collect()[0]
         # 'b' got much more probable than before -> positive KL
         assert row["kl_nats"] > 0 and row["oov_new_bp"] == 0
+
+
+class TestIncrementalNovelty:
+    def test_base_wins_regardless_of_id_order(self, spark):
+        from scrappy_spark.operators.textstats import (
+            incremental_ngram_novelty,
+            ngram_index,
+        )
+
+        # base doc has the HIGHER id — ingest order must still win
+        base = spark.createDataFrame([(9, "a b c d")], ["doc_id", "text"])
+        batch = spark.createDataFrame(
+            [(1, "a b c d"), (2, "x y z w")], ["doc_id", "text"]
+        )
+        scores, _ = incremental_ngram_novelty(batch, ngram_index(base))
+        got = {r["doc_id"]: r["novel_bp"] for r in scores.collect()}
+        assert got == {1: 0, 2: 10000}  # doc 1's grams all in base despite id 1 < 9
+
+    def test_index_update_closes_the_loop(self, spark):
+        from scrappy_spark.operators.textstats import (
+            incremental_ngram_novelty,
+            ngram_index,
+        )
+
+        base = spark.createDataFrame([(0, "a b c d")], ["doc_id", "text"])
+        batch1 = spark.createDataFrame([(1, "p q r s")], ["doc_id", "text"])
+        _, idx1 = incremental_ngram_novelty(batch1, ngram_index(base))
+        # re-ingesting the same content against the UPDATED index -> zero novel
+        batch2 = spark.createDataFrame([(2, "p q r s")], ["doc_id", "text"])
+        scores2, _ = incremental_ngram_novelty(batch2, idx1)
+        assert scores2.collect()[0]["novel_bp"] == 0
+
+    def test_within_batch_ownership_is_min_id(self, spark):
+        from scrappy_spark.operators.textstats import (
+            incremental_ngram_novelty,
+            ngram_index,
+        )
+
+        base = spark.createDataFrame([(0, "unrelated words here now")], ["doc_id", "text"])
+        batch = spark.createDataFrame(
+            [(5, "m n o p"), (3, "m n o p")], ["doc_id", "text"]
+        )
+        scores, _ = incremental_ngram_novelty(batch, ngram_index(base))
+        got = {r["doc_id"]: r["novel_bp"] for r in scores.collect()}
+        assert got == {3: 10000, 5: 0}
