@@ -366,6 +366,66 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric containment over blocked pairs: |A∩B| / |A| (and
+    /|B|) in integer basis points — the near-dup signal Jaccard
+    misses when one document quotes another WHOLESALE (a 100-token doc
+    fully embedded in a 10k-token page has Jaccard ≈ 0.01 but
+    containment_a = 1.0). Standard companion to Jaccard verification
+    in dedup pipelines; keep the pair if EITHER direction clears the
+    threshold.
+
+    Same blocking contract as :func:`jaccard_pairs` (equal-block pairs
+    only; at scale the block key is an LSH band). Ratios are integer
+    basis points (``inter · 10⁴ div |set|``), so the oracle compare
+    has no float ties. Output: (id_a, id_b, inter, containment_a_bp,
+    containment_b_bp) with id_a < id_b.
+    """
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    base = df.select(
+        F.col(id_col), toks.alias("tok_set"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("tok_set").alias("set_a"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("tok_set").alias("set_b"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    joined = a.join(b, on=[block_col]) if block_col else a.crossJoin(b)
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("long")
+    thr_bp = int(round(threshold * 10000))
+    out = (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            F.expr("size(set_a)").cast("long").alias("_na"),
+            F.expr("size(set_b)").cast("long").alias("_nb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.expr("inter * 10000 div _na").alias("containment_a_bp"),
+            F.expr("inter * 10000 div _nb").alias("containment_b_bp"),
+        )
+    )
+    return out.filter(
+        (F.col("containment_a_bp") >= thr_bp)
+        | (F.col("containment_b_bp") >= thr_bp)
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -508,3 +508,30 @@ def q_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scores, _ = incremental_ngram_novelty(batch, ngram_index(base))
     return scores
+
+
+@register(
+    "q_containment_pairs",
+    sql=f"""
+    WITH s AS (SELECT doc_id, lang, list_distinct({_RAW_TOKS}) AS tok_set
+               FROM documents)
+    SELECT id_a, id_b, inter, containment_a_bp, containment_b_bp FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.tok_set, b.tok_set)) AS BIGINT)
+                   AS inter,
+               CAST(len(list_intersect(a.tok_set, b.tok_set)) * 10000
+                    // len(a.tok_set) AS BIGINT) AS containment_a_bp,
+               CAST(len(list_intersect(a.tok_set, b.tok_set)) * 10000
+                    // len(b.tok_set) AS BIGINT) AS containment_b_bp
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+    WHERE containment_a_bp >= 8000 OR containment_b_bp >= 8000
+    """,
+    doc="Asymmetric containment (|A∩B|/|A| and /|B| in integer basis "
+    "points) over lang-blocked pairs — catches wholesale-quoting "
+    "near-dups Jaccard misses when sizes differ; keep if either "
+    "direction clears 0.8.",
+    tags=("llm", "dedup"),
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DA.containment_pairs(docs, block_col="lang", threshold=0.8)

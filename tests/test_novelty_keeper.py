@@ -199,3 +199,22 @@ class TestIncrementalNovelty:
         scores, _ = incremental_ngram_novelty(batch, ngram_index(base))
         got = {r["doc_id"]: r["novel_bp"] for r in scores.collect()}
         assert got == {3: 10000, 5: 0}
+
+
+class TestContainmentPairs:
+    def test_wholesale_quote_detected_where_jaccard_misses(self, spark):
+        from scrappy_spark.operators.dedup_approx import containment_pairs, jaccard_pairs
+
+        small = "alpha beta gamma delta"
+        big = small + " " + " ".join(f"w{i}" for i in range(100))
+        df = spark.createDataFrame(
+            [(1, small, "en"), (2, big, "en"), (3, "other stuff entirely", "en")],
+            ["doc_id", "text", "lang"],
+        )
+        cont = containment_pairs(df, block_col="lang", threshold=0.9).collect()
+        assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+        row = cont[0]
+        assert row["containment_a_bp"] == 10000  # doc 1 fully inside doc 2
+        assert row["containment_b_bp"] < 1000
+        # symmetric Jaccard at the same bar finds nothing
+        assert jaccard_pairs(df, block_col="lang", threshold=0.9).count() == 0
