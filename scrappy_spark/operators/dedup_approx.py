@@ -426,6 +426,49 @@ def containment_pairs(
     )
 
 
+def verify_containment(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact containment verification over CANDIDATE pairs — the scale
+    path for :func:`containment_pairs`: candidates come from LSH
+    (``minhash_candidate_pairs``), never an all-pairs block, and only
+    those pairs pay the exact set intersection. Two joins back to the
+    token sets (each a doc-keyed shuffle), integer-basis-point output.
+    """
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(tokens_col(F.col(text_col))).alias("tok_set"),
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("tok_set").alias("set_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("tok_set").alias("set_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("set_a", "set_b")).cast("long").alias("inter"),
+            F.expr("size(set_a)").cast("long").alias("_na"),
+            F.expr("size(set_b)").cast("long").alias("_nb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.expr("inter * 10000 div _na").alias("containment_a_bp"),
+            F.expr("inter * 10000 div _nb").alias("containment_b_bp"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -535,3 +535,38 @@ def q_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return DA.containment_pairs(docs, block_col="lang", threshold=0.8)
+
+
+@register(
+    "q_containment_verified",
+    sql=f"""
+    WITH {_SIG_SQL},
+    {_CAPPED_SIG_SQL},
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fsig a JOIN fsig b
+        ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+    s AS (SELECT doc_id, list_distinct({_RAW_TOKS}) AS tok_set FROM documents)
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(sa.tok_set, sb.tok_set)) AS BIGINT)
+               AS inter,
+           CAST(len(list_intersect(sa.tok_set, sb.tok_set)) * 10000
+                // len(sa.tok_set) AS BIGINT) AS containment_a_bp,
+           CAST(len(list_intersect(sa.tok_set, sb.tok_set)) * 10000
+                // len(sb.tok_set) AS BIGINT) AS containment_b_bp
+    FROM cand c
+    JOIN s sa ON sa.doc_id = c.id_a
+    JOIN s sb ON sb.doc_id = c.id_b
+    """,
+    doc="Containment verification over LSH candidates — the production "
+    "shape: MinHash buckets generate candidates (capped, never "
+    "all-pairs), only those pairs pay the exact set intersection. "
+    "Completes the asymmetric-dedup scale story the lang-blocked "
+    "q_containment_pairs demos.",
+    tags=("llm", "dedup"),
+)
+def q_containment_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DA.minhash_candidate_pairs(DA.minhash_signatures(docs), min_matches=2)
+    return DA.verify_containment(docs, pairs)
