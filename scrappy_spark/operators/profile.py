@@ -175,3 +175,33 @@ def footer_stats(
     out = spark.createDataFrame(rows, agg.schema)
     out.pushed_aggregation = "PushedAggregation" in plan
     return out
+
+
+def skew_report(
+    df: DataFrame, key_col: str, k: int = 10
+) -> DataFrame:
+    """Top-``k`` heaviest values of a prospective shuffle key, with
+    integer-basis-point share of total rows — the pre-flight check
+    before keying a join/groupBy on a 100 TB table (a key holding >1%
+    of rows means salting or AQE skew-join handling, and THIS query is
+    how you find out for pennies instead of discovering it as a
+    straggler task three hours in).
+
+    One partial-agg groupBy (map-side combine keeps the shuffle at
+    distinct-key cardinality) + a broadcast total + TakeOrdered for
+    the k. Output: (key value as string, cnt, share_bp).
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            F.expr("cnt * 10000 div _t").alias("share_bp"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(k)
+    )

@@ -269,3 +269,25 @@ def q_config_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.length("text").cast("bigint").alias("text_len"), "split"
     )
+
+
+@register(
+    "q_skew_report",
+    sql="""
+    WITH c AS (SELECT CAST(l_orderkey AS VARCHAR) AS key,
+                      CAST(count(*) AS BIGINT) AS cnt
+               FROM lineitem GROUP BY 1),
+    t AS (SELECT sum(cnt) AS _t FROM c)
+    SELECT key, cnt, CAST(cnt * 10000 // _t AS BIGINT) AS share_bp
+    FROM c, t ORDER BY cnt DESC, key LIMIT 10
+    """,
+    doc="Shuffle-key skew pre-flight: top-10 heaviest l_orderkey values "
+    "with integer-basis-point share — the query you run BEFORE keying "
+    "a 100 TB join, instead of discovering the hot key as a straggler. "
+    "Partial-agg groupBy + broadcast total + TakeOrdered.",
+    tags=("stats", "skew", "diagnostics"),
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
