@@ -136,3 +136,46 @@ def stream_dedup_into_corpus(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_drift_monitor(
+    stream: DataFrame,
+    base: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Live-ingest distribution monitoring: every micro-batch is
+    scored against a REFERENCE corpus with ``token_drift`` (unigram
+    KL + OOV mass) and the one-row report is appended to ``out_path``
+    keyed by batch_id — the streaming leg of the drift family
+    (batch ``token_drift`` → incremental index → live monitor).
+
+    The reference vocabulary is recomputed lazily per batch from
+    ``base``; cache/checkpoint ``base`` (or pass a pre-aggregated
+    vocab frame downstream) for long-running streams — the batch-side
+    agg is vocab-sized either way. A drift spike in the report is the
+    pipeline's earliest signal that a crawl source changed character
+    (spam flood, language shift, template change) BEFORE the data
+    reaches curation.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.textstats import token_drift
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        report = token_drift(base, batch_df, text_col=text_col).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        report.write.mode("append").parquet(out_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -138,3 +138,47 @@ def test_stream_dedup_into_corpus_dedups_across_batches(spark):
         assert spark.read.parquet(os.path.join(corpus, "docs")).count() == n_before
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_drift_monitor_per_batch_reports(spark, tmp_path):
+    """Each micro-batch gets one drift row vs the base corpus, equal to
+    the batch-mode token_drift on the same slice."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from scrappy_spark.operators.textstats import token_drift
+    from scrappy_spark.streaming.sinks import stream_drift_monitor
+
+    base = spark.createDataFrame(
+        [(i, "the quick brown fox jumps") for i in range(5)], ["doc_id", "text"]
+    )
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    batch1 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps")], ["doc_id", "text"]
+    )  # identical distribution -> zero drift
+    batch1.coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_drift_monitor(stream, base, out_dir, ckpt)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out_dir).collect()
+    assert len(got1) == 1 and got1[0]["kl_nats"] == 0.0 and got1[0]["oov_new_bp"] == 0
+
+    # a second, shifted batch appends a second report row
+    batch2 = spark.createDataFrame([(11, "zzz yyy xxx www")], ["doc_id", "text"])
+    batch2.coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = stream_drift_monitor(
+        spark.readStream.schema(batch1.schema).option("maxFilesPerTrigger", 1).parquet(in_dir),
+        base, out_dir, ckpt,
+    )
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).orderBy("batch_id").collect()
+    assert len(rows) == 2
+    expect = token_drift(base, batch2).collect()[0]
+    shifted = [r for r in rows if r["oov_new_bp"] == 10000]
+    assert len(shifted) == 1 and shifted[0]["vocab_shared"] == expect["vocab_shared"] == 0
