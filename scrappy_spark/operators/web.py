@@ -292,3 +292,56 @@ def license_scan_sql(expr: str) -> dict[str, str]:
         "license": f"CASE {arms} ELSE 'unknown' END",
         "canary_hit": f"({low} LIKE '%{CANARY_TOKEN}%')",
     }
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    psl: DataFrame,
+    host_col: str = "host",
+    out_col: str = "registered_domain",
+    max_suffix_labels: int = 3,
+) -> DataFrame:
+    """Registered domain via a real public-suffix LIST instead of the
+    regex approximation in :func:`normalize_urls` — the deployment
+    mechanism its docstring promises. ``psl`` has one ``suffix``
+    column ('com', 'co.uk', 'ac.jp', ...).
+
+    Longest-match by construction: each host explodes into its
+    1..``max_suffix_labels``-label suffix candidates (a bounded
+    explode — at most 3 rows per host), the broadcast join keeps the
+    candidates on the list, and a groupBy(max) picks the longest; the
+    registered domain is that suffix plus one label. Hosts matching no
+    listed suffix fall back to their last two labels (the same
+    behavior browsers use for unknown TLDs). The corpus never
+    shuffles on anything wider than the host key.
+    """
+    labels = F.split(F.col(host_col), r"\.")
+    n = F.size(labels)
+    cands = df.select(
+        F.col(host_col),
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(max_suffix_labels)),
+                    lambda k: F.when(
+                        n > k, F.array_join(F.slice(labels, n - k + 1, k), ".")
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("suffix"),
+    )
+    psl_n = psl.select(F.lower(F.trim(F.col("suffix"))).alias("suffix")).distinct()
+    best = (
+        cands.join(F.broadcast(psl_n), "suffix")
+        .groupBy(host_col)
+        .agg(F.max_by("suffix", F.length("suffix")).alias("_suffix"))
+    )
+    joined = df.join(best, host_col, "left")
+    k = F.size(F.split(F.col("_suffix"), r"\."))
+    reg = F.when(
+        F.col("_suffix").isNotNull(),
+        # the matched public suffix plus ONE more label
+        F.concat(F.element_at(labels, n - k), F.lit("."), F.col("_suffix")),
+    ).otherwise(F.regexp_extract(F.col(host_col), r"([^.]+\.[^.]+)$", 1))
+    return joined.withColumn(out_col, reg).drop("_suffix")

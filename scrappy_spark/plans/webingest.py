@@ -304,3 +304,73 @@ def q_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("clean_text").cast("bigint").alias("clean_len"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Public-suffix-list registered domains
+# --------------------------------------------------------------------------
+
+#: Fixture PSL. Deliberately contains OVERLAPPING suffixes ('uk' and
+#: 'co.uk') so the query exercises longest-match preference.
+PSL_SUFFIXES = ("uk", "co.uk", "com", "org", "ac.jp")
+
+_HOST_SQL = (
+    "CASE doc_id % 5"
+    " WHEN 0 THEN 'news.' || source || '.co.uk'"
+    " WHEN 1 THEN source || '.ac.jp'"
+    " WHEN 2 THEN 'a.b.' || source || '.com'"
+    " WHEN 3 THEN source || '.unknowntld'"
+    " ELSE 'x.' || source || '.uk' END"
+)
+
+
+def _host_col():
+    did = F.col("doc_id")
+    src = F.col("source")
+    return (
+        F.when(did % 5 == 0, F.concat(F.lit("news."), src, F.lit(".co.uk")))
+        .when(did % 5 == 1, F.concat(src, F.lit(".ac.jp")))
+        .when(did % 5 == 2, F.concat(F.lit("a.b."), src, F.lit(".com")))
+        .when(did % 5 == 3, F.concat(src, F.lit(".unknowntld")))
+        .otherwise(F.concat(F.lit("x."), src, F.lit(".uk")))
+    )
+
+
+def _psl_case_sql() -> str:
+    """Longest-match CASE generated from PSL_SUFFIXES (longest first) —
+    the fixed-list oracle twin of the generic broadcast-join operator."""
+    by_len = sorted(PSL_SUFFIXES, key=lambda s: (-s.count("."), -len(s)))
+    backslash_dot = "\\."
+    escaped = [(s, s.replace(".", backslash_dot)) for s in by_len]
+    arms = " ".join(
+        f"WHEN host LIKE '%.{s}' THEN "
+        f"regexp_extract(host, '([^.]+{backslash_dot}{e})$', 1)"
+        for s, e in escaped
+    )
+    return (
+        f"CASE {arms} ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END"
+    )
+
+
+@register(
+    "q_psl_domain",
+    sql=f"""
+    WITH h AS (SELECT doc_id, {_HOST_SQL} AS host FROM documents)
+    SELECT doc_id, host, {_psl_case_sql()} AS registered_domain FROM h
+    """,
+    doc="Registered domain via a real public-suffix LIST (broadcast "
+    "join, bounded suffix-candidate explode, longest-match groupBy) — "
+    "the deployment mechanism behind normalize_urls' regex "
+    "approximation. The fixture PSL contains overlapping 'uk' and "
+    "'co.uk' so the oracle hash proves longest-match preference.",
+    tags=("web", "curation"),
+)
+def q_psl_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.web import registered_domain_psl
+
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = docs.select("doc_id", _host_col().alias("host"))
+    psl = spark.createDataFrame([(s,) for s in PSL_SUFFIXES], ["suffix"])
+    return registered_domain_psl(hosts, psl).select(
+        "doc_id", "host", "registered_domain"
+    )

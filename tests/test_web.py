@@ -202,3 +202,42 @@ class TestLicenseScan:
 
     def test_case_insensitive(self, spark):
         assert self._scan(spark, "mIt LiCeNsE")["license"] == "mit"
+
+
+class TestPslDomain:
+    def _run(self, spark, hosts, suffixes):
+        from scrappy_spark.operators.web import registered_domain_psl
+
+        hdf = spark.createDataFrame([(h,) for h in hosts], ["host"])
+        psl = spark.createDataFrame([(s,) for s in suffixes], ["suffix"])
+        return {
+            r["host"]: r["registered_domain"]
+            for r in registered_domain_psl(hdf, psl).collect()
+        }
+
+    def test_longest_match_wins_on_overlap(self, spark):
+        got = self._run(spark, ["a.b.co.uk", "plain.uk"], ["uk", "co.uk"])
+        assert got == {"a.b.co.uk": "b.co.uk", "plain.uk": "plain.uk"}
+
+    def test_unknown_tld_falls_back_to_last_two(self, spark):
+        got = self._run(spark, ["x.y.unknowntld"], ["com"])
+        assert got == {"x.y.unknowntld": "y.unknowntld"}
+
+    def test_host_equal_to_suffix_falls_back(self, spark):
+        # a bare public suffix has no registered domain; documented
+        # fallback is last-two-labels
+        got = self._run(spark, ["co.uk"], ["uk", "co.uk"])
+        assert got == {"co.uk": "co.uk"}
+
+    def test_plan_broadcasts_psl(self, spark):
+        from scrappy_spark.operators.web import registered_domain_psl
+
+        hdf = spark.createDataFrame([("a.b.com",)], ["host"])
+        psl = spark.createDataFrame([("com",)], ["suffix"])
+        plan = (
+            registered_domain_psl(hdf, psl)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
