@@ -345,3 +345,60 @@ def registered_domain_psl(
         F.concat(F.element_at(labels, n - k), F.lit("."), F.col("_suffix")),
     ).otherwise(F.regexp_extract(F.col(host_col), r"([^.]+\.[^.]+)$", 1))
     return joined.withColumn(out_col, reg).drop("_suffix")
+
+
+#: href + anchor-text capture, RE2∩Java subset (no backrefs): group 1 =
+#: the double-quoted href, group 2 = the raw inner markup of the anchor.
+LINK_RE = r'(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def extract_links(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Outlink extraction: one row per ``<a href>`` with its position,
+    target URL, and tag-stripped anchor text — the edge list that
+    turns a crawled corpus into the link graph PageRank/components
+    consume, and the anchor-text corpus relevance models train on.
+
+    Two ``regexp_extract_all`` passes over the same pattern (hrefs and
+    anchors come from identical match sets, so the arrays always zip
+    positionally), then one posexplode. Scan-side until the explode;
+    output is link-cardinality, not page-cardinality.
+    """
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(LINK_RE), 1)
+    anchors = F.regexp_extract_all(F.col(html_col), F.lit(LINK_RE), 2)
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.arrays_zip(hrefs.alias("href"), anchors.alias("anchor"))).alias(
+            "link_pos", "z"
+        ),
+    )
+    anchor_clean = F.regexp_replace(
+        F.regexp_replace(F.col("z.anchor"), r"<[^>]*>", " "), r"\s+", " "
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("link_pos").cast("long").alias("link_pos"),
+        F.col("z.href").alias("href"),
+        F.trim(anchor_clean).alias("anchor_text"),
+    )
+
+
+def extract_links_sql(html_expr: str, id_expr: str = "doc_id") -> str:
+    """DuckDB twin of :func:`extract_links` as a FROM-able subquery
+    (same pattern constant, same zip-by-position contract)."""
+    pat = _q(LINK_RE)
+    return f"""
+    SELECT {id_expr} AS doc_id,
+           CAST(u.pos - 1 AS BIGINT) AS link_pos,
+           u.href AS href,
+           trim(regexp_replace(regexp_replace(u.anchor, '<[^>]*>', ' ', 'g'),
+                               '\\s+', ' ', 'g')) AS anchor_text
+    FROM (SELECT {id_expr},
+                 regexp_extract_all({html_expr}, {pat}, 1) AS hrefs,
+                 regexp_extract_all({html_expr}, {pat}, 2) AS anchors
+          FROM documents) t,
+         LATERAL (SELECT generate_subscripts(t.hrefs, 1) AS pos,
+                         unnest(t.hrefs) AS href,
+                         unnest(t.anchors) AS anchor) u
+    """

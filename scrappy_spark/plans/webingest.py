@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..io import load_table
 from ..operators.web import (
     extract_html_text,
+    extract_links_sql,
     html_extract_sql,
     license_scan,
     license_scan_sql,
@@ -374,3 +375,54 @@ def q_psl_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return registered_domain_psl(hosts, psl).select(
         "doc_id", "host", "registered_domain"
     )
+
+
+# Link-bearing page construction: two anchors per doc — one messy
+# (attrs around href, nested markup in the anchor) and one plain —
+# plus a decoy <a> with no href, which must NOT match.
+_LINKED_HTML_SQL = (
+    "'<p>intro</p>"
+    "<a class=\"x\" href=\"https://WWW.' || source || '.com/p/'"
+    " || CAST(doc_id AS VARCHAR) || '?utm_s=1\" rel=\"nofollow\">'"
+    " || 'Read <b>' || lang || '</b> more</a>"
+    " mid <a name=\"no-href\">decoy</a> '"
+    " || '<a href=\"/rel/' || CAST(doc_id AS VARCHAR) || '\">rel link</a>'"
+)
+
+
+def _linked_html_col():
+    return F.concat(
+        F.lit('<p>intro</p><a class="x" href="https://WWW.'),
+        F.col("source"),
+        F.lit(".com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit('?utm_s=1" rel="nofollow">Read <b>'),
+        F.col("lang"),
+        F.lit('</b> more</a> mid <a name="no-href">decoy</a> '),
+        F.lit('<a href="/rel/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">rel link</a>'),
+    )
+
+
+@register(
+    "q_extract_links",
+    sql=(
+        lambda links_sql: f"""
+    WITH pages AS (SELECT doc_id, {_LINKED_HTML_SQL} AS html
+                   FROM documents)
+    {links_sql}
+    """
+    )(extract_links_sql("html").replace("FROM documents)", "FROM pages)")),
+    doc="Outlink + anchor-text extraction from constructed pages "
+    "(messy attr order, nested anchor markup, a no-href decoy that "
+    "must not match) — the edge list that feeds the link graph "
+    "(PageRank/components) and anchor-text relevance corpora.",
+    tags=("web", "graph"),
+)
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.web import extract_links
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _linked_html_col().alias("html"))
+    return extract_links(pages)

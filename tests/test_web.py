@@ -241,3 +241,25 @@ class TestPslDomain:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestExtractLinks:
+    def test_messy_attrs_nested_markup_and_decoy(self, spark):
+        from scrappy_spark.operators.web import extract_links
+
+        html = (
+            '<a class="x" href="https://a.com/1" rel="nofollow">Read <b>en</b> more</a>'
+            ' <a name="decoy">no href</a> <a href="/rel/2">rel link</a>'
+        )
+        df = spark.createDataFrame([(1, html)], ["doc_id", "html"])
+        rows = extract_links(df).orderBy("link_pos").collect()
+        assert [(r["link_pos"], r["href"], r["anchor_text"]) for r in rows] == [
+            (0, "https://a.com/1", "Read en more"),
+            (1, "/rel/2", "rel link"),
+        ]
+
+    def test_no_links_no_rows(self, spark):
+        from scrappy_spark.operators.web import extract_links
+
+        df = spark.createDataFrame([(1, "<p>plain</p>")], ["doc_id", "html"])
+        assert extract_links(df).count() == 0
