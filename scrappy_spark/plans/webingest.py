@@ -426,3 +426,96 @@ def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pages = docs.select("doc_id", _linked_html_col().alias("html"))
     return extract_links(pages)
+
+
+# --------------------------------------------------------------------------
+# Domain link graph -> PageRank (web -> graph capstone)
+# --------------------------------------------------------------------------
+
+def _domain_rank_sql(n_iter: int = 3, unit: int = 10**12) -> str:
+    """Oracle for q_domain_link_rank: derives the SAME domain edges
+    from the construction semantics (an INDEPENDENT derivation — the
+    Spark side goes through real link extraction + URL normalization,
+    the oracle through the fixture rules), then unrolls the
+    integer-exact PageRank iterations like events._pagerank_sql.
+    Edge weights aggregate at identical (src,dst) granularity on both
+    sides: integer division is NOT distributive over parallel edges.
+    """
+    base = (15 * unit) // 100
+    regdom = (
+        "CASE WHEN regexp_matches(host, '\\.(co|com|org|net|ac|gov)\\.[a-z][a-z]$')"
+        " THEN regexp_extract(host, '([^.]+\\.[a-z]+\\.[a-z][a-z])$', 1)"
+        " ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END"
+    )
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+    r{i} AS (
+        SELECT n.node,
+               CAST({base} + (85 * COALESCE(s.in_mass, 0)) // 100
+                    AS BIGINT) AS rank_units
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   sum((r.rank_units * e.w) // o.out_w) AS in_mass
+            FROM edges e
+            JOIN outw o ON o.src = e.src
+            JOIN r{i - 1} r ON r.node = e.src
+            GROUP BY 1) s ON s.node = n.node)""")
+    return f"""
+    WITH pd AS (SELECT doc_id, source, {regdom} AS pdom
+                FROM (SELECT doc_id, source, {_HOST_SQL} AS host
+                      FROM documents)),
+    edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+        SELECT pdom AS src, lower(source) || '.com' AS dst FROM pd
+        UNION ALL
+        SELECT pdom, pdom FROM pd) GROUP BY 1, 2),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+             FROM edges GROUP BY 1),
+    r0 AS (SELECT node, CAST({unit} AS BIGINT) AS rank_units FROM nodes),
+    {",".join(iters)}
+    SELECT node, rank_units,
+           CAST(rank_units AS DOUBLE) / {unit} AS rank
+    FROM r{n_iter}
+    """
+
+
+@register(
+    "q_domain_link_rank",
+    sql=_domain_rank_sql(3),
+    doc="Web -> graph capstone: constructed pages go through REAL link "
+    "extraction, relative-href resolution against the page host, URL "
+    "normalization to registered domains, and integer-exact PageRank "
+    "over the domain edge graph. The oracle derives the same edges "
+    "independently from the fixture rules, so a hash match proves the "
+    "whole extraction->normalization->graph composition.",
+    tags=("web", "graph", "pipeline"),
+)
+def q_domain_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+    from ..operators.web import extract_links
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", _host_col().alias("page_host"), _linked_html_col().alias("html")
+    )
+    links = extract_links(pages).join(
+        pages.select("doc_id", "page_host"), "doc_id"
+    )
+    href_abs = F.when(
+        F.col("href").startswith("/"),
+        F.concat(F.lit("https://"), F.col("page_host"), F.col("href")),
+    ).otherwise(F.col("href"))
+    pairs = links.select(
+        F.concat(F.lit("https://"), F.col("page_host")).alias("src_url"),
+        href_abs.alias("dst_url"),
+    )
+    src = normalize_urls(pairs.withColumn("url", F.col("src_url")), "url").select(
+        F.col("registered_domain").alias("src"), "dst_url"
+    )
+    both = normalize_urls(src.withColumn("url", F.col("dst_url")), "url").select(
+        "src", F.col("registered_domain").alias("dst")
+    )
+    edges = both.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    return pagerank(edges, n_iter=3, weight_col="w")
