@@ -55,6 +55,10 @@ PROBES = [
     "q_web_ingest",
     "q_ngram_novelty",
     "q_dedup_best_keeper",
+    "q_token_drift",
+    "q_containment_verified",
+    "q_extract_links",
+    "q_domain_link_rank",
 ]
 
 
