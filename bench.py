@@ -53,6 +53,7 @@ HEADLINE = [
     "q_image_near_dups",
     "q_web_ingest",
     "q_ngram_novelty",
+    "q_domain_link_rank",
 ]
 
 
