@@ -519,3 +519,127 @@ def q_domain_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = both.groupBy("src", "dst").agg(F.count("*").alias("w"))
     return pagerank(edges, n_iter=3, weight_col="w")
+
+
+# Re-crawl construction: the PAGE identity is doc_id % 50 (ten crawls
+# of each of 50 pages), while the crawl-to-crawl noise — scheme/host
+# case, www, a default port, tracking params, a fragment — varies by
+# doc_id. All ten variants must normalize to ONE canonical url.
+_RECRAWL_URL_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)"
+    " || (CASE WHEN doc_id % 3 = 0 THEN '://www.' ELSE '://' END)"
+    " || (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END)"
+    " || '.com' || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)"
+    " || '/page/' || CAST(doc_id % 50 AS VARCHAR)"
+    " || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=recrawl' ELSE '' END)"
+    " || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END)"
+)
+
+
+def _recrawl_url_col():
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.when(did % 3 == 0, F.lit("://www.")).otherwise(F.lit("://")),
+        F.when(did % 5 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
+        F.lit(".com"),
+        F.when(did % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"),
+        (did % 50).cast("string"),
+        F.when(did % 4 == 0, F.lit("?utm_source=recrawl")).otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "q_url_recrawl_dedup",
+    sql=(
+        lambda cols: f"""
+    WITH u AS (SELECT doc_id, {_RECRAWL_URL_SQL} AS url FROM documents),
+    n AS (SELECT doc_id, {cols['url_norm']} AS url_norm FROM u)
+    SELECT url_norm, CAST(min(doc_id) AS BIGINT) AS keeper_doc,
+           CAST(count(*) AS BIGINT) AS n_crawls
+    FROM n GROUP BY url_norm
+    """
+    )(normalize_urls_sql("url")),
+    doc="Re-crawl dedup keyed on the CANONICAL url: ten crawls of each "
+    "page differ in scheme/host case, www, a default port, tracking "
+    "params and fragments, but all collapse to one url_norm — "
+    "keep-first per canonical key is why normalization must be a "
+    "fixed point (test_web.py's idempotence grid). One groupBy on the "
+    "canonical key; the hash proves every crawl variant collapsed.",
+    tags=("web", "dedup", "curation"),
+)
+def q_url_recrawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", _recrawl_url_col().alias("url"))
+    n = normalize_urls(urls, url_col="url")
+    return n.groupBy("url_norm").agg(
+        F.min("doc_id").cast("bigint").alias("keeper_doc"),
+        F.count("*").cast("bigint").alias("n_crawls"),
+    )
+
+
+@register(
+    "q_anchor_text_profile",
+    sql=(
+        lambda links_sql: f"""
+    WITH pages AS (SELECT doc_id, source,
+                          {_LINKED_HTML_SQL} AS html FROM documents),
+    links AS ({links_sql}),
+    tgt AS (SELECT l.doc_id, l.anchor_text,
+                   CASE WHEN l.href LIKE '/%' THEN 'self'
+                        ELSE lower(p.source) || '.com' END AS target_domain
+            FROM links l JOIN pages p ON p.doc_id = l.doc_id),
+    toks AS (SELECT target_domain,
+                    unnest(list_filter(
+                      string_split_regex(lower(anchor_text), '[^a-z0-9]+'),
+                      t -> t <> '')) AS term
+             FROM tgt),
+    counts AS (SELECT target_domain, term,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM toks GROUP BY 1, 2),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY target_domain
+                                            ORDER BY n DESC, term) AS rk
+               FROM counts)
+    SELECT target_domain, term, n FROM ranked WHERE rk <= 3
+    """
+    )(extract_links_sql("html").replace("FROM documents)", "FROM pages)")),
+    doc="Anchor-text profile per link target: the terms OTHER pages "
+    "use when linking to a domain (top-3 per target) — the classic "
+    "link-graph relevance signal anchor corpora are built from. "
+    "Relative hrefs profile under 'self'. Extraction -> token explode "
+    "-> per-domain top-k window.",
+    tags=("web", "graph", "mining"),
+)
+def q_anchor_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.mining import tokens_col
+    from ..operators.web import extract_links
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", F.col("source"), _linked_html_col().alias("html")
+    )
+    links = extract_links(pages).join(
+        pages.select("doc_id", "source"), "doc_id"
+    )
+    tgt = links.select(
+        F.when(F.col("href").startswith("/"), F.lit("self"))
+        .otherwise(F.concat(F.lower(F.col("source")), F.lit(".com")))
+        .alias("target_domain"),
+        "anchor_text",
+    )
+    toks = tgt.select(
+        "target_domain", F.explode(tokens_col(F.col("anchor_text"))).alias("term")
+    )
+    counts = toks.groupBy("target_domain", "term").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("target_domain").orderBy(F.desc("n"), "term")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("target_domain", "term", "n")
+    )
