@@ -291,3 +291,36 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import skew_report
 
     return skew_report(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+@register(
+    "q_skew_salted_join",
+    sql="""
+    SELECT s.s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey
+    """,
+    doc="Salted skew join result-equivalence: the salt spreads each hot "
+    "key over n_salts partitions (big side gains a random salt, small "
+    "side replicates once per salt) but the OUTPUT is provably the "
+    "plain join — the salt pairs each big row with exactly one replica "
+    "— so the oracle is the unsalted join. Upgrades salted_join from "
+    "tests-only to the hash gate.",
+    tags=("join", "skew"),
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, supp, on="suppkey", n_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
