@@ -97,6 +97,7 @@ def all_specs() -> dict[str, QuerySpec]:
         _REGISTRY,
         key=lambda n: (
             n not in _NEVER_RUN_PIN,
+            n not in _RECHECK_PIN,
             n in _DRIVER_VERIFIED,
             _REGISTRY[n].sql is None,
             n,
@@ -109,6 +110,18 @@ def all_specs() -> dict[str, QuerySpec]:
 #: but never in any CORRECTNESS_r*.json — pinned first so round 5's
 #: driver pass finally records them (VERDICT r4, Next #1).
 _NEVER_RUN_PIN = frozenset({"q_taxonomy_topics", "q_theta_sketch_overlap"})
+
+#: Second pin tier: round 5 declared more new queries than the driver
+#: checks in one round (65 unchecked vs the 50-slot cap), and plain
+#: name order would have pushed these to round 6 — but they outrank
+#: unchanged-new queries: the attribution trio sits on a REIMPLEMENTED
+#: operator (interval_join's key coalesce; a verification from before
+#:  an implementation change is void), and the web-ingest capstone +
+#: its normalization stage are the round's flagship composition.
+_RECHECK_PIN = frozenset({
+    "q_view_click_attribution", "q_view_click_attribution_outer",
+    "q_view_click_attribution_full", "q_web_ingest", "q_url_normalize",
+})
 
 
 # Queries already driver-verified (green in CORRECTNESS_r01.json); kept
