@@ -88,12 +88,20 @@ def best_keeper_per_cluster(
     article regardless of which crawled first. Plug any per-doc score
     in as ``quality_col`` (e.g. ``quality_score``'s output).
 
+    Docs ABSENT from ``clusters`` are treated as singletons (their own
+    ``id`` becomes the cluster) rather than silently dropped — a
+    cluster map derived from candidate pairs only covers near-dup
+    members, and "replace the corpus with the keepers" must not lose
+    every unique document.
+
     One join docs→clusters on id, one window shuffle on the cluster
     key; cluster sizes are small by construction (near-dup families),
     so the per-partition sort is trivial and skew is bounded by the
     biggest dup family.
     """
-    joined = docs.join(clusters.select(id_col, cluster_col), id_col)
+    joined = docs.join(
+        clusters.select(id_col, cluster_col), id_col, "left"
+    ).withColumn(cluster_col, F.coalesce(F.col(cluster_col), F.col(id_col)))
     w = Window.partitionBy(cluster_col).orderBy(
         F.col(quality_col).desc(), F.col(id_col).asc()
     )

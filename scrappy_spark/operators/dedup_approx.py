@@ -366,6 +366,29 @@ def jaccard_pairs(
     )
 
 
+def _containment_bp(joined: DataFrame) -> DataFrame:
+    """Shared projection for the containment operators: exact
+    intersection + integer-basis-point ratios over (id_a, id_b,
+    set_a, set_b). ONE definition so the blocked demo path and the
+    LSH-verified production path can never desynchronize."""
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("set_a", "set_b")).cast("long").alias("inter"),
+            F.expr("size(set_a)").cast("long").alias("_na"),
+            F.expr("size(set_b)").cast("long").alias("_nb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.expr("inter * 10000 div _na").alias("containment_a_bp"),
+            F.expr("inter * 10000 div _nb").alias("containment_b_bp"),
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -401,25 +424,8 @@ def containment_pairs(
         *([F.col(block_col)] if block_col else []),
     )
     joined = a.join(b, on=[block_col]) if block_col else a.crossJoin(b)
-    inter = F.size(F.array_intersect("set_a", "set_b")).cast("long")
     thr_bp = int(round(threshold * 10000))
-    out = (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            inter.alias("inter"),
-            F.expr("size(set_a)").cast("long").alias("_na"),
-            F.expr("size(set_b)").cast("long").alias("_nb"),
-        )
-        .select(
-            "id_a",
-            "id_b",
-            "inter",
-            F.expr("inter * 10000 div _na").alias("containment_a_bp"),
-            F.expr("inter * 10000 div _nb").alias("containment_b_bp"),
-        )
-    )
+    out = _containment_bp(joined.filter(F.col("id_a") < F.col("id_b")))
     return out.filter(
         (F.col("containment_a_bp") >= thr_bp)
         | (F.col("containment_b_bp") >= thr_bp)
@@ -442,7 +448,7 @@ def verify_containment(
         F.col(id_col),
         F.array_distinct(tokens_col(F.col(text_col))).alias("tok_set"),
     )
-    return (
+    return _containment_bp(
         pairs.select("id_a", "id_b")
         .join(
             sets.select(F.col(id_col).alias("id_a"), F.col("tok_set").alias("set_a")),
@@ -451,20 +457,6 @@ def verify_containment(
         .join(
             sets.select(F.col(id_col).alias("id_b"), F.col("tok_set").alias("set_b")),
             "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("set_a", "set_b")).cast("long").alias("inter"),
-            F.expr("size(set_a)").cast("long").alias("_na"),
-            F.expr("size(set_b)").cast("long").alias("_nb"),
-        )
-        .select(
-            "id_a",
-            "id_b",
-            "inter",
-            F.expr("inter * 10000 div _na").alias("containment_a_bp"),
-            F.expr("inter * 10000 div _nb").alias("containment_b_bp"),
         )
     )
 

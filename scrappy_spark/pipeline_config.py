@@ -87,7 +87,10 @@ def compile_pipeline(spec: dict | list) -> Callable[[DataFrame], DataFrame]:
             raise ValueError(f"stage {i}: expected an object, got {type(stage).__name__}")
         kwargs = dict(stage)
         op = kwargs.pop("op", None)
-        if op not in OPS:
+        # isinstance first: an unhashable JSON op value ({} or []) would
+        # turn `op not in OPS` into a raw TypeError, breaking the
+        # named-ValueError contract.
+        if not isinstance(op, str) or op not in OPS:
             raise ValueError(
                 f"stage {i}: unknown op {op!r}; valid ops: {sorted(OPS)}"
             )

@@ -218,14 +218,11 @@ def q_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from ..operators.curation import PII_RULES, sample_threshold
+from ..operators.curation import sample_threshold
 
-
-def _scrub_sql_twin(expr: str) -> str:
-    out = expr
-    for pat, repl in PII_RULES:
-        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
-    return out
+# ONE scrub-oracle generator: q_pii_scrub and q_config_pipeline must
+# check the same semantics, so both import llmdata3's fragment.
+from .llmdata3 import _scrub_sql as _scrub_sql_twin
 
 
 @register(

@@ -170,7 +170,18 @@ class SnapshotTable:
         payload = [c for c in da.columns if c not in key_cols]
 
         def keyed(df: DataFrame, tag: str) -> DataFrame:
-            h = F.xxhash64(*payload) if payload else F.lit(0)
+            # Hash the JSON of the payload struct, NOT the bare columns:
+            # Spark's hash functions pass the running seed through NULL
+            # children, so xxhash64(a, b) of ('x', NULL) equals (NULL,
+            # 'x') — a value MOVING between payload columns would read
+            # as "unchanged". to_json omits null fields, so the null
+            # PATTERN is encoded in the key names and every shift
+            # changes the hash.
+            h = (
+                F.xxhash64(F.to_json(F.struct(*payload)))
+                if payload
+                else F.lit(0)
+            )
             return df.select(*key_cols, h.alias(f"_h_{tag}"))
 
         old, new = keyed(da, "a"), keyed(db, "b")

@@ -170,7 +170,15 @@ def stream_drift_monitor(
         report = token_drift(base, batch_df, text_col=text_col).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         )
-        report.write.mode("append").parquet(out_path)
+        # foreachBatch is at-least-once: a replayed batch must REPLACE
+        # its own batch_id partition, not append a duplicate row —
+        # dynamic partition overwrite touches only that partition.
+        (
+            report.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
 
     writer = (
         stream.writeStream.foreachBatch(score_batch)

@@ -121,3 +121,11 @@ class TestFuzzCompile:
                 pass  # the contract: named ValueError only
 
         run()
+
+
+def test_unhashable_op_value_raises_named_error():
+    # {} / [] as the op value must be the contracted ValueError, not a
+    # raw TypeError from `op not in OPS`
+    for bad in ({}, ["x"], 5, None):
+        with pytest.raises(ValueError, match="unknown op"):
+            compile_pipeline([{"op": bad}])

@@ -144,13 +144,31 @@ def test_row_diff_payload_stays_out_of_shuffle(spark, tmp_path):
     plan = t.row_diff(0, 1, ["id"])._jdf.queryExecution().executedPlan().toString()
     import re
 
-    # Strip the hash expressions (they legitimately consume the payload)
-    # and the scan lines (the file reader must read it to hash it); the
-    # payload name must then be gone — in particular from every Project
-    # feeding an Exchange, so only (key, hash) rows are shuffled.
+    # Drop the hash-computing Project lines (they legitimately consume
+    # the payload, pre-shuffle) and the scan lines (the reader must
+    # read it to hash it); the payload name must then be gone — i.e.
+    # absent from every Exchange and every post-shuffle operator, so
+    # only (key, hash) rows are shuffled.
     cleaned = "\n".join(
         line
-        for line in re.sub(r"xxhash64\([^)]*\)", "", plan).splitlines()
-        if "Scan" not in line and "ReadSchema" not in line
+        for line in plan.splitlines()
+        if "xxhash64" not in line
+        and "Scan" not in line
+        and "ReadSchema" not in line
     )
     assert "Exchange" in cleaned and "widepayload" not in cleaned
+    assert re.search(r"Exchange hashpartitioning\(id#", plan)
+
+
+def test_row_diff_detects_value_move_between_columns(spark, tmp_path):
+    """Regression: Spark hash fns pass the seed through NULL children,
+    so a bare xxhash64(a, b) reads ('x', NULL) == (NULL, 'x'). The
+    payload hash must encode the null PATTERN so a value MOVING
+    between columns is a change."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    v0 = spark.createDataFrame([(1, "x", None)], "id long, a string, b string")
+    v1 = spark.createDataFrame([(1, None, "x")], "id long, a string, b string")
+    t.commit(v0, "v0")
+    t.commit(v1, "v1")
+    got = t.row_diff(0, 1, ["id"]).collect()
+    assert len(got) == 1 and got[0]["change"] == "changed"
