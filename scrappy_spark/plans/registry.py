@@ -121,6 +121,10 @@ _NEVER_RUN_PIN = frozenset({"q_taxonomy_topics", "q_theta_sketch_overlap"})
 _RECHECK_PIN = frozenset({
     "q_view_click_attribution", "q_view_click_attribution_outer",
     "q_view_click_attribution_full", "q_web_ingest", "q_url_normalize",
+    # r4-verified rows-only, reimplemented in round 5 with a banded-flag
+    # oracle (like q_hll_union_rollup): the r4 row was the weaker check,
+    # so it re-enters the prefix to be re-verified under the hash gate.
+    "q_kll_quantiles",
 })
 
 
@@ -184,7 +188,9 @@ _R03_VERIFIED = frozenset({
 # right side so outer mode keeps the left join key).
 _R04_VERIFIED = frozenset({
     "q_ann_lsh_topk", "q_classifier_predict", "q_embed_vectors",
-    "q_embedding_near_dups_ann", "q_ivf_ann_topk", "q_kll_quantiles",
+    "q_embedding_near_dups_ann", "q_ivf_ann_topk",
+    # q_kll_quantiles deliberately absent: r4 checked it rows-only, but
+    # round 5 gave it a banded-flag oracle — re-checked via _RECHECK_PIN.
     "q_minhash_signatures",
     "q_semantic_decontaminate_ann",
     "q_time_weighted_avg", "q_token_count", "q_token_pmi",

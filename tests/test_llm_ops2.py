@@ -229,15 +229,33 @@ def test_sketch_suite_error_bounds(spark):
     ).first()
     assert abs(raw.est - raw.exact) / raw.exact < 0.02
 
+    # KLL/theta now emit oracle-pinned band flags like HLL; the raw
+    # estimates are re-derived here so their bounds stay exercised.
     kll = qs["q_kll_quantiles"](spark, sf).first()
-    # KLL default k: normalized rank error ~1.7%; price range spans
-    # ~100k so allow 5% value slack around the exact percentile
-    assert abs(kll.est_p50 - kll.exact_p50) / kll.exact_p50 < 0.05
-    assert abs(kll.est_p95 - kll.exact_p95) / kll.exact_p95 < 0.05
+    assert kll.p50_in_band == 1 and kll.p95_in_band == 1
+    li = load_table(spark, sf, "lineitem")
+    raw_kll = li.agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("l_extendedprice"), F.lit(0.5)
+        ).alias("est_p50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+    ).first()
+    assert abs(raw_kll.est_p50 - raw_kll.exact_p50) / raw_kll.exact_p50 < 0.05
 
     th = qs["q_theta_sketch_overlap"](spark, sf).first()
-    assert abs(th.est_overlap - th.exact_overlap) / max(th.exact_overlap, 1) < 0.05
-    assert th.est_clickers >= th.est_overlap and th.est_buyers >= th.est_overlap
+    assert th.est_within_band == 1
+    assert th.exact_clickers >= th.exact_overlap >= 0
+    assert th.exact_buyers >= th.exact_overlap
+    ev = load_table(spark, sf, "events")
+    raw_th = (
+        ev.filter(F.col("event_type") == "click")
+        .agg(
+            F.theta_sketch_estimate(F.theta_sketch_agg("user_id")).alias("est"),
+            F.count_distinct("user_id").alias("exact"),
+        )
+        .first()
+    )
+    assert abs(raw_th.est - raw_th.exact) / max(raw_th.exact, 1) < 0.05
 
 
 def test_profile_columns_nulls_and_single_scan(spark):
