@@ -109,3 +109,110 @@ def pagerank(
         "rank_units",
         (F.col("rank_units").cast("double") / unit).alias("rank"),
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient.
+
+    Degree-ordered triangle enumeration (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW 2011):
+    orient every undirected edge from its lower-(degree, id) endpoint
+    to its higher one, generate wedges only at each edge's LOWER
+    endpoint, and close them against the oriented edge set. The
+    orientation bounds every node's out-degree by O(sqrt(m)), so wedge
+    generation is O(m^1.5) total and — the 100 TB point — a celebrity
+    node with 10^8 neighbors generates NO wedges at its own key: its
+    edges all point toward it, and the quadratic work lands on the
+    low-degree endpoints instead of one hot reducer. Three shuffles
+    total (degree agg, wedge self-join on apex, closing join on the
+    wedge pair); no broadcast assumptions, so it scales to edge sets
+    far beyond driver memory.
+
+    Returns (node, tri_count, degree, clustering_bp) for every node of
+    the undirected graph: ``tri_count`` triangles through the node,
+    ``clustering_bp`` the local clustering coefficient in integer basis
+    points — ``(20000 * tri) div (deg * (deg - 1))`` — which is
+    integer-exact and therefore bit-identical cross-engine. NULL for
+    degree-1 nodes, where the coefficient is undefined; the zero
+    divisor is guarded with an explicit ``when`` so the result is the
+    same under ANSI and non-ANSI sessions.
+
+    Parallel edges, self-loops, and direction are normalized away:
+    input edges are canonicalized to distinct undirected (a < b) pairs
+    first, so any (src, dst) multiset is a valid input.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    # Orient by the total order (degree, node id); carry the HEAD's
+    # order key so wedge pairs can be oriented by the same total order
+    # without re-joining degrees.
+    ed = (
+        e.join(
+            deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a")), "a"
+        )
+        .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b")), "b")
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("v_deg"),
+    )
+    # Wedges at the apex u: every head pair, oriented by (v_deg, v) so
+    # the closing edge is looked up in its oriented direction only.
+    # The self-join's right side is renamed up front — distinct
+    # attribute names, never the trivially-true same-attribute
+    # predicate that dataset-id disambiguation would have to rescue.
+    o2 = oriented.select(
+        F.col("u").alias("u2"),
+        F.col("v").alias("v2"),
+        F.col("v_deg").alias("v_deg2"),
+    )
+    wedges = oriented.join(o2, F.col("u") == F.col("u2")).where(
+        (F.col("v_deg") < F.col("v_deg2"))
+        | ((F.col("v_deg") == F.col("v_deg2")) & (F.col("v") < F.col("v2")))
+    ).select(
+        F.col("u").alias("apex"),
+        F.col("v").alias("x"),
+        F.col("v2").alias("y"),
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])
+    per_node = (
+        tri.select(F.explode(F.array("apex", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_count"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("tri_count"), F.lit(0)).cast("long").alias("tri_count"),
+            F.col("degree").cast("long").alias("degree"),
+            # NULL for degree-1 nodes (coefficient undefined). Guarded
+            # with `when` rather than div-by-zero-is-NULL semantics so
+            # the result is identical under ANSI and non-ANSI sessions.
+            F.when(
+                F.col("degree") > 1,
+                F.expr(
+                    "20000 * coalesce(tri_count, 0L) div (degree * (degree - 1))"
+                ),
+            ).alias("clustering_bp"),
+        )
+    )

@@ -1,0 +1,85 @@
+"""Non-iterative graph analytics: triangle counting / clustering.
+
+Triangles are the canonical "curse of the last reducer" workload: a
+naive wedge generation keyed on every node does quadratic work at the
+hottest node, so one reducer runs for hours while the rest idle. The
+operator behind this module (``operators/graph.py::triangle_counts``)
+uses degree-ordered orientation (Suri & Vassilvitskii, WWW 2011) to
+bound per-node wedge work by O(sqrt(m)) — the difference between a
+plan that finishes on a 100 TB edge set and one that never does.
+
+The declared query builds a part co-purchase graph from ``lineitem``
+(parts that ship together in the same order — the classic
+market-basket projection) and reports per-node triangle participation
+plus the local clustering coefficient in integer basis points, so the
+whole result is integer-exact and takes the full value-hash gate
+against a DuckDB oracle that enumerates the same triangles with plain
+3-way self-joins. The co-purchase pair explode is bounded by TPC-H
+order size (<= 7 items per order, so <= 21 pairs); a real basket
+pipeline with pathological baskets would cap or sample basket size
+upstream, same as the LSH bucket cap in dedup_approx.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from .registry import register
+
+
+_COPURCHASE_TRI_SQL = """
+    WITH op AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+                FROM lineitem),
+    e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+          FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY node),
+    tri AS (SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri_count
+           FROM (SELECT n1 AS node FROM tri
+                 UNION ALL SELECT n2 FROM tri
+                 UNION ALL SELECT n3 FROM tri)
+           GROUP BY node)
+    SELECT d.node,
+           CAST(COALESCE(t.tri_count, 0) AS BIGINT) AS tri_count,
+           d.degree,
+           CAST(CASE WHEN d.degree > 1
+                     THEN (20000 * COALESCE(t.tri_count, 0))
+                          // (d.degree * (d.degree - 1))
+                END AS BIGINT) AS clustering_bp
+    FROM deg d LEFT JOIN tn t ON t.node = d.node
+"""
+
+
+@register(
+    "q_copurchase_triangles",
+    sql=_COPURCHASE_TRI_SQL,
+    doc="Triangle counts + local clustering coefficient over the part "
+    "co-purchase graph (parts sharing an order in lineitem). Spark "
+    "side runs the degree-ordered enumeration — wedges generated only "
+    "at each edge's lower-(degree, id) endpoint, so no hot node does "
+    "quadratic work — while the oracle enumerates the same triangle "
+    "set with ordered 3-way self-joins (the triangle SET is "
+    "orientation-invariant, so the perf strategy is hash-checked "
+    "against the straightforward formulation). Clustering coefficient "
+    "is integer basis points, 20000*tri div deg*(deg-1), NULL for "
+    "degree-1 nodes in both engines (explicitly guarded CASE/when).",
+    tags=("graph", "agg"),
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").cast("long").alias("pk")
+    ).distinct()
+    pairs = op.select("ok", F.col("pk").alias("pk1")).join(
+        op.select(F.col("ok").alias("ok2"), F.col("pk").alias("pk2")),
+        F.col("ok") == F.col("ok2"),
+    ).filter(F.col("pk1") < F.col("pk2"))
+    return triangle_counts(pairs, src_col="pk1", dst_col="pk2")

@@ -75,6 +75,7 @@ def all_specs() -> dict[str, QuerySpec]:
         sketches,
         extras,
         webingest,
+        graphs,
     )
 
     # Deterministic enumeration, independent of module import order

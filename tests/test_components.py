@@ -263,3 +263,54 @@ def test_star_equals_label_on_random_graph(spark):
         for r in connected_components(nodes, edges, method="star").collect()
     }
     assert a == b
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 + a pendant + a triangle-free chain: exact per-node counts,
+    clustering in basis points, NULL coefficient for degree-1 nodes,
+    and invariance to edge direction / duplication / self-loops."""
+    from scrappy_spark.operators.graph import triangle_counts
+
+    # K4 on 0-3; pendant 4 hanging off 0; chain 5-6-7.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges_py = k4 + [(0, 4), (5, 6), (6, 7)]
+    # noise: reversed duplicates, a parallel edge, a self-loop
+    edges_py += [(b, a) for a, b in k4[:3]] + [(0, 1), (2, 2)]
+    edges = spark.createDataFrame(edges_py, ["src", "dst"])
+    out = {r.node: r for r in triangle_counts(edges).collect()}
+
+    assert len(out) == 8  # self-loop node adds no extra vertex
+    for n in range(4):  # K4: every node in C(3,2)=3 triangles
+        assert out[n].tri_count == 3
+    # clustering: node 1-3 have degree 3 -> 20000*3 div 6 = 10000
+    assert out[1].clustering_bp == 10000
+    # node 0 has degree 4 (K4 + pendant) -> 20000*3 div 12 = 5000
+    assert out[0].degree == 4 and out[0].clustering_bp == 5000
+    # pendant: degree 1 -> undefined coefficient (integer div by zero)
+    assert out[4].tri_count == 0 and out[4].clustering_bp is None
+    # chain: no triangles, defined-but-zero coefficient at the middle
+    assert out[6].tri_count == 0 and out[6].clustering_bp == 0
+
+    # total triangles = sum(tri_count) / 3 = 4 (the K4's four faces)
+    assert sum(r.tri_count for r in out.values()) == 12
+
+
+def test_triangle_counts_star_no_hot_wedges(spark):
+    """A 200-leaf star has zero triangles — and the degree orientation
+    points every edge AT the hub, so the hub generates no wedges (the
+    'last reducer' the algorithm exists to kill). Also: hub+rim wheel
+    graph counts match the closed form."""
+    from scrappy_spark.operators.graph import triangle_counts
+
+    star = spark.createDataFrame([(200, i) for i in range(200)], ["src", "dst"])
+    out = triangle_counts(star)
+    assert out.filter(F.col("tri_count") != 0).count() == 0
+    assert out.count() == 201
+
+    # wheel: hub 100 + 12-cycle rim -> 12 triangles, rim nodes in 2 each
+    rim = [(i, (i + 1) % 12) for i in range(12)]
+    spokes = [(100, i) for i in range(12)]
+    wheel = spark.createDataFrame(rim + spokes, ["src", "dst"])
+    w = {r.node: r for r in triangle_counts(wheel).collect()}
+    assert w[100].tri_count == 12
+    assert all(w[i].tri_count == 2 for i in range(12))
