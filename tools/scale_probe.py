@@ -59,6 +59,7 @@ PROBES = [
     "q_containment_verified",
     "q_extract_links",
     "q_domain_link_rank",
+    "q_copurchase_triangles",
 ]
 
 
@@ -87,6 +88,9 @@ def main() -> None:
     if not os.path.exists(BASE):
         build(spark)
     qs = registry.queries()
+    global PROBES
+    if len(sys.argv) > 1:  # probe only the named queries
+        PROBES = [n for n in PROBES if n in sys.argv[1:]]
     for n in PROBES:  # warm codegen
         qs[n](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
     for n in PROBES:
