@@ -516,3 +516,101 @@ def simhash_near_pairs(fp: DataFrame, id_col: str = "doc_id", max_hamming: int =
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact similarity join via prefix filtering (AllPairs / PPJoin family)
+# ---------------------------------------------------------------------------
+
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    threshold_bp: int = 6000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT token-set Jaccard join: every pair with Jaccard >=
+    ``threshold_bp``/10000, no misses — the deterministic counterpart
+    to the MinHash/LSH path (which trades recall for cheaper candidate
+    generation).
+
+    Prefix filtering (Chaudhuri et al. ICDE'06 "A Primitive Operator
+    for Similarity Joins"; Bayardo et al. WWW'07 "Scaling Up All
+    Pairs"): order every doc's tokens by ascending global frequency
+    and keep only the first ``n - ceil(t*n) + 1`` as its PREFIX. Two
+    sets with Jaccard >= t MUST share a prefix token, so the candidate
+    join runs on prefix tokens only — and because prefixes hold each
+    doc's RAREST tokens, candidate buckets are the small tail of the
+    token-frequency distribution, not the stopword head. A length
+    filter (min size >= t * max size) prunes candidates before the
+    verify join.
+
+    Shuffle shape: one token-frequency agg, one per-doc window (doc-
+    partitioned, never global), the prefix-token candidate join, and
+    one verify join per candidate pair. All arithmetic is integer
+    basis points — ``ceil`` via ``(bp*n + 9999) div 10000``, the
+    threshold test ``10000*inter >= bp*union`` — so the result is
+    bit-identical cross-engine and takes the full value-hash gate
+    (a brute-force all-pairs oracle proves the filter drops nothing).
+
+    Returns (id_a, id_b, inter, un, jaccard_bp), id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tok_freq"))
+    sized = toks.join(freq, "tok").withColumn(
+        "n", F.count("*").over(Window.partitionBy("id"))
+    )
+    # prefix length p = n - ceil(t*n) + 1, integer ceil in basis points
+    p = F.col("n") - F.expr(f"({threshold_bp} * n + 9999) div 10000") + 1
+    prefix = (
+        sized.withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("tok_freq", "tok")
+            ),
+        )
+        .filter(F.col("pos") <= p)
+        .select("id", "tok", "n")
+    )
+    right = prefix.select(
+        F.col("id").alias("id_b"), "tok", F.col("n").alias("n_b")
+    )
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "tok", F.col("n").alias("n_a"))
+        .join(right, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: Jaccard >= t forces min(n) >= t * max(n)
+        .filter(
+            F.least("n_a", "n_b") * 10000
+            >= threshold_bp * F.greatest("n_a", "n_b")
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+    # verify: exact intersection via the full token sets of both sides
+    ta = toks.select(F.col("id").alias("id_a"), "tok")
+    tb = toks.select(F.col("id").alias("_vb"), F.col("tok").alias("tok_b"))
+    inter = (
+        cand.join(ta, "id_a")
+        .join(
+            tb,
+            (F.col("id_b") == F.col("_vb")) & (F.col("tok") == F.col("tok_b")),
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    un = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        inter.filter(F.col("inter") * 10000 >= threshold_bp * un)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            un.cast("long").alias("un"),
+            F.expr("10000 * inter div (n_a + n_b - inter)").alias("jaccard_bp"),
+        )
+    )

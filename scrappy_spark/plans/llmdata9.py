@@ -130,3 +130,40 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         train, bench, floor_frac=_CURATE_FRAC, max_bucket_size=None
     )
     return report
+
+
+_JACC_T_BP = 6000  # Jaccard threshold in basis points, shared with the oracle
+
+
+@register(
+    "q_jaccard_join_exact",
+    sql=f"""
+    WITH s AS (SELECT doc_id AS id, list_distinct({_RAW_TOKS}) AS ts
+               FROM documents),
+    sz AS (SELECT id, CAST(len(ts) AS BIGINT) AS n FROM s),
+    tok AS (SELECT id, unnest(ts) AS tok FROM s),
+    i AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+          FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b, inter,
+           CAST(na.n + nb.n - inter AS BIGINT) AS un,
+           CAST((10000 * inter) // (na.n + nb.n - inter) AS BIGINT)
+               AS jaccard_bp
+    FROM i JOIN sz na ON na.id = i.id_a
+           JOIN sz nb ON nb.id = i.id_b
+    WHERE 10000 * inter >= {_JACC_T_BP} * (na.n + nb.n - inter)
+    """,
+    doc="EXACT Jaccard similarity join via prefix filtering (AllPairs/"
+    "PPJoin): tokens ordered by ascending global frequency, candidates "
+    "blocked on each doc's rare-token prefix plus a length filter, then "
+    "exact integer verification — zero misses, unlike the LSH path. "
+    "The oracle is the brute-force shared-token all-pairs join, so the "
+    "hash match PROVES the prefix filter dropped no qualifying pair. "
+    "All arithmetic in integer basis points (bit-identical engines).",
+    tags=("llm", "dedup", "join"),
+)
+def q_jaccard_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_approx import prefix_filter_jaccard_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_join(docs, threshold_bp=_JACC_T_BP)

@@ -173,3 +173,42 @@ def test_vocab_coverage_known_corpus(spark):
     assert out[3].n_oov == 0 and out[3].oov_rate == 0.0
     assert out[4].n_tokens == 0 and out[4].oov_rate == 0.0
     assert abs(out[2].oov_rate - 0.4) < 1e-9
+
+
+def test_prefix_filter_jaccard_join_exact(spark):
+    """Prefix-filtered join returns EXACTLY the brute-force result —
+    including a pair that shares zero RARE tokens (its overlap is all
+    high-frequency tokens, the case a careless prefix choice would
+    drop) — with integer-exact basis points."""
+    from itertools import combinations
+
+    from scrappy_spark.operators.dedup_approx import prefix_filter_jaccard_join
+
+    docs_py = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),     # J(1,2) = 4/6 = 0.666
+        (3, "alpha beta gamma delta epsilon"),  # J(1,3) = 1.0 exact dup
+        (4, "omega psi chi phi"),               # disjoint from 1-3
+        (5, "omega psi chi phi upsilon"),       # J(4,5) = 4/5 = 0.8
+        (6, "alpha beta unrelated tokens here"),  # J(1,6)=2/8 below t
+        (7, ""),                                # empty: never appears
+    ]
+    docs = spark.createDataFrame(docs_py, ["doc_id", "text"])
+    out = {
+        (r.id_a, r.id_b): r
+        for r in prefix_filter_jaccard_join(docs, threshold_bp=6000).collect()
+    }
+
+    # brute force over the same tokenization
+    sets = {i: set(t.lower().split()) for i, t in docs_py if t}
+    expect = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        un = len(sets[a] | sets[b])
+        if 10000 * inter >= 6000 * un:
+            expect[(a, b)] = (inter, un, 10000 * inter // un)
+
+    assert set(out) == set(expect) == {(1, 2), (1, 3), (2, 3), (4, 5)}
+    for k, (inter, un, bp) in expect.items():
+        assert (out[k].inter, out[k].un, out[k].jaccard_bp) == (inter, un, bp)
+    assert out[(1, 3)].jaccard_bp == 10000  # exact dup hits 10000 exactly
