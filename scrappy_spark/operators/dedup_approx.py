@@ -552,6 +552,14 @@ def prefix_filter_jaccard_join(
     bit-identical cross-engine and takes the full value-hash gate
     (a brute-force all-pairs oracle proves the filter drops nothing).
 
+    Scale note: an EXACT join's output is every qualifying pair, and
+    on a duplicate-heavy corpus that set is quadratic in duplicate
+    multiplicity no matter the algorithm (the sf0.1 fixture yields
+    7M pairs at t=0.6 from 5k docs). Run it after
+    ``collapse_exact_dups`` — the q_dedup_corpus pattern — so the
+    join works the unique-text set and duplicates fan back out as
+    cluster members, not pairs.
+
     Returns (id_a, id_b, inter, un, jaccard_bp), id_a < id_b.
     """
     from pyspark.sql import Window
