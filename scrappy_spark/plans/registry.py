@@ -122,10 +122,10 @@ _NEVER_RUN_PIN = frozenset({"q_taxonomy_topics", "q_theta_sketch_overlap"})
 _RECHECK_PIN = frozenset({
     "q_view_click_attribution", "q_view_click_attribution_outer",
     "q_view_click_attribution_full", "q_web_ingest", "q_url_normalize",
-    # r4-verified rows-only, reimplemented in round 5 with a banded-flag
-    # oracle (like q_hll_union_rollup): the r4 row was the weaker check,
-    # so it re-enters the prefix to be re-verified under the hash gate.
-    "q_kll_quantiles",
+    # verified rows-only in an earlier round, reimplemented in round 5
+    # with a banded-flag oracle (like q_hll_union_rollup): the old rows
+    # were the weaker check, so they re-enter the prefix for the hash gate.
+    "q_kll_quantiles", "q_approx_count_distinct",
 })
 
 
@@ -134,7 +134,9 @@ _RECHECK_PIN = frozenset({
 # that have not been through the driver gate yet.
 _R01_VERIFIED = frozenset({
     "q_anti_customer_without_orders", "q_anti_new_titles", "q_anti_terms",
-    "q_approx_count_distinct", "q_array_funcs", "q_asof_join",
+    "q_array_funcs", "q_asof_join",
+    # q_approx_count_distinct deliberately absent: r1 checked it rows-only,
+    # round 5 promoted it to a banded-flag oracle — re-checked via _RECHECK_PIN.
     "q_context_examples", "q_count_distinct", "q_cross_join_count",
     "q_cube_rollup", "q_date_funcs", "q_dedup_keep_first", "q_dedup_title",
     "q_doc_stats", "q_except_titles", "q_filter_term", "q_filter_year",
