@@ -216,3 +216,46 @@ def triangle_counts(
             ).alias("clustering_bp"),
         )
     )
+
+
+def butterfly_counts(
+    edges: DataFrame, left_col: str = "l", right_col: str = "r"
+) -> DataFrame:
+    """Per-RIGHT-vertex butterfly (2x2 biclique) counts in a bipartite
+    graph — the bipartite analog of triangle counting (Sanei-Mehri,
+    Sariyuce & Tirthapura, "Butterfly Counting in Bipartite Networks",
+    KDD 2018). A butterfly is two left vertices sharing two right
+    vertices: the smallest unit of bipartite clustering, counted
+    WITHOUT materializing the quadratic one-mode projection graph.
+
+    Shape: explode each LEFT vertex's right-neighbor pairs (wedges),
+    count wedges per right pair w(r1, r2), then butterflies per pair
+    are C(w, 2). Wedge generation is quadratic in LEFT degree, so at
+    scale the caller orients wedge generation from the SPARSER side
+    (swap the columns) and caps pathological hubs upstream — the same
+    bounded-basket argument as the co-purchase pair explode. One
+    wedge-pair groupBy plus one explode-groupBy; no joins at all.
+
+    Returns (node, butterflies) for right-side vertices that
+    participate in at least one wedge pair, butterflies >= 0; a
+    vertex in no shared pair does not appear (its count is 0).
+    """
+    e = edges.select(
+        F.col(left_col).alias("l"), F.col(right_col).alias("r")
+    ).distinct()
+    # wedges at each left vertex: ordered right-neighbor pairs
+    e2 = e.select(F.col("l").alias("l2"), F.col("r").alias("r2"))
+    wedges = (
+        e.join(e2, F.col("l") == F.col("l2"))
+        .filter(F.col("r") < F.col("r2"))
+        .groupBy("r", "r2")
+        .agg(F.count("*").alias("w"))
+    )
+    pair_bf = wedges.select(
+        "r", "r2", F.expr("w * (w - 1) div 2").alias("bf")
+    ).filter(F.col("bf") > 0)
+    return (
+        pair_bf.select(F.explode(F.array("r", "r2")).alias("node"), "bf")
+        .groupBy("node")
+        .agg(F.sum("bf").cast("long").alias("butterflies"))
+    )

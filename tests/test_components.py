@@ -314,3 +314,28 @@ def test_triangle_counts_star_no_hot_wedges(spark):
     w = {r.node: r for r in triangle_counts(wheel).collect()}
     assert w[100].tri_count == 12
     assert all(w[i].tri_count == 2 for i in range(12))
+
+
+def test_butterfly_counts_known_bipartite(spark):
+    """Hand-built bipartite graph with a K(2,2), a K(2,3), and noise:
+    closed-form counts, dedup of parallel edges, and no phantom counts
+    for right vertices without a shared pair."""
+    from scrappy_spark.operators.graph import butterfly_counts
+
+    edges_py = (
+        # K(2,2): orders 1,2 x parts 10,11 -> 1 butterfly on (10,11)
+        [(1, 10), (1, 11), (2, 10), (2, 11)]
+        # K(2,3): orders 3,4 x parts 20,21,22 -> w=2 per pair, C(3,2)
+        # pairs -> 3 butterflies total, each part in 2 of them
+        + [(o, p) for o in (3, 4) for p in (20, 21, 22)]
+        # noise: part 30 shared by the K22 orders but by NO pair twice
+        + [(1, 30)]
+        # duplicate edge must not inflate w
+        + [(1, 10)]
+    )
+    out = {r.node: r.butterflies for r in butterfly_counts(
+        spark.createDataFrame(edges_py, ["l", "r"])).collect()}
+    assert out == {10: 1, 11: 1, 20: 2, 21: 2, 22: 2}
+
+    # global count = sum / 2 (each butterfly touches 2 right vertices)
+    assert sum(out.values()) // 2 == 4
