@@ -1,4 +1,6 @@
-"""Iterative graph algorithms beyond connected components.
+"""Graph algorithms beyond connected components: PageRank (iterative)
+and motif counting (triangles, bipartite butterflies — single-pass
+compositions with no iteration).
 
 ``pagerank`` ranks nodes of a weighted directed graph by power
 iteration — the standard importance measure for link graphs (domain
