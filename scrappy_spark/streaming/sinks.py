@@ -187,3 +187,102 @@ def stream_drift_monitor(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_heavy_hitters_monitor(
+    stream: DataFrame,
+    state_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    top_k: int = 20,
+    candidates_per_batch: int = 40,
+    trigger_available_now: bool = True,
+):
+    """Live heavy-hitter tracking over a document stream: per
+    micro-batch, build a count-min sketch of the batch's tokens and
+    persist it PARTITIONED BY batch_id; the cumulative sketch is the
+    cell-wise sum over all batch grids (CMS mergeability — the
+    build-once/merge-anywhere property the batch query proves), probed
+    at the union of every batch's top candidate tokens for the current
+    corpus-wide top-``top_k`` report.
+
+    Why this shape instead of one mutable grid: ``foreachBatch`` is
+    at-least-once, and additive state double-counts on replay. Keeping
+    per-batch grids with dynamic partition overwrite makes a replayed
+    batch REWRITE its own partition — idempotent by construction, the
+    same trick as ``stream_drift_monitor``'s report rows. Grids are
+    tiny (≤ d·w cells each), so state grows by one sketch per batch,
+    not with corpus size; compact old partitions by summing them into
+    one when batch count matters.
+
+    A CMS alone cannot ENUMERATE frequent keys, only score them, so
+    each batch also records its local top-``candidates_per_batch``
+    tokens: any corpus-wide heavy hitter is a local heavy hitter in at
+    least one batch (counts are non-negative), so probing the union of
+    local candidates cannot miss a true global top-k token whose
+    weight arrived through candidate-recorded batches.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators import cms as CMS
+    from ..operators.mining import tokens_col
+
+    grids = f"{state_path}/grids"
+    cands = f"{state_path}/candidates"
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        bid = F.lit(batch_id).cast("long")
+        toks = batch_df.select(
+            F.explode(tokens_col(F.col(text_col))).alias("tok")
+        )
+        grid = CMS.cms_build(toks, "tok").withColumn("batch_id", bid)
+        (
+            grid.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(grids)
+        )
+        local_top = (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("tok"))
+            .limit(candidates_per_batch)
+            .select("tok")
+            .withColumn("batch_id", bid)
+        )
+        (
+            local_top.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cands)
+        )
+        cum = (
+            spark.read.parquet(grids)
+            .groupBy("row", "pos")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        probe = spark.read.parquet(cands).select("tok").distinct()
+        report = (
+            CMS.cms_estimate(probe, cum, "tok")
+            .orderBy(F.desc("cms_est"), F.asc("tok"))
+            .limit(top_k)
+            .withColumn("batch_id", bid)
+        )
+        (
+            report.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -182,3 +182,62 @@ def test_stream_drift_monitor_per_batch_reports(spark, tmp_path):
     expect = token_drift(base, batch2).collect()[0]
     shifted = [r for r in rows if r["oov_new_bp"] == 10000]
     assert len(shifted) == 1 and shifted[0]["vocab_shared"] == expect["vocab_shared"] == 0
+
+
+def test_stream_heavy_hitters_monitor_matches_batch(spark, tmp_path):
+    """Two micro-batches: the final report equals the batch-mode CMS
+    over ALL data probed at the union of per-batch candidates, the
+    estimates never undercount the exact counts, and the true top
+    token leads the report."""
+    from pyspark.sql import functions as F
+
+    from scrappy_spark.operators import cms as CMS
+    from scrappy_spark.operators.mining import tokens_col
+    from scrappy_spark.streaming.sinks import stream_heavy_hitters_monitor
+
+    in_dir, out_dir, state, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "state", "ckpt")
+    )
+    b1 = spark.createDataFrame(
+        [(1, "spark spark spark engine engine scale")], ["doc_id", "text"]
+    )
+    b2 = spark.createDataFrame(
+        [(2, "spark engine engine engine engine shuffle")], ["doc_id", "text"]
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_heavy_hitters_monitor(stream, state, out_dir, ckpt, top_k=5)
+    q.awaitTermination(120)
+
+    reports = spark.read.parquet(out_dir)
+    last_bid = reports.agg(F.max("batch_id")).first()[0]
+    final = {
+        r.tok: r.cms_est
+        for r in reports.filter(F.col("batch_id") == last_bid).collect()
+    }
+
+    # batch-mode replica over all data, probed at the same candidates
+    all_docs = b1.unionAll(b2)
+    toks = all_docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    grid = CMS.cms_build(toks, "tok")
+    probe = spark.read.parquet(f"{state}/candidates").select("tok").distinct()
+    expect = {
+        r.tok: r.cms_est
+        for r in CMS.cms_estimate(probe, grid, "tok")
+        .orderBy(F.desc("cms_est"), F.asc("tok"))
+        .limit(5)
+        .collect()
+    }
+    assert final == expect
+
+    # never-undercount vs exact counts; true top-1 leads
+    exact = {r.tok: r.n for r in toks.groupBy("tok").agg(F.count("*").alias("n")).collect()}
+    for tok, est in final.items():
+        assert est >= exact[tok]
+    assert max(final, key=lambda t: (final[t], )) in ("engine",)  # 5 occurrences
