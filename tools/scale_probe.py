@@ -60,6 +60,7 @@ PROBES = [
     "q_extract_links",
     "q_domain_link_rank",
     "q_copurchase_triangles",
+    "q_copurchase_butterflies",
 ]
 
 
