@@ -238,9 +238,11 @@ def butterfly_counts(
     bounded-basket argument as the co-purchase pair explode. One
     wedge-pair groupBy plus one explode-groupBy; no joins at all.
 
-    Returns (node, butterflies) for right-side vertices that
-    participate in at least one wedge pair, butterflies >= 0; a
-    vertex in no shared pair does not appear (its count is 0).
+    Returns (node, butterflies) for right-side vertices with at least
+    ONE butterfly (butterflies >= 1). Absent vertices have zero — that
+    includes vertices whose every shared pair has w = 1 (wedge
+    participants with no closing second left vertex); left-join the
+    result against the vertex set and coalesce to 0 for a dense count.
     """
     e = edges.select(
         F.col(left_col).alias("l"), F.col(right_col).alias("r")

@@ -200,36 +200,57 @@ def stream_heavy_hitters_monitor(
     trigger_available_now: bool = True,
 ):
     """Live heavy-hitter tracking over a document stream: per
-    micro-batch, build a count-min sketch of the batch's tokens and
-    persist it PARTITIONED BY batch_id; the cumulative sketch is the
-    cell-wise sum over all batch grids (CMS mergeability — the
-    build-once/merge-anywhere property the batch query proves), probed
-    at the union of every batch's top candidate tokens for the current
-    corpus-wide top-``top_k`` report.
+    micro-batch, build a count-min sketch of the batch's tokens, merge
+    it cell-wise into the running sketch (CMS mergeability — the
+    build-once/merge-anywhere property the batch query proves), and
+    probe the merged sketch at the tracked candidate set for the
+    current corpus-wide top-``top_k`` report.
 
-    Why this shape instead of one mutable grid: ``foreachBatch`` is
-    at-least-once, and additive state double-counts on replay. Keeping
-    per-batch grids with dynamic partition overwrite makes a replayed
-    batch REWRITE its own partition — idempotent by construction, the
-    same trick as ``stream_drift_monitor``'s report rows. Grids are
-    tiny (≤ d·w cells each), so state grows by one sketch per batch,
-    not with corpus size; compact old partitions by summing them into
-    one when batch count matters.
+    State is a CUMULATIVE SNAPSHOT per batch, partitioned by batch_id:
+    ``state/cum`` holds the merged grid after each batch (≤ d·w cells
+    every snapshot) and ``state/candidates`` the tracked token set.
+    Each batch reads only its predecessor snapshot (the max batch_id
+    below its own) and writes its own partition via dynamic partition
+    overwrite — so per-batch work is O(d·w + |candidates|), constant
+    in stream age, and a replayed batch (foreachBatch is
+    at-least-once) REWRITES its own snapshot from the unchanged
+    predecessor instead of double-adding: idempotent by construction.
+    Snapshots older than the predecessor are dead and can be deleted
+    by any retention sweep; the monitor never reads them again.
 
-    A CMS alone cannot ENUMERATE frequent keys, only score them, so
-    each batch also records its local top-``candidates_per_batch``
-    tokens: any corpus-wide heavy hitter is a local heavy hitter in at
-    least one batch (counts are non-negative), so probing the union of
-    local candidates cannot miss a true global top-k token whose
-    weight arrived through candidate-recorded batches.
+    Candidate tracking is the standard CMS limitation made explicit: a
+    sketch can SCORE any key but cannot ENUMERATE frequent keys, so
+    each batch adds its local top-``candidates_per_batch`` tokens to
+    the tracked set. A token is reported only if it entered candidacy
+    in some batch — an adversarial distribution that keeps a globally
+    heavy token below every batch's local top-C evades the report
+    (its sketch count is still correct, it just isn't probed). Raise
+    ``candidates_per_batch`` (cost is linear in C) to tighten recall;
+    guaranteed enumeration needs a different summary (e.g.
+    SpaceSaving) or a second pass over the corpus.
     """
     from pyspark.sql import functions as F
 
     from ..operators import cms as CMS
     from ..operators.mining import tokens_col
 
-    grids = f"{state_path}/grids"
+    cum_dir = f"{state_path}/cum"
     cands = f"{state_path}/candidates"
+
+    def _prev(spark, path: str, batch_id: int, cols: list[str]) -> DataFrame | None:
+        """Latest snapshot strictly older than ``batch_id``, or None."""
+        try:
+            snap = spark.read.parquet(path)
+        except Exception:  # first batch: no state directory yet
+            return None
+        prev_id = (
+            snap.filter(F.col("batch_id") < batch_id)
+            .agg(F.max("batch_id"))
+            .first()[0]
+        )
+        if prev_id is None:
+            return None
+        return snap.filter(F.col("batch_id") == prev_id).select(*cols)
 
     def score_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -239,12 +260,22 @@ def stream_heavy_hitters_monitor(
         toks = batch_df.select(
             F.explode(tokens_col(F.col(text_col))).alias("tok")
         )
-        grid = CMS.cms_build(toks, "tok").withColumn("batch_id", bid)
+        if toks.isEmpty():
+            # Token-free batch (NULL / non-alphanumeric text): state is
+            # unchanged, and writing an empty grid partition would
+            # leave an unreadable schema-less directory on batch 0.
+            return
+        grid = CMS.cms_build(toks, "tok")
+        prev_cum = _prev(spark, cum_dir, batch_id, ["row", "pos", "cnt"])
+        cum = (
+            grid if prev_cum is None else grid.unionAll(prev_cum)
+        ).groupBy("row", "pos").agg(F.sum("cnt").alias("cnt"))
         (
-            grid.write.mode("overwrite")
+            cum.withColumn("batch_id", bid)
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
-            .parquet(grids)
+            .parquet(cum_dir)
         )
         local_top = (
             toks.groupBy("tok")
@@ -252,22 +283,26 @@ def stream_heavy_hitters_monitor(
             .orderBy(F.desc("n"), F.asc("tok"))
             .limit(candidates_per_batch)
             .select("tok")
-            .withColumn("batch_id", bid)
         )
+        prev_cands = _prev(spark, cands, batch_id, ["tok"])
+        tracked = (
+            local_top
+            if prev_cands is None
+            else local_top.unionAll(prev_cands)
+        ).distinct()
         (
-            local_top.write.mode("overwrite")
+            tracked.withColumn("batch_id", bid)
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(cands)
         )
-        cum = (
-            spark.read.parquet(grids)
-            .groupBy("row", "pos")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
-        probe = spark.read.parquet(cands).select("tok").distinct()
+        # Re-read this batch's own snapshots so the report runs off the
+        # committed state (and stays correct on replay).
+        cum_now = spark.read.parquet(cum_dir).filter(F.col("batch_id") == batch_id)
+        probe = spark.read.parquet(cands).filter(F.col("batch_id") == batch_id)
         report = (
-            CMS.cms_estimate(probe, cum, "tok")
+            CMS.cms_estimate(probe.select("tok"), cum_now.select("row", "pos", "cnt"), "tok")
             .orderBy(F.desc("cms_est"), F.asc("tok"))
             .limit(top_k)
             .withColumn("batch_id", bid)

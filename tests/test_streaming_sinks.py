@@ -223,10 +223,13 @@ def test_stream_heavy_hitters_monitor_matches_batch(spark, tmp_path):
     }
 
     # batch-mode replica over all data, probed at the same candidates
+    # (the LATEST candidates snapshot is the full tracked set)
     all_docs = b1.unionAll(b2)
     toks = all_docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
     grid = CMS.cms_build(toks, "tok")
-    probe = spark.read.parquet(f"{state}/candidates").select("tok").distinct()
+    snap = spark.read.parquet(f"{state}/candidates")
+    last_snap = snap.agg(F.max("batch_id")).first()[0]
+    probe = snap.filter(F.col("batch_id") == last_snap).select("tok").distinct()
     expect = {
         r.tok: r.cms_est
         for r in CMS.cms_estimate(probe, grid, "tok")
@@ -235,9 +238,49 @@ def test_stream_heavy_hitters_monitor_matches_batch(spark, tmp_path):
         .collect()
     }
     assert final == expect
+    # cumulative-snapshot state: the latest grid snapshot equals the
+    # batch-mode grid over ALL data (cell-wise merge correctness)
+    cum = (
+        spark.read.parquet(f"{state}/cum")
+        .filter(F.col("batch_id") == last_snap)
+        .select("row", "pos", "cnt")
+    )
+    assert {(r.row, r.pos): r.cnt for r in cum.collect()} == {
+        (r.row, r.pos): r.cnt for r in grid.collect()
+    }
 
     # never-undercount vs exact counts; true top-1 leads
     exact = {r.tok: r.n for r in toks.groupBy("tok").agg(F.count("*").alias("n")).collect()}
     for tok, est in final.items():
         assert est >= exact[tok]
     assert max(final, key=lambda t: (final[t], )) in ("engine",)  # 5 occurrences
+
+
+def test_stream_heavy_hitters_token_free_first_batch(spark, tmp_path):
+    """A non-empty but token-free first batch (NULL / punctuation-only
+    text) must not crash the query or corrupt state: the monitor skips
+    it, and the next real batch produces a correct report."""
+    from pyspark.sql import functions as F
+
+    from scrappy_spark.streaming.sinks import stream_heavy_hitters_monitor
+
+    in_dir, out_dir, state, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "state", "ckpt")
+    )
+    b1 = spark.createDataFrame([(1, "!!! ??? ..."), (2, None)], ["doc_id", "text"])
+    b1.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    b2 = spark.createDataFrame([(3, "alpha alpha beta")], ["doc_id", "text"])
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_heavy_hitters_monitor(stream, state, out_dir, ckpt, top_k=3)
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    rows = spark.read.parquet(out_dir).collect()
+    got = {r.tok: r.cms_est for r in rows}
+    assert got == {"alpha": 2, "beta": 1}

@@ -91,6 +91,12 @@ def main() -> None:
     qs = registry.queries()
     global PROBES
     if len(sys.argv) > 1:  # probe only the named queries
+        unknown = sorted(set(sys.argv[1:]) - set(PROBES))
+        if unknown:
+            sys.exit(
+                f"unknown probe name(s) {unknown}; add to PROBES first "
+                "(silently probing nothing would read as a clean run)"
+            )
         PROBES = [n for n in PROBES if n in sys.argv[1:]]
     for n in PROBES:  # warm codegen
         qs[n](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
