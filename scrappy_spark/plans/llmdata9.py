@@ -134,10 +134,10 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACC_T_BP = 6000  # Jaccard threshold in basis points, shared with the oracle
 
-
-@register(
-    "q_jaccard_join_exact",
-    sql=f"""
+#: brute-force shared-token all-pairs oracle — ONE source of truth,
+#: shared verbatim by the direct query and the collapse-first variant:
+#: identical SQL on both proves the two Spark plans result-equal.
+_JACC_BRUTE_SQL = f"""
     WITH s AS (SELECT doc_id AS id, list_distinct({_RAW_TOKS}) AS ts
                FROM documents),
     sz AS (SELECT id, CAST(len(ts) AS BIGINT) AS n FROM s),
@@ -152,7 +152,12 @@ _JACC_T_BP = 6000  # Jaccard threshold in basis points, shared with the oracle
     FROM i JOIN sz na ON na.id = i.id_a
            JOIN sz nb ON nb.id = i.id_b
     WHERE 10000 * inter >= {_JACC_T_BP} * (na.n + nb.n - inter)
-    """,
+    """
+
+
+@register(
+    "q_jaccard_join_exact",
+    sql=_JACC_BRUTE_SQL,
     doc="EXACT Jaccard similarity join via prefix filtering (AllPairs/"
     "PPJoin): tokens ordered by ascending global frequency, candidates "
     "blocked on each doc's rare-token prefix plus a length filter, then "
@@ -167,3 +172,23 @@ def q_jaccard_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return prefix_filter_jaccard_join(docs, threshold_bp=_JACC_T_BP)
+
+
+@register(
+    "q_jaccard_join_collapsed",
+    sql=_JACC_BRUTE_SQL,
+    doc="Collapse-first scale path for the exact similarity join: "
+    "prefix-filter join on one representative per DISTINCT text, then "
+    "duplicate-group fan-out (within-group pairs at Jaccard 10000, "
+    "cross-group pairs inheriting the rep pair's overlap). The oracle "
+    "is the IDENTICAL brute-force SQL as q_jaccard_join_exact, so the "
+    "hash match proves the collapse optimization result-neutral — the "
+    "quadratic join work runs on unique texts only, and duplicate "
+    "multiplicity is paid in output fan-out, not candidate pairs.",
+    tags=("llm", "dedup", "join"),
+)
+def q_jaccard_join_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_approx import prefix_filter_jaccard_join_collapsed
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_join_collapsed(docs, threshold_bp=_JACC_T_BP)

@@ -212,3 +212,36 @@ def test_prefix_filter_jaccard_join_exact(spark):
     for k, (inter, un, bp) in expect.items():
         assert (out[k].inter, out[k].un, out[k].jaccard_bp) == (inter, un, bp)
     assert out[(1, 3)].jaccard_bp == 10000  # exact dup hits 10000 exactly
+
+
+def test_prefix_filter_jaccard_collapsed_equals_direct(spark):
+    """Collapse-first variant returns the EXACT pair set of the direct
+    join on a corpus mixing exact-dup groups (incl. a 3-member group
+    and a token-free dup pair) with near-dups across groups."""
+    from scrappy_spark.operators.dedup_approx import (
+        prefix_filter_jaccard_join,
+        prefix_filter_jaccard_join_collapsed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),   # dup of 1
+            (3, "alpha beta gamma delta epsilon"),   # dup of 1
+            (4, "alpha beta gamma delta zeta"),      # near-dup of group
+            (5, "omega psi chi phi"),
+            (6, "omega psi chi phi"),                # dup of 5
+            (7, "!!!"),                              # token-free
+            (8, "!!!"),                              # token-free dup: no pair
+        ],
+        ["doc_id", "text"],
+    )
+    key = lambda r: (r.id_a, r.id_b)  # noqa: E731
+    direct = {key(r): (r.inter, r.un, r.jaccard_bp)
+              for r in prefix_filter_jaccard_join(docs).collect()}
+    coll = {key(r): (r.inter, r.un, r.jaccard_bp)
+            for r in prefix_filter_jaccard_join_collapsed(docs).collect()}
+    assert coll == direct
+    assert (1, 2) in coll and coll[(1, 2)] == (5, 5, 10000)
+    assert (1, 4) in coll and (2, 4) in coll and (3, 4) in coll
+    assert not any(7 in k or 8 in k for k in coll)
