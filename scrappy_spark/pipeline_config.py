@@ -42,6 +42,18 @@ def _scrub_pii_stage(
     return df.withColumn(out_col or text_col, curation.scrub_pii(F.col(text_col)))
 
 
+def _dedup_exact_stage(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per distinct text — the
+    collapse-first front door every dup-sensitive downstream stage
+    (near-dup joins, quality floors, split assignment) wants first."""
+    from .operators.dedup_approx import collapse_exact_dups
+
+    reps, _ = collapse_exact_dups(df, text_col=text_col, id_col=id_col)
+    return reps
+
+
 #: op name -> DataFrame -> DataFrame callable (first param is the frame;
 #: the rest become the stage's JSON-addressable knobs).
 OPS: dict[str, Callable[..., DataFrame]] = {
@@ -52,6 +64,8 @@ OPS: dict[str, Callable[..., DataFrame]] = {
     "quality_floor": curation.quality_floor,
     "assign_splits": curation.assign_splits,
     "length_buckets": curation.length_buckets,
+    # dedup
+    "dedup_exact": _dedup_exact_stage,
     # text cleaning
     "scrub_pii": _scrub_pii_stage,
     "remove_boilerplate": curation.remove_common_fragments,

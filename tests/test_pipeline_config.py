@@ -129,3 +129,24 @@ def test_unhashable_op_value_raises_named_error():
     for bad in ({}, ["x"], 5, None):
         with pytest.raises(ValueError, match="unknown op"):
             compile_pipeline([{"op": bad}])
+
+
+def test_dedup_exact_stage_in_pipeline(spark):
+    """A JSON pipeline with dedup_exact collapses duplicate texts to
+    the min-id representative before downstream stages see them."""
+    from scrappy_spark.pipeline_config import compile_pipeline
+
+    docs = spark.createDataFrame(
+        [
+            (5, "same text here"),
+            (2, "same text here"),
+            (9, "unique text entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    run = compile_pipeline(
+        [{"op": "dedup_exact"}, {"op": "token_count"}]
+    )
+    out = {r.doc_id: r for r in run(docs).collect()}
+    assert set(out) == {2, 9}  # min id kept per text group
+    assert out[2].n_words == 3
