@@ -466,17 +466,26 @@ def q_moving_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_fuzzy_name_pairs",
-    sql="""
-    WITH base AS (
+#: blocked fuzzy-pair CTEs — ONE source of truth shared by the pair
+#: query and the entity-resolution capstone built on top of it.
+_FUZZY_PAIR_SQL = """
+    base AS (
         SELECT p_partkey, p_name,
                concat(p_brand, '|', string_split(lower(p_name), ' ')[1]) AS blk
-        FROM part WHERE p_partkey < 500)
-    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
-    FROM base a JOIN base b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 2
+        FROM part WHERE p_partkey < 500),
+    pairs AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        FROM base a JOIN base b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2)
+"""
+
+
+@register(
+    "q_fuzzy_name_pairs",
+    sql=f"""
+    WITH {_FUZZY_PAIR_SQL}
+    SELECT id_a, id_b, edit_dist FROM pairs
     """,
     doc="Entity-resolution fuzzy match: near-identical part names "
     "(edit distance <= 2) compared only inside (brand, first-token) "
@@ -547,5 +556,71 @@ def q_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_custkey",
             F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+@register(
+    "q_entity_resolution",
+    sql=f"""
+    WITH RECURSIVE
+    {_FUZZY_PAIR_SQL},
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (
+      SELECT p.p_partkey,
+             least(p.p_partkey, coalesce(min(r.b), p.p_partkey)) AS entity_id
+      FROM base p LEFT JOIN reach r ON r.a = p.p_partkey
+      GROUP BY p.p_partkey),
+    sizes AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+              FROM comp GROUP BY entity_id)
+    SELECT c.p_partkey, c.entity_id, k.p_name AS canonical_name, s.n_members
+    FROM comp c
+    JOIN base k ON k.p_partkey = c.entity_id
+    JOIN sizes s ON s.entity_id = c.entity_id
+    """,
+    doc="Entity-resolution capstone: blocked fuzzy match (edit distance "
+    "<= 2 inside brand/first-token canopies) -> connected components "
+    "over the match graph -> one canonical record per entity (min-id "
+    "member's name) with membership counts, every input record mapped "
+    "to its entity. The oracle re-derives the same pairs from the "
+    "SHARED SQL fragment and closes them with a recursive CTE, so the "
+    "hash match proves the whole block->match->cluster->canonicalize "
+    "composition — the q_dedup_corpus pattern applied to record "
+    "linkage. Scale shape: canopy-blocked pairs (never all-pairs), "
+    "O(log d)-round components, two small joins for canonical names.",
+    tags=("join", "fuzzy", "entity-resolution", "pipeline"),
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from ..operators.joins import fuzzy_match_pairs
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    blk = F.concat_ws(
+        "|", F.col("p_brand"), F.split(F.lower(F.col("p_name")), " ").getItem(0)
+    )
+    pairs = fuzzy_match_pairs(
+        p, "p_name", "p_partkey", max_edit_distance=2, block_expr=blk
+    )
+    cc = connected_components(
+        p.select(F.col("p_partkey").alias("id")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    )
+    sizes = cc.groupBy("component").agg(F.count("*").alias("n_members"))
+    canon = p.select(
+        F.col("p_partkey").alias("component"), F.col("p_name").alias("canonical_name")
+    )
+    return (
+        cc.join(canon, "component")
+        .join(sizes, "component")
+        .select(
+            F.col("id").alias("p_partkey"),
+            F.col("component").alias("entity_id"),
+            "canonical_name",
+            "n_members",
         )
     )

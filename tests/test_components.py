@@ -339,3 +339,36 @@ def test_butterfly_counts_known_bipartite(spark):
 
     # global count = sum / 2 (each butterfly touches 2 right vertices)
     assert sum(out.values()) // 2 == 4
+
+
+def test_entity_resolution_transitive_canonicalization(spark):
+    """Chained similarity (A~B, B~C, A!~C) resolves to ONE entity with
+    the min-id member as canonical; blocking prevents cross-canopy
+    merges even for identical names."""
+    from pyspark.sql import functions as F
+
+    from scrappy_spark.operators.components import connected_components
+    from scrappy_spark.operators.joins import fuzzy_match_pairs
+
+    rows = [
+        # canopy X: chain widget / widgat / widgyt (pairwise dist 1-2)
+        (10, "X", "widget one"),
+        (11, "X", "widgat one"),
+        (12, "X", "widgyt one"),
+        # canopy X: unrelated name, own entity
+        (13, "X", "sprocket nine"),
+        # canopy Y: identical to 10's name but different block
+        (20, "Y", "widget one"),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "canopy", "name"])
+    pairs = fuzzy_match_pairs(
+        df, "name", "rid", max_edit_distance=2, block_expr=F.col("canopy")
+    )
+    cc = connected_components(
+        df.select(F.col("rid").alias("id")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    )
+    ent = {r.id: r.component for r in cc.collect()}
+    assert ent[10] == ent[11] == ent[12] == 10  # transitive chain, min id
+    assert ent[13] == 13
+    assert ent[20] == 20  # same name, different canopy: never compared
