@@ -126,6 +126,10 @@ _RECHECK_PIN = frozenset({
     # with a banded-flag oracle (like q_hll_union_rollup): the old rows
     # were the weaker check, so they re-enter the prefix for the hash gate.
     "q_kll_quantiles", "q_approx_count_distinct",
+    # oracle SQL refactored into the shared _FUZZY_PAIR_SQL fragment in
+    # round 5 (semantically identical, locally green) — the spec string
+    # changed, so the driver re-checks it under the new form.
+    "q_fuzzy_name_pairs",
 })
 
 
