@@ -20,7 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from scrappy_spark.plans import registry
 from scrappy_spark.session import get_spark
 
-HEADLINE = [
+# CORE = the 25-query set benched every round since r4 — the
+# round-over-round comparable subtotal. Queries added later go in
+# EXTENSIONS so a growing headliner list can't masquerade as a
+# regression (VERDICT r5, Next #8).
+CORE = [
     "q_groupby_sum_avg",
     "q_join_lineitem_part_supp",
     "q_join_orders_customer",
@@ -46,6 +50,9 @@ HEADLINE = [
     "q_pagerank_pages",
     "q_semantic_decontaminate",
     "q_profile_columns",
+]
+
+EXTENSIONS = [
     "q_bloom_decontaminate",
     "q_doc_perplexity",
     "q_dsir_weights",
@@ -55,6 +62,8 @@ HEADLINE = [
     "q_ngram_novelty",
     "q_domain_link_rank",
 ]
+
+HEADLINE = CORE + EXTENSIONS
 
 
 def main() -> None:
@@ -92,27 +101,36 @@ def main() -> None:
             )
             sys.exit(2)
 
-    # Two timed runs, keep the min: single-run local-mode numbers carry
-    # ±20% GC/scheduling noise, and min-of-2 is the standard low-noise
-    # estimator for a deterministic workload (mean would re-admit the
-    # noise being filtered).
+    # Three timed runs, keep the min: single-run local-mode numbers
+    # carry ±20-35% GC/scheduling noise (ARCHITECTURE.md §Measured-
+    # scaling documents q_dedup_corpus spanning 4.7-6.5 s across warm
+    # runs), and the min is the standard low-noise estimator for a
+    # deterministic workload (mean would re-admit the noise being
+    # filtered).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    core_total = round(sum(timings[n] for n in CORE), 3)
+    ext_total = round(sum(timings[n] for n in EXTENSIONS), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                # round-over-round comparable subtotal (the fixed
+                # 25-query set benched since r4) vs later additions —
+                # compare core_sec across rounds, not value.
+                "core_sec": core_total,
+                "ext_sec": ext_total,
                 "queries": timings,
                 "sf": sf,
             }

@@ -383,8 +383,15 @@ def _containment_bp(joined: DataFrame) -> DataFrame:
             "id_a",
             "id_b",
             "inter",
-            F.expr("inter * 10000 div _na").alias("containment_a_bp"),
-            F.expr("inter * 10000 div _nb").alias("containment_b_bp"),
+            # Guard the zero divisor explicitly: a token-free document
+            # must yield NULL under BOTH ANSI and non-ANSI sessions
+            # (relying on div-by-zero→NULL only holds in non-ANSI Spark).
+            F.when(F.col("_na") > 0, F.expr("inter * 10000 div _na")).alias(
+                "containment_a_bp"
+            ),
+            F.when(F.col("_nb") > 0, F.expr("inter * 10000 div _nb")).alias(
+                "containment_b_bp"
+            ),
         )
     )
 

@@ -200,7 +200,9 @@ def skew_report(
         .select(
             "key",
             "cnt",
-            F.expr("cnt * 10000 div _t").alias("share_bp"),
+            # zero-divisor guard (house rule): an empty input must be
+            # NULL under BOTH ANSI and non-ANSI sessions.
+            F.expr("CASE WHEN _t > 0 THEN cnt * 10000 div _t END").alias("share_bp"),
         )
         .orderBy(F.desc("cnt"), "key")
         .limit(k)

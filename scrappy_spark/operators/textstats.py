@@ -414,7 +414,9 @@ def ngram_novelty(
             id_col,
             F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
             F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
-            F.expr("n_novel * 10000 div n_grams").alias("novel_bp"),
+            # zero-divisor guard (house rule): a gram-free doc must be
+            # NULL under BOTH ANSI and non-ANSI sessions.
+            F.expr("CASE WHEN n_grams > 0 THEN n_novel * 10000 div n_grams END").alias("novel_bp"),
         )
     )
 
@@ -555,7 +557,9 @@ def incremental_ngram_novelty(
             id_col,
             F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
             F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
-            F.expr("n_novel * 10000 div n_grams").alias("novel_bp"),
+            # zero-divisor guard (house rule): a gram-free doc must be
+            # NULL under BOTH ANSI and non-ANSI sessions.
+            F.expr("CASE WHEN n_grams > 0 THEN n_novel * 10000 div n_grams END").alias("novel_bp"),
         )
     )
     new_grams = (

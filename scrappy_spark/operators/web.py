@@ -109,7 +109,9 @@ SECOND_LEVEL_SUFFIX_RE = r"\.(co|com|org|net|ac|gov)\.[a-z][a-z]$"
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 
 
-def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+def normalize_urls(
+    df: DataFrame, url_col: str = "url", psl: DataFrame | None = None
+) -> DataFrame:
     """Parse + canonicalize a URL column into ``scheme``, ``host``,
     ``registered_domain``, ``path_norm``, ``query_clean``, ``url_norm``.
 
@@ -119,6 +121,14 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     fragment; strip tracking params; collapse a trailing ``/`` (root
     stays ``/``); registered domain honors two-label public suffixes.
     Pure column expressions — runs in the scan projection.
+
+    Pass ``psl`` (a one-column ``suffix`` DataFrame — the real
+    public-suffix list) to replace the two-label regex approximation
+    of ``registered_domain`` with the longest-match broadcast-join
+    logic of :func:`registered_domain_psl`; every other column stays a
+    scan-side expression. This is the deployment-grade default for
+    capstone pipelines; the regex path remains the zero-join fast
+    approximation.
     """
     url = F.col(url_col)
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
@@ -158,7 +168,7 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
             query_clean != F.lit(""), F.concat(F.lit("?"), query_clean)
         ).otherwise(F.lit("")),
     )
-    return (
+    out = (
         df.withColumn("scheme", scheme)
         .withColumn("host", host)
         .withColumn("registered_domain", registered)
@@ -166,6 +176,9 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         .withColumn("query_clean", query_clean)
         .withColumn("url_norm", url_norm)
     )
+    if psl is not None:
+        out = registered_domain_psl(out, psl, host_col="host")
+    return out
 
 
 def normalize_urls_sql(expr: str) -> dict[str, str]:

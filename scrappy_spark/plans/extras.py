@@ -177,20 +177,30 @@ def q_classifier_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_taxonomy_topics",
-    sql=None,  # clustering output; rows-only
-    doc="ML5/ML6 surface: KMeans clustering model assigns topics (fixed "
-    "seed) + c-TF-IDF top-5 keywords per topic over documents — "
-    "model-derived output, rows-only.",
+    sql="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(5 AS BIGINT)        AS n_topics,
+           CAST(0 AS BIGINT)        AS n_unassigned,
+           CAST(1 AS BIGINT)        AS sizes_in_band,
+           CAST(1 AS BIGINT)        AS cohesion_ok,
+           CAST(1 AS BIGINT)        AS kw_ok
+    FROM documents
+    """,
+    doc="ML5/ML6 surface under the HASH gate: seeded-KMeans taxonomy "
+    "audited via banded flags (exact doc count, pinned cluster count, "
+    "assignment totality, per-cluster size bounds, WSS<TSS cohesion "
+    "margin, exact-5-distinct-keywords per topic) — the "
+    "q_kll_quantiles/q_approx_count_distinct promotion pattern applied "
+    "to the last no-oracle §2 row (VERDICT r5 Next #2; reference "
+    "scrappy.py:496-505). Per-doc assignments + keyword arrays stay "
+    "pinned in test_ml.py.",
     tags=("ml",),
 )
 def q_taxonomy_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.taxonomy import build_taxonomy
+    from ..ml.taxonomy import taxonomy_audit
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    out = build_taxonomy(docs, k=5, seed=42)
-    return out.select(
-        "doc_id", "Topic", F.array_join("topic_keywords", ",").alias("topic_kw")
-    )
+    return taxonomy_audit(docs, k=5, seed=42)
 
 
 @register(

@@ -107,29 +107,39 @@ def all_specs() -> dict[str, QuerySpec]:
     return {name: _REGISTRY[name] for name in unchecked_first}
 
 
-#: Declared in round 2, green under the local replica every round,
-#: but never in any CORRECTNESS_r*.json — pinned first so round 5's
-#: driver pass finally records them (VERDICT r4, Next #1).
-_NEVER_RUN_PIN = frozenset({"q_taxonomy_topics", "q_theta_sketch_overlap"})
+#: Round-5 late additions that missed the driver's 50-slot cap in
+#: EVERY pass so far (65 unchecked vs 50 slots) — never in any
+#: CORRECTNESS_r*.json. Pinned first so round 6's driver pass finally
+#: records them (VERDICT r5, Next #1: "the single highest-leverage
+#: round-6 task").
+_NEVER_RUN_PIN = frozenset({
+    "q_bpe_merges", "q_bpe_tokenize", "q_ngram_novelty", "q_pq_ann_topk",
+    "q_psl_domain", "q_quality_floor", "q_rag_retrieve",
+    "q_random_projection", "q_semdedup", "q_session_top_paths",
+    "q_skew_report", "q_skew_salted_join", "q_span_corrupt",
+    "q_temperature_sample", "q_token_drift", "q_url_recrawl_dedup",
+    "q_video_fingerprint", "q_video_near_dups", "q_webdataset_roundtrip",
+})
 
-#: Second pin tier: round 5 declared more new queries than the driver
-#: checks in one round (65 unchecked vs the 50-slot cap), and plain
-#: name order would have pushed these to round 6 — but they outrank
-#: unchanged-new queries: the attribution trio sits on a REIMPLEMENTED
-#: operator (interval_join's key coalesce; a verification from before
-#:  an implementation change is void), and the web-ingest capstone +
-#: its normalization stage are the round's flagship composition.
+#: Second pin tier — driver verification VOIDED by a later change
+#: (the registry rule: a verification from before an implementation
+#: change is void). All five were reimplemented in round 5 AFTER their
+#: last driver check; judge-verified green locally, but the driver's
+#: file is the hard signal and it hasn't recorded the new forms.
 _RECHECK_PIN = frozenset({
-    "q_view_click_attribution", "q_view_click_attribution_outer",
-    "q_view_click_attribution_full", "q_web_ingest", "q_url_normalize",
-    # verified rows-only in an earlier round, reimplemented in round 5
-    # with a banded-flag oracle (like q_hll_union_rollup): the old rows
-    # were the weaker check, so they re-enter the prefix for the hash gate.
-    "q_kll_quantiles", "q_approx_count_distinct",
-    # oracle SQL refactored into the shared _FUZZY_PAIR_SQL fragment in
-    # round 5 (semantically identical, locally green) — the spec string
-    # changed, so the driver re-checks it under the new form.
-    "q_fuzzy_name_pairs",
+    "q_remove_repeated_spans", "q_semantic_decontaminate",
+    "q_multimodal_decode", "q_frame_sample", "q_minhash_signatures",
+    # r5 checked it rows-only (err: no_oracle); round 6 gave the
+    # seeded-KMeans taxonomy a banded-flag oracle (the
+    # q_kll_quantiles/q_approx_count_distinct pattern), so it
+    # re-enters the prefix for the hash gate.
+    "q_taxonomy_topics",
+    # r5-green, but round 6 added explicit zero-divisor guards to their
+    # ratio columns (_containment_bp / incremental novel_bp — the ANSI
+    # house rule from ADVICE r5). Output is identical on the driver's
+    # non-ANSI session, but the implementation changed, so the prior
+    # verification is void by the registry's own rule.
+    "q_containment_pairs", "q_containment_verified", "q_incremental_novelty",
 })
 
 
@@ -198,7 +208,9 @@ _R04_VERIFIED = frozenset({
     "q_embedding_near_dups_ann", "q_ivf_ann_topk",
     # q_kll_quantiles deliberately absent: r4 checked it rows-only, but
     # round 5 gave it a banded-flag oracle — re-checked via _RECHECK_PIN.
-    "q_minhash_signatures",
+    # q_minhash_signatures deliberately absent: r4 checked it, but the
+    # round-5 Carter-Wegman reimplementation voided that verification —
+    # re-checked via _RECHECK_PIN.
     "q_semantic_decontaminate_ann",
     "q_time_weighted_avg", "q_token_count", "q_token_pmi",
     "q_tpch_q1_shape", "q_tpch_q2_shape", "q_tpch_q4_shape",
@@ -214,7 +226,35 @@ _R04_VERIFIED = frozenset({
     "q_zorder_key",
 })
 
-_DRIVER_VERIFIED = _R01_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
+# Green in CORRECTNESS_r05.json (49 oracle-hash-green; the file's 50th
+# entry, q_taxonomy_topics, was rows-only and is deliberately absent —
+# its round-6 banded-flag oracle re-enters it via _RECHECK_PIN).
+_R05_VERIFIED = frozenset({
+    "q_anchor_text_profile", "q_approx_count_distinct",
+    "q_audio_fingerprint", "q_audio_near_dups", "q_bloom_decontaminate",
+    "q_cms_heavy_hitters", "q_config_pipeline",
+    # q_containment_pairs / q_containment_verified / q_incremental_novelty
+    # deliberately absent: round-6 zero-divisor guards voided their r5
+    # verification — re-checked via _RECHECK_PIN.
+    "q_contrastive_negatives",
+    "q_copurchase_butterflies", "q_copurchase_triangles", "q_curate_corpus",
+    "q_curriculum_shards", "q_dataset_card", "q_dedup_best_keeper",
+    "q_dedup_corpus", "q_doc_perplexity", "q_domain_link_rank",
+    "q_domain_mixture_sample", "q_domain_reweight", "q_dsir_resample",
+    "q_dsir_weights", "q_dup_clusters", "q_entity_resolution",
+    "q_epoch_shuffle", "q_extract_links", "q_footer_stats",
+    "q_fuzzy_name_pairs", "q_hilbert_key", "q_hll_union_rollup",
+    "q_html_extract", "q_image_dhash", "q_image_near_dups",
+    "q_incremental_dedup_corpus", "q_incremental_dedup_pairs",
+    "q_jaccard_join_collapsed",
+    "q_jaccard_join_exact", "q_kll_quantiles", "q_leakage_safe_split",
+    "q_license_filter", "q_minhash_pairs", "q_theta_sketch_overlap",
+    "q_url_normalize", "q_view_click_attribution",
+    "q_view_click_attribution_full", "q_view_click_attribution_outer",
+    "q_web_ingest",
+})
+
+_DRIVER_VERIFIED = _R01_VERIFIED | _R03_VERIFIED | _R04_VERIFIED | _R05_VERIFIED
 
 
 def queries() -> dict[str, QueryFn]:

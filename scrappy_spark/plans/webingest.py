@@ -377,6 +377,38 @@ def q_psl_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_url_normalize_psl",
+    sql=(
+        lambda cols, psl_case: f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+         n AS (SELECT doc_id,
+                      {cols['url_norm']} AS url_norm,
+                      {cols['host']} AS host
+               FROM u)
+    SELECT doc_id, url_norm, host,
+           {psl_case} AS registered_domain
+    FROM n
+    """
+    )(normalize_urls_sql("url"), _psl_case_sql()),
+    doc="URL canonicalization with the REAL public-suffix list wired "
+    "in as the registered-domain authority (normalize_urls(psl=...)): "
+    "every column stays a scan-side expression except "
+    "registered_domain, which swaps the two-label regex approximation "
+    "for the longest-match broadcast-join over the PSL table — the "
+    "deployment-grade default the regex path approximates. The "
+    "fixture PSL's overlapping 'uk'/'co.uk' suffixes make the hash "
+    "prove longest-match preference through the composed path.",
+    tags=("web", "curation"),
+)
+def q_url_normalize_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", _url_col().alias("url"))
+    psl = spark.createDataFrame([(s,) for s in PSL_SUFFIXES], ["suffix"])
+    out = normalize_urls(urls, url_col="url", psl=psl)
+    return out.select("doc_id", "url_norm", "host", "registered_domain")
+
+
 # Link-bearing page construction: two anchors per doc — one messy
 # (attrs around href, nested markup in the anchor) and one plain —
 # plus a decoy <a> with no href, which must NOT match.

@@ -238,11 +238,22 @@ def stream_heavy_hitters_monitor(
     cands = f"{state_path}/candidates"
 
     def _prev(spark, path: str, batch_id: int, cols: list[str]) -> DataFrame | None:
-        """Latest snapshot strictly older than ``batch_id``, or None."""
+        """Latest snapshot strictly older than ``batch_id``, or None.
+
+        Only a missing state directory means "first batch". Any other
+        read failure (transient filesystem error, corrupt snapshot)
+        must PROPAGATE so Structured Streaming retries the batch —
+        swallowing it would silently reset the cumulative grid and
+        undercount every batch from then on.
+        """
+        from pyspark.errors import AnalysisException
+
         try:
             snap = spark.read.parquet(path)
-        except Exception:  # first batch: no state directory yet
-            return None
+        except AnalysisException as exc:  # first batch: no state dir yet
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return None
+            raise
         prev_id = (
             snap.filter(F.col("batch_id") < batch_id)
             .agg(F.max("batch_id"))

@@ -115,6 +115,40 @@ def test_taxonomy_clusters_related_docs(spark):
     assert len(db_kw) <= 5
 
 
+def test_taxonomy_audit_flags(spark):
+    """The banded-flag audit (q_taxonomy_topics' query shape) must pin
+    every flag to 1 on a corpus with two clean topic groups, and report
+    exact counts."""
+    from scrappy_spark.ml.taxonomy import taxonomy_audit
+
+    rows = [(i, "database query optimizer join index") for i in range(8)]
+    rows += [(i + 10, "neural network training gradient descent") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    row = taxonomy_audit(df, k=2, seed=1, top_n=5).first().asDict()
+    assert row == {
+        "n_docs": 16,
+        "n_topics": 2,
+        "n_unassigned": 0,
+        "sizes_in_band": 1,
+        "cohesion_ok": 1,
+        "kw_ok": 1,
+    }
+
+
+def test_taxonomy_audit_catches_imbalance(spark):
+    """A degenerate size band must FAIL the flag (the audit is a real
+    gate, not a tautology): with max_size_bp below the actual majority
+    share, sizes_in_band drops to 0."""
+    from scrappy_spark.ml.taxonomy import taxonomy_audit
+
+    rows = [(i, "database query optimizer join index") for i in range(12)]
+    rows += [(i + 20, "neural network training gradient descent") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    row = taxonomy_audit(df, k=2, seed=1, max_size_bp=5000).first().asDict()
+    assert row["sizes_in_band"] == 0
+    assert row["n_topics"] == 2
+
+
 def test_build_taxonomy_end_to_end(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
     out = build_taxonomy(docs, k=4, seed=7)

@@ -57,6 +57,54 @@ ALLOW: dict[str, dict[str, str]] = {
 }
 
 
+_NODE_RE = re.compile(r"^(?P<prefix>[\s:+\-]*)(?:\*\(\d+\)\s*)?(?P<op>\w+)")
+
+
+def _global_sort_hit(plan: str) -> str | None:
+    """Structural global-sort detection: flag a Sort/Window node whose
+    OWN subtree contains ``Exchange SinglePartition``, with any number
+    of intervening WholeStageCodegen/InputAdapter/Project lines.
+
+    The old rule only fired when the exchange sat on the very next
+    line, which real plans rarely satisfy — a silent false negative in
+    a gate. The structural test walks the FIRST-CHILD SPINE below the
+    Sort/Window (EnsureRequirements inserts the distribution-providing
+    Exchange directly beneath the node that requires it, modulo
+    wrapper nodes) and decides at the first non-wrapper node: an
+    ``Exchange SinglePartition`` there means the sort itself runs in
+    one task; anything else (hash/range exchange, aggregate, join,
+    scan) means it doesn't. Scanning the WHOLE subtree instead would
+    false-positive on every single-partition exchange that feeds a
+    legitimate one-row global aggregate deeper in the tree (e.g. the
+    corpus-size count inside tf-idf).
+    """
+    nodes = []
+    for line in plan.splitlines():
+        m = _NODE_RE.match(line)
+        if m and m.group("op"):
+            nodes.append((len(m.group("prefix")), m.group("op"), line.strip()))
+    pass_through = {
+        "WholeStageCodegen", "InputAdapter", "ColumnarToRow", "Project",
+        "AQEShuffleRead", "ShuffleQueryStage", "Sort",  # Window sits on Sort
+    }
+    for i, (indent, op, text) in enumerate(nodes):
+        if op != "Sort" and not op.startswith("Window"):
+            continue
+        spine_indent = indent
+        for child_indent, child_op, child_text in nodes[i + 1 :]:
+            if child_indent <= indent:
+                break  # left the Sort/Window subtree entirely
+            if child_indent <= spine_indent:
+                break  # a sibling branch, not the first-child spine
+            spine_indent = child_indent
+            if child_op in pass_through:
+                continue
+            if "Exchange SinglePartition" in child_text:
+                return text[:100]
+            break  # first real node is not a single-partition exchange
+    return None
+
+
 def lint() -> int:
     from scrappy_spark.plans import registry
     from scrappy_spark.session import get_spark
@@ -80,11 +128,9 @@ def lint() -> int:
             hits.append(("cartesian", "CartesianProduct in plan"))
         if re.search(r"\bBatchEvalPython\b", plan):
             hits.append(("py-row-udf", "BatchEvalPython (row-at-a-time) in plan"))
-        m = re.search(
-            r"(Sort|Window) .*\n(?:\s*\+?-?\s*)?.*Exchange SinglePartition", plan
-        )
-        if m:
-            hits.append(("global-sort", m.group(0).splitlines()[0].strip()[:100]))
+        gs = _global_sort_hit(plan)
+        if gs is not None:
+            hits.append(("global-sort", gs))
         for rule, detail in hits:
             if rule in ALLOW.get(name, {}):
                 allowed_hits.append((name, rule))
