@@ -1,0 +1,277 @@
+"""Round-6 composed capstones: whole-pipeline queries whose DuckDB
+oracles hash-verify a multi-operator LOOP end to end (the
+stitched-fragment pattern that `q_curate_corpus` / `q_web_ingest` /
+`q_config_pipeline` proved out in round 5).
+
+- ``q_incremental_ingest``: snapshot-table CDC feed → incremental
+  dedup against the stored signature index → incremental n-gram
+  novelty over the kept docs → index-update audit. One oracle over the
+  entire daily-ingest loop, including the CDC-derived batch membership
+  and the sizes of both index updates.
+- ``q_multimodal_curation``: real-codec image decode → perceptual
+  dHash → banded near-dup pairs → connected components → best-keeper
+  selection. The multimodal analogue of the text dedup pipeline,
+  hash-verified through the actual PNG encode/decode kernel.
+
+The reference has neither table versioning nor multimodal columns
+(scrappy.py is a single pandas CSV loop); these compose the engine's
+own operators, each already oracle-proven in isolation.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from ..operators import dedup_approx as DA
+from .llmdata import _RAW_TOKS, _sig_sql_for
+from .llmdata6 import _INC_NEW_MAX_ID
+from .llmdata8 import _DHASH_SQL
+from .registry import register
+
+_N = _INC_NEW_MAX_ID  # docs below this id form the "new batch"
+
+# ---------------------------------------------------------------------------
+# Capstone 1: incremental ingest loop (CDC → dedup → novelty → index)
+# ---------------------------------------------------------------------------
+
+#: 3-gram distinct-grams per doc over a (doc_id, toks) relation.
+_GRAMS_SQL = """unnest(list_distinct(
+                   CASE WHEN len(toks) >= 3 THEN
+                     list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                   ELSE [] END)) AS gram"""
+
+_INGEST_SQL = f"""
+    WITH RECURSIVE
+    nwin AS (SELECT doc_id, text,
+                    min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+             FROM documents WHERE doc_id < {_N}),
+    nrep AS (SELECT doc_id, text FROM nwin WHERE doc_id = rep),
+    corpus AS (SELECT doc_id, text FROM nrep
+               UNION ALL
+               SELECT doc_id, text FROM documents WHERE doc_id >= {_N}),
+    {_sig_sql_for("corpus")},
+    ok_buckets AS (SELECT seed, minhash FROM sig
+                   GROUP BY seed, minhash
+                   HAVING count(*) <= {DA.LSH_MAX_BUCKET}),
+    fsig AS (SELECT s.doc_id, s.seed, s.minhash
+             FROM sig s JOIN ok_buckets USING (seed, minhash)),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM fsig a JOIN fsig b
+                ON a.seed = b.seed AND a.minhash = b.minhash
+               AND a.doc_id < b.doc_id
+              WHERE a.doc_id < {_N} OR b.doc_id < {_N}
+              GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+    bh AS (SELECT DISTINCT CASE WHEN id_a < {_N} THEN id_a ELSE id_b END AS id
+           FROM pairs WHERE (id_a < {_N}) <> (id_b < {_N})),
+    ne AS (SELECT id_a AS a, id_b AS b FROM pairs
+           WHERE id_a < {_N} AND id_b < {_N}
+           UNION
+           SELECT id_b, id_a FROM pairs
+           WHERE id_a < {_N} AND id_b < {_N}),
+    reach(a, b) AS (
+      SELECT a, b FROM ne
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN ne e ON r.b = e.a),
+    comp AS (SELECT n.doc_id,
+                    least(n.doc_id, coalesce(min(r.b), n.doc_id)) AS component
+             FROM nrep n LEFT JOIN reach r ON r.a = n.doc_id
+             GROUP BY n.doc_id),
+    badc AS (SELECT DISTINCT c.component
+             FROM comp c JOIN bh ON bh.id = c.doc_id),
+    repv AS (SELECT c.doc_id, c.component,
+                    CASE WHEN badc.component IS NOT NULL THEN 'dup_of_base'
+                         WHEN c.doc_id <> c.component THEN 'near_dup_in_batch'
+                         ELSE 'kept' END AS verdict
+             FROM comp c LEFT JOIN badc ON badc.component = c.component),
+    verdicts AS (SELECT w.doc_id, repv.component,
+                        CASE WHEN w.doc_id <> w.rep THEN 'exact_dup_in_batch'
+                             ELSE repv.verdict END AS verdict
+                 FROM nwin w JOIN repv ON repv.doc_id = w.rep),
+    kept AS (SELECT doc_id FROM repv WHERE verdict = 'kept'),
+    bt AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents
+           WHERE doc_id >= {_N}),
+    base_g AS (SELECT DISTINCT {_GRAMS_SQL} FROM bt),
+    kt AS (SELECT d.doc_id, {_RAW_TOKS} AS toks FROM documents d
+           JOIN kept USING (doc_id)),
+    g AS (SELECT doc_id, {_GRAMS_SQL} FROM kt),
+    o AS (SELECT doc_id, gram,
+                 min(doc_id) OVER (PARTITION BY gram) AS batch_first,
+                 gram IN (SELECT gram FROM base_g) AS in_base
+          FROM g),
+    s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN NOT in_base AND batch_first = doc_id
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+          FROM o GROUP BY doc_id)
+    SELECT v.doc_id, v.component, v.verdict,
+           CASE WHEN v.verdict = 'kept'
+                THEN CAST(coalesce(s.n_grams, 0) AS BIGINT) END AS n_grams,
+           CASE WHEN v.verdict = 'kept'
+                THEN CAST(coalesce(s.n_novel, 0) AS BIGINT) END AS n_novel,
+           CASE WHEN v.verdict = 'kept' AND coalesce(s.n_grams, 0) > 0
+                THEN CAST(coalesce(s.n_novel, 0) * 10000
+                          // coalesce(s.n_grams, 0) AS BIGINT)
+                END AS novel_bp,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM sig JOIN kept USING (doc_id)) AS n_index_sigs_added,
+           (SELECT CAST(coalesce(sum(n_novel), 0) AS BIGINT) FROM s)
+               AS n_index_grams_added
+    FROM verdicts v LEFT JOIN s USING (doc_id)
+"""
+
+
+@register(
+    "q_incremental_ingest",
+    sql=_INGEST_SQL,
+    doc="End-to-end incremental ingest capstone (VERDICT r5 Next #4): "
+    "commit the base corpus and the day's full table as two snapshot "
+    "versions, derive the new batch from the row-level CDC feed "
+    "(payload-hash full-outer diff — added keys only), dedup it "
+    "against the base's stored MinHash signature index (base text "
+    "never re-read), score the kept docs' n-gram novelty against the "
+    "base gram index, and audit both index updates (signature rows "
+    "and novel grams added). One oracle hashes the whole loop: "
+    "per-doc verdicts + novelty + the exact index-growth numbers, "
+    "proving CDC membership, index reuse, and loop closure in a "
+    "single gate. Composes sources/snapshots.py (commit/row_diff), "
+    "pipelines.dedup_corpus_incremental, and "
+    "textstats.incremental_ngram_novelty, each oracle-proven alone.",
+    tags=("llm", "dedup", "incremental", "pipeline", "capstone"),
+)
+def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import incremental_ngram_novelty, ngram_index
+    from ..pipelines import dedup_corpus_incremental
+    from ..sources.snapshots import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") >= _N)
+    batch = docs.filter(F.col("doc_id") < _N)
+
+    # Ingest as a table-format commit: v0 = base corpus, v1 = base +
+    # the day's files (append=True references base's files untouched —
+    # the 100 TB ingest shape). The batch membership used downstream
+    # comes from the CDC feed, NOT from the id predicate, so the oracle
+    # hash proves row_diff recovered exactly the added keys.
+    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="ingest_capstone_"))
+    table.commit(base, message="base corpus")
+    table.commit(batch, message="daily ingest", append=True)
+    added = (
+        table.row_diff(0, 1, ["doc_id"])
+        .filter(F.col("change") == "added")
+        .select("doc_id")
+    )
+    new_docs = table.read(1).join(added, "doc_id", "left_semi")
+
+    base_read = table.read(0)
+    base_sig = DA.minhash_signatures(base_read)
+    cleaned, verdict_map, sig_out = dedup_corpus_incremental(new_docs, base_sig)
+    scores, _updated_index = incremental_ngram_novelty(
+        cleaned, ngram_index(base_read)
+    )
+    sig_added = sig_out.agg(
+        F.count("*").cast("bigint").alias("n_index_sigs_added")
+    )
+    grams_added = scores.agg(
+        F.coalesce(F.sum("n_novel"), F.lit(0))
+        .cast("bigint")
+        .alias("n_index_grams_added")
+    )
+    return (
+        verdict_map.join(scores, "doc_id", "left")
+        .crossJoin(F.broadcast(sig_added))
+        .crossJoin(F.broadcast(grams_added))
+        .select(
+            "doc_id",
+            "component",
+            "verdict",
+            "n_grams",
+            "n_novel",
+            "novel_bp",
+            "n_index_sigs_added",
+            "n_index_grams_added",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capstone 2: multimodal curation (decode → dHash → pairs → components
+# → best keeper)
+# ---------------------------------------------------------------------------
+
+_MM_SQL = f"""
+    WITH RECURSIVE
+    {_DHASH_SQL},
+    cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM sig a JOIN sig b
+               ON a.doc_id < b.doc_id
+              AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+             WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                 + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                 <= 6),
+    edges AS (SELECT id_a AS a, id_b AS b FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT d.doc_id,
+                    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+             FROM (SELECT doc_id FROM documents WHERE len(text) > 0) d
+             LEFT JOIN reach r ON r.a = d.doc_id
+             GROUP BY d.doc_id),
+    q AS (SELECT c.doc_id, c.component,
+                 CAST(length(d.text) AS BIGINT) AS n_chars
+          FROM comp c JOIN documents d USING (doc_id))
+    SELECT doc_id, component, n_chars,
+           CAST(row_number() OVER (PARTITION BY component
+                                   ORDER BY n_chars DESC, doc_id ASC) = 1
+                AS BIGINT) AS is_keeper
+    FROM q
+"""
+
+
+@register(
+    "q_multimodal_curation",
+    sql=_MM_SQL,
+    doc="Multimodal curation capstone (VERDICT r5 Next #4): every doc's "
+    "bytes become a 16x16 image through the REAL PNG encode/decode "
+    "kernel, perceptual dHash bands feed the banded LSH pair join "
+    "(exact popcount verify at Hamming<=6), connected components turn "
+    "pairs into near-dup families, and best-keeper selection keeps the "
+    "longest member per family (quality DESC, id ASC; absent docs stay "
+    "singletons). The oracle recomputes the full chain from raw bytes "
+    "— valid because the PNG roundtrip is lossless — with a "
+    "recursive-CTE closure and a per-family argmax, so decode, "
+    "banding, graph, and keeper policy are all inside one value hash. "
+    "Composes operators/phash.py, operators/components.py, and "
+    "operators/dedup.py::best_keeper_per_cluster.",
+    tags=("multimodal", "dedup", "pipeline", "capstone"),
+)
+def q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import dedup_clusters
+    from ..operators.dedup import best_keeper_per_cluster
+    from ..operators.phash import dhash_from_text, dhash_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.length("text").cast("bigint").alias("n_chars"), "text")
+    )
+    pairs = dhash_pairs(dhash_from_text(docs), max_hamming=6).select("id_a", "id_b")
+    clusters = dedup_clusters(docs, pairs, id_col="doc_id")
+    keepers = best_keeper_per_cluster(
+        docs, clusters, quality_col="n_chars"
+    ).select("doc_id")
+    return (
+        docs.join(clusters.select("doc_id", "component"), "doc_id")
+        .join(keepers.withColumn("__k", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "component",
+            "n_chars",
+            F.col("__k").isNotNull().cast("bigint").alias("is_keeper"),
+        )
+    )

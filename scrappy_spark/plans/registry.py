@@ -76,6 +76,7 @@ def all_specs() -> dict[str, QuerySpec]:
         extras,
         webingest,
         graphs,
+        capstones,
     )
 
     # Deterministic enumeration, independent of module import order
