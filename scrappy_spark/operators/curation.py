@@ -332,6 +332,65 @@ def remove_common_fragments(
 # Cross-document repeated-span removal (substring dedup)
 # --------------------------------------------------------------------------
 
+def dedup_fragments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """Cross-document EXACT fragment dedup, keep-first: every distinct
+    fragment (line / paragraph / sentence, per ``delim``) survives only
+    at its first corpus occurrence (min ``(id, position)``); later
+    occurrences — in other documents or later in the same one — drop.
+    The Dolma/RedPajama-style paragraph dedup that complements
+    :func:`remove_common_fragments` (which drops COMMON fragments
+    everywhere; this keeps exactly one canonical copy of each).
+
+    Output: (id, clean_text, n_frags, n_kept); docs whose every
+    fragment appeared earlier survive with an empty ``clean_text``.
+
+    Plan: posexplode fragments → ONE fragment-key window (row_number
+    over (id, pos) — group size = duplicate multiplicity, the same
+    bounded-skew profile as the exact-dedup md5 window) → per-doc
+    positional reassembly. Two linear shuffles, no joins against the
+    corpus besides the final per-doc rebuild.
+    """
+    import re
+
+    frags = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), re.escape(delim))).alias(
+            "_pos", "_frag"
+        ),
+    )
+    w = Window.partitionBy("_frag").orderBy(F.asc(id_col), F.asc("_pos"))
+    kept = frags.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    stats = frags.groupBy(id_col).agg(F.count("*").alias("n_frags"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_frag"))),
+                lambda s: s["_frag"],
+            ),
+            delim,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_frags", F.lit(0)).cast("long").alias("n_frags"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
 def remove_repeated_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -263,3 +263,70 @@ def butterfly_counts(
         .groupBy("node")
         .agg(F.sum("bf").cast("long").alias("butterflies"))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+    max_iter: int = 100,
+) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph in which
+    every node has degree ≥ ``k``, found by iterative peeling (remove
+    all nodes with degree < k, recompute, repeat to fixpoint — Matula &
+    Beck's algorithm, the standard bulk-synchronous formulation).
+
+    Returns ``(node, core_degree)`` for the surviving nodes —
+    ``core_degree`` is the degree WITHIN the core (≥ k by definition).
+
+    Scale shape: edges are canonicalized to distinct undirected pairs
+    once; each round is one degree aggregation (partial-agg, node-key
+    shuffle of ≤ |V| rows) + two broadcast-anti joins against the
+    (small, shrinking) removal set, with lineage cut per round — the
+    same checkpointed-loop contract as :func:`pagerank` and
+    components. Convergence needs one driver-side count of the removal
+    set per round (bounded metadata, never edge data); rounds are
+    O(peeling depth), typically ≤ 10 on real graphs — degenerate
+    chains can need more, hence ``max_iter`` as a guard that raises
+    rather than silently returning a non-core.
+    """
+    a, b = F.least(F.col(src_col), F.col(dst_col)), F.greatest(
+        F.col(src_col), F.col(dst_col)
+    )
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if checkpoint_dir is not None:
+        e.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        e = e.checkpoint(eager=True)
+    else:
+        e = e.localCheckpoint(eager=True)
+
+    def deg(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(F.col("a").alias("node"))
+            .unionAll(frame.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("long").alias("core_degree"))
+        )
+
+    for _ in range(max_iter):
+        bad = deg(e).filter(F.col("core_degree") < k).select("node")
+        if bad.isEmpty():
+            return deg(e)
+        e = (
+            e.join(bad.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(bad.withColumnRenamed("node", "b"), "b", "left_anti")
+        )
+        e = (
+            e.checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else e.localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"kcore did not converge within {max_iter} peeling rounds"
+    )

@@ -71,6 +71,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llmdata7,
         llmdata8,
         llmdata9,
+        llmdata10,
         timeseries,
         sketches,
         extras,

@@ -1,0 +1,85 @@
+"""Round-6 wave: BM25 retrieval, k-core peeling, keep-first fragment
+dedup — behavior pins on constructed inputs (the declared queries'
+oracles cover the fixture corpus; these pin the semantics the oracles
+can't isolate, e.g. exact peeling depth and rank ordering)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from scrappy_spark.operators.bm25 import bm25_retrieve
+from scrappy_spark.operators.curation import dedup_fragments
+from scrappy_spark.operators.graph import kcore
+
+
+def test_bm25_ranks_exact_match_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle partition join"),
+            (2, "spark spark spark spark spark spark"),
+            (3, "gradient descent training loop"),
+            (4, "shuffle partition"),
+        ],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame(
+        [(100, "shuffle partition")], ["query_id", "query_text"]
+    )
+    out = bm25_retrieve(docs, queries, k=3).collect()
+    # doc 4 matches both rare terms with the shortest length; doc 3
+    # matches nothing and must be absent entirely.
+    assert [r.doc_id for r in out] == [4, 1]
+    assert out[0].rank == 1 and out[0].n_matched == 2
+    assert all(r.score_micro > 0 for r in out)
+
+
+def test_bm25_score_matches_hand_formula(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "c d")], ["doc_id", "text"]
+    )
+    queries = spark.createDataFrame([(9, "b")], ["query_id", "query_text"])
+    row = bm25_retrieve(docs, queries, k=1).first()
+    # N=3 docs, L=6 tokens, df(b)=1, tf=1, dl=2
+    idf_micro = round(math.log((3 - 1 + 0.5) / (1 + 0.5) + 1) * 1_000_000)
+    expect = (idf_micro * 22 * 1 * 6) // (10 * 1 * 6 + 3 * 6 + 9 * 2 * 3)
+    assert row.doc_id == 1 and row.score_micro == expect
+
+
+def test_kcore_peels_tail_chain(spark):
+    # Triangle {1,2,3} is the 2-core; the 4-5 tail must peel in TWO
+    # cascading rounds (5 first, then 4) — the iterative part.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    out = {r.node: r.core_degree for r in kcore(edges, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empty_when_graph_collapses(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    assert kcore(edges, k=2).count() == 0
+
+
+def test_dedup_fragments_keeps_first_occurrence(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta"),
+            (2, "beta\ngamma\nalpha"),
+            (3, "beta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup_fragments(docs).collect()}
+    assert out[1].clean_text == "alpha\nbeta"
+    assert out[2].clean_text == "gamma"  # alpha+beta seen in doc 1
+    assert out[3].clean_text == ""  # fully deduplicated
+    assert (out[3].n_frags, out[3].n_kept) == (1, 0)
+    assert (out[2].n_frags, out[2].n_kept) == (3, 1)
+
+
+def test_dedup_fragments_within_doc_repeat(spark):
+    docs = spark.createDataFrame([(7, "x\ny\nx")], ["doc_id", "text"])
+    row = dedup_fragments(docs).first()
+    assert row.clean_text == "x\ny" and row.n_kept == 2
