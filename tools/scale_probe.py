@@ -61,6 +61,10 @@ PROBES = [
     "q_domain_link_rank",
     "q_copurchase_triangles",
     "q_copurchase_butterflies",
+    "q_bm25_retrieve",
+    "q_kcore_copurchase",
+    "q_dedup_fragments",
+    "q_multimodal_curation",
 ]
 
 
