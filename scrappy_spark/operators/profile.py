@@ -207,3 +207,47 @@ def skew_report(
         .orderBy(F.desc("cnt"), "key")
         .limit(k)
     )
+
+
+def robust_anomalies(
+    df: DataFrame,
+    group_cols: list[str],
+    cents_col: str = "v_cents",
+    k_mad: int = 3,
+) -> DataFrame:
+    """Median/MAD outlier detection, INTEGER-EXACT: flag rows whose
+    integer-cents value deviates from their group median by more than
+    ``k_mad`` median-absolute-deviations — the robust data-quality
+    screen that, unlike z-scores, a heavy tail cannot poison (the
+    outliers being hunted inflate a stddev but not a median).
+
+    Exactness argument (why this takes a value-hash gate no float
+    z-score could): over integers, an interpolated median is a
+    multiple of 1/2 and the MAD a multiple of 1/4, both dyadic — so
+    ``dev4 = |4·v − 4·med|`` and ``mad8 = 2·median(dev4)`` are exact
+    BIGINTs and the decision rule ``2·dev4 > 3·mad8`` (for k_mad=3)
+    is pure integer comparison, bit-identical across engines and
+    shuffle orders.
+
+    Output: input group/value columns + (med2, dev4, mad8), anomalous
+    rows only. Two group-keyed exact-percentile aggregations + two
+    broadcast joins of the (tiny) per-group stat frames; at 100 TB
+    swap ``percentile`` for ``percentile_approx`` and widen the rule's
+    margin — the exact form is what keeps the oracle checkable.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({cents_col}, 0.5)").alias("_med")
+    )
+    d = df.join(F.broadcast(med), list(group_cols)).withColumn(
+        "dev4",
+        F.abs(4 * F.col(cents_col) - 4 * F.col("_med")).cast("long"),
+    )
+    mad = d.groupBy(*group_cols).agg(
+        (2 * F.expr("percentile(dev4, 0.5)")).cast("long").alias("mad8")
+    )
+    return (
+        d.join(F.broadcast(mad), list(group_cols))
+        .filter(2 * F.col("dev4") > k_mad * F.col("mad8"))
+        .withColumn("med2", (2 * F.col("_med")).cast("long"))
+        .drop("_med")
+    )

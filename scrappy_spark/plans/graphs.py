@@ -123,3 +123,83 @@ def q_copurchase_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("l"), F.col("l_partkey").cast("long").alias("r")
     )
     return butterfly_counts(edges)
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance (frontier expansion)
+# ---------------------------------------------------------------------------
+
+_BFS_SEED_MAX = 3  # parts with pk < 3 seed the traversal
+_BFS_HOPS = 3
+
+
+def _bfs_sql(seed_max: int, hops: int) -> str:
+    """Unrolled frontier-BFS oracle: candidates of the previous
+    frontier, minus already-visited, at hops i. Post-exhaustion rounds
+    are no-ops, so ``hops`` bounds both engines identically (the Spark
+    loop runs the same fixed round count). MATERIALIZED throughout —
+    the round chain references predecessors repeatedly and default CTE
+    inlining is exponential (same fix as the BPE/k-core oracles).
+    """
+    ctes = [
+        f"""op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+                        CAST(l_partkey AS BIGINT) AS pk
+                 FROM lineitem),
+    e AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+         FROM op x JOIN op y ON x.ok = y.ok AND x.pk <> y.pk),
+    d0 AS MATERIALIZED (SELECT DISTINCT pk AS node, CAST(0 AS BIGINT) AS hops
+          FROM op WHERE pk < {seed_max}),
+    f0 AS MATERIALIZED (SELECT node FROM d0)"""
+    ]
+    for i in range(1, hops + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+        SELECT DISTINCT e.b AS node FROM f{i - 1} f JOIN e ON e.a = f.node),
+    n{i} AS MATERIALIZED (
+        SELECT c.node, CAST({i} AS BIGINT) AS hops FROM c{i} c
+        WHERE c.node NOT IN (SELECT node FROM d{i - 1})),
+    d{i} AS MATERIALIZED (
+        SELECT node, hops FROM d{i - 1} UNION ALL SELECT node, hops FROM n{i}),
+    f{i} AS MATERIALIZED (SELECT node FROM n{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, hops FROM d{hops}\n    "
+    )
+
+
+@register(
+    "q_bfs_hops",
+    sql=_bfs_sql(_BFS_SEED_MAX, _BFS_HOPS),
+    doc=f"Frontier-expansion BFS: minimum hop distance (≤ {_BFS_HOPS}) "
+    f"from the seed parts (pk < {_BFS_SEED_MAX}) over the co-purchase "
+    "graph — the relational generalization of the reference's "
+    "recursive keyword tree (scrappy.py:528-560) to arbitrary graphs. "
+    "Each round joins only the NEW frontier against the edge list and "
+    "anti-joins the visited set (operators/graph.py::bfs_hops, "
+    "checkpointed-loop contract); the oracle unrolls the same fixed "
+    "rounds with materialized CTEs.",
+    tags=("graph", "iterative"),
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").cast("long").alias("pk"),
+    ).distinct()
+    edges = (
+        op.select("ok", F.col("pk").alias("src"))
+        .join(
+            op.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst")),
+            F.col("ok") == F.col("ok2"),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    seeds = op.select(F.col("pk").alias("node")).filter(
+        F.col("node") < _BFS_SEED_MAX
+    ).distinct()
+    return bfs_hops(edges, seeds, max_hops=_BFS_HOPS)

@@ -205,3 +205,56 @@ def q_agg_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_cents_sum"),
         F.col("ts_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust median/MAD anomaly screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_robust_anomalies",
+    sql=f"""
+    WITH c AS (SELECT event_id, event_type,
+                      CAST(hour(ts) AS BIGINT) AS hr,
+                      {_CENTS} AS v_cents
+               FROM events WHERE value IS NOT NULL),
+    m AS (SELECT event_type, hr, quantile_cont(v_cents, 0.5) AS med
+          FROM c GROUP BY 1, 2),
+    d AS (SELECT c.event_id, c.event_type, c.hr, c.v_cents, m.med,
+                 CAST(abs(4 * c.v_cents - CAST(4 * m.med AS BIGINT))
+                      AS BIGINT) AS dev4
+          FROM c JOIN m USING (event_type, hr)),
+    md AS (SELECT event_type, hr,
+                  CAST(2 * quantile_cont(dev4, 0.5) AS BIGINT) AS mad8
+           FROM d GROUP BY 1, 2)
+    SELECT d.event_id, d.event_type, d.hr, d.v_cents,
+           CAST(2 * d.med AS BIGINT) AS med2, d.dev4, md.mad8
+    FROM d JOIN md USING (event_type, hr)
+    WHERE 2 * d.dev4 > 3 * md.mad8
+    """,
+    doc="Robust outlier screen over events: values more than 3 MADs "
+    "from their (event_type, hour-of-day) median, INTEGER-EXACT — "
+    "over integer cents the interpolated median is dyadic (k/2) and "
+    "the MAD k/4, so dev4 = |4v − 4·med| and mad8 = 2·median(dev4) "
+    "are exact BIGINTs and the 2·dev4 > 3·mad8 rule is pure integer "
+    "comparison, hash-identical across engines (operators/"
+    "profile.py::robust_anomalies). The heavy-tail-proof screen a "
+    "z-score can't be: the outliers being hunted inflate a stddev "
+    "but not a median.",
+    tags=("timeseries", "quality", "agg"),
+)
+def q_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import robust_anomalies
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = e.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        F.expr(_CENTS).alias("v_cents"),
+    )
+    out = robust_anomalies(c, ["event_type", "hr"], cents_col="v_cents", k_mad=3)
+    return out.select(
+        "event_id", "event_type", "hr", "v_cents", "med2", "dev4", "mad8"
+    )
