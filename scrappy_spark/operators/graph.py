@@ -272,6 +272,7 @@ def kcore(
     dst_col: str = "dst",
     checkpoint_dir: str | None = None,
     max_iter: int = 100,
+    assert_depth_le: int | None = None,
 ) -> DataFrame:
     """k-core decomposition membership: the maximal subgraph in which
     every node has degree ≥ ``k``, found by iterative peeling (remove
@@ -291,6 +292,11 @@ def kcore(
     O(peeling depth), typically ≤ 10 on real graphs — degenerate
     chains can need more, hence ``max_iter`` as a guard that raises
     rather than silently returning a non-core.
+
+    ``assert_depth_le``: optional declared peel-depth bound (e.g. an
+    unrolled SQL oracle's round count). If actual peeling needs more
+    rounds, raise an explicit error instead of letting the oracle
+    silently stop pre-fixpoint and surface as a bare hash mismatch.
     """
     a, b = F.least(F.col(src_col), F.col(dst_col)), F.greatest(
         F.col(src_col), F.col(dst_col)
@@ -314,10 +320,26 @@ def kcore(
             .agg(F.count("*").cast("long").alias("core_degree"))
         )
 
-    for _ in range(max_iter):
-        bad = deg(e).filter(F.col("core_degree") < k).select("node")
+    for rounds_done in range(max_iter):
+        # Materialize the round's degree frame ONCE: isEmpty(), both
+        # left_anti joins, and the successful-exit return all read the
+        # same ≤|V|-row checkpoint instead of re-running the aggregation
+        # (it would otherwise be recomputed up to 4× per round).
+        d = (
+            deg(e).checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else deg(e).localCheckpoint(eager=True)
+        )
+        bad = d.filter(F.col("core_degree") < k).select("node")
         if bad.isEmpty():
-            return deg(e)
+            return d
+        if assert_depth_le is not None and rounds_done + 1 > assert_depth_le:
+            raise RuntimeError(
+                f"kcore peel depth exceeded the declared bound "
+                f"{assert_depth_le} (an unrolled oracle with that many "
+                f"rounds would silently stop pre-fixpoint) — raise the "
+                f"oracle's round count"
+            )
         e = (
             e.join(bad.withColumnRenamed("node", "a"), "a", "left_anti")
             .join(bad.withColumnRenamed("node", "b"), "b", "left_anti")

@@ -169,7 +169,9 @@ def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("src") < F.col("dst"))
     )
-    return kcore(pairs, k=_KCORE_K)
+    # assert_depth_le pins the oracle's unrolled round count: a deeper
+    # peel at a larger SF fails loudly instead of as a bare hash mismatch.
+    return kcore(pairs, k=_KCORE_K, assert_depth_le=_KCORE_ROUNDS)
 
 
 # ---------------------------------------------------------------------------
@@ -199,15 +201,21 @@ def _lines_col() -> F.Column:
 
     toks = tokens_col(F.col("text"))
     n_lines = F.ceil(F.size(toks) / _FRAG_LINE).cast("int")
-    return F.array_join(
-        F.transform(
-            F.sequence(F.lit(1), n_lines),
-            lambda i: F.array_join(
-                F.slice(toks, (i - 1) * _FRAG_LINE + 1, _FRAG_LINE), " "
+    # Guard n_lines == 0: Spark's sequence(1, 0) yields [1, 0] (descending
+    # default step), which would fabricate two empty fragments for a
+    # zero-token doc while DuckDB's generate_series(1, 0) is empty.
+    return F.when(
+        n_lines > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n_lines),
+                lambda i: F.array_join(
+                    F.slice(toks, (i - 1) * _FRAG_LINE + 1, _FRAG_LINE), " "
+                ),
             ),
+            "\n",
         ),
-        "\n",
-    )
+    ).otherwise(F.lit(""))
 
 
 @register(
