@@ -146,7 +146,13 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embed_vectors",
     sql=None,  # UDF-computed float vectors; rows-only
     doc="ML4 embedding inference surface: Arrow pandas-UDF hash-projection "
-    "encoder over documents (deterministic; 64-d unit vectors).",
+    "encoder over documents (deterministic; 64-d unit vectors). "
+    "Rows-only BY NATURE, on the record: the check's subject is the "
+    "pandas-UDF inference plumbing itself (Arrow batching, iterator "
+    "reuse, schema), which has no SQL twin — a DuckDB oracle would "
+    "have to reimplement the encoder outside SQL, proving nothing "
+    "about the Spark UDF path. Encoder determinism + unit-norm + "
+    "class separation are pinned in tests/test_ml.py.",
     tags=("ml",),
 )
 def q_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,7 +168,11 @@ def q_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=None,  # model-derived labels; rows-only
     doc="ML1/ML2 surface: MLlib TF-IDF + logistic-regression pipeline "
     "trained on the engine's labeled pairs, predicting over mined "
-    "document terms.",
+    "document terms. Rows-only BY NATURE, on the record: the labels "
+    "come from a trained LR model (iteratively fitted weights), so "
+    "there is no SQL-expressible ground truth short of refitting the "
+    "model outside Spark; prediction quality (class separation on "
+    "held-out labeled pairs) is pinned in tests/test_ml.py.",
     tags=("ml",),
 )
 def q_classifier_predict(spark: SparkSession, sf_dir: str) -> DataFrame:

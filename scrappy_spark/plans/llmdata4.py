@@ -233,20 +233,46 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_semantic_decontaminate_ann",
-    sql=None,  # bucket-limited candidates → approximate; recall tested
+    sql="""
+    WITH best AS (
+        SELECT t.vec_id,
+               max(round(list_cosine_similarity(t.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4))
+                   AS best_cos
+        FROM embeddings t
+        CROSS JOIN embeddings b
+        WHERE t.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+        GROUP BY t.vec_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN best_cos >= 0.4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged_exact,
+           CAST(1 AS BIGINT) AS subset_ok,
+           CAST(1 AS BIGINT) AS recall_ok
+    FROM best
+    """,
     doc="LSH-bucketed semantic decontamination for bench sets too "
-    "large to broadcast: candidates limited to shared hyperplane "
-    "buckets (never all-pairs); train vectors with no same-bucket "
-    "candidate keep a NULL match rather than vanishing. Recall vs the "
-    "exact operator measured in tests.",
+    "large to broadcast (candidates limited to shared hyperplane "
+    "buckets, never all-pairs; train vectors with no same-bucket "
+    "candidate keep a NULL match rather than vanishing), declared "
+    "through its banded-flag audit (operators/ann_audit.py): the "
+    "oracle recomputes the exact flagged count from the full "
+    "cross-score (the anchor) and pins ann-flagged ⊆ exact-flagged "
+    "(bucket candidates are a subset, so the bucketed max-cos can "
+    "never exceed the exact one) plus recall ≥ 30% of the exact "
+    "flags (measured 57% at sf0.01, 50% at sf0.001 with 2 planes). "
+    "Per-row outputs stay pinned in tests/test_llm_ops2.py.",
     tags=("llm", "similarity", "curation", "approx"),
 )
 def q_semantic_decontaminate_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import semantic_decontaminate_ann
+    from ..operators.ann_audit import decontaminate_recall_audit
+    from ..operators.similarity import (
+        semantic_decontaminate,
+        semantic_decontaminate_ann,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_decontaminate_ann(
-        train=emb.filter(F.col("vec_id") % 10 != 0),
-        bench=emb.filter(F.col("vec_id") % 10 == 0),
-        threshold=0.4,
-    )
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    bench = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = semantic_decontaminate(train, bench, threshold=0.4)
+    ann = semantic_decontaminate_ann(train, bench, threshold=0.4, n_planes=2)
+    return decontaminate_recall_audit(exact, ann, min_recall_bp=3000)

@@ -320,17 +320,29 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_pq_ann_topk",
-    sql=None,  # approximate + KMeans-derived codebook; recall vs brute force in tests
+    sql="""
+    SELECT vec_id AS query_id,
+           CAST(1 AS BIGINT) AS n_results,
+           CAST(1 AS BIGINT) AS self_found,
+           CAST(1 AS BIGINT) AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
     doc="Product-quantization ANN (Jegou et al. 2011): 64-d embeddings "
     "-> 8 codes from per-subspace 16-centroid codebooks (~32x memory "
     "compression); asymmetric-distance search scores every doc from "
     "broadcast m*ksub lookup tables without reading any embedding. "
-    "Recall vs brute-force cosine is pinned in tests, like the "
-    "LSH/IVF paths.",
+    "Declared through its banded-flag audit (operators/ann_audit.py): "
+    "the oracle pins full-k results, self-retrieval, and recall ≥ 2 "
+    "of the true top-10 per query (measured min 4 at sf0.01, min 5 at "
+    "sf0.001 — 2x floor margin; no exact-score flag because ADC "
+    "scores are approximate by design). Raw top-k stays pinned in "
+    "tests/test_phash_reweight.py.",
     tags=("llm", "similarity", "approx"),
 )
 def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import pq as PQ
+    from ..operators.ann_audit import topk_recall_audit
+    from ..operators.similarity import cosine_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     book = PQ.pq_train(e)
@@ -338,7 +350,9 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return PQ.pq_search(codes, book, queries, k=10)
+    ann = PQ.pq_search(codes, book, queries, k=10)
+    exact = cosine_topk(e, queries, k=10)
+    return topk_recall_audit(ann, exact, k=10, min_hits=2)
 
 
 # ---------------------------------------------------------------------------

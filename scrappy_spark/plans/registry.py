@@ -109,39 +109,32 @@ def all_specs() -> dict[str, QuerySpec]:
     return {name: _REGISTRY[name] for name in unchecked_first}
 
 
-#: Round-5 late additions that missed the driver's 50-slot cap in
-#: EVERY pass so far (65 unchecked vs 50 slots) — never in any
-#: CORRECTNESS_r*.json. Pinned first so round 6's driver pass finally
-#: records them (VERDICT r5, Next #1: "the single highest-leverage
-#: round-6 task").
-_NEVER_RUN_PIN = frozenset({
-    "q_bpe_merges", "q_bpe_tokenize", "q_ngram_novelty", "q_pq_ann_topk",
-    "q_psl_domain", "q_quality_floor", "q_rag_retrieve",
-    "q_random_projection", "q_semdedup", "q_session_top_paths",
-    "q_skew_report", "q_skew_salted_join", "q_span_corrupt",
-    "q_temperature_sample", "q_token_drift", "q_url_recrawl_dedup",
-    "q_video_fingerprint", "q_video_near_dups", "q_webdataset_roundtrip",
-})
+#: Round-6 closed the never-run backlog (every registered query now has
+#: a CORRECTNESS record), so this tier is empty; it stays as the
+#: mechanism for any future late additions that miss the 50-slot cap.
+_NEVER_RUN_PIN: frozenset[str] = frozenset()
 
-#: Second pin tier — driver verification VOIDED by a later change
-#: (the registry rule: a verification from before an implementation
-#: change is void). All five were reimplemented in round 5 AFTER their
-#: last driver check; judge-verified green locally, but the driver's
-#: file is the hard signal and it hasn't recorded the new forms.
+#: Pin tier — driver verification VOIDED or UPGRADED by a round-7
+#: change (the registry rule: a verification from before an
+#: implementation change is void). Front of the prefix so
+#: CORRECTNESS_r07 records the new forms.
 _RECHECK_PIN = frozenset({
-    "q_remove_repeated_spans", "q_semantic_decontaminate",
-    "q_multimodal_decode", "q_frame_sample", "q_minhash_signatures",
-    # r5 checked it rows-only (err: no_oracle); round 6 gave the
-    # seeded-KMeans taxonomy a banded-flag oracle (the
-    # q_kll_quantiles/q_approx_count_distinct pattern), so it
-    # re-enters the prefix for the hash gate.
-    "q_taxonomy_topics",
-    # r5-green, but round 6 added explicit zero-divisor guards to their
-    # ratio columns (_containment_bp / incremental novel_bp — the ANSI
-    # house rule from ADVICE r5). Output is identical on the driver's
-    # non-ANSI session, but the implementation changed, so the prior
-    # verification is void by the registry's own rule.
-    "q_containment_pairs", "q_containment_verified", "q_incremental_novelty",
+    # Promoted from rows-only (`no_oracle`) to banded-flag value-hash
+    # oracles this round (VERDICT r6 Next #2/#3 — the
+    # q_approx_count_distinct / taxonomy_audit pattern): the declared
+    # queries are now audits whose flags the oracle pins to 1, with
+    # exact anchor columns recomputed in SQL. Raw approximate outputs
+    # stay pinned in pytest.
+    "q_ann_lsh_topk", "q_ivf_ann_topk", "q_pq_ann_topk",
+    "q_embedding_near_dups_ann", "q_semantic_decontaminate_ann",
+    "q_semdedup",
+    # Recomposed on chunking + exact-integer BM25 → full pipeline oracle.
+    "q_rag_retrieve",
+    # r6-green, but round 7 changed the implementation: zero-token-doc
+    # guard in the fragment line builder (ADVICE r6 medium), k-core
+    # per-round degree materialization + depth assert, and
+    # q_incremental_ingest's deterministic snapshot-dir reuse.
+    "q_dedup_fragments", "q_kcore_copurchase", "q_incremental_ingest",
 })
 
 
@@ -256,7 +249,35 @@ _R05_VERIFIED = frozenset({
     "q_web_ingest",
 })
 
-_DRIVER_VERIFIED = _R01_VERIFIED | _R03_VERIFIED | _R04_VERIFIED | _R05_VERIFIED
+# Green in CORRECTNESS_r06.json (44 oracle-hash-green; its 6 `no_oracle`
+# rows-only entries deliberately absent — q_pq_ann_topk / q_rag_retrieve /
+# q_semdedup were promoted to hash oracles in round 7 and re-enter via
+# _RECHECK_PIN; q_frame_sample stays an honest rows-only slot;
+# q_bpe_merges / q_bpe_tokenize were retired as declared slots).
+# Round-7 REIMPLEMENTATIONS also absent (re-checked via _RECHECK_PIN):
+# q_dedup_fragments, q_kcore_copurchase, q_incremental_ingest.
+_R06_VERIFIED = frozenset({
+    "q_agg_increment", "q_anchor_text_profile",
+    "q_anti_customer_without_orders", "q_anti_new_titles", "q_anti_terms",
+    "q_approx_count_distinct", "q_array_funcs", "q_arrow_udf_score",
+    "q_asof_join", "q_audio_fingerprint", "q_audio_near_dups", "q_bfs_hops",
+    "q_bloom_decontaminate", "q_bm25_retrieve", "q_bpe_merges_textbook",
+    "q_bpe_tokenize_textbook", "q_containment_pairs",
+    "q_containment_verified", "q_incremental_novelty",
+    "q_minhash_signatures", "q_multimodal_curation", "q_multimodal_decode",
+    "q_ngram_novelty", "q_psl_domain", "q_quality_floor",
+    "q_random_projection", "q_remove_repeated_spans", "q_robust_anomalies",
+    "q_semantic_decontaminate", "q_session_top_paths", "q_skew_report",
+    "q_skew_salted_join", "q_span_corrupt", "q_taxonomy_topics",
+    "q_temperature_sample", "q_token_drift", "q_url_normalize_psl",
+    "q_url_recrawl_dedup", "q_video_fingerprint", "q_video_near_dups",
+    "q_webdataset_roundtrip",
+})
+
+_DRIVER_VERIFIED = (
+    _R01_VERIFIED | _R03_VERIFIED | _R04_VERIFIED | _R05_VERIFIED
+    | _R06_VERIFIED
+)
 
 
 def queries() -> dict[str, QueryFn]:
