@@ -801,3 +801,167 @@ def span_corrupt(
             F.sum("__start").cast("long").alias("n_spans"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-document exact-substring dedup (ExactSubstr, suffix-array family)
+# --------------------------------------------------------------------------
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    min_len: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style cross-document dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): remove every byte span of length ≥ ``min_len``
+    whose content already appeared earlier in the corpus, keeping the
+    FIRST occurrence (corpus order = ``(doc_id, position)``).
+
+    Spark-first reformulation of the paper's suffix arrays: a span of
+    length ≥ L repeats iff every one of its L-gram windows repeats, so
+
+    1. hash every L-char window scan-side (``md5(substr)``, computed in
+       codegen — only the 16-byte hash + (doc, pos) ever shuffles);
+    2. keep-first via one partial-agg ``groupBy(gram).min(key)`` where
+       ``key = doc_id·10⁶ + pos`` (lexicographic (doc, pos) — positions
+       are bounded far below 10⁶) — map-side combine collapses
+       boilerplate-hot grams, the skew case a window-min would funnel
+       into one task;
+    3. an occurrence is DROPPED iff its key exceeds its gram's min —
+       covered positions form per-doc intervals, merged by the classic
+       gaps-and-islands window (one per-doc sort);
+    4. rebuild each doc's cleaned text in ONE pass over its merged
+       dropped intervals with ``F.aggregate`` (cursor+accumulator fold
+       — no per-character explode on the engine side).
+
+    Scale posture: every stage is linear in corpus bytes; the gram
+    shuffle carries ~24 B/char, the cost this formulation pays instead
+    of per-shard suffix-array construction + boundary merge (the
+    alternative at 100 TB when shuffle, not CPU, is the bottleneck).
+    Exact-duplicate TEXTS are collapsed before gram hashing (the
+    ``dedup_corpus`` collapse-first move): a non-representative copy is
+    by definition fully covered (cleaned text ''), and the corpus-wide
+    first occurrence of any gram always lives in a representative, so
+    collapsing is result-neutral while cutting the gram stage to
+    unique bytes only — the web-scale 90 %-dup shape.
+
+    Output: ``(doc_id, n_chars, n_dropped, cleaned_text)`` — docs
+    shorter than ``min_len`` pass through untouched.
+    """
+    L = int(min_len)
+    n = F.length(F.col(text_col))
+
+    # collapse identical texts; representative = lowest doc_id
+    keyed = docs.select(
+        id_col,
+        text_col,
+        F.min(id_col)
+        .over(Window.partitionBy(F.md5(F.col(text_col))))
+        .alias("__rep"),
+    )
+    reps = keyed.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
+    copies = keyed.filter(F.col(id_col) != F.col("__rep")).drop("__rep")
+
+    # The gram stage expands every text ~L× in CPU (one md5 per char
+    # position), so its task count must be decoupled from the input
+    # file count AND from AQE's byte-based coalescing (which sees a
+    # few MB of text and packs the post-collapse exchange into one
+    # partition, serializing the whole hash stage). An explicit
+    # numbered repartition is exempt from AQE coalescing; it moves
+    # only unique-text bytes (already collapsed).
+    n_shuffle = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    reps = reps.repartition(n_shuffle, F.col(id_col))
+
+    # 1. L-gram hashes at every start position (guarded sequence: a doc
+    #    shorter than L has NO windows — Spark's sequence(1, 0) would
+    #    fabricate [1, 0], the descending-default trap)
+    g = reps.select(
+        id_col,
+        F.explode(
+            F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("q"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "q",
+        F.md5(F.col(text_col).substr(F.col("q"), F.lit(L))).alias("gram"),
+        (F.col(id_col) * 1000000 + F.col("q")).alias("__key"),
+    )
+    firsts = g.groupBy("gram").agg(F.min("__key").alias("__first"))
+    dup = (
+        g.join(firsts, "gram")
+        .filter(F.col("__key") > F.col("__first"))
+        .select(id_col, "q")
+    )
+
+    # 2. merge covered intervals [q, q+L-1] per doc (gaps-and-islands)
+    w = Window.partitionBy(id_col).orderBy("q")
+    prev_end = F.max(F.col("q") + (L - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup.withColumn(
+        "__new",
+        (prev_end.isNull() | (F.col("q") > prev_end + 1)).cast("int"),
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = (
+        islands.groupBy(id_col, "__isl")
+        .agg(
+            F.min("q").alias("s"),
+            (F.max("q") + (L - 1)).alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__ivs"),
+            F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("__nd"),
+        )
+    )
+
+    # 3. single-pass rebuild: fold (cursor, acc) over the sorted
+    #    non-overlapping dropped intervals
+    text = F.col(text_col)
+    rebuilt = F.aggregate(
+        F.col("__ivs"),
+        F.struct(F.lit(1).alias("cur"), F.lit("").alias("acc")),
+        lambda a, x: F.struct(
+            (x["e"] + 1).alias("cur"),
+            F.concat(
+                a["acc"], text.substr(a["cur"], x["s"] - a["cur"])
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"],
+            text.substr(
+                a["cur"], F.greatest(F.lit(0), n - a["cur"] + 1)
+            ),
+        ),
+    )
+    rep_out = reps.join(iv, id_col, "left").select(
+        id_col,
+        n.cast("long").alias("n_chars"),
+        F.coalesce(F.col("__nd"), F.lit(0)).cast("long").alias("n_dropped"),
+        F.when(F.col("__ivs").isNull(), text)
+        .otherwise(rebuilt)
+        .alias("cleaned_text"),
+    )
+    # exact-duplicate copies: fully covered when ≥ L chars, untouched
+    # below the threshold (no window of length L exists)
+    copy_out = copies.select(
+        id_col,
+        n.cast("long").alias("n_chars"),
+        F.when(n >= L, n.cast("long")).otherwise(F.lit(0).cast("long")).alias(
+            "n_dropped"
+        ),
+        F.when(n >= L, F.lit("")).otherwise(F.col(text_col)).alias(
+            "cleaned_text"
+        ),
+    )
+    return rep_out.unionByName(copy_out)

@@ -72,6 +72,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llmdata8,
         llmdata9,
         llmdata10,
+        llmdata11,
         timeseries,
         sketches,
         extras,

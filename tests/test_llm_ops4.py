@@ -83,3 +83,87 @@ def test_dedup_fragments_within_doc_repeat(spark):
     docs = spark.createDataFrame([(7, "x\ny\nx")], ["doc_id", "text"])
     row = dedup_fragments(docs).first()
     assert row.clean_text == "x\ny" and row.n_kept == 2
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (ExactSubstr family)
+# ---------------------------------------------------------------------------
+
+
+def _exact_substr_ref(docs: list[tuple[int, str]], L: int) -> dict[int, str]:
+    """Direct per-character reference of the keep-first coverage rule:
+    char p of doc d is dropped iff some L-window starting at q ∈
+    [p-L+1, p] has content whose first corpus occurrence (by (doc,
+    pos)) is strictly earlier than (d, q)."""
+    first: dict[str, tuple[int, int]] = {}
+    for did, text in sorted(docs):
+        for q in range(len(text) - L + 1):
+            g = text[q : q + L]
+            if g not in first or (did, q) < first[g]:
+                first[g] = (did, q)
+    out = {}
+    for did, text in docs:
+        dup_starts = [
+            q
+            for q in range(len(text) - L + 1)
+            if first[text[q : q + L]] < (did, q)
+        ]
+        covered = set()
+        for q in dup_starts:
+            covered.update(range(q, q + L))
+        out[did] = "".join(c for p, c in enumerate(text) if p not in covered)
+    return out
+
+
+def test_exact_substring_dedup_semantics(spark):
+    from scrappy_spark.operators.curation import exact_substring_dedup
+
+    L = 10
+    s1 = "abcdefghijklmnop"      # 16 chars, unique to doc 0
+    s2 = "QRSTUVWXYZ012345"      # 16 chars, shared doc 0 -> doc 1
+    s3 = "zyxwvutsrqponmlk"      # unique to doc 1
+    s4 = "REPEATREPEATXX"        # repeated within doc 4
+    docs = [
+        (0, s1 + s2),
+        (1, s3 + s2),            # its s2 span must be dropped
+        (2, s1 + s2),            # exact copy of doc 0 -> fully dropped
+        (3, "tiny"),             # shorter than L -> untouched
+        (4, s4 + s4),            # within-doc repeat
+        (5, ""),                 # empty doc survives as a row
+    ]
+    expect = _exact_substr_ref(docs, L)
+    out = {
+        r.doc_id: r
+        for r in exact_substring_dedup(
+            spark.createDataFrame(docs, ["doc_id", "text"]), min_len=L
+        ).collect()
+    }
+    assert set(out) == set(expect)
+    for did, text in docs:
+        assert out[did].cleaned_text == expect[did], did
+        assert out[did].n_chars == len(text)
+        assert out[did].n_dropped == len(text) - len(expect[did])
+    assert out[2].cleaned_text == ""          # exact copy fully covered
+    assert out[3].cleaned_text == "tiny"      # below threshold
+    assert out[1].cleaned_text == s3          # shared suffix removed
+
+
+def test_exact_substring_dedup_collapse_neutrality(spark):
+    """Many exact copies + a cross-doc overlap: the collapse-first
+    fast path must equal the direct reference on every doc."""
+    from scrappy_spark.operators.curation import exact_substring_dedup
+
+    L = 8
+    base = "the quick brown fox jumps over the lazy dog"
+    docs = [(i, base) for i in range(6)] + [
+        (6, "fresh words here " + base[:20]),
+        (7, "entirely novel text with no repeats at all"),
+    ]
+    expect = _exact_substr_ref(docs, L)
+    out = {
+        r.doc_id: r.cleaned_text
+        for r in exact_substring_dedup(
+            spark.createDataFrame(docs, ["doc_id", "text"]), min_len=L
+        ).collect()
+    }
+    assert out == expect

@@ -65,6 +65,7 @@ PROBES = [
     "q_kcore_copurchase",
     "q_dedup_fragments",
     "q_multimodal_curation",
+    "q_exact_substring_dedup",
 ]
 
 
