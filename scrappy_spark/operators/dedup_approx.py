@@ -21,7 +21,7 @@ declared queries keep md5.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .mining import ngrams_expr, tokens_col
 
@@ -698,3 +698,118 @@ def prefix_filter_jaccard_join_collapsed(
         )
     )
     return cross.unionAll(within)
+
+
+def minhash_signatures_stateless(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Row-local twin of :func:`minhash_signatures`: identical
+    ``(id, seed, minhash)`` output computed WITHOUT any aggregation —
+    per-seed mins fold over the in-row shingle array with
+    ``array_min(transform(...))`` instead of explode + groupBy-min.
+
+    Why it exists: Structured Streaming allows only ONE stateful
+    operator per query, so a stream that feeds signatures into a
+    stateful index (``streaming.stateful.minhash_bucket_index``) cannot
+    spend its stateful slot on the signature groupBy. This variant is
+    a pure projection + explode (stateless), at the cost of giving up
+    the map-side combine — the right trade exactly when each row's
+    shingle set is already in hand. Equivalence with the batch shape
+    is pinned in tests (same universal-hash constants, same distinct
+    shingles, docs with no shingles emit no rows in both).
+    """
+    if num_hashes > len(MINHASH_ABC):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the {len(MINHASH_ABC)}-entry "
+            "universal-hash constant table (extend MINHASH_ABC)"
+        )
+    toks = tokens_col(F.col(text_col))
+    sh_arr = F.array_distinct(
+        F.expr(ngrams_expr("__toks", shingle_k))
+    )
+    bases = F.transform(sh_arr, lambda s: _minhash_base(s, hash_fn))
+
+    def _seed_min(a1: int, a2: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col("__bases"),
+                lambda base: (
+                    F.lit(a1) * F.shiftright(base, 16)
+                    + F.lit(a2) * base.bitwiseAND(F.lit(65535))
+                    + F.lit(b)
+                )
+                % F.lit(MINHASH_P),
+            )
+        )
+
+    mins = F.array(
+        *[
+            _seed_min(a1, a2, b)
+            for (a1, a2, b) in MINHASH_ABC[:num_hashes]
+        ]
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), bases.alias("__bases"))
+        .filter(F.size("__bases") > 0)
+        .select(
+            id_col,
+            F.posexplode(mins).alias("seed", "minhash"),
+        )
+        .select(id_col, F.col("seed").cast("int").alias("seed"), "minhash")
+    )
+
+
+def minhash_bucket_hits(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Batch twin of the streaming MinHash bucket index
+    (``streaming.stateful.minhash_bucket_index``): for every signature
+    row, whether its LSH bucket ``(seed, minhash)`` already held an
+    earlier document and which one arrived first.
+
+    Arrival order is ``id_col`` ascending (the streaming twin's
+    contract: batches arrive in id order, rows within a batch are
+    processed in id order). Output per signature row:
+
+    - ``first_doc_id``  earliest id previously in this bucket, NULL
+                        for the bucket's first occupant
+    - ``n_prior``       occupants before this row
+
+    A doc is a near-dup CANDIDATE when ≥ ``min_matches`` of its
+    signature rows carry a non-NULL ``first_doc_id`` — the same
+    bucket-co-occupancy rule as ``minhash_candidate_pairs``, evaluated
+    incrementally. One window over the signature table; shuffle keys
+    are the buckets themselves.
+    """
+    sig = minhash_signatures(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+    )
+    w = (
+        Window.partitionBy("seed", "minhash")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("seed", "minhash").orderBy(id_col)
+    )
+    return sig.select(
+        id_col,
+        F.col("seed").cast("long").alias("seed"),
+        "minhash",
+        F.min(id_col).over(w).alias("first_doc_id"),
+        (rn - 1).cast("long").alias("n_prior"),
+    )

@@ -86,3 +86,44 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return exact_substring_dedup(docs, min_len=_XS_L)
+
+
+# ---------------------------------------------------------------------------
+# MinHash bucket hits — batch twin of the streaming state-store index
+# ---------------------------------------------------------------------------
+
+from .llmdata import _SIG_SQL  # shared signature CTE (one source of truth)
+
+
+@register(
+    "q_minhash_bucket_hits",
+    sql=f"""
+    WITH {_SIG_SQL}
+    SELECT doc_id, CAST(seed AS BIGINT) AS seed, minhash,
+           min(doc_id) OVER (
+               PARTITION BY seed, minhash ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY seed, minhash ORDER BY doc_id) - 1 AS BIGINT)
+               AS n_prior
+    FROM sig
+    """,
+    doc="Per-signature-row LSH bucket occupancy in arrival (id) order: "
+    "earliest prior occupant of the row's (seed, minhash) bucket (NULL "
+    "for the first) and the prior-occupant count — the incremental "
+    "form of the minhash_candidate_pairs co-occupancy rule (a doc "
+    "whose rows report >= min_matches priors is a near-dup candidate). "
+    "Batch twin of the STREAMING state-store index "
+    "(streaming/stateful.py::minhash_bucket_index, applyInPandasWithState "
+    "with two-BIGINT per-bucket state); stream-equivalence pinned in "
+    "test_streaming_sinks.py, and the stateless row-local signature "
+    "projection the stream needs is equivalence-tested against the "
+    "batch groupBy shape in test_llm_ops4.py.",
+    tags=("llm", "dedup", "streaming-twin"),
+)
+def q_minhash_bucket_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_approx import minhash_bucket_hits
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_bucket_hits(docs)

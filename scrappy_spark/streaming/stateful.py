@@ -152,3 +152,92 @@ def user_type_counters(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming MinHash index maintenance (VERDICT r6 Next #7): the LSH
+# signature index kept in STREAM STATE, keyed per bucket.
+# ---------------------------------------------------------------------------
+
+BUCKET_HITS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("seed", T.LongType()),
+        T.StructField("minhash", T.LongType()),
+        T.StructField("first_doc_id", T.LongType()),
+        T.StructField("n_prior", T.LongType()),
+    ]
+)
+
+_BUCKET_STATE_SCHEMA = "first_doc BIGINT, n BIGINT"
+
+
+def _update_bucket(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    seed, minhash = key
+    first_doc, n = state.get if state.exists else (None, 0)
+    docs: list[int] = []
+    for pdf in pdfs:
+        docs.extend(int(d) for d in pdf["doc_id"])
+    if not docs:  # timeout invocation — nothing to emit or update
+        return
+    docs.sort()  # within-batch arrival order = id order (the contract)
+    out_first, out_prior = [], []
+    for d in docs:
+        out_first.append(first_doc if n > 0 else None)
+        out_prior.append(n)
+        if n == 0:
+            first_doc = d
+        n += 1
+    state.update((first_doc, n))
+    yield pd.DataFrame(
+        {
+            "doc_id": docs,
+            "seed": [int(seed)] * len(docs),
+            "minhash": [int(minhash)] * len(docs),
+            "first_doc_id": pd.array(out_first, dtype="Int64"),
+            "n_prior": out_prior,
+        }
+    )
+
+
+def minhash_bucket_index(docs: DataFrame) -> DataFrame:
+    """Streaming MinHash index maintenance: the LSH signature index
+    lives in STREAM STATE, one entry per ``(seed, minhash)`` bucket,
+    and every incoming signature row is answered against — and folded
+    into — that state in the same pass.
+
+    This is the state-store leg of the incremental-dedup family
+    (storage-index leg: ``sinks.stream_dedup_into_corpus``; batch twin:
+    ``dedup_approx.minhash_bucket_hits``, window form, oracle-backed
+    via ``q_minhash_bucket_hits``). Per-key state is two BIGINTs
+    (bucket's first occupant + count) — bounded regardless of corpus
+    size, so unlike a members-list design it cannot outgrow the state
+    store on a hot boilerplate bucket (the same capped-bucket concern
+    ``LSH_MAX_BUCKET`` addresses in the batch pair stage).
+
+    Emits one row per signature row: ``first_doc_id`` (earliest doc
+    ever seen in this bucket, NULL for the first occupant) and
+    ``n_prior`` (occupants before this row). A doc is a near-dup
+    candidate when ≥ ``min_matches`` of its buckets report a prior
+    occupant — the downstream consumer's one groupBy, exactly the
+    bucket-co-occupancy rule of ``minhash_candidate_pairs``.
+
+    The signature projection upstream MUST be stateless
+    (``minhash_signatures_stateless``) — Structured Streaming allows a
+    single stateful operator per query, and this operator is it.
+    State never expires by default (corpus identity must not age out);
+    at scale swap ``NoTimeout`` for EventTimeTimeout + a watermark to
+    bound state for time-scoped dedup windows.
+    """
+    grouped = docs.select("doc_id", "seed", "minhash").groupBy(
+        "seed", "minhash"
+    )
+    return grouped.applyInPandasWithState(
+        _update_bucket,
+        outputStructType=BUCKET_HITS_SCHEMA,
+        stateStructType=_BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -167,3 +167,33 @@ def test_exact_substring_dedup_collapse_neutrality(spark):
         ).collect()
     }
     assert out == expect
+
+
+def test_minhash_signatures_stateless_matches_batch(spark):
+    """The row-local (stream-safe) signature projection must emit
+    exactly the explode+groupBy shape's rows — same universal-hash
+    constants, same distinct shingles, shingle-free docs absent from
+    both."""
+    from scrappy_spark.io import load_table
+    from scrappy_spark.operators.dedup_approx import (
+        minhash_signatures,
+        minhash_signatures_stateless,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [(100001, "one two"), (100002, "")], ["doc_id", "text"]
+    )  # too short for a 3-shingle / empty: must emit no rows
+    docs = docs.unionByName(extra)
+    batch = {
+        (r.doc_id, r.seed, r.minhash)
+        for r in minhash_signatures(docs).collect()
+    }
+    rowlocal = {
+        (r.doc_id, r.seed, r.minhash)
+        for r in minhash_signatures_stateless(docs).collect()
+    }
+    assert rowlocal == batch
+    assert not any(d in (100001, 100002) for d, _, _ in rowlocal)

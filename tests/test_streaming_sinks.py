@@ -284,3 +284,72 @@ def test_stream_heavy_hitters_token_free_first_batch(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     got = {r.tok: r.cms_est for r in rows}
     assert got == {"alpha": 2, "beta": 1}
+
+
+def test_minhash_bucket_index_stream_equals_batch_twin(spark):
+    """Streaming MinHash index maintenance: three id-ordered micro-
+    batches through the applyInPandasWithState bucket index must emit
+    exactly the batch twin's (first_doc_id, n_prior) per signature row
+    — state carries the bucket's first occupant and count across
+    triggers."""
+    import os
+    import shutil
+
+    from scrappy_spark.operators.dedup_approx import (
+        minhash_bucket_hits,
+        minhash_signatures_stateless,
+    )
+    from scrappy_spark.streaming.stateful import minhash_bucket_index
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six seven eight nine"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+        (10, "one two three four five six seven eight nine ten"),
+        (11, "completely fresh words appearing in the second batch"),
+        (20, "alpha beta gamma delta epsilon zeta eta theta"),  # dup again
+        (21, "one two three four five six seven eight nine"),   # dup of 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = {
+        (r.doc_id, r.seed, r.minhash): (r.first_doc_id, r.n_prior)
+        for r in minhash_bucket_hits(docs).collect()
+    }
+
+    base = tempfile.mkdtemp(prefix="mh_index_")
+    src = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ck")
+    try:
+        # id-ordered batches (the operator's arrival-order contract)
+        for i, lo_hi in enumerate([(0, 10), (10, 20), (20, 99)]):
+            docs.filter(
+                (docs.doc_id >= lo_hi[0]) & (docs.doc_id < lo_hi[1])
+            ).coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        hits = minhash_bucket_index(minhash_signatures_stateless(stream))
+        q = (
+            hits.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.doc_id, r.seed, r.minhash): (r.first_doc_id, r.n_prior)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == expect
+        # sanity: the dups actually produced co-occupied buckets
+        n_hit_docs = len(
+            {d for (d, _, _), (fd, _) in got.items() if fd is not None}
+        )
+        assert n_hit_docs >= 3
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
