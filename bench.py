@@ -61,6 +61,7 @@ EXTENSIONS = [
     "q_web_ingest",
     "q_ngram_novelty",
     "q_domain_link_rank",
+    "q_exact_substring_dedup",  # round-7 addition (ExactSubstr family)
 ]
 
 HEADLINE = CORE + EXTENSIONS

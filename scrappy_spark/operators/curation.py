@@ -965,3 +965,81 @@ def exact_substring_dedup(
         ),
     )
     return rep_out.unionByName(copy_out)
+
+
+def exact_substring_provenance(
+    docs: DataFrame,
+    min_len: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lineage face of :func:`exact_substring_dedup`: for every doc
+    that loses content, WHICH earlier document its duplicated windows
+    first appeared in — the audit a curation run pins next to its
+    removal counts ("doc X was cut because doc Y already said it").
+
+    Per doc with ≥ 1 duplicated window: total duplicated L-gram
+    windows, the top source doc (the earlier doc owning the first
+    occurrence of the largest share of them, ties to the lower id),
+    and that top source's window count. Collapse-first is NOT applied
+    here: an exact-copy doc's provenance IS its representative, which
+    this report should name, so the gram stage runs on all docs —
+    provenance is an audit query, run on samples/slices at 100 TB,
+    not on the full-corpus dedup path.
+
+    Scale shape: same linear gram stage as the dedup (hash scan-side,
+    partial-agg groupBy-min), one (doc, first_doc) count agg, one
+    per-doc argmax struct — no pairwise stage anywhere.
+    """
+    L = int(min_len)
+    n = F.length(F.col(text_col))
+    n_shuffle = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    g = (
+        docs.repartition(n_shuffle, F.col(id_col))
+        .select(
+            id_col,
+            F.explode(
+                F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("q"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "q",
+            F.md5(F.col(text_col).substr(F.col("q"), F.lit(L))).alias("gram"),
+            (F.col(id_col) * 1000000 + F.col("q")).alias("__key"),
+        )
+    )
+    firsts = g.groupBy("gram").agg(F.min("__key").alias("__first"))
+    per_source = (
+        g.join(firsts, "gram")
+        .filter(F.col("__key") > F.col("__first"))
+        .select(
+            id_col,
+            F.expr("__first div 1000000").cast("long").alias("source_doc"),
+        )
+        .groupBy(id_col, "source_doc")
+        .agg(F.count("*").cast("long").alias("n_windows"))
+    )
+    return (
+        per_source.groupBy(id_col)
+        .agg(
+            F.sum("n_windows").cast("long").alias("n_dup_windows"),
+            F.max(
+                F.struct(
+                    F.col("n_windows").alias("n"),
+                    (-F.col("source_doc")).alias("neg_src"),
+                )
+            ).alias("__top"),
+        )
+        .select(
+            id_col,
+            "n_dup_windows",
+            (-F.col("__top.neg_src")).cast("long").alias("top_source_doc"),
+            F.col("__top.n").alias("top_source_windows"),
+        )
+    )

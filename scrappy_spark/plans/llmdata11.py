@@ -127,3 +127,49 @@ def q_minhash_bucket_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_bucket_hits(docs)
+
+
+@register(
+    "q_substring_provenance",
+    sql=f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    g AS (SELECT doc_id, CAST(u.q AS INT) AS q,
+                 md5(substr(text, CAST(u.q AS INT), {_XS_L})) AS gram
+          FROM d, unnest(generate_series(1, n - {_XS_L} + 1)) AS u(q)
+          WHERE n >= {_XS_L}),
+    f AS (SELECT gram,
+                 CAST(min(doc_id * 1000000 + q) AS BIGINT) AS first_key
+          FROM g GROUP BY gram),
+    cnt AS (SELECT g.doc_id,
+                   CAST(f.first_key // 1000000 AS BIGINT) AS source_doc,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM g JOIN f USING (gram)
+            WHERE g.doc_id * 1000000 + g.q > f.first_key
+            GROUP BY 1, 2),
+    rk AS (SELECT doc_id, source_doc, n_windows,
+                  CAST(sum(n_windows) OVER (PARTITION BY doc_id)
+                       AS BIGINT) AS n_dup_windows,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY n_windows DESC,
+                                              source_doc ASC) AS rn
+           FROM cnt)
+    SELECT doc_id, n_dup_windows, source_doc AS top_source_doc,
+           n_windows AS top_source_windows
+    FROM rk WHERE rn = 1
+    """,
+    doc="Removal lineage for ExactSubstr dedup: per doc that loses "
+    "content, the total duplicated L-gram windows plus the earlier "
+    "document owning the first occurrence of the largest share of them "
+    "(ties to the lower source id) — the 'doc X was cut because doc Y "
+    "already said it' audit a curation run pins next to its removal "
+    "counts. Engine path (operators/curation.py::"
+    "exact_substring_provenance): same linear scan-side gram stage as "
+    "the dedup, one (doc, source) partial-agg count, one per-doc "
+    "struct argmax; no pairwise stage.",
+    tags=("llm", "dedup", "curation", "lineage"),
+)
+def q_substring_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import exact_substring_provenance
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substring_provenance(docs, min_len=_XS_L)

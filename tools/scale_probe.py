@@ -66,6 +66,8 @@ PROBES = [
     "q_dedup_fragments",
     "q_multimodal_curation",
     "q_exact_substring_dedup",
+    "q_minhash_bucket_hits",
+    "q_substring_provenance",
 ]
 
 
