@@ -327,3 +327,67 @@ def sample_frames(
             yield pd.DataFrame(out, columns=[id_col, "frame_idx", "frame_bytes"])
 
     return df.select(id_col, "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+FRAME_AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_ok", T.LongType()),
+    ]
+)
+
+
+def frame_sample_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Banded-flag audit of the REAL video frame-sampling path
+    (``attach_synthetic_video`` → ``sample_frames``), the promotion
+    that moves ``q_frame_sample`` from rows-only to the value-hash
+    gate: PNG bytes aren't SQL-reproducible, but the frame GRID is
+    (``ceil(utf8_bytes/frame_size)`` frames per doc), and whether each
+    decoded frame's pixels equal the text bytes that built it is a
+    0/1 invariant a SQL oracle pins to 1.
+
+    Per emitted frame: ``frame_ok`` = 1 iff decoding the sampled PNG
+    reproduces exactly the corresponding ``width·height``-byte slice
+    of the doc's space-padded utf-8 text — one flag covering the whole
+    encode → Y4M container → parse → sample → PNG encode → PNG decode
+    chain. The raw per-frame md5 surface stays available from
+    ``sample_frames`` and stays pixel-pinned in tests.
+    """
+    fsize = width * height
+    frames = sample_frames(
+        attach_synthetic_video(
+            docs, text_col=text_col, id_col=id_col, width=width, height=height
+        ),
+        fake=False,
+    )
+    joined = frames.join(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(id_col, "frame_idx", "frame_bytes", text_col)
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_image_bytes
+
+        for pdf in batches:
+            rows = []
+            for i, k, fb, text in zip(
+                pdf[id_col], pdf["frame_idx"], pdf["frame_bytes"], pdf[text_col]
+            ):
+                data = text.encode("utf-8") or b" "
+                n_frames = (len(data) + fsize - 1) // fsize
+                data = data.ljust(n_frames * fsize, b" ")
+                expect = data[int(k) * fsize : (int(k) + 1) * fsize]
+                arr = decode_image_bytes(bytes(fb))
+                got = (arr[:, :, 0] if arr.ndim == 3 else arr).tobytes()
+                rows.append((int(i), int(k), int(got == expect)))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "frame_ok"]
+            )
+
+    return joined.mapInPandas(check, schema=FRAME_AUDIT_SCHEMA)

@@ -124,22 +124,33 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_frame_sample",
-    sql=None,  # PNG frame bytes aren't SQL-reproducible; rows-only
+    sql="""
+    SELECT doc_id, CAST(u.k AS BIGINT) AS frame_idx,
+           CAST(1 AS BIGINT) AS frame_ok
+    FROM (SELECT doc_id,
+                 CAST(ceil(greatest(strlen(text), 1) / 256.0) AS INT)
+                     AS nf
+          FROM documents WHERE doc_id < 50),
+         unnest(generate_series(0, nf - 1)) AS u(k)
+    """,
     doc="Frame-sampling one-to-many expansion over REAL video: each doc's "
-    "text becomes a mono Y4M clip (deterministic frames), the kernel "
-    "parses the container, samples frames, and re-encodes PNG — the full "
-    "decode path, not the byte-slicer fake. Rows-only: PNG frame bytes "
-    "aren't SQL-reproducible in DuckDB; pytest pins the decoded pixels.",
+    "text becomes a mono Y4M clip (deterministic 16x16 luma frames), the "
+    "kernel parses the container, samples frames, and re-encodes PNG — "
+    "the full decode path, not the byte-slicer fake. Declared through "
+    "its banded-flag audit (operators/multimodal.py::frame_sample_audit, "
+    "the ann_audit promotion pattern): the oracle recomputes the exact "
+    "frame GRID (ceil(utf8_bytes/256) frames per doc — the one-to-many "
+    "expansion shape) and pins frame_ok=1 per frame, where frame_ok "
+    "verifies decoded PNG pixels equal the text bytes that built the "
+    "frame — one flag covering encode → Y4M → parse → sample → PNG → "
+    "decode. Raw per-frame md5s stay pixel-pinned in pytest.",
     tags=("multimodal",),
 )
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample_audit
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    frames = sample_frames(attach_synthetic_video(docs), fake=False)
-    # md5 of the PNG bytes keeps the rows-only payload small while
-    # still pinning the decoded content per frame.
-    return frames.select(
-        "doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5")
-    )
+    return frame_sample_audit(docs)
 
 
 @register(

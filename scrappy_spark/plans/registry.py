@@ -253,7 +253,8 @@ _R05_VERIFIED = frozenset({
 # Green in CORRECTNESS_r06.json (44 oracle-hash-green; its 6 `no_oracle`
 # rows-only entries deliberately absent — q_pq_ann_topk / q_rag_retrieve /
 # q_semdedup were promoted to hash oracles in round 7 and re-enter via
-# _RECHECK_PIN; q_frame_sample stays an honest rows-only slot;
+# _RECHECK_PIN; q_frame_sample was promoted too (frame-grid + decode
+# flag audit) and re-enters as unchecked;
 # q_bpe_merges / q_bpe_tokenize were retired as declared slots).
 # Round-7 REIMPLEMENTATIONS also absent (re-checked via _RECHECK_PIN):
 # q_dedup_fragments, q_kcore_copurchase, q_incremental_ingest.
