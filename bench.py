@@ -62,6 +62,8 @@ EXTENSIONS = [
     "q_ngram_novelty",
     "q_domain_link_rank",
     "q_exact_substring_dedup",  # round-7 addition (ExactSubstr family)
+    "q_hybrid_retrieve",  # round-7 wave 2 (BM25 + trigram RRF fusion)
+    "q_dup_corpus_profile",  # round-7 wave 2 (stratum duplication ppm)
 ]
 
 HEADLINE = CORE + EXTENSIONS

@@ -73,6 +73,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llmdata9,
         llmdata10,
         llmdata11,
+        llmdata12,
         timeseries,
         sketches,
         extras,
