@@ -251,3 +251,103 @@ def robust_anomalies(
         .withColumn("med2", (2 * F.col("_med")).cast("long"))
         .drop("_med")
     )
+
+
+def join_advisor(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    broadcast_rows: int = 1_000_000,
+    skew_share_bp: int = 100,
+    target_partitions: int = 200,
+) -> DataFrame:
+    """Pre-flight planner for a prospective equi-join: EXACT output
+    cardinality, heaviest output key, and strategy advice — the cheap
+    query you run before keying two 100 TB tables against each other
+    (``|A ⋈ B| = Σ_k cl(k)·cr(k)`` can be 1000× the inputs, and the
+    time to learn that is before the shuffle, from two partial-agg
+    key counts, not three hours into a straggler).
+
+    One row out: left/right row and distinct-key counts, matched-key
+    count, exact estimated output rows, the heaviest output key (ties
+    to the lexicographically smallest, as a string) with its pair
+    count and basis-point share of the output, broadcast flags
+    (side fits under ``broadcast_rows``), and ``salt_factor`` — the
+    number of salt buckets that spreads the heaviest key's output
+    across ``target_partitions`` evenly (1 when no key exceeds
+    ``skew_share_bp``).
+
+    Everything reduces through per-key partial-agg counts (shuffle at
+    key cardinality, never at row cardinality) and 1-row broadcast
+    combines; all arithmetic is exact integers.
+    """
+    cl = left.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").cast("long").alias("cl")
+    )
+    cr = right.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").cast("long").alias("cr")
+    )
+    l_stats = cl.agg(
+        F.coalesce(F.sum("cl"), F.lit(0)).cast("long").alias("l_rows"),
+        F.count("*").cast("long").alias("l_keys"),
+    )
+    r_stats = cr.agg(
+        F.coalesce(F.sum("cr"), F.lit(0)).cast("long").alias("r_rows"),
+        F.count("*").cast("long").alias("r_keys"),
+    )
+    pairs = cl.join(cr, "key").select(
+        "key", (F.col("cl") * F.col("cr")).cast("long").alias("pairs")
+    )
+    est = pairs.agg(
+        F.count("*").cast("long").alias("matched_keys"),
+        F.coalesce(F.sum("pairs"), F.lit(0)).cast("long").alias(
+            "est_out_rows"
+        ),
+        F.max("pairs").alias("__mp"),
+    )
+    # deterministic top key: max pair count, ties to the smallest key
+    # string (max_by is tie-nondeterministic; this two-stage agg is not)
+    top = (
+        pairs.join(
+            F.broadcast(est.select("__mp")),
+            pairs["pairs"] == F.col("__mp"),
+        )
+        .agg(F.min("key").alias("top_key"))
+    )
+    one = (
+        l_stats.crossJoin(F.broadcast(r_stats))
+        .crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(top))
+    )
+    return one.select(
+        "l_rows",
+        "r_rows",
+        "l_keys",
+        "r_keys",
+        "matched_keys",
+        "est_out_rows",
+        "top_key",
+        F.coalesce(F.col("__mp"), F.lit(0)).cast("long").alias(
+            "top_key_pairs"
+        ),
+        F.expr(
+            "CASE WHEN est_out_rows > 0 THEN __mp * 10000 div est_out_rows "
+            "ELSE 0 END"
+        )
+        .cast("long")
+        .alias("top_share_bp"),
+        (F.col("l_rows") <= broadcast_rows).cast("long").alias(
+            "broadcast_left"
+        ),
+        (F.col("r_rows") <= broadcast_rows).cast("long").alias(
+            "broadcast_right"
+        ),
+        F.expr(
+            f"CASE WHEN est_out_rows > 0 "
+            f"AND __mp * 10000 div est_out_rows > {int(skew_share_bp)} "
+            f"THEN greatest(1, (__mp * {int(target_partitions)} "
+            f"+ est_out_rows - 1) div est_out_rows) ELSE 1 END"
+        )
+        .cast("long")
+        .alias("salt_factor"),
+    )

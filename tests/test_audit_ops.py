@@ -1,0 +1,166 @@
+"""Round-7 third wave: reconciliation, join advisor, retrieval eval."""
+
+from __future__ import annotations
+
+import pytest
+
+from scrappy_spark.operators.profile import join_advisor
+from scrappy_spark.operators.reconcile import mismatch_rows, reconcile_report
+from scrappy_spark.operators.retrieval import retrieval_eval
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+# ---------------------------------------------------------------------------
+# reconcile_report
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def recon_frames(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        "k int, s string, v int",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, None, 31), (5, "e", 50)],
+        "k int, s string, v int",
+    )
+    return left, right
+
+
+def test_reconcile_report_counts(spark, recon_frames):
+    left, right = recon_frames
+    rep = {
+        r["column"]: r.asDict()
+        for r in reconcile_report(left, right, ["k"], ["s", "v"]).collect()
+    }
+    # keys: 1,2,3 both; 4 only-left; 5 only-right
+    for c in ("s", "v"):
+        assert rep[c]["n_only_left"] == 1
+        assert rep[c]["n_only_right"] == 1
+        assert rep[c]["n_both"] == 3
+    # s: k=1 match, k=2 mismatch (b vs B), k=3 NULL==NULL is a MATCH
+    assert rep["s"]["n_match"] == 2
+    assert rep["s"]["n_mismatch"] == 1
+    assert rep["s"]["match_ppm"] == 2 * 1_000_000 // 3
+    # v: k=3 differs (30 vs 31)
+    assert rep["v"]["n_match"] == 2
+
+
+def test_reconcile_null_vs_value_is_mismatch(spark):
+    left = spark.createDataFrame([(1, None)], "k int, s string")
+    right = spark.createDataFrame([(1, "x")], "k int, s string")
+    rep = reconcile_report(left, right, ["k"], ["s"]).collect()[0]
+    assert rep["n_match"] == 0 and rep["n_mismatch"] == 1
+
+
+def test_reconcile_disjoint_keys_zero_ppm(spark):
+    left = spark.createDataFrame([(1, "a")], "k int, s string")
+    right = spark.createDataFrame([(2, "a")], "k int, s string")
+    rep = reconcile_report(left, right, ["k"], ["s"]).collect()[0]
+    assert rep["n_both"] == 0 and rep["match_ppm"] == 0
+
+
+def test_mismatch_rows_triage(spark, recon_frames):
+    left, right = recon_frames
+    got = _rows(mismatch_rows(left, right, ["k"], "s"))
+    assert got == [(2, "b", "B")]
+
+
+def test_reconcile_requires_columns(spark, recon_frames):
+    left, right = recon_frames
+    with pytest.raises(ValueError):
+        reconcile_report(left, right, ["k"], [])
+
+
+# ---------------------------------------------------------------------------
+# join_advisor
+# ---------------------------------------------------------------------------
+
+
+def test_join_advisor_exact_cardinality(spark):
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 1 + [("c",)] * 2, "k string"
+    )
+    right = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 5 + [("d",)] * 1, "k string"
+    )
+    row = join_advisor(
+        left, right, "k", broadcast_rows=5, skew_share_bp=100,
+        target_partitions=10,
+    ).collect()[0]
+    assert row["l_rows"] == 6 and row["r_rows"] == 10
+    assert row["l_keys"] == 3 and row["r_keys"] == 3
+    assert row["matched_keys"] == 2
+    # a: 3*4=12, b: 1*5=5 -> 17, sanity vs the real join
+    assert row["est_out_rows"] == 17
+    assert row["est_out_rows"] == left.join(right, "k").count()
+    assert row["top_key"] == "a" and row["top_key_pairs"] == 12
+    assert row["top_share_bp"] == 12 * 10000 // 17
+    assert row["broadcast_left"] == 0 and row["broadcast_right"] == 0
+    # skewed (7058bp > 100): ceil(12*10/17) = 8
+    assert row["salt_factor"] == (12 * 10 + 16) // 17
+
+
+def test_join_advisor_top_key_tie_breaks_to_smallest(spark):
+    left = spark.createDataFrame([("b",), ("a",)], "k string")
+    right = spark.createDataFrame([("b",), ("a",)], "k string")
+    row = join_advisor(left, right, "k").collect()[0]
+    assert row["top_key"] == "a"  # both keys give 1 pair; min key wins
+
+
+def test_join_advisor_no_overlap(spark):
+    left = spark.createDataFrame([("a",)], "k string")
+    right = spark.createDataFrame([("z",)], "k string")
+    row = join_advisor(left, right, "k").collect()[0]
+    assert row["matched_keys"] == 0
+    assert row["est_out_rows"] == 0
+    assert row["top_key"] is None and row["top_key_pairs"] == 0
+    assert row["top_share_bp"] == 0 and row["salt_factor"] == 1
+    assert row["broadcast_left"] == 1 and row["broadcast_right"] == 1
+
+
+# ---------------------------------------------------------------------------
+# retrieval_eval
+# ---------------------------------------------------------------------------
+
+
+def test_retrieval_eval_metrics(spark):
+    # q1: rel docs {10, 11}; ranked [20, 10, 30] -> hit at rank 2
+    # q2: rel docs {40}; ranked [41, 42] -> no hits
+    # q3: rel doc {50}; ranker returned nothing
+    ranking = spark.createDataFrame(
+        [(1, 20, 1), (1, 10, 2), (1, 30, 3), (2, 41, 1), (2, 42, 2)],
+        "query_id int, doc_id int, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 40), (3, 50)],
+        "query_id int, doc_id int",
+    )
+    got = {
+        r["query_id"]: r.asDict()
+        for r in retrieval_eval(ranking, qrels, k=3).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_rel"] == 2 and got[1]["n_hits"] == 1
+    assert got[1]["recall_ppm"] == 500_000
+    assert got[1]["precision_ppm"] == 1_000_000 // 3
+    assert got[1]["rr_micro"] == 500_000
+    assert got[2]["n_hits"] == 0 and got[2]["rr_micro"] == 0
+    assert got[3]["n_retrieved"] == 0 and got[3]["precision_ppm"] == 0
+
+
+def test_retrieval_eval_k_cutoff(spark):
+    # relevant doc sits at rank 4: invisible at k=3, visible at k=5
+    ranking = spark.createDataFrame(
+        [(1, d, r) for r, d in enumerate([9, 8, 7, 5, 6], start=1)],
+        "query_id int, doc_id int, rank int",
+    )
+    qrels = spark.createDataFrame([(1, 5)], "query_id int, doc_id int")
+    at3 = retrieval_eval(ranking, qrels, k=3).collect()[0]
+    at5 = retrieval_eval(ranking, qrels, k=5).collect()[0]
+    assert at3["n_hits"] == 0 and at3["rr_micro"] == 0
+    assert at5["n_hits"] == 1 and at5["rr_micro"] == 1_000_000 // 4

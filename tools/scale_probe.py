@@ -68,6 +68,10 @@ PROBES = [
     "q_exact_substring_dedup",
     "q_minhash_bucket_hits",
     "q_substring_provenance",
+    "q_hybrid_retrieve",
+    "q_dup_corpus_profile",
+    "q_reconcile_tables",
+    "q_retrieval_eval",
 ]
 
 
