@@ -332,3 +332,57 @@ def stream_heavy_hitters_monitor(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_quality_monitor(
+    stream: DataFrame,
+    expectations: list,
+    out_path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Continuous data-quality gate: every micro-batch runs the SAME
+    declarative expectation suite as the batch gate
+    (``operators/expectations.py::expectations_report`` — one
+    groupBy-less agg per batch) and lands one report row per
+    expectation, keyed by batch_id, via dynamic partition overwrite —
+    so a replayed batch (foreachBatch is at-least-once) REWRITES its
+    own partition instead of appending a duplicate: idempotent by
+    construction.  This is the streaming leg of the expectations
+    family: declare the contract once, gate both the backfill and the
+    live ingest with it, and alert on ``passed = 0`` rows in the
+    report stream.
+
+    Cross-batch semantics: every row-local kind (not_null /
+    accepted_values / between / regex / expr) is additive — summing
+    ``n_violations`` over batch_ids equals the batch-mode count over
+    the union.  ``unique`` is the exception: per-batch surplus counts
+    only see WITHIN-batch duplicates, so their sum lower-bounds the
+    global count (a key repeated once per batch looks clean).  For a
+    global uniqueness gate keep a key index as state (the
+    ``stream_dedup_into_corpus`` shape) or run the batch report.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.expectations import expectations_report
+
+    def report_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        report = expectations_report(batch_df, expectations).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        (
+            report.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(report_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -353,3 +353,79 @@ def test_minhash_bucket_index_stream_equals_batch_twin(spark):
         assert n_hit_docs >= 3
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_quality_monitor_matches_batch_and_sums(spark, tmp_path):
+    """Per-batch expectation reports equal the batch-mode report on the
+    same slice; additive kinds sum to the batch-mode count over the
+    union; within-batch unique violations are caught."""
+    from scrappy_spark.operators.expectations import (
+        expect_between,
+        expect_not_null,
+        expect_unique,
+        expectations_report,
+    )
+    from scrappy_spark.streaming.sinks import stream_quality_monitor
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    b1 = spark.createDataFrame(
+        [(1, 10), (2, None), (2, 500)], "k int, v int"
+    )  # one null v, one within-batch dup k, one out-of-range v
+    b2 = spark.createDataFrame(
+        [(1, 20), (3, 30)], "k int, v int"
+    )  # k=1 repeats ACROSS batches only
+    checks = [
+        expect_not_null("v"),
+        expect_unique("k"),
+        expect_between("v", 0, 100),
+    ]
+    b1.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_quality_monitor(stream, checks, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 6  # 2 batches x 3 expectations
+    per_batch = {
+        (r["batch_id"], r["expectation"]): r["n_violations"]
+        for r in got.collect()
+    }
+    batch_ids = sorted({b for b, _ in per_batch})
+    # identify which batch_id carried b1 (the 3-row one)
+    rows_by_batch = {
+        r["batch_id"]: r["n_rows"]
+        for r in got.filter(F.col("kind") == "not_null").collect()
+    }
+    id1 = next(b for b in batch_ids if rows_by_batch[b] == 3)
+    id2 = next(b for b in batch_ids if rows_by_batch[b] == 2)
+
+    # each batch report equals batch-mode expectations_report
+    for bid, frame in ((id1, b1), (id2, b2)):
+        expect = {
+            r["expectation"]: r["n_violations"]
+            for r in expectations_report(frame, checks).collect()
+        }
+        for name, n in expect.items():
+            assert per_batch[(bid, name)] == n
+    # additive kinds sum to the union's batch-mode count
+    union = b1.unionByName(b2)
+    union_rep = {
+        r["expectation"]: r["n_violations"]
+        for r in expectations_report(union, checks).collect()
+    }
+    for name in ("v_not_null", "v_between"):
+        assert (
+            per_batch[(id1, name)] + per_batch[(id2, name)]
+            == union_rep[name]
+        )
+    # unique: within-batch dup caught in b1; the cross-batch repeat of
+    # k=1 is invisible per batch (documented lower bound)
+    assert per_batch[(id1, "k_unique")] == 1
+    assert per_batch[(id2, "k_unique")] == 0
+    assert union_rep["k_unique"] == 2
