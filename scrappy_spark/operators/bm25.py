@@ -60,8 +60,21 @@ def bm25_retrieve(
     scoring documented in the module docstring; ``score`` is the float
     convenience view (micro ÷ 10⁶).
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term")
+    from .mining import ensure_parallelism
+
+    # explode_OUTER + explicit null filter: plain explode would infer a
+    # size/isnotnull filter on the token array and push it below the
+    # repartition exchange, re-tokenizing every doc inside the serial
+    # scan task (see retrieval.py::char_ngram_topk for the full note).
+    # The isnotnull(term) filter references the GENERATED column, so it
+    # cannot be pushed below the Generate.
+    toks = (
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode_outer(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term").isNotNull())
     )
     postings = toks.groupBy(id_col, "term").agg(
         F.count("*").cast("long").alias("tf")

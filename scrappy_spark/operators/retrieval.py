@@ -40,10 +40,17 @@ RRF_K = 60  # the SIGIR-2009 default damping constant
 _MICRO = 1_000_000
 
 
-def char_ngrams_col(text, n: int = 3):
+def char_ngrams_col(text, n: int = 3, already_lower: bool = False):
     """Distinct lowercase character n-grams of ``text`` (empty array
-    when the text is shorter than ``n``)."""
-    lower = F.lower(text)
+    when the text is shorter than ``n``).
+
+    Pass ``already_lower=True`` when ``text`` is a pre-lowered COLUMN
+    REFERENCE: the lambda below evaluates its input expression per
+    array element, so an inline ``lower(...)`` would re-lowercase the
+    whole text once per position — hoist it into a projection first
+    (``char_ngram_topk`` does).
+    """
+    lower = text if already_lower else F.lower(text)
     length = F.length(lower)
     return F.when(
         length >= n,
@@ -75,14 +82,33 @@ def char_ngram_topk(
     1-based by (score_ppm DESC, doc_id ASC); only docs sharing ≥1 gram
     with the query are candidates.
     """
-    doc_grams = docs.select(
-        F.col(id_col), char_ngrams_col(F.col(text_col), n).alias("__g")
+    from .mining import ensure_parallelism
+
+    # one gram computation per doc (the n-gram transform is the CPU
+    # hot spot — size and explode both read the same projected array),
+    # parallelized explicitly: a single-row-group scan would otherwise
+    # serialize the whole stage on one core (see ensure_parallelism)
+    doc_grams = (
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.lower(F.col(text_col)).alias("__lt"))
+        .select(
+            F.col(id_col),
+            char_ngrams_col(F.col("__lt"), n, already_lower=True).alias(
+                "__g"
+            ),
+        )
     )
-    doc_sizes = doc_grams.select(
-        id_col, F.size("__g").cast("long").alias("__dn")
-    )
+    # explode_OUTER on purpose: plain explode makes the optimizer infer
+    # a `size(__g) > 0 AND isnotnull(__g)` filter and push it BELOW the
+    # repartition exchange, re-evaluating the whole gram transform
+    # (twice) inside the serial scan task — exactly the stage the
+    # repartition exists to parallelize. explode_outer infers no
+    # filter; the empty-array docs surface as one null-gram row each
+    # and drop in the equi-join below (null keys never match).
     index = doc_grams.select(
-        F.col(id_col), F.explode("__g").alias("gram")
+        F.col(id_col),
+        F.size("__g").cast("long").alias("__dn"),
+        F.explode_outer("__g").alias("gram"),
     )
     if max_df_frac is not None:
         n_docs = docs.count()
@@ -103,12 +129,14 @@ def char_ngram_topk(
         F.size("__g").cast("long").alias("__qn"),
         F.explode("__g").alias("gram"),
     )
+    # __dn rides the exploded rows, so no second scan / size join —
+    # the groupBy's map-side combine collapses to (query, doc) pairs
     inter = (
         index.join(F.broadcast(q_side), "gram")
-        .groupBy(query_id_col, id_col, "__qn")
+        .groupBy(query_id_col, id_col, "__qn", "__dn")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
-    scored = inter.join(doc_sizes, id_col).select(
+    scored = inter.select(
         query_id_col,
         id_col,
         "n_shared",

@@ -133,6 +133,11 @@ _RECHECK_PIN = frozenset({
     "q_semdedup",
     # Recomposed on chunking + exact-integer BM25 → full pipeline oracle.
     "q_rag_retrieve",
+    # r6-green, but round 7 changed bm25_retrieve's plan (explode_outer
+    # + ensure_parallelism so the inferred generate-filter can't drag
+    # the tokenize below the repartition exchange) — scores unchanged,
+    # verification re-pinned.
+    "q_bm25_retrieve",
     # r6-green, but round 7 changed the implementation: zero-token-doc
     # guard in the fragment line builder (ADVICE r6 medium), k-core
     # per-round degree materialization + depth assert, and
