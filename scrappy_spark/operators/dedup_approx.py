@@ -486,8 +486,14 @@ def simhash(
     from .mining import ensure_parallelism
 
     toks = tokens_col(F.col(text_col))
-    t = ensure_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(toks).alias("tok")
+    # explode_OUTER + null filter: plain explode infers a guard on the
+    # token array and pushes it below the repartition exchange,
+    # re-tokenizing in the serial scan task (ARCHITECTURE.md,
+    # "Generate-filter pushdown vs ensure_parallelism").
+    t = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode_outer(toks).alias("tok"))
+        .filter(F.col("tok").isNotNull())
     )
     if hash_fn == "md5":
         th = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")

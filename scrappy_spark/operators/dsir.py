@@ -61,12 +61,18 @@ def doc_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return (
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), toks.alias("toks"))
+        # explode_OUTER + null filter on the GENERATED column: plain
+        # explode infers a size/isnotnull guard on the feature array
+        # and pushes it below the repartition exchange, re-running the
+        # n-gram build in the serial scan task (ARCHITECTURE.md,
+        # "Generate-filter pushdown vs ensure_parallelism").
         .select(
             id_col,
-            F.explode(
+            F.explode_outer(
                 F.concat(F.expr(ngrams_expr("toks", 1)), F.expr(ngrams_expr("toks", 2)))
             ).alias("feature"),
         )
+        .filter(F.col("feature").isNotNull())
         .select(id_col, feature_bucket(F.col("feature")).alias("bucket"))
     )
 

@@ -111,8 +111,13 @@ def term_frequencies(
     )
     gram_exprs = ", ".join(ngrams_expr("toks", n) for n in range(lo, hi + 1))
     all_grams = f"concat({gram_exprs})" if hi > lo else gram_exprs
+    # explode_OUTER + null filter: plain explode infers a guard on the
+    # gram concat and pushes it below the ensure_parallelism exchange,
+    # re-tokenizing in the serial scan task (ARCHITECTURE.md,
+    # "Generate-filter pushdown vs ensure_parallelism").
     return (
-        toks.select(F.explode(F.expr(all_grams)).alias("term"))
+        toks.select(F.explode_outer(F.expr(all_grams)).alias("term"))
+        .filter(F.col("term").isNotNull())
         .groupBy("term")
         .agg(F.count("*").alias("freq"))
     )

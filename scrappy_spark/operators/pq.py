@@ -153,9 +153,15 @@ def pq_encode(
     """(id, codes: array<int>) — each vector reduced to m codes."""
     from .mining import ensure_parallelism
 
+    # posexplode_OUTER: the m-entry array is never empty, so no null
+    # rows appear — but plain posexplode would still infer a
+    # size/isnotnull guard over the full m-subvector build and push it
+    # below the repartition exchange into the serial scan task
+    # (ARCHITECTURE.md, "Generate-filter pushdown vs
+    # ensure_parallelism").
     subs = ensure_parallelism(corpus.select(id_col, vec_col)).select(
         id_col,
-        F.posexplode(
+        F.posexplode_outer(
             F.array(*[_subvec(F.col(vec_col), m, dim, j).cast("array<double>") for j in range(m)])
         ).alias("subspace", "__sub"),
     )

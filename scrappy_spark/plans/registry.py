@@ -138,6 +138,12 @@ _RECHECK_PIN = frozenset({
     # the tokenize below the repartition exchange) — scores unchanged,
     # verification re-pinned.
     "q_bm25_retrieve",
+    # Same explode_outer sweep (every generator behind an
+    # ensure_parallelism exchange): term_frequencies, dsir features,
+    # simhash token stream, pq_encode subvectors — results unchanged,
+    # plans changed, verification re-pinned.
+    "q_ngram_topk", "q_token_subset", "q_simhash",
+    "q_dsir_weights", "q_dsir_resample",
     # r6-green, but round 7 changed the implementation: zero-token-doc
     # guard in the fragment line builder (ADVICE r6 medium), k-core
     # per-round degree materialization + depth assert, and
