@@ -24,7 +24,7 @@ rounding boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .mining import tokens_col
 
@@ -350,4 +350,74 @@ def join_advisor(
         )
         .cast("long")
         .alias("salt_factor"),
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    group_cols: list[str],
+    slack: int,
+    threshold: int,
+) -> DataFrame:
+    """Two-sided Page CUSUM change detection per group, in exact
+    integers — the sequential-analysis standard for "did this metric's
+    level shift?" over ordered per-entity streams.
+
+    The textbook recursion ``S⁺_t = max(0, S⁺_{t-1} + (x_t − μ − k))``
+    is not a window function, but its closed form IS:
+    ``S⁺_t = C_t − min(0, min_{j≤t} C_j)`` where ``C`` is the running
+    sum of ``(x − μ − k)`` — so the whole detector is two running sums
+    + two running extrema per group: one partition-ordered window
+    pass, no fold, no UDF, identical shape in SQL.
+
+    Exactness: μ is the group mean, which is not an integer — so
+    everything is scaled by the group size ``n`` (computed by an
+    unbounded window on the same partition, no join):
+    ``d⁺ = n·x − Σx − n·k`` keeps every intermediate a BIGINT and the
+    alarm compare ``S⁺ > n·h`` exact. ``value_col``, ``slack`` (k) and
+    ``threshold`` (h) must already be integers in the same unit.
+
+    Output: every input row with ``seq`` (1-based per group),
+    ``s_pos``/``s_neg`` (n-scaled CUSUM statistics), ``n`` (the
+    scale), and ``alarm_pos``/``alarm_neg`` 0/1 flags. No-reset
+    variant: flags mark every position past a sustained shift; the
+    first flagged seq per group is the change point.
+    """
+    gw = Window.partitionBy(*group_cols)
+    ow = gw.orderBy(*[F.col(c).asc() for c in order_cols])
+    cw = ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x = F.col(value_col).cast("long")
+    n = F.count(F.lit(1)).over(gw).cast("long")
+    s = F.sum(x).over(gw).cast("long")
+    d_pos = n * x - s - n * F.lit(int(slack))
+    d_neg = n * x - s + n * F.lit(int(slack))
+    out = df.select(
+        *group_cols,
+        *order_cols,
+        x.alias("value_int"),
+        F.row_number().over(ow).cast("long").alias("seq"),
+        n.alias("n"),
+        F.sum(d_pos).over(cw).alias("__cp"),
+        F.sum(d_neg).over(cw).alias("__cn"),
+    )
+    cwo = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("seq").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s_pos = F.col("__cp") - F.least(F.min("__cp").over(cwo), F.lit(0))
+    s_neg = F.greatest(F.max("__cn").over(cwo), F.lit(0)) - F.col("__cn")
+    h = F.col("n") * F.lit(int(threshold))
+    return out.select(
+        *group_cols,
+        *order_cols,
+        "value_int",
+        "seq",
+        "n",
+        s_pos.cast("long").alias("s_pos"),
+        s_neg.cast("long").alias("s_neg"),
+        (s_pos > h).cast("long").alias("alarm_pos"),
+        (s_neg > h).cast("long").alias("alarm_neg"),
     )

@@ -258,3 +258,83 @@ def q_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", "hr", "v_cents", "med2", "dev4", "mad8"
     )
+
+
+_CUSUM_K = 1500  # per-step slack, cents
+_CUSUM_H = 15000  # alarm threshold, cents
+
+
+@register(
+    "q_cusum_shift",
+    sql=f"""
+    WITH c AS (SELECT user_id, event_id, ts, {_CENTS} AS v
+               FROM events WHERE value IS NOT NULL),
+    g AS (SELECT user_id, event_id, v,
+                 CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+                 CAST(sum(v) OVER (PARTITION BY user_id) AS BIGINT) AS s,
+                 CAST(row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                      AS BIGINT) AS seq
+          FROM c),
+    cs AS (SELECT user_id, event_id, v, seq, n,
+                  CAST(sum(n * v - s - n * {_CUSUM_K}) OVER w
+                       AS BIGINT) AS cp,
+                  CAST(sum(n * v - s + n * {_CUSUM_K}) OVER w
+                       AS BIGINT) AS cn
+           FROM g
+           WINDOW w AS (PARTITION BY user_id ORDER BY seq
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)),
+    st AS (SELECT user_id, event_id, v, seq, n,
+                  CAST(cp - least(min(cp) OVER w2, 0) AS BIGINT) AS s_pos,
+                  CAST(greatest(max(cn) OVER w2, 0) - cn AS BIGINT)
+                      AS s_neg
+           FROM cs
+           WINDOW w2 AS (PARTITION BY user_id ORDER BY seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW))
+    SELECT user_id, event_id, v AS value_int, seq, n, s_pos, s_neg,
+           CAST(s_pos > n * {_CUSUM_H} AS BIGINT) AS alarm_pos,
+           CAST(s_neg > n * {_CUSUM_H} AS BIGINT) AS alarm_neg
+    FROM st
+    """,
+    doc="Two-sided Page CUSUM level-shift detection per user over the "
+    "events stream (operators/profile.py::cusum_changepoints), "
+    "INTEGER-EXACT end to end: the textbook recursion max(0, S+(x-"
+    "mu-k)) is rewritten to its closed window form S+ = C - min(0, "
+    "running_min(C)) (C = running sum of deviations), the non-integer "
+    "group mean mu is eliminated by scaling every term by the group "
+    "size n (d = n*x - sum - n*k), and the alarm compare S > n*h is "
+    "pure BIGINT. One partition-ordered window pass, no fold, no UDF, "
+    "no join — the same shape the oracle runs. Slack k=1500 cents, "
+    "threshold h=15000 cents; positive AND negative alarms both fire on the "
+    "right-skewed fixture (1000+ and 205- at sf0.01), so every flag branch is hashed.",
+    tags=("timeseries", "quality", "window"),
+)
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import cusum_changepoints
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", F.expr(_CENTS).alias("v_cents"))
+    )
+    out = cusum_changepoints(
+        e,
+        "v_cents",
+        order_cols=["ts", "event_id"],
+        group_cols=["user_id"],
+        slack=_CUSUM_K,
+        threshold=_CUSUM_H,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "value_int",
+        "seq",
+        "n",
+        "s_pos",
+        "s_neg",
+        "alarm_pos",
+        "alarm_neg",
+    )

@@ -164,3 +164,46 @@ def test_retrieval_eval_k_cutoff(spark):
     at5 = retrieval_eval(ranking, qrels, k=5).collect()[0]
     assert at3["n_hits"] == 0 and at3["rr_micro"] == 0
     assert at5["n_hits"] == 1 and at5["rr_micro"] == 1_000_000 // 4
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoints
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    """The window closed form equals the textbook max(0, S + d)
+    recursion, computed here in plain Python on the same integers."""
+    from scrappy_spark.operators.profile import cusum_changepoints
+
+    vals = [10, 12, 9, 11, 30, 32, 31, 29, 33, 8]  # level shift at t=5
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g int, t int, v long")
+    k, h = 2, 20
+    got = {
+        r["seq"]: r.asDict()
+        for r in cusum_changepoints(
+            df, "v", ["t"], ["g"], slack=k, threshold=h
+        ).collect()
+    }
+    n, s = len(vals), sum(vals)
+    sp = sn = 0
+    for i, v in enumerate(vals, start=1):
+        sp = max(0, sp + (n * v - s - n * k))
+        sn = max(0, sn - (n * v - s + n * k))
+        assert got[i]["s_pos"] == sp, (i, got[i]["s_pos"], sp)
+        assert got[i]["s_neg"] == sn, (i, got[i]["s_neg"], sn)
+        assert got[i]["alarm_pos"] == int(sp > n * h)
+        assert got[i]["alarm_neg"] == int(sn > n * h)
+    # the shift IS detected, and before the shift it is not
+    alarms = [i for i in got if got[i]["alarm_pos"]]
+    assert alarms and min(alarms) >= 5
+
+
+def test_cusum_quiet_series_never_alarms(spark):
+    from scrappy_spark.operators.profile import cusum_changepoints
+
+    rows = [(1, i, 100 + (i % 3)) for i in range(20)]
+    df = spark.createDataFrame(rows, "g int, t int, v long")
+    out = cusum_changepoints(df, "v", ["t"], ["g"], slack=5, threshold=50)
+    assert out.filter("alarm_pos = 1 OR alarm_neg = 1").count() == 0
