@@ -72,6 +72,7 @@ PROBES = [
     "q_dup_corpus_profile",
     "q_reconcile_tables",
     "q_retrieval_eval",
+    "q_cusum_shift",
 ]
 
 
