@@ -32,7 +32,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, functions as F
 
-from .operators import curation, textstats, web
+from .operators import curation, expectations, textstats, web
 
 
 def _scrub_pii_stage(
@@ -54,6 +54,44 @@ def _dedup_exact_stage(
     return reps
 
 
+_EXPECT_KINDS = {
+    "not_null": lambda c, a: expectations.expect_not_null(c),
+    "unique": lambda c, a: expectations.expect_unique(c),
+    "accepted_values": lambda c, a: expectations.expect_in(c, a["values"]),
+    "between": lambda c, a: expectations.expect_between(c, a["lo"], a["hi"]),
+    "regex": lambda c, a: expectations.expect_matches(c, a["pattern"]),
+    "expr": lambda c, a: expectations.expect_expr(
+        a.get("name", f"{c}_expr"), a["predicate"], c
+    ),
+}
+
+
+def _expect_stage(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """JSON adapter for the declarative expectations gate (dbt-tests
+    style): ``{"op": "expect", "checks": [{"kind": "not_null",
+    "column": "doc_id"}, {"kind": "between", "column": "n_tokens",
+    "lo": 1, "hi": 100000}, ...]}`` compiles to ONE
+    ``expectations_report`` scan; the stage RETURNS THE REPORT frame
+    (one row per check), so it terminates a pipeline or feeds a
+    ``passed = 0`` job gate."""
+    if not isinstance(checks, list) or not checks:
+        raise ValueError("expect: 'checks' must be a non-empty list")
+    built = []
+    for i, chk in enumerate(checks):
+        if not isinstance(chk, dict) or "kind" not in chk or "column" not in chk:
+            raise ValueError(
+                f"expect: check {i} needs 'kind' and 'column' keys"
+            )
+        kind = chk["kind"]
+        if kind not in _EXPECT_KINDS:
+            raise ValueError(
+                f"expect: check {i} has unknown kind {kind!r}; "
+                f"valid: {sorted(_EXPECT_KINDS)}"
+            )
+        built.append(_EXPECT_KINDS[kind](chk["column"], chk))
+    return expectations.expectations_report(df, built)
+
+
 #: op name -> DataFrame -> DataFrame callable (first param is the frame;
 #: the rest become the stage's JSON-addressable knobs).
 OPS: dict[str, Callable[..., DataFrame]] = {
@@ -66,6 +104,10 @@ OPS: dict[str, Callable[..., DataFrame]] = {
     "length_buckets": curation.length_buckets,
     # dedup
     "dedup_exact": _dedup_exact_stage,
+    "dedup_fragments": curation.dedup_fragments,
+    "exact_substring_dedup": curation.exact_substring_dedup,
+    # quality gate (returns the report frame, not the data frame)
+    "expect": _expect_stage,
     # text cleaning
     "scrub_pii": _scrub_pii_stage,
     "remove_boilerplate": curation.remove_common_fragments,

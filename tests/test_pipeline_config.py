@@ -150,3 +150,56 @@ def test_dedup_exact_stage_in_pipeline(spark):
     out = {r.doc_id: r for r in run(docs).collect()}
     assert set(out) == {2, 9}  # min id kept per text group
     assert out[2].n_words == 3
+
+
+def test_expect_stage_compiles_and_gates(spark):
+    """The dbt-style JSON 'expect' stage compiles to one
+    expectations_report scan and returns the per-check report."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (2, 500)], "k int, v int"
+    )
+    run = compile_pipeline(
+        [
+            {
+                "op": "expect",
+                "checks": [
+                    {"kind": "not_null", "column": "v"},
+                    {"kind": "unique", "column": "k"},
+                    {"kind": "between", "column": "v", "lo": 0, "hi": 100},
+                ],
+            }
+        ]
+    )
+    rep = {r["expectation"]: r.asDict() for r in run(df).collect()}
+    assert rep["v_not_null"]["n_violations"] == 1
+    assert rep["k_unique"]["n_violations"] == 1
+    assert rep["v_between"]["n_violations"] == 1
+    assert all(r["passed"] == 0 for r in rep.values())
+
+
+def test_expect_stage_validation_errors(spark):
+    # compilation touches no data, so check-shape validation fires on
+    # the first run, naming the bad check
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], "x int")
+    with _pytest.raises(ValueError, match="unknown kind"):
+        compile_pipeline(
+            [{"op": "expect", "checks": [{"kind": "nope", "column": "x"}]}]
+        )(df)
+    with _pytest.raises(ValueError, match="non-empty"):
+        compile_pipeline([{"op": "expect", "checks": []}])(df)
+
+
+def test_exact_substring_dedup_stage(spark):
+    # a 40-char NON-self-repeating text duplicated across two docs:
+    # the first occurrence survives intact, the copy is fully covered
+    import string
+
+    txt = (string.ascii_letters + string.digits)[:40]
+    df = spark.createDataFrame(
+        [(0, txt), (1, txt)], "doc_id long, text string"
+    )
+    run = compile_pipeline([{"op": "exact_substring_dedup", "min_len": 30}])
+    out = {r["doc_id"]: r["n_dropped"] for r in run(df).collect()}
+    assert out[0] == 0 and out[1] == 40
