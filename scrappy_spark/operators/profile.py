@@ -421,3 +421,92 @@ def cusum_changepoints(
         (s_pos > h).cast("long").alias("alarm_pos"),
         (s_neg > h).cast("long").alias("alarm_neg"),
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    is_right: "F.Column",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distribution-drift statistic in
+    exact integers — "did this metric's DISTRIBUTION change between
+    cohorts?" where CUSUM asks about its level over time.
+
+    ``D = sup_x |F₁(x) − F₂(x)`` compares empirical CDFs; the
+    fractions disappear by cross-scaling: at every observed value,
+    ``D_scaled = |c₁(x)·n₂ − c₂(x)·n₁|`` with ``cᵢ(x)`` the running
+    ≤x count of sample i — BIGINT-exact, so the supremum and the
+    reported ``d_ppm = max·10⁶ div (n₁·n₂)`` are hash-stable across
+    engines. ``value_col`` must be integer (pre-scale floats).
+
+    Shape: one partial-agg groupBy to per-(group, value, side) counts
+    (shuffle at distinct-value cardinality, never rows), two ordered
+    window cumsums per group, one max. Ties are handled exactly: both
+    CDFs step at the SAME merged value point before the difference is
+    taken. Output per group: ``(group..., n_left, n_right, d_num,
+    d_ppm)`` where ``d_num = max|c₁·n₂ − c₂·n₁|`` (0 when either side
+    is empty — no distribution to compare).
+    """
+    groups = list(group_cols or [])
+    side = F.when(is_right, F.lit(1)).otherwise(F.lit(0))
+    per_val = (
+        df.select(
+            *groups,
+            F.col(value_col).cast("long").alias("__v"),
+            side.alias("__s"),
+        )
+        .groupBy(*groups, "__v")
+        .agg(
+            F.sum(F.when(F.col("__s") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("__cl"),
+            F.sum(F.when(F.col("__s") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("__cr"),
+        )
+    )
+    gw = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    cw = gw.orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_val.select(
+        *groups,
+        F.sum("__cl").over(gw).cast("long").alias("n_left"),
+        F.sum("__cr").over(gw).cast("long").alias("n_right"),
+        F.sum("__cl").over(cw).cast("long").alias("__al"),
+        F.sum("__cr").over(cw).cast("long").alias("__ar"),
+    )
+    d = cum.select(
+        *groups,
+        "n_left",
+        "n_right",
+        (
+            F.col("__al") * F.col("n_right")
+            - F.col("__ar") * F.col("n_left")
+        ).alias("__diff"),
+    )
+    agg = d.groupBy(*groups).agg(
+        F.first("n_left").alias("n_left"),
+        F.first("n_right").alias("n_right"),
+        F.max(F.abs(F.col("__diff"))).cast("long").alias("d_num"),
+    )
+    return agg.select(
+        *groups,
+        "n_left",
+        "n_right",
+        F.when(
+            (F.col("n_left") > 0) & (F.col("n_right") > 0),
+            F.col("d_num"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("d_num"),
+        F.when(
+            (F.col("n_left") > 0) & (F.col("n_right") > 0),
+            F.expr("(d_num * 1000000) div (n_left * n_right)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("d_ppm"),
+    )

@@ -310,3 +310,74 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranking = bm25_retrieve(docs, queries, k=_EV_K)
     return retrieval_eval(ranking, qrels, k=_EV_K)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS distribution drift
+# ---------------------------------------------------------------------------
+
+_KS_SQL = """
+    WITH base AS (SELECT source, CAST(length(text) AS BIGINT) AS v,
+                         CAST(lang <> 'en' AS INT) AS s
+                  FROM documents),
+    pv AS (SELECT source, v,
+                  CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS cl,
+                  CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS cr
+           FROM base GROUP BY source, v),
+    cum AS (SELECT source,
+                   CAST(sum(cl) OVER (PARTITION BY source) AS BIGINT)
+                       AS n_left,
+                   CAST(sum(cr) OVER (PARTITION BY source) AS BIGINT)
+                       AS n_right,
+                   CAST(sum(cl) OVER w AS BIGINT) AS al,
+                   CAST(sum(cr) OVER w AS BIGINT) AS ar
+            FROM pv
+            WINDOW w AS (PARTITION BY source ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+    d AS (SELECT source, n_left, n_right,
+                 CAST(max(abs(al * n_right - ar * n_left)) AS BIGINT)
+                     AS d_num
+          FROM cum GROUP BY source, n_left, n_right)
+    SELECT source, n_left, n_right,
+           CAST(CASE WHEN n_left > 0 AND n_right > 0 THEN d_num
+                ELSE 0 END AS BIGINT) AS d_num,
+           CAST(CASE WHEN n_left > 0 AND n_right > 0
+                THEN (d_num * 1000000) // (n_left * n_right)
+                ELSE 0 END AS BIGINT) AS d_ppm
+    FROM d
+"""
+
+
+@register(
+    "q_ks_drift",
+    sql=_KS_SQL,
+    doc="Two-sample Kolmogorov-Smirnov distribution drift in exact "
+    "integers (operators/profile.py::ks_drift): per source, does the "
+    "English slice's document-length DISTRIBUTION differ from the "
+    "non-English slice's? The CDF fractions are eliminated by "
+    "cross-scaling — at every merged value point D_scaled = "
+    "|c_left*n_right - c_right*n_left|, all BIGINT, so the supremum "
+    "and d_ppm = max*10^6 div (n_left*n_right) hash identically "
+    "across engines (ties step both CDFs at the same point before "
+    "differencing). Shape: one partial-agg groupBy to per-(group, "
+    "value, side) counts — shuffle at distinct-value cardinality, "
+    "never rows — then two window cumsums and a max per group. The "
+    "cross-sample complement of q_cusum_shift's temporal level "
+    "detector.",
+    tags=("audit", "profile", "quality"),
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import ks_drift
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.length("text").alias("text_len"), "lang"
+    )
+    return ks_drift(
+        docs,
+        "text_len",
+        is_right=F.col("lang") != "en",
+        group_cols=["source"],
+    )

@@ -207,3 +207,62 @@ def test_cusum_quiet_series_never_alarms(spark):
     df = spark.createDataFrame(rows, "g int, t int, v long")
     out = cusum_changepoints(df, "v", ["t"], ["g"], slack=5, threshold=50)
     assert out.filter("alarm_pos = 1 OR alarm_neg = 1").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ks_drift
+# ---------------------------------------------------------------------------
+
+
+def test_ks_drift_matches_hand_computation(spark):
+    from pyspark.sql import functions as F
+
+    from scrappy_spark.operators.profile import ks_drift
+
+    left = [1, 2, 2, 3, 9]
+    right = [2, 3, 3, 8]
+    rows = [("g", v, 0) for v in left] + [("g", v, 1) for v in right]
+    df = spark.createDataFrame(rows, "g string, v long, s int")
+    got = ks_drift(
+        df, "v", is_right=F.col("s") == 1, group_cols=["g"]
+    ).collect()[0]
+    n1, n2 = len(left), len(right)
+    points = sorted(set(left + right))
+    d_num = max(
+        abs(
+            sum(1 for x in left if x <= p) * n2
+            - sum(1 for x in right if x <= p) * n1
+        )
+        for p in points
+    )
+    assert got["n_left"] == n1 and got["n_right"] == n2
+    assert got["d_num"] == d_num
+    assert got["d_ppm"] == d_num * 1_000_000 // (n1 * n2)
+    # cross-check against the textbook fraction form
+    d_frac = max(
+        abs(
+            sum(1 for x in left if x <= p) / n1
+            - sum(1 for x in right if x <= p) / n2
+        )
+        for p in points
+    )
+    assert abs(got["d_num"] / (n1 * n2) - d_frac) < 1e-12
+
+
+def test_ks_drift_identical_and_disjoint(spark):
+    from pyspark.sql import functions as F
+
+    from scrappy_spark.operators.profile import ks_drift
+
+    same = [("g", v, s) for v in (1, 2, 3) for s in (0, 1)]
+    got = ks_drift(
+        spark.createDataFrame(same, "g string, v long, s int"),
+        "v", is_right=F.col("s") == 1, group_cols=["g"],
+    ).collect()[0]
+    assert got["d_num"] == 0 and got["d_ppm"] == 0  # identical CDFs
+    apart = [("g", 1, 0), ("g", 2, 0), ("g", 10, 1), ("g", 11, 1)]
+    got2 = ks_drift(
+        spark.createDataFrame(apart, "g string, v long, s int"),
+        "v", is_right=F.col("s") == 1, group_cols=["g"],
+    ).collect()[0]
+    assert got2["d_ppm"] == 1_000_000  # fully separated: D = 1
