@@ -73,6 +73,7 @@ PROBES = [
     "q_reconcile_tables",
     "q_retrieval_eval",
     "q_cusum_shift",
+    "q_ks_drift",
 ]
 
 
