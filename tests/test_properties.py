@@ -234,3 +234,123 @@ def test_incremental_equals_full_minus_base_base(spark, docs):
     }
     expected = {p: m for p, m in full.items() if not (p[0] >= cut and p[1] >= cut)}
     assert inc == expected
+
+
+# ---------------------------------------------------------------------------
+# Round-7 audit operators: reconcile / join advisor / KS / CUSUM
+# ---------------------------------------------------------------------------
+
+_recon_sides = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # key
+        st.sampled_from(["a", "b", None]),  # value
+    ),
+    min_size=0,
+    max_size=7,
+    unique_by=lambda t: t[0],  # primary-key uniqueness per side
+)
+
+
+@given(left=_recon_sides, right=_recon_sides)
+@_SETTINGS
+def test_reconcile_partitions_the_key_space(spark, left, right):
+    """n_only_left + n_both == |left| (and symmetrically), and
+    n_match + n_mismatch == n_both — the scoreboard partitions keys
+    with nothing lost or double-counted; counts match a dict replica."""
+    from scrappy_spark.operators.reconcile import reconcile_report
+
+    ldf = spark.createDataFrame(left or [(99, "a")], "k int, s string")
+    rdf = spark.createDataFrame(right or [(98, "a")], "k int, s string")
+    lrows = dict(left or [(99, "a")])
+    rrows = dict(right or [(98, "a")])
+    rep = reconcile_report(ldf, rdf, ["k"], ["s"]).collect()[0]
+    both = set(lrows) & set(rrows)
+    assert rep["n_only_left"] == len(set(lrows) - set(rrows))
+    assert rep["n_only_right"] == len(set(rrows) - set(lrows))
+    assert rep["n_both"] == len(both)
+    assert rep["n_match"] + rep["n_mismatch"] == rep["n_both"]
+    assert rep["n_match"] == sum(1 for k in both if lrows[k] == rrows[k])
+
+
+_adv_sides = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(left=_adv_sides, right=_adv_sides)
+@_SETTINGS
+def test_join_advisor_cardinality_is_exact(spark, left, right):
+    """est_out_rows equals the true inner-join row count, always."""
+    from scrappy_spark.operators.profile import join_advisor
+
+    ldf = spark.createDataFrame([(v,) for v in left] or [("zz",)], "k string")
+    rdf = spark.createDataFrame([(v,) for v in right] or [("zz",)], "k string")
+    row = join_advisor(ldf, rdf, "k").collect()[0]
+    assert row["est_out_rows"] == ldf.join(rdf, "k").count()
+    assert row["salt_factor"] >= 1
+
+
+_ks_samples = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9), st.booleans()),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(sample=_ks_samples)
+@_SETTINGS
+def test_ks_drift_bounds_and_reference(spark, sample):
+    """0 <= D <= 1 (in ppm), and d_num matches a brute-force ECDF scan;
+    empty sides report 0 by convention."""
+    from scrappy_spark.operators.profile import ks_drift
+
+    df = spark.createDataFrame(
+        [("g", v, int(s)) for v, s in sample], "g string, v long, s int"
+    )
+    got = ks_drift(
+        df, "v", is_right=F.col("s") == 1, group_cols=["g"]
+    ).collect()[0]
+    lvals = [v for v, s in sample if not s]
+    rvals = [v for v, s in sample if s]
+    if not lvals or not rvals:
+        assert got["d_num"] == 0 and got["d_ppm"] == 0
+        return
+    n1, n2 = len(lvals), len(rvals)
+    expect = max(
+        abs(
+            sum(1 for x in lvals if x <= p) * n2
+            - sum(1 for x in rvals if x <= p) * n1
+        )
+        for p in sorted(set(lvals + rvals))
+    )
+    assert got["d_num"] == expect
+    assert 0 <= got["d_ppm"] <= 1_000_000
+
+
+_cusum_series = st.lists(
+    st.integers(min_value=0, max_value=50), min_size=1, max_size=12
+)
+
+
+@given(vals=_cusum_series, k=st.integers(0, 5), h=st.integers(1, 60))
+@_SETTINGS
+def test_cusum_equals_recursion_under_hypothesis(spark, vals, k, h):
+    from scrappy_spark.operators.profile import cusum_changepoints
+
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "g int, t int, v long"
+    )
+    got = {
+        r["seq"]: r
+        for r in cusum_changepoints(
+            df, "v", ["t"], ["g"], slack=k, threshold=h
+        ).collect()
+    }
+    n, s = len(vals), sum(vals)
+    sp = sn = 0
+    for i, v in enumerate(vals, start=1):
+        sp = max(0, sp + (n * v - s - n * k))
+        sn = max(0, sn - (n * v - s + n * k))
+        assert got[i]["s_pos"] == sp and got[i]["s_neg"] == sn
