@@ -275,16 +275,33 @@ def semdedup_audit(
             F.count_distinct("cluster").between(min_clusters, k)
         ).cast("long").alias("clusters_ok")
     )
+    # NULL-proof on purpose: a source id MISSING from sd joins with
+    # kept=NULL, and min() ignores NULLs — without the coalesces the
+    # flag could never flip to 0 for exactly the regression (lost or
+    # invented rows) it exists to catch. Coalesce the per-id verdict
+    # flag to 0 and carry an explicit src-presence marker so sd-only
+    # ids fail too.
     totality_ok = (
-        sd.join(src.select(id_col), id_col, "full_outer")
+        sd.join(
+            src.select(id_col, F.lit(1).alias("__in_src")),
+            id_col,
+            "full_outer",
+        )
         .groupBy(id_col)
         .agg(
             F.count("*").alias("__c"),
-            F.min(F.col("kept").isin(0, 1).cast("long")).alias("__k01"),
+            F.min(
+                F.coalesce(F.col("kept").isin(0, 1).cast("long"), F.lit(0))
+            ).alias("__k01"),
+            F.min(F.coalesce(F.col("__in_src"), F.lit(0))).alias("__src"),
         )
         .agg(
             F.min(
-                ((F.col("__c") == 1) & (F.col("__k01") == 1)).cast("long")
+                (
+                    (F.col("__c") == 1)
+                    & (F.col("__k01") == 1)
+                    & (F.col("__src") == 1)
+                ).cast("long")
             ).alias("totality_ok")
         )
     )

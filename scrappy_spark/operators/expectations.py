@@ -128,22 +128,31 @@ def expectations_report(
         e.violations.alias(f"__v_{i}") for i, e in enumerate(expectations)
     ]
     one = df.agg(*aggs)
-    branches = ", ".join(
-        f"'{e.name}', '{e.kind}', '{e.column}', __v_{i}"
-        for i, e in enumerate(expectations)
-    )
-    stacked = one.selectExpr(
+    # Column-API unpivot (explode of struct literals), NOT a stack()
+    # SQL string: expectation names/columns are caller data (the JSON
+    # pipeline feeds them straight through) and must never be spliced
+    # into parsed SQL text — a quote in a column name would break the
+    # parse or splice an expression into the report.
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(e.name).alias("expectation"),
+                    F.lit(e.kind).alias("kind"),
+                    F.lit(e.column).alias("column"),
+                    F.col(f"__v_{i}").alias("n_violations"),
+                )
+                for i, e in enumerate(expectations)
+            ]
+        )
+    ).alias("__r")
+    return one.select("n_rows", rows).select(
+        F.col("__r.expectation").alias("expectation"),
+        F.col("__r.kind").alias("kind"),
+        F.col("__r.column").alias("column"),
         "n_rows",
-        f"stack({len(expectations)}, {branches}) AS "
-        "(expectation, kind, column, n_violations)",
-    )
-    return stacked.select(
-        "expectation",
-        "kind",
-        "column",
-        "n_rows",
-        "n_violations",
-        (F.col("n_violations") == 0).cast("long").alias("passed"),
+        F.col("__r.n_violations").alias("n_violations"),
+        (F.col("__r.n_violations") == 0).cast("long").alias("passed"),
     )
 
 

@@ -390,4 +390,11 @@ def frame_sample_audit(
                 rows, columns=[id_col, "frame_idx", "frame_ok"]
             )
 
-    return joined.mapInPandas(check, schema=FRAME_AUDIT_SCHEMA)
+    # build the output schema from id_col — the pandas frames above
+    # name their first column id_col, so a hardcoded schema would only
+    # ever work for the default name
+    schema = T.StructType(
+        [T.StructField(id_col, FRAME_AUDIT_SCHEMA[0].dataType)]
+        + list(FRAME_AUDIT_SCHEMA.fields[1:])
+    )
+    return joined.mapInPandas(check, schema=schema)

@@ -449,13 +449,18 @@ def ks_drift(
     is empty — no distribution to compare).
     """
     groups = list(group_cols or [])
-    side = F.when(is_right, F.lit(1)).otherwise(F.lit(0))
+    # a NULL predicate means UNKNOWN cohort: the row belongs to neither
+    # sample (matching SQL's CASE semantics, where a NULL condition
+    # falls through both branches) — an otherwise() default would
+    # silently fold unknowns into the left CDF
+    side = F.when(is_right, F.lit(1)).when(~is_right, F.lit(0))
     per_val = (
         df.select(
             *groups,
             F.col(value_col).cast("long").alias("__v"),
             side.alias("__s"),
         )
+        .filter(F.col("__s").isNotNull())
         .groupBy(*groups, "__v")
         .agg(
             F.sum(F.when(F.col("__s") == 0, 1).otherwise(0))

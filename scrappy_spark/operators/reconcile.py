@@ -78,14 +78,28 @@ def reconcile_report(
         match = F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
         aggs.append(n(in_l & in_r & match).alias(f"__m_{i}"))
     one = j.agg(*aggs)
-    branches = ", ".join(
-        f"'{c}', __m_{i}" for i, c in enumerate(compare_cols)
-    )
-    stacked = one.selectExpr(
+    # Column-API unpivot, not a stack() SQL string — column names are
+    # caller data and must not be spliced into parsed SQL text (see
+    # expectations.py::expectations_report for the full note)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"__m_{i}").alias("n_match"),
+                )
+                for i, c in enumerate(compare_cols)
+            ]
+        )
+    ).alias("__r")
+    stacked = one.select(
+        "n_only_left", "n_only_right", "n_both", rows
+    ).select(
+        F.col("__r.column").alias("column"),
         "n_only_left",
         "n_only_right",
         "n_both",
-        f"stack({len(compare_cols)}, {branches}) AS (column, n_match)",
+        F.col("__r.n_match").alias("n_match"),
     )
     return stacked.select(
         "column",

@@ -66,6 +66,23 @@ _EXPECT_KINDS = {
 }
 
 
+def _validate_expect_checks(checks) -> None:
+    """Shape/kind validation shared by compile_pipeline (compile-time
+    contract) and _expect_stage (direct callers)."""
+    if not isinstance(checks, list) or not checks:
+        raise ValueError("expect: 'checks' must be a non-empty list")
+    for i, chk in enumerate(checks):
+        if not isinstance(chk, dict) or "kind" not in chk or "column" not in chk:
+            raise ValueError(
+                f"expect: check {i} needs 'kind' and 'column' keys"
+            )
+        if chk["kind"] not in _EXPECT_KINDS:
+            raise ValueError(
+                f"expect: check {i} has unknown kind {chk['kind']!r}; "
+                f"valid: {sorted(_EXPECT_KINDS)}"
+            )
+
+
 def _expect_stage(df: DataFrame, checks: list[dict]) -> DataFrame:
     """JSON adapter for the declarative expectations gate (dbt-tests
     style): ``{"op": "expect", "checks": [{"kind": "not_null",
@@ -74,21 +91,10 @@ def _expect_stage(df: DataFrame, checks: list[dict]) -> DataFrame:
     ``expectations_report`` scan; the stage RETURNS THE REPORT frame
     (one row per check), so it terminates a pipeline or feeds a
     ``passed = 0`` job gate."""
-    if not isinstance(checks, list) or not checks:
-        raise ValueError("expect: 'checks' must be a non-empty list")
-    built = []
-    for i, chk in enumerate(checks):
-        if not isinstance(chk, dict) or "kind" not in chk or "column" not in chk:
-            raise ValueError(
-                f"expect: check {i} needs 'kind' and 'column' keys"
-            )
-        kind = chk["kind"]
-        if kind not in _EXPECT_KINDS:
-            raise ValueError(
-                f"expect: check {i} has unknown kind {kind!r}; "
-                f"valid: {sorted(_EXPECT_KINDS)}"
-            )
-        built.append(_EXPECT_KINDS[kind](chk["column"], chk))
+    _validate_expect_checks(checks)
+    built = [
+        _EXPECT_KINDS[chk["kind"]](chk["column"], chk) for chk in checks
+    ]
     return expectations.expectations_report(df, built)
 
 
@@ -157,6 +163,11 @@ def compile_pipeline(spec: dict | list) -> Callable[[DataFrame], DataFrame]:
             raise ValueError(
                 f"stage {i} ({op}): unknown params {unknown}; accepts {accepted}"
             )
+        if op == "expect":
+            # the compile-time promise ("fail naming the stage before
+            # any data moves") extends into the expect payload: check
+            # shape and kinds are validated here, not at first run
+            _validate_expect_checks(kwargs.get("checks"))
         compiled.append((op, fn, kwargs))
 
     def run(df: DataFrame) -> DataFrame:

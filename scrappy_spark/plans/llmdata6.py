@@ -332,30 +332,15 @@ _BPE_MERGES = 20
 _BPE_BATCH = 4
 
 
-# NOT @register-ed (round-7, VERDICT r6 "What's wrong" #2): the batched
-# (batch=4) BPE forms were rows-only registry slots that could never
-# record more than `no_oracle` — strictly weaker than the oracle-green
-# textbook twins (q_bpe_merges_textbook / q_bpe_tokenize_textbook below)
-# plus the pytest equivalence test
+# The batched (batch=4) BPE forms' declared driver slots were retired
+# (round-7, VERDICT r6 "What's wrong" #2): rows-only registry slots
+# that could never record more than `no_oracle` — strictly weaker than
+# the oracle-green textbook twins (q_bpe_merges_textbook /
+# q_bpe_tokenize_textbook below) plus the pytest equivalence test
 # (test_llm_ops3.py::test_bpe_batch1_matches_textbook) that already
-# proves the batched path. The operators and builders stay; only the
-# declared driver slots are retired so the 50-slot correctness prefix
-# is spent on checks that can actually say something.
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    merges, _ = learn_bpe(docs, n_merges=_BPE_MERGES, batch=_BPE_BATCH)
-    return spark.createDataFrame(
-        [(m["merge_idx"], m["left"], m["right"], m["merged"], m["pair_count"]) for m in merges],
-        "merge_idx long, left string, right string, merged string, pair_count long",
-    )
-
-
-# NOT @register-ed — see q_bpe_merges above (same retirement).
-def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    merges, word_pieces = learn_bpe(docs, n_merges=_BPE_MERGES, batch=_BPE_BATCH)
-    enc = encode_bpe(docs.filter(F.col("doc_id") < 50), merges, word_pieces)
-    return enc.select("doc_id", "word_pos", "word", "pieces_str", "n_pieces")
+# proves the batched path through operators/bpe.py. The operators and
+# their tests stay; the uncalled plan wrappers were deleted with the
+# slots (dead code rots).
 
 
 def _bpe_textbook_ctes(n_merges: int) -> str:

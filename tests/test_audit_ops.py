@@ -266,3 +266,48 @@ def test_ks_drift_identical_and_disjoint(spark):
         "v", is_right=F.col("s") == 1, group_cols=["g"],
     ).collect()[0]
     assert got2["d_ppm"] == 1_000_000  # fully separated: D = 1
+
+
+# ---------------------------------------------------------------------------
+# semdedup_audit totality blind spot (round-7 review fix)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_audit_totality_catches_lost_and_invented_ids(
+    spark, monkeypatch
+):
+    """A regressed semdedup that LOSES an input id (or invents one)
+    must flip totality_ok to 0 — before the fix the full-outer join's
+    NULL kept flag was silently ignored by min() and the flag could
+    never fire."""
+    from pyspark.sql import functions as F
+
+    from scrappy_spark.operators import ann_audit
+    from scrappy_spark.operators.similarity import semdedup as real_semdedup
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0] + [0.0] * 7) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def lossy_semdedup(df, **kw):
+        return real_semdedup(df, **kw).filter(F.col("vec_id") != 3)
+
+    import scrappy_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "semdedup", lossy_semdedup)
+    row = ann_audit.semdedup_audit(vecs, k=2, min_clusters=1).collect()[0]
+    assert row["totality_ok"] == 0  # lost id 3 must be caught
+
+    def inventing_semdedup(df, **kw):
+        sd = real_semdedup(df, **kw)
+        extra = sd.limit(1).withColumn("vec_id", F.lit(999).cast("long"))
+        return sd.unionByName(extra)
+
+    monkeypatch.setattr(sim, "semdedup", inventing_semdedup)
+    row = ann_audit.semdedup_audit(vecs, k=2, min_clusters=1).collect()[0]
+    assert row["totality_ok"] == 0  # invented id 999 must be caught
+
+    monkeypatch.undo()
+    row = ann_audit.semdedup_audit(vecs, k=2, min_clusters=1).collect()[0]
+    assert row["totality_ok"] == 1  # honest semdedup still passes

@@ -157,3 +157,18 @@ def test_build_taxonomy_end_to_end(spark):
     n_topics = out.select("Topic").distinct().count()
     assert 1 <= n_topics <= 4
     assert out.filter(F.size("topic_keywords") == 0).count() == 0
+
+
+def test_embeddings_zero_vector_iff_token_free(spark):
+    """The encoder leaves a zero vector EXACTLY for texts with no
+    alphanumeric tokens — the sharp invariant behind q_embed_vectors'
+    norm-in-{0,1} audit flag (the driver gate accepts both values;
+    this test pins which texts may produce which)."""
+    df = spark.createDataFrame(
+        [(0, "real words here"), (1, "!!! ... ---"), (2, ""), (3, "x")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["embedding"] for r in embed_texts(df).collect()}
+    norms = {k: sum(v * v for v in vec) ** 0.5 for k, vec in out.items()}
+    assert abs(norms[0] - 1.0) < 1e-6 and abs(norms[3] - 1.0) < 1e-6
+    assert norms[1] == 0.0 and norms[2] == 0.0  # token-free -> zero

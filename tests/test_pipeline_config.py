@@ -178,17 +178,18 @@ def test_expect_stage_compiles_and_gates(spark):
 
 
 def test_expect_stage_validation_errors(spark):
-    # compilation touches no data, so check-shape validation fires on
-    # the first run, naming the bad check
+    # check-shape validation is COMPILE-time, like every other stage
+    # param — the bad check is named before any data moves
     import pytest as _pytest
 
-    df = spark.createDataFrame([(1,)], "x int")
     with _pytest.raises(ValueError, match="unknown kind"):
         compile_pipeline(
             [{"op": "expect", "checks": [{"kind": "nope", "column": "x"}]}]
-        )(df)
+        )
     with _pytest.raises(ValueError, match="non-empty"):
-        compile_pipeline([{"op": "expect", "checks": []}])(df)
+        compile_pipeline([{"op": "expect", "checks": []}])
+    with _pytest.raises(ValueError, match="'kind' and 'column'"):
+        compile_pipeline([{"op": "expect", "checks": [{"column": "x"}]}])
 
 
 def test_exact_substring_dedup_stage(spark):
