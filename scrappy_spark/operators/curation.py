@@ -807,6 +807,59 @@ def span_corrupt(
 # Cross-document exact-substring dedup (ExactSubstr, suffix-array family)
 # --------------------------------------------------------------------------
 
+#: position-key base for the ExactSubstr family: key = doc_id·BASE + pos
+#: (lexicographic (doc, pos); positions are bounded far below BASE).
+#: Shared by the dedup, provenance, and duplication-profile paths AND
+#: mirrored verbatim in their DuckDB oracles
+#: (plans/llmdata11.py::exact_substring_gram_ctes).
+XS_POS_BASE = 1_000_000
+
+
+def _lgram_stage(docs, L, id_col, text_col):
+    """Shared ExactSubstr gram stage: one row per L-char window as
+    ``(id, q, gram, __key)`` plus the keep-first per-gram minima
+    ``(gram, __first)``.
+
+    - parallelism pinned with an explicit numbered repartition (AQE's
+      byte-based coalescing would serialize the ~L×-CPU md5 stage on
+      the few post-collapse megabytes — ARCHITECTURE.md);
+    - explode_OUTER + null filter on the generated position so the
+      optimizer's inferred generate-guard cannot drag the O(n)
+      sequence build below the exchange (the generate-filter pushdown
+      lesson, ARCHITECTURE.md);
+    - ``__key = id·XS_POS_BASE + q`` — corpus order as one BIGINT so
+      keep-first is a partial-agg ``min`` (map-side combine absorbs
+      boilerplate-hot grams).
+    """
+    n = F.length(F.col(text_col))
+    n_shuffle = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    g = (
+        docs.repartition(n_shuffle, F.col(id_col))
+        .select(
+            id_col,
+            F.explode_outer(
+                F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("q"),
+            F.col(text_col),
+        )
+        .filter(F.col("q").isNotNull())
+        .select(
+            id_col,
+            "q",
+            F.md5(F.col(text_col).substr(F.col("q"), F.lit(L))).alias(
+                "gram"
+            ),
+            (F.col(id_col) * XS_POS_BASE + F.col("q")).alias("__key"),
+        )
+    )
+    firsts = g.groupBy("gram").agg(F.min("__key").alias("__first"))
+    return g, firsts
+
+
 def exact_substring_dedup(
     docs: DataFrame,
     min_len: int = 30,
@@ -864,36 +917,13 @@ def exact_substring_dedup(
     reps = keyed.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
     copies = keyed.filter(F.col(id_col) != F.col("__rep")).drop("__rep")
 
-    # The gram stage expands every text ~L× in CPU (one md5 per char
-    # position), so its task count must be decoupled from the input
-    # file count AND from AQE's byte-based coalescing (which sees a
-    # few MB of text and packs the post-collapse exchange into one
-    # partition, serializing the whole hash stage). An explicit
-    # numbered repartition is exempt from AQE coalescing; it moves
-    # only unique-text bytes (already collapsed).
-    n_shuffle = int(
-        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    reps = reps.repartition(n_shuffle, F.col(id_col))
-
-    # 1. L-gram hashes at every start position (guarded sequence: a doc
-    #    shorter than L has NO windows — Spark's sequence(1, 0) would
-    #    fabricate [1, 0], the descending-default trap)
-    g = reps.select(
-        id_col,
-        F.explode(
-            F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
-                F.array().cast("array<int>")
-            )
-        ).alias("q"),
-        F.col(text_col),
-    ).select(
-        id_col,
-        "q",
-        F.md5(F.col(text_col).substr(F.col("q"), F.lit(L))).alias("gram"),
-        (F.col(id_col) * 1000000 + F.col("q")).alias("__key"),
-    )
-    firsts = g.groupBy("gram").agg(F.min("__key").alias("__first"))
+    # 1. the shared gram stage (_lgram_stage): parallelism-pinned
+    #    L-gram hashes at every start position (guarded sequence — a
+    #    doc shorter than L has NO windows; Spark's sequence(1, 0)
+    #    would fabricate [1, 0], the descending-default trap) + the
+    #    keep-first per-gram minima. It moves only unique-text bytes
+    #    (already collapsed above).
+    g, firsts = _lgram_stage(reps, L, id_col, text_col)
     dup = (
         g.join(firsts, "gram")
         .filter(F.col("__key") > F.col("__first"))
@@ -992,35 +1022,15 @@ def exact_substring_provenance(
     per-doc argmax struct — no pairwise stage anywhere.
     """
     L = int(min_len)
-    n = F.length(F.col(text_col))
-    n_shuffle = int(
-        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    g = (
-        docs.repartition(n_shuffle, F.col(id_col))
-        .select(
-            id_col,
-            F.explode(
-                F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
-                    F.array().cast("array<int>")
-                )
-            ).alias("q"),
-            F.col(text_col),
-        )
-        .select(
-            id_col,
-            "q",
-            F.md5(F.col(text_col).substr(F.col("q"), F.lit(L))).alias("gram"),
-            (F.col(id_col) * 1000000 + F.col("q")).alias("__key"),
-        )
-    )
-    firsts = g.groupBy("gram").agg(F.min("__key").alias("__first"))
+    g, firsts = _lgram_stage(docs, L, id_col, text_col)
     per_source = (
         g.join(firsts, "gram")
         .filter(F.col("__key") > F.col("__first"))
         .select(
             id_col,
-            F.expr("__first div 1000000").cast("long").alias("source_doc"),
+            F.expr(f"__first div {XS_POS_BASE}")
+            .cast("long")
+            .alias("source_doc"),
         )
         .groupBy(id_col, "source_doc")
         .agg(F.count("*").cast("long").alias("n_windows"))

@@ -16,6 +16,36 @@ from .registry import register
 
 _XS_L = 30  # minimum duplicated-substring length, chars
 
+
+def exact_substring_gram_ctes(L: int) -> str:
+    """Shared DuckDB CTE fragment for the ExactSubstr oracle family —
+    ``g`` (one row per L-char window with its md5 gram) and ``f`` (the
+    keep-first per-gram key minima) over a caller-declared ``d`` CTE
+    carrying at least ``(doc_id, text, n = length(text))``.
+
+    Mirrors ``operators/curation.py::_lgram_stage`` exactly, including
+    the ``doc_id·10⁶ + pos`` key encoding (``curation.XS_POS_BASE``).
+    Used by the dedup and provenance oracles here and the
+    duplication-profile oracle (plans/llmdata12.py) so all three gates
+    pin the SAME gram semantics — edit it in one place or the dedup
+    path, the lineage path, and their oracles silently disagree.
+    """
+    return f"""g AS (SELECT doc_id, CAST(u.q AS INT) AS q,
+                 md5(substr(text, CAST(u.q AS INT), {L})) AS gram
+          FROM d, unnest(generate_series(1, n - {L} + 1)) AS u(q)
+          WHERE n >= {L}),
+    f AS (SELECT gram,
+                 CAST(min(doc_id * 1000000 + q) AS BIGINT) AS first_key
+          FROM g GROUP BY gram)"""
+
+
+def exact_substring_dup_cte() -> str:
+    """The dropped-window positions CTE over ``g``/``f`` — every
+    occurrence whose key exceeds its gram's corpus-first key."""
+    return """dup AS (SELECT g.doc_id, g.q FROM g JOIN f USING (gram)
+            WHERE g.doc_id * 1000000 + g.q > f.first_key)"""
+
+
 # Oracle: the same keep-first L-gram coverage rule computed WITHOUT the
 # engine's collapse-first/interval-merge machinery — per-character
 # coverage through a running window max, then a per-char string_agg
@@ -26,15 +56,8 @@ _XS_L = 30  # minimum duplicated-substring length, chars
 # lexicographic-(doc, pos) encoding (positions ≪ 10⁶).
 _XS_SQL = f"""
     WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-    g AS (SELECT doc_id, CAST(u.q AS INT) AS q,
-                 md5(substr(text, CAST(u.q AS INT), {_XS_L})) AS gram
-          FROM d, unnest(generate_series(1, n - {_XS_L} + 1)) AS u(q)
-          WHERE n >= {_XS_L}),
-    f AS (SELECT gram,
-                 CAST(min(doc_id * 1000000 + q) AS BIGINT) AS first_key
-          FROM g GROUP BY gram),
-    dup AS (SELECT g.doc_id, g.q FROM g JOIN f USING (gram)
-            WHERE g.doc_id * 1000000 + g.q > f.first_key),
+    {exact_substring_gram_ctes(_XS_L)},
+    {exact_substring_dup_cte()},
     ch AS (SELECT doc_id, CAST(u.p AS INT) AS p,
                   substr(text, CAST(u.p AS INT), 1) AS c
            FROM d, unnest(generate_series(1, n)) AS u(p)),
@@ -133,13 +156,7 @@ def q_minhash_bucket_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_substring_provenance",
     sql=f"""
     WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-    g AS (SELECT doc_id, CAST(u.q AS INT) AS q,
-                 md5(substr(text, CAST(u.q AS INT), {_XS_L})) AS gram
-          FROM d, unnest(generate_series(1, n - {_XS_L} + 1)) AS u(q)
-          WHERE n >= {_XS_L}),
-    f AS (SELECT gram,
-                 CAST(min(doc_id * 1000000 + q) AS BIGINT) AS first_key
-          FROM g GROUP BY gram),
+    {exact_substring_gram_ctes(_XS_L)},
     cnt AS (SELECT g.doc_id,
                    CAST(f.first_key // 1000000 AS BIGINT) AS source_doc,
                    CAST(count(*) AS BIGINT) AS n_windows

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import load_table
 from .llmdata6 import _toks_of
+from .llmdata11 import exact_substring_dup_cte, exact_substring_gram_ctes
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -266,15 +267,8 @@ _DP_L = 30  # same ExactSubstr window as q_exact_substring_dedup
 _DP_SQL = f"""
     WITH d AS (SELECT doc_id, text, lang, source,
                       length(text) AS n FROM documents),
-    g AS (SELECT doc_id, CAST(u.q AS INT) AS q,
-                 md5(substr(text, CAST(u.q AS INT), {_DP_L})) AS gram
-          FROM d, unnest(generate_series(1, n - {_DP_L} + 1)) AS u(q)
-          WHERE n >= {_DP_L}),
-    f AS (SELECT gram,
-                 CAST(min(doc_id * 1000000 + q) AS BIGINT) AS first_key
-          FROM g GROUP BY gram),
-    dup AS (SELECT g.doc_id, g.q FROM g JOIN f USING (gram)
-            WHERE g.doc_id * 1000000 + g.q > f.first_key),
+    {exact_substring_gram_ctes(_DP_L)},
+    {exact_substring_dup_cte()},
     ch AS (SELECT doc_id, CAST(u.p AS INT) AS p
            FROM d, unnest(generate_series(1, n)) AS u(p)),
     ev AS (SELECT doc_id, q AS pos, 1 AS is_dup FROM dup
