@@ -808,9 +808,14 @@ def span_corrupt(
 # --------------------------------------------------------------------------
 
 #: position-key base for the ExactSubstr family: key = doc_id·BASE + pos
-#: (lexicographic (doc, pos); positions are bounded far below BASE).
+#: (lexicographic (doc, pos)). The bound is ENFORCED, not assumed:
+#: ``_lgram_stage`` raises on any document of length ≥ BASE, because a
+#: longer document's positions would spill into the next doc_id's key
+#: range and silently corrupt keep-first ordering, n_dropped, and the
+#: provenance decode ``__first div BASE`` (VERDICT r7 #1 / ADVICE r7
+#: medium). Oversized docs must go through ``chunk_documents`` first.
 #: Shared by the dedup, provenance, and duplication-profile paths AND
-#: mirrored verbatim in their DuckDB oracles
+#: mirrored verbatim — guard included — in their DuckDB oracles
 #: (plans/llmdata11.py::exact_substring_gram_ctes).
 XS_POS_BASE = 1_000_000
 
@@ -829,20 +834,39 @@ def _lgram_stage(docs, L, id_col, text_col):
       lesson, ARCHITECTURE.md);
     - ``__key = id·XS_POS_BASE + q`` — corpus order as one BIGINT so
       keep-first is a partial-agg ``min`` (map-side combine absorbs
-      boilerplate-hot grams).
+      boilerplate-hot grams);
+    - HARD length guard: any document of length ≥ ``XS_POS_BASE``
+      fails the job with ``raise_error`` rather than silently packing
+      its positions into the next doc_id's key range (which would
+      corrupt keep-first order and provenance attribution). Books and
+      concatenated logs ARE longer than 1M chars at web scale — route
+      them through ``chunk_documents`` before this family.
     """
     n = F.length(F.col(text_col))
     n_shuffle = int(
         docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    overflow = F.raise_error(
+        F.concat(
+            F.lit("exact_substring: document "),
+            F.col(id_col).cast("string"),
+            F.lit(" has length "),
+            n.cast("string"),
+            F.lit(
+                f" >= XS_POS_BASE ({XS_POS_BASE}); the (doc, pos) key"
+                " packing would interleave across doc_ids — split"
+                " oversized docs with chunk_documents first"
+            ),
+        )
     )
     g = (
         docs.repartition(n_shuffle, F.col(id_col))
         .select(
             id_col,
             F.explode_outer(
-                F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
-                    F.array().cast("array<int>")
-                )
+                F.when(n >= XS_POS_BASE, overflow.cast("array<int>"))
+                .when(n >= L, F.sequence(F.lit(1), n - L + 1))
+                .otherwise(F.array().cast("array<int>"))
             ).alias("q"),
             F.col(text_col),
         )
@@ -1052,4 +1076,98 @@ def exact_substring_provenance(
             (-F.col("__top.neg_src")).cast("long").alias("top_source_doc"),
             F.col("__top.n").alias("top_source_windows"),
         )
+    )
+
+
+def exact_substring_provenance_sampled(
+    docs: DataFrame,
+    min_len: int = 30,
+    rate: float = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "xsprov",
+) -> DataFrame:
+    """Sampled lineage audit (VERDICT r7 #7): the full provenance
+    report's output grows with duplicate OCCURRENCES (~10× rows on a
+    10× dup-heavy corpus — the 2.2× probe slope), so at 100 TB the
+    audit keeps a deterministic ``rate`` sample of dup occurrences for
+    attribution while the HEADLINE COUNT stays exact via a separate
+    per-doc aggregate over the full occurrence set.
+
+    Sampling key: the occurrence itself — md5-bucket of
+    ``salt|doc_id|q`` under :func:`sample_threshold`, so the kept set
+    is stable under retries/reordering and bit-identical in any engine
+    with md5 (the :func:`hash_sample` contract, applied at occurrence
+    rather than row grain).
+
+    Output per doc with ≥ 1 duplicated window: ``n_dup_windows``
+    (EXACT), ``n_sampled_windows``, and the top source doc by sampled
+    share (``top_source_doc`` NULL / ``top_source_windows`` 0 when the
+    sample caught none of the doc's occurrences — honest absence, not
+    a fabricated attribution).
+
+    Scale shape: both aggregates ride the same linear gram stage; the
+    per-(doc, source) pair stage — the output-growth term — now sees
+    only ``rate`` of the occurrences.
+    """
+    L = int(min_len)
+    g, firsts = _lgram_stage(docs, L, id_col, text_col)
+    dup = (
+        g.join(firsts, "gram")
+        .filter(F.col("__key") > F.col("__first"))
+        .select(
+            id_col,
+            "q",
+            F.expr(f"__first div {XS_POS_BASE}")
+            .cast("long")
+            .alias("source_doc"),
+        )
+    )
+    totals = dup.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_dup_windows")
+    )
+    occ_bucket = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(salt),
+                F.col(id_col).cast("string"),
+                F.col("q").cast("string"),
+            )
+        ),
+        1,
+        4,
+    )
+    kept = dup.filter(occ_bucket < F.lit(sample_threshold(rate)))
+    per_source = kept.groupBy(id_col, "source_doc").agg(
+        F.count("*").cast("long").alias("n_windows")
+    )
+    top = (
+        per_source.groupBy(id_col)
+        .agg(
+            F.sum("n_windows").cast("long").alias("n_sampled_windows"),
+            F.max(
+                F.struct(
+                    F.col("n_windows").alias("n"),
+                    (-F.col("source_doc")).alias("neg_src"),
+                )
+            ).alias("__top"),
+        )
+        .select(
+            id_col,
+            "n_sampled_windows",
+            (-F.col("__top.neg_src")).cast("long").alias("top_source_doc"),
+            F.col("__top.n").alias("top_source_windows"),
+        )
+    )
+    return totals.join(top, id_col, "left").select(
+        id_col,
+        "n_dup_windows",
+        F.coalesce("n_sampled_windows", F.lit(0)).cast("long").alias(
+            "n_sampled_windows"
+        ),
+        F.col("top_source_doc").cast("long").alias("top_source_doc"),
+        F.coalesce("top_source_windows", F.lit(0)).cast("long").alias(
+            "top_source_windows"
+        ),
     )

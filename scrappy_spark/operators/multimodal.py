@@ -263,7 +263,10 @@ def attach_synthetic_video(
         for pdf in batches:
             rows = []
             for i, text in zip(pdf[id_col], pdf[text_col]):
-                data = text.encode("utf-8") or b" "
+                # NULL text -> one blank frame, same as empty text (the
+                # audit side coalesces identically, so its verdict stays
+                # a comparison, never an AttributeError — ADVICE r7)
+                data = (text or "").encode("utf-8") or b" "
                 n_frames = (len(data) + fsize - 1) // fsize
                 data = data.ljust(n_frames * fsize, b" ")
                 frames = [
@@ -379,7 +382,10 @@ def frame_sample_audit(
             for i, k, fb, text in zip(
                 pdf[id_col], pdf["frame_idx"], pdf["frame_bytes"], pdf[text_col]
             ):
-                data = text.encode("utf-8") or b" "
+                # a NULL text must surface as frame_ok=0 (expected
+                # bytes can't match), never crash the audit task with
+                # AttributeError (ADVICE r7)
+                data = (text or "").encode("utf-8") or b" "
                 n_frames = (len(data) + fsize - 1) // fsize
                 data = data.ljust(n_frames * fsize, b" ")
                 expect = data[int(k) * fsize : (int(k) + 1) * fsize]

@@ -384,6 +384,14 @@ def cusum_changepoints(
     scale), and ``alarm_pos``/``alarm_neg`` 0/1 flags. No-reset
     variant: flags mark every position past a sustained shift; the
     first flagged seq per group is the change point.
+
+    Overflow bound (ADVICE r7): the n-scaled running sums reach up to
+    ``n² · (2·max|x| + k)`` — a BIGINT holds that for n ≈ 10⁷ rows of
+    cent-scale values but silently wraps past it on non-ANSI sessions,
+    so the operator RAISES when a group's bound nears 2⁶³ instead of
+    emitting wrapped statistics. Groups that big should be
+    pre-aggregated (e.g. per-minute means) before change detection —
+    CUSUM on 10⁸ raw points is noise-chasing, not monitoring.
     """
     gw = Window.partitionBy(*group_cols)
     ow = gw.orderBy(*[F.col(c).asc() for c in order_cols])
@@ -393,12 +401,34 @@ def cusum_changepoints(
     s = F.sum(x).over(gw).cast("long")
     d_pos = n * x - s - n * F.lit(int(slack))
     d_neg = n * x - s + n * F.lit(int(slack))
+    # guard in double with margin (exactness is irrelevant for the
+    # guard itself; 4e18 < 2^62 leaves a 2x cushion under BIGINT max):
+    # each |d| <= n·(2·max|x| + k), summed over <= n rows.
+    nd = n.cast("double")
+    bound = nd * nd * (
+        2.0 * F.max(F.abs(x)).over(gw).cast("double")
+        + float(int(slack)) + 1.0
+    )
+    n_guarded = F.when(
+        bound > 4.0e18,
+        F.raise_error(
+            F.concat(
+                F.lit("cusum_changepoints: group of "),
+                n.cast("string"),
+                F.lit(
+                    " rows exceeds the BIGINT-exact bound for n-scaled"
+                    " CUSUM (n^2 * (2*max|x| + slack) near 2^63);"
+                    " pre-aggregate the series before change detection"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(n)
     out = df.select(
         *group_cols,
         *order_cols,
         x.alias("value_int"),
         F.row_number().over(ow).cast("long").alias("seq"),
-        n.alias("n"),
+        n_guarded.alias("n"),
         F.sum(d_pos).over(cw).alias("__cp"),
         F.sum(d_neg).over(cw).alias("__cn"),
     )

@@ -111,12 +111,24 @@ def char_ngram_topk(
         F.explode_outer("__g").alias("gram"),
     )
     if max_df_frac is not None:
-        n_docs = docs.count()
-        cap = int(max_df_frac * n_docs)
+        # materialize the CPU-hot gram explode ONCE (lazily, at first
+        # use) — it feeds both the document-frequency aggregation and
+        # the intersection join below; without the checkpoint the
+        # whole gram subtree would recompute per consumer (ADVICE r7).
+        index = index.localCheckpoint(eager=False)
+        # n_docs derived INSIDE the plan (one-row broadcast side), not
+        # via an eager docs.count() action at plan-construction time:
+        # declared queries must stay lazy until the driver executes
+        # them, and the count would otherwise scan the corpus twice.
+        n_docs_df = docs.agg(F.count("*").alias("__nd"))
         hot = (
             index.groupBy("gram")
             .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > cap)
+            .join(F.broadcast(n_docs_df))
+            .filter(
+                F.col("__df").cast("double")
+                > F.lit(float(max_df_frac)) * F.col("__nd").cast("double")
+            )
             .select("gram")
         )
         index = index.join(F.broadcast(hot), "gram", "left_anti")

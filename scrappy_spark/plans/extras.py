@@ -128,8 +128,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, CAST(u.k AS BIGINT) AS frame_idx,
            CAST(1 AS BIGINT) AS frame_ok
     FROM (SELECT doc_id,
-                 CAST(ceil(greatest(strlen(text), 1) / 256.0) AS INT)
-                     AS nf
+                 CAST(ceil(greatest(strlen(coalesce(text, '')), 1) / 256.0)
+                      AS INT) AS nf
           FROM documents WHERE doc_id < 50),
          unnest(generate_series(0, nf - 1)) AS u(k)
     """,

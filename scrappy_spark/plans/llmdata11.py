@@ -24,7 +24,11 @@ def exact_substring_gram_ctes(L: int) -> str:
     carrying at least ``(doc_id, text, n = length(text))``.
 
     Mirrors ``operators/curation.py::_lgram_stage`` exactly, including
-    the ``doc_id·10⁶ + pos`` key encoding (``curation.XS_POS_BASE``).
+    the ``doc_id·10⁶ + pos`` key encoding (``curation.XS_POS_BASE``)
+    AND its hard length guard: a document of length ≥ 10⁶ errors here
+    exactly as the engine's ``raise_error`` does, so both sides refuse
+    the key-interleaving input identically instead of the oracle
+    silently agreeing with a corrupted packing (VERDICT r7 #1).
     Used by the dedup and provenance oracles here and the
     duplication-profile oracle (plans/llmdata12.py) so all three gates
     pin the SAME gram semantics — edit it in one place or the dedup
@@ -32,7 +36,11 @@ def exact_substring_gram_ctes(L: int) -> str:
     """
     return f"""g AS (SELECT doc_id, CAST(u.q AS INT) AS q,
                  md5(substr(text, CAST(u.q AS INT), {L})) AS gram
-          FROM d, unnest(generate_series(1, n - {L} + 1)) AS u(q)
+          FROM d, unnest(generate_series(1, CASE
+                   WHEN n >= 1000000 THEN CAST(error(
+                       'exact_substring: document ' || doc_id ||
+                       ' has length ' || n || ' >= XS_POS_BASE') AS BIGINT)
+                   ELSE n - {L} + 1 END)) AS u(q)
           WHERE n >= {L}),
     f AS (SELECT gram,
                  CAST(min(doc_id * 1000000 + q) AS BIGINT) AS first_key
@@ -190,3 +198,58 @@ def q_substring_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return exact_substring_provenance(docs, min_len=_XS_L)
+
+
+_PROV_RATE = 0.25
+_PROV_THRESH = format(int(_PROV_RATE * 65536), "04x")
+
+
+@register(
+    "q_substring_provenance_sampled",
+    sql=f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    {exact_substring_gram_ctes(_XS_L)},
+    dup AS (SELECT g.doc_id, g.q,
+                   CAST(f.first_key // 1000000 AS BIGINT) AS source_doc
+            FROM g JOIN f USING (gram)
+            WHERE g.doc_id * 1000000 + g.q > f.first_key),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+            FROM dup GROUP BY 1),
+    kept AS (SELECT * FROM dup
+             WHERE substr(md5('xsprov' || '|' || doc_id || '|' || q), 1, 4)
+                   < '{_PROV_THRESH}'),
+    cnt AS (SELECT doc_id, source_doc, CAST(count(*) AS BIGINT) AS n_windows
+            FROM kept GROUP BY 1, 2),
+    rk AS (SELECT doc_id, source_doc, n_windows,
+                  CAST(sum(n_windows) OVER (PARTITION BY doc_id)
+                       AS BIGINT) AS n_sampled_windows,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY n_windows DESC,
+                                              source_doc ASC) AS rn
+           FROM cnt)
+    SELECT t.doc_id, t.n_dup_windows,
+           coalesce(r.n_sampled_windows, 0) AS n_sampled_windows,
+           CAST(r.source_doc AS BIGINT) AS top_source_doc,
+           coalesce(r.n_windows, 0) AS top_source_windows
+    FROM tot t LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r USING (doc_id)
+    """,
+    doc="Sampled removal lineage (VERDICT r7 #7): the full provenance "
+    "audit's output grows with dup OCCURRENCES (2.2x on the 10x probe),"
+    " so this variant attributes sources from a deterministic 25% "
+    "md5-bucket sample of occurrences (salt|doc_id|q under the "
+    "hash_sample threshold contract — bit-identical in any engine with "
+    "md5) while n_dup_windows stays EXACT via a separate full-set "
+    "aggregate. Docs whose occurrences all miss the sample report "
+    "NULL/0 attribution rather than a fabricated source. Engine path "
+    "operators/curation.py::exact_substring_provenance_sampled.",
+    tags=("llm", "dedup", "curation", "lineage", "sampling"),
+)
+def q_substring_provenance_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.curation import exact_substring_provenance_sampled
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substring_provenance_sampled(
+        docs, min_len=_XS_L, rate=_PROV_RATE
+    )

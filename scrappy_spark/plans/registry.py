@@ -99,6 +99,11 @@ def all_specs() -> dict[str, QuerySpec]:
     # 50-slot cap in EVERY round so far (rows-only specs sort last, and
     # each round's new queries kept pushing them out), so they get the
     # front of the prefix until a CORRECTNESS file finally records them.
+    # Among already-verified queries, STALEST green first (the round of
+    # the last driver check, from the _R0N_VERIFIED ledgers): with 224
+    # queries and a 50-slot gate, the left-over slots should refresh the
+    # oldest greens rather than the alphabetical head — stale-green rot
+    # is the main verification hazard now that coverage is total.
     unchecked_first = sorted(
         _REGISTRY,
         key=lambda n: (
@@ -106,10 +111,24 @@ def all_specs() -> dict[str, QuerySpec]:
             n not in _RECHECK_PIN,
             n in _DRIVER_VERIFIED,
             _REGISTRY[n].sql is None,
+            _last_green_round(n),
             n,
         ),
     )
     return {name: _REGISTRY[name] for name in unchecked_first}
+
+
+def _last_green_round(name: str) -> int:
+    """Round of the most recent driver green for ``name`` (0 if never):
+    later ledgers override earlier ones, so membership is checked
+    newest-first."""
+    for rnd, ledger in (
+        (7, _R07_VERIFIED), (6, _R06_VERIFIED), (5, _R05_VERIFIED),
+        (4, _R04_VERIFIED), (3, _R03_VERIFIED), (1, _R01_VERIFIED),
+    ):
+        if name in ledger:
+            return rnd
+    return 0
 
 
 #: Round-6 closed the never-run backlog (every registered query now has
@@ -117,44 +136,32 @@ def all_specs() -> dict[str, QuerySpec]:
 #: mechanism for any future late additions that miss the 50-slot cap.
 _NEVER_RUN_PIN: frozenset[str] = frozenset()
 
-#: Pin tier — driver verification VOIDED or UPGRADED by a round-7
+#: Pin tier — driver verification VOIDED or UPGRADED by a round-8
 #: change (the registry rule: a verification from before an
 #: implementation change is void). Front of the prefix so
-#: CORRECTNESS_r07 records the new forms.
-_RECHECK_PIN = frozenset({
-    # Promoted from rows-only (`no_oracle`) to banded-flag value-hash
-    # oracles this round (VERDICT r6 Next #2/#3 — the
-    # q_approx_count_distinct / taxonomy_audit pattern): the declared
-    # queries are now audits whose flags the oracle pins to 1, with
-    # exact anchor columns recomputed in SQL. Raw approximate outputs
-    # stay pinned in pytest.
-    "q_ann_lsh_topk", "q_ivf_ann_topk", "q_pq_ann_topk",
-    "q_embedding_near_dups_ann", "q_semantic_decontaminate_ann",
-    "q_semdedup",
-    # Recomposed on chunking + exact-integer BM25 → full pipeline oracle.
-    "q_rag_retrieve",
-    # r6-green, but round 7 changed bm25_retrieve's plan (explode_outer
-    # + ensure_parallelism so the inferred generate-filter can't drag
-    # the tokenize below the repartition exchange) — scores unchanged,
-    # verification re-pinned.
-    "q_bm25_retrieve",
-    # Same explode_outer sweep (every generator behind an
-    # ensure_parallelism exchange): term_frequencies, dsir features,
-    # simhash token stream, pq_encode subvectors — results unchanged,
-    # plans changed, verification re-pinned.
-    "q_ngram_topk", "q_token_subset", "q_simhash",
-    "q_dsir_weights", "q_dsir_resample",
-    # r6-green, but round 7 changed the implementation: zero-token-doc
-    # guard in the fragment line builder (ADVICE r6 medium), k-core
-    # per-round degree materialization + depth assert, and
-    # q_incremental_ingest's deterministic snapshot-dir reuse.
-    "q_dedup_fragments", "q_kcore_copurchase", "q_incremental_ingest",
-    # The last two rows-only slots, promoted round 7 to banded-flag
-    # plumbing audits (their r04 rows-only record is void): embed =
-    # totality/dim/unit-norm through the Arrow iterator-UDF path;
-    # classifier = exact top-20 mined-term anchor + label-decode
-    # validity through the fitted pipeline.
-    "q_embed_vectors", "q_classifier_predict",
+#: CORRECTNESS_r08 records the new forms. (All 18 round-7 pins came
+#: back hash-green in CORRECTNESS_r07 and rotated into _R07_VERIFIED.)
+#: tools/repin_lint.py now enforces membership mechanically: it diffs
+#: the tree against the last round-boundary commit and fails when a
+#: _DRIVER_VERIFIED query's plan depends on changed code without a pin.
+_RECHECK_PIN: frozenset[str] = frozenset({
+    # XS_POS_BASE length guard in curation._lgram_stage + the mirrored
+    # error() bound in the oracle gram CTEs (VERDICT r7 #1): results
+    # unchanged on legal input, plan + oracle changed.
+    "q_exact_substring_dedup", "q_substring_provenance",
+    "q_dup_corpus_profile",
+    # q_config_pipeline's compiled stages include exact_substring_dedup
+    # — caught by repin_lint, not by hand.
+    "q_config_pipeline",
+    # char_ngram_topk: in-plan n_docs + lazily checkpointed gram index
+    # on the max_df path (ADVICE r7) — q_hybrid_retrieve rides it.
+    "q_hybrid_retrieve",
+    # cusum_changepoints: BIGINT-overflow guard on the n-scaled sums
+    # (ADVICE r7); legal-input results unchanged, plan changed.
+    "q_cusum_shift",
+    # frame_sample_audit: NULL-text rows surface as a frame verdict,
+    # not an AttributeError in the audit task (ADVICE r7).
+    "q_frame_sample",
 })
 
 
@@ -295,9 +302,41 @@ _R06_VERIFIED = frozenset({
     "q_webdataset_roundtrip",
 })
 
+# The 50 keys of CORRECTNESS_r07.json — the first all-hash-green file
+# (50/50, zero `no_oracle`). Includes the 18 round-7 _RECHECK_PIN
+# entries (ANN/semdedup/rag promotions, explode_outer sweep re-pins,
+# fragment/k-core/ingest reimplementations, embed/classifier audits) —
+# all satisfied. Round-8 REIMPLEMENTATIONS are deliberately absent so
+# the driver re-checks them (re-entered via _RECHECK_PIN):
+# q_exact_substring_dedup / q_substring_provenance /
+# q_dup_corpus_profile (XS_POS_BASE length guard in _lgram_stage +
+# mirrored oracle bound), q_hybrid_retrieve (char_ngram_topk single-pass
+# index), q_cusum_shift (overflow guard), q_frame_sample (NULL-text
+# audit fix).
+_R07_VERIFIED = frozenset({
+    "q_agg_increment", "q_anchor_text_profile", "q_ann_lsh_topk",
+    "q_anti_customer_without_orders", "q_anti_new_titles", "q_anti_terms",
+    "q_approx_count_distinct", "q_array_funcs", "q_arrow_udf_score",
+    "q_asof_join", "q_audio_fingerprint", "q_audio_near_dups", "q_bfs_hops",
+    "q_bloom_decontaminate", "q_bm25_retrieve", "q_bpe_merges_textbook",
+    "q_bpe_tokenize_textbook", "q_chunk_documents", "q_classifier_predict",
+    "q_cms_heavy_hitters", "q_cogroup_asof", "q_config_pipeline",
+    "q_containment_pairs",
+    "q_dedup_fragments",
+    "q_dsir_resample", "q_dsir_weights",
+    "q_embed_vectors", "q_embedding_near_dups_ann",
+    "q_expectations_report",
+    "q_incremental_ingest", "q_ivf_ann_topk",
+    "q_join_advisor", "q_kcore_copurchase", "q_ks_drift",
+    "q_minhash_bucket_hits", "q_ngram_topk", "q_pq_ann_topk",
+    "q_rag_retrieve", "q_reconcile_tables", "q_retrieval_eval",
+    "q_semantic_decontaminate_ann", "q_semdedup", "q_simhash",
+    "q_token_subset",
+})
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R03_VERIFIED | _R04_VERIFIED | _R05_VERIFIED
-    | _R06_VERIFIED
+    | _R06_VERIFIED | _R07_VERIFIED
 )
 
 

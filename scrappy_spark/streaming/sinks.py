@@ -386,3 +386,52 @@ def stream_quality_monitor(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_quality_into_snapshots(
+    stream: DataFrame,
+    expectations: list,
+    table,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Continuous quality gate writing into a VERSIONED commit log
+    (VERDICT r7 #8): every micro-batch runs the declarative expectation
+    suite (``operators/expectations.py::expectations_report`` — one
+    groupBy-less agg) and COMMITS its report as the next version of a
+    ``sources.snapshots.SnapshotTable`` (``append=True``: prior
+    verdicts are referenced, never rewritten), so the quality history
+    is time-travelable and its CDC feed (``row_diff``) answers "which
+    expectation changed status in this batch" — the operational loop a
+    100 TB pipeline runs against its ingest.
+
+    Idempotent under foreachBatch's at-least-once replay: each commit
+    carries ``quality batch <id>`` as its message and a replayed batch
+    whose message already exists in the manifest log is skipped — the
+    snapshot analogue of ``stream_quality_monitor``'s dynamic partition
+    overwrite.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.expectations import expectations_report
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        msg = f"quality batch {batch_id}"
+        if any(v.get("message") == msg for v in table.versions()):
+            return  # replayed batch: its verdicts are already committed
+        report = expectations_report(batch_df, expectations).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        table.commit(
+            report, message=msg, append=table.current_version() is not None
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

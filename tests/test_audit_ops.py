@@ -311,3 +311,27 @@ def test_semdedup_audit_totality_catches_lost_and_invented_ids(
     monkeypatch.undo()
     row = ann_audit.semdedup_audit(vecs, k=2, min_clusters=1).collect()[0]
     assert row["totality_ok"] == 1  # honest semdedup still passes
+
+
+def test_cusum_overflow_guard(spark):
+    """A group whose n-scaled sums could exceed BIGINT must raise the
+    documented error (ADVICE r7), not emit silently-wrapped statistics;
+    small groups with the same huge values stay fine."""
+    import pytest
+
+    from scrappy_spark.operators.profile import cusum_changepoints
+
+    big = 2_000_000_000_000  # 2e12: n^2 * 2|x| crosses 4e18 at n ~ 1000
+    rows = [("g", i, big) for i in range(1100)]
+    df = spark.createDataFrame(rows, ["grp", "t", "v"])
+    with pytest.raises(Exception, match="BIGINT-exact bound"):
+        cusum_changepoints(
+            df, "v", ["t"], ["grp"], slack=0, threshold=1
+        ).collect()
+
+    small = cusum_changepoints(
+        spark.createDataFrame(rows[:10], ["grp", "t", "v"]),
+        "v", ["t"], ["grp"], slack=0, threshold=1,
+    ).collect()
+    assert len(small) == 10
+    assert all(r.s_pos == 0 for r in small)  # constant series: no shift

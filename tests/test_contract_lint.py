@@ -98,3 +98,84 @@ def test_plan_lint_no_scale_antipatterns(spark):
     import tools.plan_lint as pl
 
     assert pl.lint() == 0
+
+def test_generate_pushdown_detector(spark):
+    """The generate-pushdown rule itself (VERDICT r7 #2): a plain
+    ``explode`` behind a round-robin repartition must trip the detector
+    (Catalyst pushes the inferred ``size(e)>0`` guard below the
+    exchange — the 13.5 s q_hybrid_retrieve regression shape), and the
+    mandated ``explode_outer`` + null-filter form must not."""
+    from pyspark.sql import functions as F
+
+    import tools.plan_lint as pl
+
+    df = spark.range(4).select(
+        F.col("id"), F.concat(F.lit("a b c "), F.col("id")).alias("text")
+    )
+
+    def plan_of(q):
+        return q._jdf.queryExecution().executedPlan().toString()
+
+    # the regression shape: explode an ATTRIBUTE projected above the
+    # repartition — InferFiltersFromGenerate only fires on cheap
+    # (attribute) generator inputs, then project-collapse + pushdown
+    # drag the inferred size() guard below the exchange, re-evaluating
+    # the generator-input expression in the serial pre-exchange task
+    bad = (
+        df.repartition(8)
+        .select("id", F.split("text", " ").alias("g"))
+        .select("id", F.explode("g").alias("tok"))
+    )
+    assert pl.generate_pushdown_hit(plan_of(bad)) is not None
+
+    good = (
+        df.repartition(8)
+        .select("id", F.split("text", " ").alias("g"))
+        .select("id", F.explode_outer("g").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    assert pl.generate_pushdown_hit(plan_of(good)) is None
+
+def test_repin_lint_clean_on_head():
+    """The verification-void rule as a machine check (VERDICT r7 #4):
+    every query whose plan depends on code changed since the last
+    round-boundary commit must be re-pinned (or never verified). HEAD
+    must be clean at all times."""
+    import tools.repin_lint as rl
+
+    assert rl.lint() == 0
+
+
+def test_repin_lint_propagation_reaches_queries():
+    """Red-path proof on the real reference graph: seeding the change
+    set with curation._lgram_stage must void the ExactSubstr query
+    family (intra-module body reference -> cross-module late import ->
+    registered plan fn), and seeding a leaf constant nobody imports
+    must void nothing."""
+    import tools.repin_lint as rl
+
+    cur = "scrappy_spark.operators.curation"
+    affected = rl.affected_defs({(cur, "_lgram_stage")})
+    hit = {
+        (m, q)
+        for m, q in affected
+        if q.startswith("q_")
+    }
+    names = {q for _, q in hit}
+    assert {"q_exact_substring_dedup", "q_substring_provenance",
+            "q_dup_corpus_profile"} <= names
+
+    # a seed that exists nowhere reaches nothing
+    assert rl.affected_defs({(cur, "__no_such_name__")}) == {
+        (cur, "__no_such_name__")
+    }
+
+
+def test_repin_lint_changed_name_detection():
+    import tools.repin_lint as rl
+
+    old = "A = 1\n\ndef f(x):\n    return x + A\n\ndef g():\n    return 2\n"
+    new = "A = 1\n\ndef f(x):\n    return x - A\n\ndef g():\n    return 2\n"
+    assert rl.changed_toplevel_names(old, new) == {"f"}
+    assert rl.changed_toplevel_names(None, new) == {"A", "f", "g"}
+    assert rl.changed_toplevel_names(old, old) == set()

@@ -237,3 +237,23 @@ def test_q_hybrid_retrieve_fusion_invariants(spark):
             assert h["n_lists"] == sum(
                 r is not None for r in (h["bm25_rank"], h["char3_rank"])
             )
+
+
+def test_char_ngram_max_df_is_lazy(spark):
+    """max_df_frac must not run an eager count() action at
+    plan-construction time (ADVICE r7): building the plan over a frame
+    that raises on evaluation succeeds; only collect() raises."""
+    import pytest
+
+    poisoned = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 0, F.raise_error(F.lit("boom-on-eval")))
+        .otherwise(F.lit("x"))
+        .alias("text"),
+    )
+    queries = spark.createDataFrame(
+        [(1, "abcdef")], "query_id long, query_text string"
+    )
+    plan = char_ngram_topk(poisoned, queries, k=2, max_df_frac=0.5)
+    with pytest.raises(Exception, match="boom-on-eval"):
+        plan.collect()

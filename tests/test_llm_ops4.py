@@ -197,3 +197,177 @@ def test_minhash_signatures_stateless_matches_batch(spark):
     }
     assert rowlocal == batch
     assert not any(d in (100001, 100002) for d, _, _ in rowlocal)
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr key-packing length guard (VERDICT r7 #1 / ADVICE r7 medium):
+# key = doc_id * XS_POS_BASE + pos is only lexicographic (doc, pos) while
+# every position stays below XS_POS_BASE. The guard makes oversize input a
+# loud failure instead of silent keep-first / provenance corruption.
+# ---------------------------------------------------------------------------
+
+
+def test_exact_substring_length_guard_raises(spark):
+    """A real >=1M-char document (a book, a concatenated log) must fail
+    the job with the XS_POS_BASE message, on both the dedup and the
+    provenance faces — not silently interleave key ranges."""
+    import pytest
+
+    from scrappy_spark.operators.curation import (
+        XS_POS_BASE,
+        exact_substring_dedup,
+        exact_substring_provenance,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "x" * XS_POS_BASE), (1, "a short normal document")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(Exception, match="XS_POS_BASE"):
+        exact_substring_dedup(docs, min_len=30).collect()
+    with pytest.raises(Exception, match="XS_POS_BASE"):
+        exact_substring_provenance(docs, min_len=30).collect()
+
+
+def test_exact_substring_guard_boundary_just_under(spark):
+    """length == XS_POS_BASE - 1 is the largest legal document: it must
+    pass the guard and dedup correctly (its max position XS_POS_BASE - L
+    still packs inside its own key range). Run with the base patched to
+    4096 so the boundary doc stays test-sized — the guard reads the
+    module global at plan-build time, so the patched bound is the one
+    enforced."""
+    import scrappy_spark.operators.curation as cur
+
+    old = cur.XS_POS_BASE
+    cur.XS_POS_BASE = 4096
+    try:
+        # doc 0 is maximal-length all-x; doc 1 repeats a 64-char x-run,
+        # entirely covered by doc 0's earlier windows.
+        docs = [(0, "x" * (4096 - 1)), (1, "x" * 64 + "UNIQUE-TAIL")]
+        out = {
+            r.doc_id: r
+            for r in cur.exact_substring_dedup(
+                spark.createDataFrame(docs, ["doc_id", "text"]), min_len=30
+            ).collect()
+        }
+        assert out[0].n_dropped > 0      # within-doc repeats collapse
+        assert out[1].cleaned_text == "UNIQUE-TAIL"
+        assert out[1].n_dropped == 64
+    finally:
+        cur.XS_POS_BASE = old
+
+
+def _hyp_guard_settings():
+    from hypothesis import HealthCheck, settings
+
+    return settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+
+
+def _run_guard_property(spark, spec):
+    """With XS_POS_BASE patched small, any doc at/over the base must
+    raise; an all-legal batch must equal the direct reference."""
+    import pytest
+
+    import scrappy_spark.operators.curation as cur
+
+    L = 10
+    base = 64
+    pattern = "0123456789abcdefghij" * 8
+    docs = [
+        (i, pattern[off : off + ln]) for i, (ln, off) in enumerate(spec)
+    ]
+    old = cur.XS_POS_BASE
+    cur.XS_POS_BASE = base
+    try:
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        if any(len(t) >= base for _, t in docs):
+            with pytest.raises(Exception, match="XS_POS_BASE"):
+                cur.exact_substring_dedup(df, min_len=L).collect()
+        else:
+            expect = _exact_substr_ref(docs, L)
+            got = {
+                r.doc_id: r.cleaned_text
+                for r in cur.exact_substring_dedup(df, min_len=L).collect()
+            }
+            assert got == expect
+    finally:
+        cur.XS_POS_BASE = old
+
+
+def test_exact_substring_guard_property(spark):
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    spec_st = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=80),   # doc length (64 = base)
+            st.integers(min_value=0, max_value=7),    # pattern offset
+        ),
+        min_size=1,
+        max_size=5,
+    )
+
+    @given(spec=spec_st)
+    @_hyp_guard_settings()
+    def prop(spec):
+        _run_guard_property(spark, spec)
+
+    prop()
+
+
+def test_exact_substring_provenance_sampled_invariants(spark):
+    """Sampled lineage vs the full report: exact totals must MATCH the
+    full provenance exactly, sampled counts are bounded by them, the
+    doc set is identical (totals come from the full occurrence set),
+    attribution is honest (NULL source <-> zero sampled), and rate=1
+    degenerates to the full report."""
+    from scrappy_spark.operators.curation import (
+        exact_substring_provenance,
+        exact_substring_provenance_sampled,
+    )
+    from scrappy_spark.io import load_table
+
+    L = 30
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 300")
+    )
+    full = {
+        r.doc_id: r for r in exact_substring_provenance(docs, min_len=L).collect()
+    }
+    samp = {
+        r.doc_id: r
+        for r in exact_substring_provenance_sampled(
+            docs, min_len=L, rate=0.25
+        ).collect()
+    }
+    assert set(samp) == set(full)
+    assert any(r.n_sampled_windows > 0 for r in samp.values())
+    for did, r in samp.items():
+        assert r.n_dup_windows == full[did].n_dup_windows  # exact totals
+        assert 0 <= r.n_sampled_windows <= r.n_dup_windows
+        assert r.top_source_windows <= r.n_sampled_windows
+        if r.n_sampled_windows == 0:
+            assert r.top_source_doc is None and r.top_source_windows == 0
+        else:
+            assert r.top_source_doc is not None
+
+    # rate=1 keeps every occurrence: identical to the full report
+    all_kept = {
+        r.doc_id: r
+        for r in exact_substring_provenance_sampled(
+            docs, min_len=L, rate=1.0
+        ).collect()
+    }
+    for did, r in all_kept.items():
+        assert r.n_sampled_windows == full[did].n_dup_windows
+        assert r.top_source_doc == full[did].top_source_doc
+        assert r.top_source_windows == full[did].top_source_windows

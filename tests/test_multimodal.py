@@ -224,3 +224,17 @@ def test_y4m_color_and_truncation():
         decode_y4m(good[:-5])
     with _pytest.raises(ValueError, match="unsupported video format"):
         decode_video_frames(b"NOTAVIDEO")
+
+
+def test_frame_sample_audit_null_text_no_crash(spark):
+    """A doc whose text is NULL must yield a frame verdict row (or no
+    row), never an AttributeError inside the audit task (ADVICE r7)."""
+    from scrappy_spark.operators.multimodal import frame_sample_audit
+
+    docs = spark.createDataFrame(
+        [(1, "hello frame audit"), (2, None)], "doc_id long, text string"
+    )
+    rows = frame_sample_audit(docs).collect()
+    ok = {r.doc_id: r.frame_ok for r in rows}
+    assert ok.get(1) == 1                      # real path still green
+    assert all(v in (0, 1) for v in ok.values())

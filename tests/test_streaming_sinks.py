@@ -429,3 +429,72 @@ def test_stream_quality_monitor_matches_batch_and_sums(spark, tmp_path):
     assert per_batch[(id1, "k_unique")] == 1
     assert per_batch[(id2, "k_unique")] == 0
     assert union_rep["k_unique"] == 2
+
+
+def test_stream_quality_into_snapshots_commit_log(spark, tmp_path):
+    """The snapshot-commit-log quality sink (VERDICT r7 #8): each
+    micro-batch's expectation report lands as an append-only snapshot
+    version equal to the batch-mode report; the CDC feed reports
+    exactly the new batch's verdict rows as added; and a REPLAYED
+    batch (same batch_id through a fresh checkpoint) commits nothing —
+    the message-dedup idempotency contract."""
+    from scrappy_spark.operators.expectations import (
+        expect_between,
+        expect_not_null,
+        expectations_report,
+    )
+    from scrappy_spark.sources.snapshots import SnapshotTable
+    from scrappy_spark.streaming.sinks import stream_quality_into_snapshots
+
+    in_dir, ckpt, ckpt2, tbl = (
+        str(tmp_path / d) for d in ("in", "ckpt", "ckpt2", "tbl")
+    )
+    suite = [expect_not_null("v"), expect_between("v", 0, 10)]
+    table = SnapshotTable(spark, tbl)
+    day0 = spark.createDataFrame([(1, 5), (2, None)], "id long, v int")
+    day1 = spark.createDataFrame([(3, 99), (4, 7)], "id long, v int")
+
+    for day_df in (day0, day1):
+        day_df.coalesce(1).write.mode("append").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(day_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        stream_quality_into_snapshots(
+            stream, suite, table, ckpt
+        ).awaitTermination()
+
+    assert table.current_version() == 1
+    hist = {
+        (r.batch_id, r.expectation): r for r in table.read(1).collect()
+    }
+    assert len(hist) == 4  # 2 checks x 2 batches, append preserved v0
+    # per-batch report equals batch mode
+    for bid, df in ((0, day0), (1, day1)):
+        batch_mode = {
+            r.expectation: r for r in expectations_report(df, suite).collect()
+        }
+        for name, want in batch_mode.items():
+            got = hist[(bid, name)]
+            assert (got.n_rows, got.n_violations, got.passed) == (
+                want.n_rows, want.n_violations, want.passed,
+            )
+    assert hist[(0, "v_not_null")].n_violations == 1
+    assert hist[(1, "v_between")].n_violations == 1
+    # CDC: exactly batch 1's rows are added, nothing changed/removed
+    cdc = table.row_diff(0, 1, ["expectation", "batch_id"]).collect()
+    assert {(r.expectation, r.batch_id, r.change) for r in cdc} == {
+        ("v_not_null", 1, "added"), ("v_between", 1, "added"),
+    }
+    # replay: a FRESH checkpoint re-delivers batches 0 and 1; the
+    # message-dedup guard must skip both (no new versions)
+    stream = (
+        spark.readStream.schema(day0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream_quality_into_snapshots(
+        stream, suite, table, ckpt2
+    ).awaitTermination()
+    assert table.current_version() == 1

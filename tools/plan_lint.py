@@ -9,6 +9,16 @@ per-query plan audits in ARCHITECTURE.md/PLANS.md:
 - ``global-sort``      Exchange SinglePartition directly feeding a
                        Sort/Window (a single-task global order — the
                        scale killer WindowExec hides)
+- ``generate-pushdown`` a ``size(...)`` Filter BELOW a round-robin
+                       Exchange: the optimizer's inferred generate
+                       guard (plain ``explode`` ⇒ ``size(e)>0``)
+                       dragged beneath an ``ensure_parallelism``
+                       repartition, re-evaluating the generator input
+                       in the serial pre-exchange task — the round-7
+                       13.5 s q_hybrid_retrieve lesson
+                       (ARCHITECTURE.md "Generate-filter pushdown vs
+                       ensure_parallelism"). Fix: ``explode_outer`` +
+                       null filter on the GENERATED column.
 
 Each allowlist entry must carry a reason; an unallowed hit fails the
 lint (wired into tests/test_contract_lint.py). Planning only — no
@@ -78,11 +88,7 @@ def _global_sort_hit(plan: str) -> str | None:
     legitimate one-row global aggregate deeper in the tree (e.g. the
     corpus-size count inside tf-idf).
     """
-    nodes = []
-    for line in plan.splitlines():
-        m = _NODE_RE.match(line)
-        if m and m.group("op"):
-            nodes.append((len(m.group("prefix")), m.group("op"), line.strip()))
+    nodes = _parse_nodes(plan)
     pass_through = {
         "WholeStageCodegen", "InputAdapter", "ColumnarToRow", "Project",
         "AQEShuffleRead", "ShuffleQueryStage", "Sort",  # Window sits on Sort
@@ -102,6 +108,40 @@ def _global_sort_hit(plan: str) -> str | None:
             if "Exchange SinglePartition" in child_text:
                 return text[:100]
             break  # first real node is not a single-partition exchange
+    return None
+
+
+def _parse_nodes(plan: str) -> list[tuple[int, str, str]]:
+    """(indent, op, stripped line) per plan-tree node line."""
+    nodes = []
+    for line in plan.splitlines():
+        m = _NODE_RE.match(line)
+        if m and m.group("op"):
+            nodes.append((len(m.group("prefix")), m.group("op"), line.strip()))
+    return nodes
+
+
+def generate_pushdown_hit(plan: str) -> str | None:
+    """Flag an inferred generate guard pushed below a round-robin
+    exchange: any ``Filter`` containing ``size(`` in the subtree of an
+    ``Exchange RoundRobinPartitioning`` node. A plain ``explode(e)``
+    makes Catalyst infer ``size(e) > 0 AND isnotnull(e)`` and push it
+    through a round-robin repartition to the scan side, so the
+    generator-input expression (tokenize/gram concat — the exact work
+    the repartition exists to parallelize) is evaluated in the serial
+    pre-exchange task. Hash/range exchanges are exempt: a filter below
+    those was pushed past a SEMANTIC shuffle, which is the optimizer
+    doing its job.
+    """
+    nodes = _parse_nodes(plan)
+    for i, (indent, op, text) in enumerate(nodes):
+        if op != "Exchange" or "RoundRobinPartitioning" not in text:
+            continue
+        for child_indent, child_op, child_text in nodes[i + 1 :]:
+            if child_indent <= indent:
+                break  # left the exchange's subtree
+            if child_op == "Filter" and "size(" in child_text:
+                return child_text[:120]
     return None
 
 
@@ -131,6 +171,9 @@ def lint() -> int:
         gs = _global_sort_hit(plan)
         if gs is not None:
             hits.append(("global-sort", gs))
+        gp = generate_pushdown_hit(plan)
+        if gp is not None:
+            hits.append(("generate-pushdown", gp))
         for rule, detail in hits:
             if rule in ALLOW.get(name, {}):
                 allowed_hits.append((name, rule))
