@@ -64,6 +64,7 @@ EXTENSIONS = [
     "q_exact_substring_dedup",  # round-7 addition (ExactSubstr family)
     "q_hybrid_retrieve",  # round-7 wave 2 (BM25 + trigram RRF fusion)
     "q_dup_corpus_profile",  # round-7 wave 2 (stratum duplication ppm)
+    "q_substring_provenance_sampled",  # round-8 (rate-scaled lineage)
 ]
 
 HEADLINE = CORE + EXTENSIONS

@@ -1035,30 +1035,66 @@ def exact_substring_provenance(
     Per doc with ≥ 1 duplicated window: total duplicated L-gram
     windows, the top source doc (the earlier doc owning the first
     occurrence of the largest share of them, ties to the lower id),
-    and that top source's window count. Collapse-first is NOT applied
-    here: an exact-copy doc's provenance IS its representative, which
-    this report should name, so the gram stage runs on all docs —
-    provenance is an audit query, run on samples/slices at 100 TB,
-    not on the full-corpus dedup path.
+    and that top source's window count.
 
-    Scale shape: same linear gram stage as the dedup (hash scan-side,
-    partial-agg groupBy-min), one (doc, first_doc) count agg, one
-    per-doc argmax struct — no pairwise stage anywhere.
+    COLLAPSE-FIRST (round 8; the full-report probe read 2.2× on the
+    10× dup-heavy corpus when the gram stage ran on every doc): the
+    gram stage runs on unique texts only, and exact-copy rows are
+    DERIVED, not recomputed —
+
+    - corpus-firsts over representatives equal corpus-firsts over the
+      whole corpus (a copy shares every (gram, pos) with its lower-id
+      rep, so no copy can own a gram's minimum key — the same argument
+      as the dedup's collapse neutrality);
+    - a rep's dup occurrences are its own windows with key > first;
+    - EVERY window of a copy is a dup (its rep's same-position window
+      has a strictly smaller key), attributed to that window's corpus
+      first owner — which is exactly the rep's all-windows attribution
+      vector, identical for every copy of the same text.
+
+    So per-source counts = rep's dup-attribution rows (for reps)
+    ∪ rep's all-windows-attribution rows keyed onto each copy — and a
+    copy's top source is typically its representative, which is the
+    lineage the report should name. The DuckDB oracle still computes
+    the DIRECT definition over all docs, so the value hash proves this
+    derivation, not just the implementation.
+
+    Scale shape: gram hashing + keep-first min at unique-text bytes
+    (the web-scale 90%-dup shape collapses to ~1×), one (rep, source)
+    count agg, one broadcast-shaped copies⋈attribution join whose
+    output is report-sized, one per-doc struct argmax.
     """
     L = int(min_len)
-    g, firsts = _lgram_stage(docs, L, id_col, text_col)
-    per_source = (
-        g.join(firsts, "gram")
-        .filter(F.col("__key") > F.col("__first"))
-        .select(
-            id_col,
-            F.expr(f"__first div {XS_POS_BASE}")
-            .cast("long")
-            .alias("source_doc"),
-        )
-        .groupBy(id_col, "source_doc")
-        .agg(F.count("*").cast("long").alias("n_windows"))
+    keyed = docs.select(
+        id_col,
+        text_col,
+        F.min(id_col)
+        .over(Window.partitionBy(F.md5(F.col(text_col))))
+        .alias("__rep"),
     )
+    reps = keyed.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
+    copies = keyed.filter(F.col(id_col) != F.col("__rep")).select(
+        id_col, F.col("__rep")
+    )
+    g, firsts = _lgram_stage(reps, L, id_col, text_col)
+    att = g.join(firsts, "gram").select(
+        F.col(id_col).alias("__rep"),
+        F.expr(f"__first div {XS_POS_BASE}").cast("long").alias("source_doc"),
+        (F.col("__key") > F.col("__first")).alias("__dup"),
+    )
+    rep_rows = (
+        att.filter(F.col("__dup"))
+        .groupBy("__rep", "source_doc")
+        .agg(F.count("*").cast("long").alias("n_windows"))
+        .select(F.col("__rep").alias(id_col), "source_doc", "n_windows")
+    )
+    all_rows = att.groupBy("__rep", "source_doc").agg(
+        F.count("*").cast("long").alias("n_windows")
+    )
+    copy_rows = copies.join(all_rows, "__rep").select(
+        id_col, "source_doc", "n_windows"
+    )
+    per_source = rep_rows.unionByName(copy_rows)
     return (
         per_source.groupBy(id_col)
         .agg(
@@ -1088,44 +1124,83 @@ def exact_substring_provenance_sampled(
     salt: str = "xsprov",
 ) -> DataFrame:
     """Sampled lineage audit (VERDICT r7 #7): the full provenance
-    report's output grows with duplicate OCCURRENCES (~10× rows on a
-    10× dup-heavy corpus — the 2.2× probe slope), so at 100 TB the
-    audit keeps a deterministic ``rate`` sample of dup occurrences for
-    attribution while the HEADLINE COUNT stays exact via a separate
-    per-doc aggregate over the full occurrence set.
+    report's output grows with duplicate OCCURRENCES, so at 100 TB the
+    audit attributes sources from a deterministic ``rate`` sample of
+    window occurrences while the HEADLINE COUNT stays exact.
 
-    Sampling key: the occurrence itself — md5-bucket of
-    ``salt|doc_id|q`` under :func:`sample_threshold`, so the kept set
-    is stable under retries/reordering and bit-identical in any engine
-    with md5 (the :func:`hash_sample` contract, applied at occurrence
-    rather than row grain).
+    Collapse-first like the full report (see
+    :func:`exact_substring_provenance` — gram work at unique-text
+    bytes, copies derived), with two further scale moves:
+
+    - the sample is drawn at the UNIQUE-TEXT grain — md5-bucket of
+      ``salt|rep_id|q`` under :func:`sample_threshold` — so only
+      ``rate`` of the attribution rows enter the occurrence join, the
+      kept set is stable under retries/reordering, bit-identical in
+      any engine with md5, and identical for every copy of a text
+      (sampling a copy's windows independently would just re-sample
+      the same vector);
+    - per-doc exact totals never touch the occurrence join: every
+      window is either its gram's corpus-first occurrence (owned by
+      exactly one (rep, pos)) or a duplicate, so ``n_dup_windows`` =
+      ``max(n − L + 1, 0)`` minus (for reps) the corpus-firsts the doc
+      owns — a scan expression plus the already-small ``firsts``
+      aggregate; for copies the subtrahend is zero. The oracle
+      computes totals from the full dup set directly, so the hash also
+      proves this identity.
 
     Output per doc with ≥ 1 duplicated window: ``n_dup_windows``
     (EXACT), ``n_sampled_windows``, and the top source doc by sampled
     share (``top_source_doc`` NULL / ``top_source_windows`` 0 when the
-    sample caught none of the doc's occurrences — honest absence, not
-    a fabricated attribution).
-
-    Scale shape: both aggregates ride the same linear gram stage; the
-    per-(doc, source) pair stage — the output-growth term — now sees
-    only ``rate`` of the occurrences.
+    sample caught none of the doc's windows — honest absence, not a
+    fabricated attribution).
     """
     L = int(min_len)
-    g, firsts = _lgram_stage(docs, L, id_col, text_col)
-    dup = (
-        g.join(firsts, "gram")
-        .filter(F.col("__key") > F.col("__first"))
+    n = F.length(F.col(text_col))
+    keyed = docs.select(
+        id_col,
+        text_col,
+        F.min(id_col)
+        .over(Window.partitionBy(F.md5(F.col(text_col))))
+        .alias("__rep"),
+    )
+    reps = keyed.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
+    copies = keyed.filter(F.col(id_col) != F.col("__rep")).select(
+        id_col, "__rep", n.alias("__n")
+    )
+    g, firsts = _lgram_stage(reps, L, id_col, text_col)
+
+    # exact totals: windows − corpus-firsts owned (reps); windows (copies)
+    owned = (
+        firsts.select(
+            F.expr(f"__first div {XS_POS_BASE}").cast("long").alias(id_col)
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("__own"))
+    )
+    rep_totals = (
+        reps.select(
+            id_col, F.greatest(n - L + 1, F.lit(0)).cast("long").alias("__w")
+        )
+        .join(owned, id_col, "left")
         .select(
             id_col,
-            "q",
-            F.expr(f"__first div {XS_POS_BASE}")
+            (F.col("__w") - F.coalesce(F.col("__own"), F.lit(0)))
             .cast("long")
-            .alias("source_doc"),
+            .alias("n_dup_windows"),
         )
     )
-    totals = dup.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_dup_windows")
+    copy_totals = copies.select(
+        id_col,
+        F.greatest(F.col("__n") - L + 1, F.lit(0))
+        .cast("long")
+        .alias("n_dup_windows"),
     )
+    totals = (
+        rep_totals.unionByName(copy_totals)
+        .filter(F.col("n_dup_windows") > 0)
+    )
+
+    # sampled attribution at the unique-text grain
     occ_bucket = F.substring(
         F.md5(
             F.concat_ws(
@@ -1138,10 +1213,30 @@ def exact_substring_provenance_sampled(
         1,
         4,
     )
-    kept = dup.filter(occ_bucket < F.lit(sample_threshold(rate)))
-    per_source = kept.groupBy(id_col, "source_doc").agg(
+    katt = (
+        g.filter(occ_bucket < F.lit(sample_threshold(rate)))
+        .join(firsts, "gram")
+        .select(
+            F.col(id_col).alias("__rep"),
+            F.expr(f"__first div {XS_POS_BASE}")
+            .cast("long")
+            .alias("source_doc"),
+            (F.col("__key") > F.col("__first")).alias("__dup"),
+        )
+    )
+    rep_rows = (
+        katt.filter(F.col("__dup"))
+        .groupBy("__rep", "source_doc")
+        .agg(F.count("*").cast("long").alias("n_windows"))
+        .select(F.col("__rep").alias(id_col), "source_doc", "n_windows")
+    )
+    all_rows = katt.groupBy("__rep", "source_doc").agg(
         F.count("*").cast("long").alias("n_windows")
     )
+    copy_rows = copies.join(all_rows, "__rep").select(
+        id_col, "source_doc", "n_windows"
+    )
+    per_source = rep_rows.unionByName(copy_rows)
     top = (
         per_source.groupBy(id_col)
         .agg(

@@ -206,20 +206,41 @@ _PROV_THRESH = format(int(_PROV_RATE * 65536), "04x")
 
 @register(
     "q_substring_provenance_sampled",
+    # The oracle recomputes totals from the attribution rows (count of
+    # dup windows), NOT via the engine's firsts-ownership identity —
+    # the hash proves that identity. The collapse derivation itself
+    # (copies inherit their rep's attribution; corpus-firsts over reps
+    # = corpus-firsts over the corpus) is proven by the FULL report's
+    # gate, whose oracle runs over all docs with no collapse
+    # (q_substring_provenance above). The sampling rule is shared
+    # verbatim: occurrences drawn at the UNIQUE-TEXT grain (salt|rep|q,
+    # rep = min doc_id of the text), so every copy of a text inherits
+    # the same sampled attribution vector.
     sql=f"""
-    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    WITH raw AS (SELECT doc_id, text, length(text) AS n,
+                        CAST(min(doc_id) OVER (PARTITION BY md5(text))
+                             AS BIGINT) AS rep
+                 FROM documents),
+    d AS (SELECT doc_id, text, n FROM raw WHERE doc_id = rep),
     {exact_substring_gram_ctes(_XS_L)},
-    dup AS (SELECT g.doc_id, g.q,
-                   CAST(f.first_key // 1000000 AS BIGINT) AS source_doc
-            FROM g JOIN f USING (gram)
-            WHERE g.doc_id * 1000000 + g.q > f.first_key),
-    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
-            FROM dup GROUP BY 1),
-    kept AS (SELECT * FROM dup
-             WHERE substr(md5('xsprov' || '|' || doc_id || '|' || q), 1, 4)
+    att AS (SELECT g.doc_id AS rep, g.q,
+                   CAST(f.first_key // 1000000 AS BIGINT) AS source_doc,
+                   (g.doc_id * 1000000 + g.q > f.first_key) AS is_dup
+            FROM g JOIN f USING (gram)),
+    tot AS (SELECT r.doc_id,
+                   CAST(count(*) FILTER (
+                        WHERE a.is_dup OR r.doc_id <> r.rep)
+                        AS BIGINT) AS n_dup_windows
+            FROM raw r JOIN att a ON a.rep = r.rep
+            GROUP BY 1),
+    katt AS (SELECT * FROM att
+             WHERE substr(md5('xsprov' || '|' || rep || '|' || q), 1, 4)
                    < '{_PROV_THRESH}'),
-    cnt AS (SELECT doc_id, source_doc, CAST(count(*) AS BIGINT) AS n_windows
-            FROM kept GROUP BY 1, 2),
+    cnt AS (SELECT r.doc_id, k.source_doc,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM raw r JOIN katt k ON k.rep = r.rep
+                                  AND (k.is_dup OR r.doc_id <> r.rep)
+            GROUP BY 1, 2),
     rk AS (SELECT doc_id, source_doc, n_windows,
                   CAST(sum(n_windows) OVER (PARTITION BY doc_id)
                        AS BIGINT) AS n_sampled_windows,
@@ -231,17 +252,22 @@ _PROV_THRESH = format(int(_PROV_RATE * 65536), "04x")
            coalesce(r.n_sampled_windows, 0) AS n_sampled_windows,
            CAST(r.source_doc AS BIGINT) AS top_source_doc,
            coalesce(r.n_windows, 0) AS top_source_windows
-    FROM tot t LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r USING (doc_id)
+    FROM (SELECT * FROM tot WHERE n_dup_windows > 0) t
+    LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r USING (doc_id)
     """,
     doc="Sampled removal lineage (VERDICT r7 #7): the full provenance "
-    "audit's output grows with dup OCCURRENCES (2.2x on the 10x probe),"
-    " so this variant attributes sources from a deterministic 25% "
-    "md5-bucket sample of occurrences (salt|doc_id|q under the "
-    "hash_sample threshold contract — bit-identical in any engine with "
-    "md5) while n_dup_windows stays EXACT via a separate full-set "
-    "aggregate. Docs whose occurrences all miss the sample report "
-    "NULL/0 attribution rather than a fabricated source. Engine path "
-    "operators/curation.py::exact_substring_provenance_sampled.",
+    "audit's output grows with dup OCCURRENCES (2.2x on the 10x probe "
+    "before the round-8 collapse-first rewrite), so this variant "
+    "attributes sources from a deterministic 25% md5-bucket sample of "
+    "window occurrences drawn at the UNIQUE-TEXT grain (salt|rep|q "
+    "under the hash_sample threshold contract — bit-identical in any "
+    "engine with md5, identical for every exact copy of a text) while "
+    "n_dup_windows stays EXACT via the firsts-ownership identity "
+    "(windows minus corpus-firsts owned), never touching the sampled "
+    "join. Docs whose windows all miss the sample report NULL/0 "
+    "attribution rather than a fabricated source. Engine path "
+    "operators/curation.py::exact_substring_provenance_sampled "
+    "(collapse-first; copies derive their rep's attribution).",
     tags=("llm", "dedup", "curation", "lineage", "sampling"),
 )
 def q_substring_provenance_sampled(

@@ -74,6 +74,8 @@ PROBES = [
     "q_retrieval_eval",
     "q_cusum_shift",
     "q_ks_drift",
+    "q_substring_provenance_sampled",
+    "q_expectations_snapshot_log",
 ]
 
 
