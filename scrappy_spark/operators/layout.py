@@ -16,7 +16,7 @@ oracle-checkable bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def z_value(x: Column, y: Column, bits: int = 16) -> Column:
@@ -187,4 +187,66 @@ def hilbert_sql(
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT {key_cols}, hd{bits} AS {out_col} FROM __h{bits}"
+    )
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    bytes_col: str,
+    partition_cols: list[str],
+    order_cols: list[str],
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction plan: assign each manifest entry (a file,
+    or any byte-sized unit) to a target output file of roughly
+    ``target_bytes``, greedily in a deterministic order — the metadata
+    op behind "this table has 400k tiny files, rewrite it into
+    128 MB ones" that every long-lived 100 TB table eventually needs
+    (small files = per-file open/seek overhead + planner pressure).
+
+    Packing rule: within each table partition, entries are taken in
+    ``order_cols`` order and the running byte total BEFORE each entry,
+    integer-divided by ``target_bytes``, is its target file id —
+    one window pass, no driver loop. A boundary entry may overflow its
+    target by less than its own size; exact bin packing is NP-hard and
+    buys nothing for file sizing. Keys are per ``partition_cols``
+    (compaction never merges across table partitions), which also
+    keeps the window sort partition-local — no single-task global
+    sort on the manifest.
+
+    Output: the manifest's key columns + ``bytes_col`` + ``file_seq``
+    (1-based position in packing order) + ``target_file`` (0-based
+    within the partition).
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
+    if not partition_cols:
+        raise ValueError(
+            "compaction_plan needs >= 1 partition column (a global "
+            "manifest sort would single-task; partition by table "
+            "partition, which is also the real compaction boundary)"
+        )
+    w = Window.partitionBy(*partition_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    before = F.coalesce(
+        F.sum(F.col(bytes_col).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return manifest.select(
+        *partition_cols,
+        *order_cols,
+        F.col(bytes_col).cast("long").alias(bytes_col),
+        F.row_number().over(w).cast("long").alias("file_seq"),
+        before.alias("__before"),
+    ).select(
+        *partition_cols,
+        *order_cols,
+        bytes_col,
+        "file_seq",
+        F.expr(f"__before div {int(target_bytes)}")
+        .cast("long")
+        .alias("target_file"),
     )

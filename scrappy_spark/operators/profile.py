@@ -545,3 +545,35 @@ def ks_drift(
         .cast("long")
         .alias("d_ppm"),
     )
+
+
+def k_anonymity_profile(
+    df: DataFrame, quasi_cols: list[str], k: int = 10
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns — the privacy
+    companion to ``curation.scrub_pii``: scrubbing removes DIRECT
+    identifiers, but a row can still be re-identified when its
+    quasi-identifier combination (language × source × length-bucket ×
+    …) is shared by fewer than ``k`` rows (Sweeney 2002's k-anonymity
+    criterion). Per observed QI combination: its group size and an
+    ``at_risk`` flag (size < k) — the table a release review reads
+    before publishing a corpus slice, and the input to suppression /
+    generalization decisions.
+
+    NULL QI values group together (both engines' GROUP BY semantics),
+    which is the conservative read: "unknown" is itself a bucket.
+
+    Scale shape: one partial-agg groupBy at QI-combination cardinality
+    — counts cross the shuffle, rows never do.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity_profile needs >= 1 quasi column")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").cast("long").alias("group_size"))
+        .select(
+            *quasi_cols,
+            "group_size",
+            (F.col("group_size") < int(k)).cast("long").alias("at_risk"),
+        )
+    )

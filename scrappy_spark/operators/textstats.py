@@ -569,3 +569,93 @@ def incremental_ngram_novelty(
     )
     updated_index = base_grams.select("gram").unionByName(new_grams)
     return scores, updated_index
+
+
+def quality_floor_sweep(
+    df: DataFrame,
+    thresholds_milli: tuple[int, ...] = tuple(range(0, 1000, 50)),
+    weight_col: str | None = "n_chars",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-floor calibration curve: for each candidate threshold,
+    how many documents (and how much text, by ``weight_col``) a
+    ``quality_score >= t`` floor would keep — the table that turns
+    "pick a quality floor" into "pick the floor that keeps the token
+    budget", instead of guessing and re-running the corpus filter.
+
+    Scores compare in exact milli units (``round(score·1000)`` — the
+    score itself is the 4-dp composite from :func:`quality_score`, so
+    the milli cast is engine-portable). Output per threshold:
+    ``(t_milli, kept_docs, kept_weight, kept_docs_ppm,
+    kept_weight_ppm)``, ppm of the corpus totals.
+
+    Scale shape: the expectations-report pattern — ONE scan with
+    ``2·|grid|`` conditional partial aggregates collapsed to a single
+    row, then a zero-shuffle struct explode to the report rows. The
+    grid never multiplies the data (no doc × threshold cross join).
+    """
+    if not thresholds_milli:
+        raise ValueError("quality_floor_sweep needs >= 1 threshold")
+    scored = quality_score(df, text_col=text_col, id_col=id_col).select(
+        id_col,
+        F.round(F.col("quality_score") * 1000)
+        .cast("long")
+        .alias("__milli"),
+    )
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    base = scored.join(
+        df.select(id_col, w.alias("__w")), id_col
+    )
+    aggs = [
+        F.count("*").cast("long").alias("__nd"),
+        F.coalesce(F.sum("__w"), F.lit(0)).cast("long").alias("__nw"),
+    ]
+    for i, t in enumerate(thresholds_milli):
+        kept = F.col("__milli") >= int(t)
+        aggs.append(
+            F.coalesce(F.sum(kept.cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"__d_{i}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(kept, F.col("__w"))), F.lit(0))
+            .cast("long")
+            .alias(f"__w_{i}")
+        )
+    one = base.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(t)).cast("long").alias("t_milli"),
+                    F.col(f"__d_{i}").alias("kept_docs"),
+                    F.col(f"__w_{i}").alias("kept_weight"),
+                )
+                for i, t in enumerate(thresholds_milli)
+            ]
+        )
+    ).alias("__r")
+    return one.select("__nd", "__nw", rows).select(
+        F.col("__r.t_milli").alias("t_milli"),
+        F.col("__r.kept_docs").alias("kept_docs"),
+        F.col("__r.kept_weight").alias("kept_weight"),
+        F.when(
+            F.col("__nd") > 0,
+            F.expr("(__r.kept_docs * 1000000) div __nd"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("kept_docs_ppm"),
+        F.when(
+            F.col("__nw") > 0,
+            F.expr("(__r.kept_weight * 1000000) div __nw"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("kept_weight_ppm"),
+    )

@@ -74,6 +74,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llmdata10,
         llmdata11,
         llmdata12,
+        llmdata13,
         audit,
         timeseries,
         sketches,

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from scrappy_spark.operators.profile import join_advisor
 from scrappy_spark.operators.reconcile import mismatch_rows, reconcile_report
 from scrappy_spark.operators.retrieval import retrieval_eval
@@ -335,3 +337,92 @@ def test_cusum_overflow_guard(spark):
     ).collect()
     assert len(small) == 10
     assert all(r.s_pos == 0 for r in small)  # constant series: no shift
+
+
+def test_k_anonymity_profile(spark):
+    from scrappy_spark.operators.profile import k_anonymity_profile
+
+    df = spark.createDataFrame(
+        [("en", "a"), ("en", "a"), ("en", "a"), ("en", "b"), (None, "b")],
+        "lang string, source string",
+    )
+    out = {
+        (r.lang, r.source): (r.group_size, r.at_risk)
+        for r in k_anonymity_profile(df, ["lang", "source"], k=3).collect()
+    }
+    assert out[("en", "a")] == (3, 0)       # meets k
+    assert out[("en", "b")] == (1, 1)       # under k -> at risk
+    assert out[(None, "b")] == (1, 1)       # NULL QI is its own bucket
+    import pytest
+
+    with pytest.raises(ValueError):
+        k_anonymity_profile(df, [], k=3)
+
+
+def test_quality_floor_sweep_matches_direct_filter(spark):
+    """Every grid row of the one-pass sweep must equal a direct
+    per-threshold filter over quality_score, and the curve must be
+    monotone non-increasing in the threshold."""
+    from scrappy_spark.io import load_table
+    from scrappy_spark.operators.textstats import (
+        quality_floor_sweep,
+        quality_score,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        "doc_id < 200"
+    )
+    sweep = {
+        r.t_milli: r
+        for r in quality_floor_sweep(docs, weight_col="n_chars").collect()
+    }
+    scored = (
+        quality_score(docs)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            F.round(F.col("quality_score") * 1000).cast("long").alias("m"),
+            "n_chars",
+        )
+        .collect()
+    )
+    total_docs = len(scored)
+    for t in (0, 300, 500, 700, 950):
+        want_docs = sum(1 for r in scored if r.m >= t)
+        want_w = sum(r.n_chars for r in scored if r.m >= t)
+        got = sweep[t]
+        assert (got.kept_docs, got.kept_weight) == (want_docs, want_w), t
+        assert got.kept_docs_ppm == want_docs * 1_000_000 // total_docs
+    ts = sorted(sweep)
+    assert all(
+        sweep[a].kept_docs >= sweep[b].kept_docs
+        for a, b in zip(ts, ts[1:])
+    )
+    assert sweep[0].kept_docs == total_docs  # floor 0 keeps everything
+
+
+def test_compaction_plan_packs_greedily(spark):
+    from scrappy_spark.operators.layout import compaction_plan
+
+    m = spark.createDataFrame(
+        [("p1", "f1", 60), ("p1", "f2", 50), ("p1", "f3", 10),
+         ("p1", "f4", 100), ("p2", "f1", 5)],
+        "part string, name string, bytes long",
+    )
+    out = {
+        (r.part, r.name): (r.file_seq, r.target_file)
+        for r in compaction_plan(
+            m, "bytes", ["part"], ["name"], target_bytes=100
+        ).collect()
+    }
+    # p1 running-before: f1=0, f2=60, f3=110, f4=120
+    assert out[("p1", "f1")] == (1, 0)
+    assert out[("p1", "f2")] == (2, 0)   # overflows target by < own size
+    assert out[("p1", "f3")] == (3, 1)
+    assert out[("p1", "f4")] == (4, 1)
+    assert out[("p2", "f1")] == (1, 0)   # partitions never merge
+    import pytest
+
+    with pytest.raises(ValueError):
+        compaction_plan(m, "bytes", [], ["name"], 100)
+    with pytest.raises(ValueError):
+        compaction_plan(m, "bytes", ["part"], ["name"], 0)

@@ -179,3 +179,24 @@ def test_repin_lint_changed_name_detection():
     assert rl.changed_toplevel_names(old, new) == {"f"}
     assert rl.changed_toplevel_names(None, new) == {"A", "f", "g"}
     assert rl.changed_toplevel_names(old, old) == set()
+
+
+def test_verified_ledgers_reference_live_queries():
+    """Every name in the _R0N_VERIFIED ledgers and _RECHECK_PIN must
+    still be a registered query — a retired/renamed query left in a
+    ledger would silently distort the driver-prefix ordering, and a
+    pin for a ghost query is a typo waiting to hide a real one."""
+    from scrappy_spark.plans import registry as r
+
+    live = set(r.all_specs())
+    stale = {
+        name
+        for ledger in (
+            r._R01_VERIFIED, r._R03_VERIFIED, r._R04_VERIFIED,
+            r._R05_VERIFIED, r._R06_VERIFIED, r._R07_VERIFIED,
+            r._RECHECK_PIN, r._NEVER_RUN_PIN,
+        )
+        for name in ledger
+        if name not in live
+    }
+    assert not stale, f"ledger names not in the registry: {sorted(stale)}"
