@@ -76,6 +76,9 @@ PROBES = [
     "q_ks_drift",
     "q_substring_provenance_sampled",
     "q_expectations_snapshot_log",
+    "q_k_anonymity",
+    "q_quality_floor_sweep",
+    "q_compaction_plan",
 ]
 
 
