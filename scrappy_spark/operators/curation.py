@@ -953,8 +953,23 @@ def exact_substring_dedup(
         .filter(F.col("__key") > F.col("__first"))
         .select(id_col, "q")
     )
+    return _covered_output(reps, copies, dup, L, id_col, text_col)
 
-    # 2. merge covered intervals [q, q+L-1] per doc (gaps-and-islands)
+
+def _covered_output(reps, copies, dup, L, id_col, text_col):
+    """Shared ExactSubstr output stage: dropped window-start positions
+    ``dup = (id, q)`` become per-doc merged intervals (gaps-and-islands,
+    one sort per doc), the cleaned text is rebuilt in ONE
+    ``F.aggregate`` fold over the sorted non-overlapping intervals (no
+    per-character explode), and exact-copy rows are emitted directly —
+    fully covered when ≥ L chars (their rep carries every window at a
+    strictly smaller key), untouched below the threshold (no L-window
+    exists). Used by the batch dedup and the incremental
+    (index-reusing) dedup, which differ only in how ``dup`` is derived.
+    """
+    n = F.length(F.col(text_col))
+
+    # merge covered intervals [q, q+L-1] per doc (gaps-and-islands)
     w = Window.partitionBy(id_col).orderBy("q")
     prev_end = F.max(F.col("q") + (L - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -979,8 +994,8 @@ def exact_substring_dedup(
         )
     )
 
-    # 3. single-pass rebuild: fold (cursor, acc) over the sorted
-    #    non-overlapping dropped intervals
+    # single-pass rebuild: fold (cursor, acc) over the sorted
+    # non-overlapping dropped intervals
     text = F.col(text_col)
     rebuilt = F.aggregate(
         F.col("__ivs"),
@@ -1006,8 +1021,6 @@ def exact_substring_dedup(
         .otherwise(rebuilt)
         .alias("cleaned_text"),
     )
-    # exact-duplicate copies: fully covered when ≥ L chars, untouched
-    # below the threshold (no window of length L exists)
     copy_out = copies.select(
         id_col,
         n.cast("long").alias("n_chars"),
@@ -1019,6 +1032,90 @@ def exact_substring_dedup(
         ),
     )
     return rep_out.unionByName(copy_out)
+
+
+def exact_substring_index(
+    docs: DataFrame,
+    min_len: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The stored face of ExactSubstr dedup: the DISTINCT L-gram hash
+    set of a corpus — one 16-byte md5 per unique window content. A
+    pipeline persists this next to its corpus snapshot and dedups each
+    day's batch against it with
+    :func:`exact_substring_dedup_incremental`, never re-reading the
+    base text (the index-reuse move ``dedup_corpus_incremental`` makes
+    for MinHash signatures, here for exact substrings).
+
+    Positions are deliberately NOT stored: the incremental contract is
+    "anything the base corpus ever contained is removed from the
+    batch", which needs membership only — the set is a fraction of the
+    corpus bytes and unions trivially across increments.
+    """
+    g, _firsts = _lgram_stage(docs, int(min_len), id_col, text_col)
+    return g.select("gram").distinct()
+
+
+def exact_substring_dedup_incremental(
+    batch: DataFrame,
+    base_grams: DataFrame,
+    min_len: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ExactSubstr dedup: clean a new batch against a
+    stored gram index (:func:`exact_substring_index`) plus keep-first
+    within the batch itself — the daily-ingest form of
+    :func:`exact_substring_dedup` in which the base corpus is never
+    re-read.
+
+    Drop rule per batch window: its content appeared in the base
+    corpus (gram ∈ index — the base is earlier BY DEFINITION, no id
+    ordering contract between base and batch), OR an earlier batch
+    occurrence exists (``key > first`` within the batch, the usual
+    (doc, pos) keep-first). Exact batch-duplicate texts collapse first
+    exactly as in the batch dedup, with the same neutrality argument.
+
+    Equivalence contract (pinned by the declared query's oracle and
+    ``test_llm_ops4``): for batches whose ids follow the base corpus,
+    the per-doc output equals running the FULL dedup over base ∪ batch
+    and keeping the batch rows.
+
+    Output: the batch-side ``(doc_id, n_chars, n_dropped,
+    cleaned_text)``. The next day's index is
+    ``base_grams ∪ exact_substring_index(batch)`` — set union, no
+    rewrite of existing entries.
+
+    Scale shape: gram work is batch-sized; the index join is a
+    hash-partitioned equi-join on the 16-byte gram (batch grams ⋈
+    index), linear in both sides — the base corpus contributes bytes
+    once, at index-build time.
+    """
+    L = int(min_len)
+    keyed = batch.select(
+        id_col,
+        text_col,
+        F.min(id_col)
+        .over(Window.partitionBy(F.md5(F.col(text_col))))
+        .alias("__rep"),
+    )
+    reps = keyed.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
+    copies = keyed.filter(F.col(id_col) != F.col("__rep")).drop("__rep")
+
+    g, firsts = _lgram_stage(reps, L, id_col, text_col)
+    in_base = base_grams.select("gram").distinct().withColumn(
+        "__seen", F.lit(1)
+    )
+    dup = (
+        g.join(firsts, "gram")
+        .join(in_base, "gram", "left")
+        .filter(
+            (F.col("__seen").isNotNull()) | (F.col("__key") > F.col("__first"))
+        )
+        .select(id_col, "q")
+    )
+    return _covered_output(reps, copies, dup, L, id_col, text_col)
 
 
 def exact_substring_provenance(

@@ -62,14 +62,21 @@ def exact_substring_dup_cte() -> str:
 # groupBy-min keys, gaps-and-islands, fold rebuild) equals the direct
 # semantics. ``first_key = min(doc_id·10⁶ + pos)`` mirrors the engine's
 # lexicographic-(doc, pos) encoding (positions ≪ 10⁶).
-_XS_SQL = f"""
-    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-    {exact_substring_gram_ctes(_XS_L)},
-    {exact_substring_dup_cte()},
-    ch AS (SELECT doc_id, CAST(u.p AS INT) AS p,
+
+
+def exact_substring_coverage_ctes(L: int, batch_pred: str = "TRUE") -> str:
+    """The per-character coverage-rebuild CTE chain over ``d``/``g``/
+    ``f``/``dup``: events, running dup-window max, ordered string_agg
+    rebuild. ``batch_pred`` restricts WHICH docs get rebuilt (the
+    incremental oracle rebuilds only the batch) while the dup/first
+    computation stays corpus-wide — exactly the equivalence the
+    incremental gate pins."""
+    return f"""ch AS (SELECT doc_id, CAST(u.p AS INT) AS p,
                   substr(text, CAST(u.p AS INT), 1) AS c
-           FROM d, unnest(generate_series(1, n)) AS u(p)),
+           FROM d, unnest(generate_series(1, n)) AS u(p)
+           WHERE {batch_pred}),
     ev AS (SELECT doc_id, q AS pos, 1 AS is_dup, NULL AS c FROM dup
+           WHERE {batch_pred}
            UNION ALL
            SELECT doc_id, p AS pos, 0 AS is_dup, c FROM ch),
     run AS (SELECT doc_id, pos, is_dup, c,
@@ -81,13 +88,20 @@ _XS_SQL = f"""
             FROM ev),
     agg AS (SELECT doc_id,
                    CAST(sum(CASE WHEN last_dup IS NOT NULL
-                                  AND last_dup >= pos - {_XS_L} + 1
+                                  AND last_dup >= pos - {L} + 1
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
                    coalesce(string_agg(
                        CASE WHEN last_dup IS NULL
-                             OR last_dup < pos - {_XS_L} + 1
+                             OR last_dup < pos - {L} + 1
                        THEN c END, '' ORDER BY pos), '') AS cleaned_text
-            FROM run WHERE is_dup = 0 GROUP BY doc_id)
+            FROM run WHERE is_dup = 0 GROUP BY doc_id)"""
+
+
+_XS_SQL = f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    {exact_substring_gram_ctes(_XS_L)},
+    {exact_substring_dup_cte()},
+    {exact_substring_coverage_ctes(_XS_L)}
     SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars,
            coalesce(agg.n_dropped, 0) AS n_dropped,
            coalesce(agg.cleaned_text, '') AS cleaned_text
@@ -117,6 +131,73 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return exact_substring_dedup(docs, min_len=_XS_L)
+
+
+_INC_XS_MIN_ID = 400  # docs at/above this id form the "new batch"
+
+
+@register(
+    "q_exact_substring_incremental",
+    # the oracle runs the FULL dedup over base ∪ batch (corpus-wide
+    # grams/firsts/dup) and rebuilds only the batch docs — the
+    # equivalence the incremental contract promises ("same answer as
+    # rerunning everything, without re-reading the base text"), valid
+    # here because batch ids follow base ids. The index-growth audit
+    # column is recomputed as distinct batch grams absent from base.
+    sql=f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    {exact_substring_gram_ctes(_XS_L)},
+    {exact_substring_dup_cte()},
+    {exact_substring_coverage_ctes(_XS_L, f"doc_id >= {_INC_XS_MIN_ID}")},
+    newg AS (SELECT CAST(count(DISTINCT gram) AS BIGINT)
+                 AS n_index_grams_added
+             FROM g WHERE doc_id >= {_INC_XS_MIN_ID}
+               AND gram NOT IN (SELECT gram FROM g
+                                WHERE doc_id < {_INC_XS_MIN_ID}))
+    SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars,
+           coalesce(agg.n_dropped, 0) AS n_dropped,
+           coalesce(agg.cleaned_text, '') AS cleaned_text,
+           newg.n_index_grams_added
+    FROM d LEFT JOIN agg USING (doc_id) CROSS JOIN newg
+    WHERE d.doc_id >= {_INC_XS_MIN_ID}
+    """,
+    doc="Incremental ExactSubstr dedup against a STORED gram index "
+    "(the daily-ingest loop): the base corpus is indexed once "
+    "(operators/curation.py::exact_substring_index — the distinct "
+    "16-byte gram set, no positions, no text) and the day's batch is "
+    "cleaned against index membership plus within-batch keep-first "
+    "(exact_substring_dedup_incremental), never re-reading base "
+    "bytes — the index-reuse move dedup_corpus_incremental makes for "
+    "MinHash signatures, completed for exact substrings. The oracle "
+    "proves the EQUIVALENCE contract: it reruns the full dedup over "
+    "base ∪ batch and keeps the batch rows, plus recomputes the "
+    "index-growth audit (distinct batch grams absent from base) that "
+    "the engine derives with a left-anti join. Batch gram work is "
+    "batch-sized; the index join is a linear hash equi-join on the "
+    "16-byte gram.",
+    tags=("llm", "dedup", "curation", "incremental"),
+)
+def q_exact_substring_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.curation import (
+        exact_substring_dedup_incremental,
+        exact_substring_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < _INC_XS_MIN_ID)
+    batch = docs.filter(F.col("doc_id") >= _INC_XS_MIN_ID)
+    idx = exact_substring_index(base, min_len=_XS_L)
+    cleaned = exact_substring_dedup_incremental(
+        batch, idx, min_len=_XS_L
+    )
+    growth = (
+        exact_substring_index(batch, min_len=_XS_L)
+        .join(idx, "gram", "left_anti")
+        .agg(F.count("*").cast("long").alias("n_index_grams_added"))
+    )
+    return cleaned.crossJoin(F.broadcast(growth))
 
 
 # ---------------------------------------------------------------------------

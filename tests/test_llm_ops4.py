@@ -371,3 +371,69 @@ def test_exact_substring_provenance_sampled_invariants(spark):
         assert r.n_sampled_windows == full[did].n_dup_windows
         assert r.top_source_doc == full[did].top_source_doc
         assert r.top_source_windows == full[did].top_source_windows
+
+
+def test_exact_substring_incremental_equals_full_run(spark):
+    """The incremental contract: cleaning a batch against the base's
+    stored gram index (+ within-batch keep-first) must equal running
+    the full dedup over base ∪ batch and keeping the batch rows —
+    including batch docs that duplicate base text, batch-internal
+    exact copies, and batch docs shorter than L."""
+    from scrappy_spark.operators.curation import (
+        exact_substring_dedup,
+        exact_substring_dedup_incremental,
+        exact_substring_index,
+    )
+
+    L = 10
+    s_base = "SHARED-BASE-CONTENT-0123456789"
+    base_docs = [(0, "unique base words " + s_base), (1, "other base text entirely")]
+    batch_docs = [
+        (10, s_base + " plus fresh batch words"),   # overlaps base
+        (11, "totally new batch content here"),     # novel
+        (12, "totally new batch content here"),     # exact copy within batch
+        (13, "unique base words " + s_base),        # exact copy of a BASE doc
+        (14, "tiny"),                                # below threshold
+    ]
+    base = spark.createDataFrame(base_docs, ["doc_id", "text"])
+    batch = spark.createDataFrame(batch_docs, ["doc_id", "text"])
+
+    full = {
+        r.doc_id: r
+        for r in exact_substring_dedup(
+            base.unionByName(batch), min_len=L
+        ).collect()
+        if r.doc_id >= 10
+    }
+    inc = {
+        r.doc_id: r
+        for r in exact_substring_dedup_incremental(
+            batch, exact_substring_index(base, min_len=L), min_len=L
+        ).collect()
+    }
+    assert set(inc) == set(full)
+    for did in full:
+        assert (
+            inc[did].cleaned_text,
+            inc[did].n_dropped,
+            inc[did].n_chars,
+        ) == (
+            full[did].cleaned_text,
+            full[did].n_dropped,
+            full[did].n_chars,
+        ), did
+    assert inc[13].cleaned_text == ""          # base content fully removed
+    assert inc[12].cleaned_text == ""          # batch-internal copy
+    assert inc[14].cleaned_text == "tiny"      # below threshold untouched
+    # index update is a set union: re-running against the merged index
+    # drops everything the batch contributed
+    merged = exact_substring_index(base, min_len=L).unionByName(
+        exact_substring_index(batch, min_len=L)
+    ).distinct()
+    again = {
+        r.doc_id: r.cleaned_text
+        for r in exact_substring_dedup_incremental(
+            batch, merged, min_len=L
+        ).collect()
+    }
+    assert all(t == "" for d, t in again.items() if d != 14)

@@ -79,6 +79,7 @@ PROBES = [
     "q_k_anonymity",
     "q_quality_floor_sweep",
     "q_compaction_plan",
+    "q_exact_substring_incremental",
 ]
 
 
