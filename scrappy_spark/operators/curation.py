@@ -177,6 +177,90 @@ def mix_corpora(
     return df.withColumn("kept", _bucket(F.col(id_col), salt) < thr)
 
 
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    domain_col: str = "source",
+    tokens_col: str = "n_chars",
+) -> DataFrame:
+    """Token-budget mixture planner: given target domain WEIGHTS and a
+    total token budget, how much of each domain the mix needs — the
+    planning table behind "3 epochs of Wikipedia, 0.1 of CommonCrawl"
+    that :func:`mix_corpora` then executes. All in exact integer ppm /
+    milli units so the plan is reproducible and engine-checkable.
+
+    Per domain present in the data: available tokens, target weight
+    (ppm), target tokens (``budget · weight``), the sampling rate to
+    apply when the domain over-supplies (``min(1, target/available)``
+    in ppm — feed it straight to ``mix_corpora``), epochs in milli
+    units when it under-supplies (``target/available``; 2500 = 2.5
+    epochs), and an ``under_supplied`` flag (target exceeds one epoch).
+    Domains absent from ``weights`` get weight 0 (excluded from the
+    mix); weights must sum to ~1.
+
+    Scale shape: one partial-agg groupBy at domain cardinality + pure
+    integer projections; nothing row-sized survives the first agg.
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"mixture weights must sum to 1, got {total}")
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    w_ppm = F.lit(0).cast("long")
+    for dom, w in weights.items():
+        w_ppm = F.when(
+            F.col(domain_col) == dom, F.lit(int(round(w * 1_000_000)))
+        ).otherwise(w_ppm)
+    avail = (
+        df.groupBy(domain_col)
+        .agg(
+            F.coalesce(F.sum(F.col(tokens_col).cast("long")), F.lit(0))
+            .cast("long")
+            .alias("available_tokens")
+        )
+        .withColumn("target_weight_ppm", w_ppm.cast("long"))
+    )
+    target = F.expr(f"target_weight_ppm * {int(budget_tokens)} div 1000000")
+    return avail.select(
+        domain_col,
+        "available_tokens",
+        "target_weight_ppm",
+        target.cast("long").alias("target_tokens"),
+        F.when(
+            F.col("available_tokens") > 0,
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr(
+                    f"(target_weight_ppm * {int(budget_tokens)} div 1000000)"
+                    " * 1000000 div available_tokens"
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("sample_rate_ppm"),
+        F.when(
+            F.col("available_tokens") > 0,
+            F.expr(
+                f"(target_weight_ppm * {int(budget_tokens)} div 1000000)"
+                " * 1000 div available_tokens"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("epochs_milli"),
+        F.when(
+            (F.col("available_tokens") > 0)
+            & (target > F.col("available_tokens")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("under_supplied"),
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     alpha: float = 0.5,

@@ -8,7 +8,7 @@ one pass over the text column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .mining import STOPWORDS, ngrams_expr, tokens_col
 
@@ -658,4 +658,94 @@ def quality_floor_sweep(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("kept_weight_ppm"),
+    )
+
+
+def segment_lang_profile(
+    df: DataFrame,
+    seg_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment-level language profile — the code-switching / mixed-
+    language detector whole-document :func:`lang_id` cannot be: the
+    token stream is cut into fixed ``seg_tokens`` windows, each window
+    is language-ID'd with the same marker-overlap heuristic, and the
+    per-doc profile reports the majority language by segment votes plus
+    a ``mixed`` flag (≥ 2 distinct non-'und' segment languages). Docs
+    that are one language with a pasted foreign paragraph — the classic
+    web-scrape noise a whole-doc argmax averages away — surface here.
+
+    Determinism: same token/marker machinery as ``lang_id``; vote ties
+    break by the fixed marker-table precedence (en, de, es, fr, then
+    'und'). Zero-token docs report (0 segments, 'und', mixed=0).
+
+    Scale shape: the segment explode is ~tokens/seg rows per doc
+    (linear scan-side), then ONE partial-agg groupBy at
+    (doc, language) cardinality and a per-doc argmax window — nothing
+    quadratic, no UDF.
+    """
+    seg = int(seg_tokens)
+    if seg <= 0:
+        raise ValueError(f"seg_tokens must be > 0, got {seg}")
+    langs = list(LANG_MARKERS)
+    toks = tokens_col(F.col(text_col))
+    base = df.select(id_col, toks.alias("__toks"))
+    n_segs = F.ceil(F.size("__toks") / F.lit(seg)).cast("int")
+    segs = base.select(
+        id_col,
+        "__toks",
+        F.explode_outer(
+            F.when(
+                n_segs > 0, F.sequence(F.lit(0), n_segs - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__s"),
+    )
+    seg_toks = F.slice(F.col("__toks"), F.col("__s") * seg + 1, seg)
+    scores = {lg: lang_score(seg_toks, lg) for lg in langs}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lg in reversed(langs):
+        pred = F.when((scores[lg] == best) & (best > 0), F.lit(lg)).otherwise(pred)
+    voted = (
+        segs.filter(F.col("__s").isNotNull())
+        .select(id_col, pred.alias("__pred"))
+        .groupBy(id_col, "__pred")
+        .agg(F.count("*").cast("long").alias("__votes"))
+    )
+    prec = F.lit(len(langs))
+    for i, lg in enumerate(langs):
+        prec = F.when(F.col("__pred") == lg, F.lit(i)).otherwise(prec)
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("__votes"), prec.asc()
+    )
+    per_doc = (
+        voted.withColumn("__rn", F.row_number().over(w))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__votes").cast("long").alias("n_segments"),
+            F.max(
+                F.when(F.col("__rn") == 1, F.col("__pred"))
+            ).alias("majority_lang"),
+            F.max(
+                F.when(F.col("__rn") == 1, F.col("__votes"))
+            ).cast("long").alias("majority_segments"),
+            F.count_distinct(
+                F.when(F.col("__pred") != "und", F.col("__pred"))
+            ).cast("long").alias("n_langs"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+            F.coalesce("majority_lang", F.lit("und")).alias("majority_lang"),
+            F.coalesce("majority_segments", F.lit(0))
+            .cast("long")
+            .alias("majority_segments"),
+            F.coalesce("n_langs", F.lit(0)).cast("long").alias("n_langs"),
+            (F.coalesce("n_langs", F.lit(0)) >= 2).cast("long").alias("mixed"),
+        )
     )

@@ -155,3 +155,149 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["source"],
         target_bytes=_CP_TARGET,
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture planner
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 150_000
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+
+
+def _mixture_plan_sql() -> str:
+    w_case = "CASE lang " + " ".join(
+        f"WHEN '{d}' THEN {int(round(w * 1_000_000))}"
+        for d, w in _MIX_WEIGHTS.items()
+    ) + " ELSE 0 END"
+    tgt = f"(target_weight_ppm * {_MIX_BUDGET} // 1000000)"
+    return f"""
+    WITH a AS (SELECT lang,
+                      CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+                          AS available_tokens
+               FROM documents GROUP BY lang),
+    w AS (SELECT lang, available_tokens,
+                 CAST({w_case} AS BIGINT) AS target_weight_ppm
+          FROM a)
+    SELECT lang, available_tokens, target_weight_ppm,
+           CAST({tgt} AS BIGINT) AS target_tokens,
+           CAST(CASE WHEN available_tokens > 0
+                THEN least(1000000,
+                           {tgt} * 1000000 // available_tokens)
+                ELSE 0 END AS BIGINT) AS sample_rate_ppm,
+           CAST(CASE WHEN available_tokens > 0
+                THEN {tgt} * 1000 // available_tokens
+                ELSE 0 END AS BIGINT) AS epochs_milli,
+           CAST(CASE WHEN available_tokens > 0
+                 AND {tgt} > available_tokens
+                THEN 1 ELSE 0 END AS BIGINT) AS under_supplied
+    FROM w
+    """
+
+
+@register(
+    "q_mixture_plan",
+    sql=_mixture_plan_sql(),
+    doc="Token-budget mixture planner: target per-language weights + a "
+    "total budget -> per domain, available tokens, target tokens, the "
+    "mix_corpora sampling rate when it over-supplies (exact ppm), "
+    "epochs in milli units when it under-supplies, and an "
+    "under_supplied flag — the planning table behind '3 epochs of "
+    "Wikipedia, 0.1 of CommonCrawl', all integer-exact. The fixture "
+    "exercises both branches (en/de under-supply the big targets at "
+    "this budget; small languages over-supply). One groupBy at domain "
+    "cardinality. Engine path operators/curation.py::mixture_plan.",
+    tags=("llm", "curation", "mixing"),
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs, _MIX_WEIGHTS, _MIX_BUDGET, domain_col="lang",
+        tokens_col="n_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level language profile (code-switching detector)
+# ---------------------------------------------------------------------------
+
+_SEG_TOKENS = 20
+
+
+def _segment_lang_sql() -> str:
+    from ..operators.textstats import LANG_MARKERS
+    from .llmdata import _RAW_TOKS
+
+    langs = list(LANG_MARKERS)
+    score_cols = ",\n           ".join(
+        "CAST(len(list_intersect(st, [{ws}])) AS BIGINT) AS score_{lg}".format(
+            ws=", ".join(f"'{w}'" for w in LANG_MARKERS[lg]), lg=lg
+        )
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lg} = {best} AND {best} > 0 THEN '{lg}'"
+        for lg in langs
+    ) + " ELSE 'und' END"
+    prec = "CASE pred " + " ".join(
+        f"WHEN '{lg}' THEN {i}" for i, lg in enumerate(langs)
+    ) + f" ELSE {len(langs)} END"
+    s = _SEG_TOKENS
+    return f"""
+    WITH t AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents),
+    seg AS (SELECT doc_id,
+                   list_distinct(list_slice(toks,
+                       CAST(u.s AS INT) * {s} + 1,
+                       CAST(u.s AS INT) * {s} + {s})) AS st
+            FROM t, unnest(generate_series(0,
+                     CAST(ceil(len(toks) / {s}.0) AS INT) - 1)) AS u(s)
+            WHERE len(toks) > 0),
+    sc AS (SELECT doc_id, {score_cols} FROM seg),
+    p AS (SELECT doc_id, {case} AS pred FROM sc),
+    v AS (SELECT doc_id, pred, CAST(count(*) AS BIGINT) AS votes
+          FROM p GROUP BY 1, 2),
+    r AS (SELECT doc_id, pred, votes,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY votes DESC, {prec} ASC) AS rn
+          FROM v),
+    d AS (SELECT doc_id,
+                 CAST(sum(votes) AS BIGINT) AS n_segments,
+                 max(CASE WHEN rn = 1 THEN pred END) AS majority_lang,
+                 CAST(max(CASE WHEN rn = 1 THEN votes END) AS BIGINT)
+                     AS majority_segments,
+                 CAST(count(DISTINCT CASE WHEN pred <> 'und' THEN pred END)
+                     AS BIGINT) AS n_langs
+          FROM r GROUP BY doc_id)
+    SELECT docs.doc_id,
+           coalesce(d.n_segments, 0) AS n_segments,
+           coalesce(d.majority_lang, 'und') AS majority_lang,
+           coalesce(d.majority_segments, 0) AS majority_segments,
+           coalesce(d.n_langs, 0) AS n_langs,
+           CAST(coalesce(d.n_langs, 0) >= 2 AS BIGINT) AS mixed
+    FROM documents docs LEFT JOIN d USING (doc_id)
+    """
+
+
+@register(
+    "q_segment_lang_profile",
+    sql=_segment_lang_sql(),
+    doc=f"Segment-level language profile: the token stream cut into "
+    f"{_SEG_TOKENS}-token windows, each window language-ID'd with the "
+    "same marker-overlap heuristic as q_lang_id, then per doc the "
+    "majority language by segment votes (ties by the fixed marker "
+    "precedence), the vote counts, and a mixed flag (>= 2 distinct "
+    "non-'und' segment languages) — the code-switching / pasted-"
+    "foreign-paragraph detector a whole-document argmax averages "
+    "away. Linear segment explode scan-side, ONE partial-agg groupBy "
+    "at (doc, language) cardinality, one per-doc argmax window. "
+    "Engine path operators/textstats.py::segment_lang_profile.",
+    tags=("llm", "textstats", "curation"),
+)
+def q_segment_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import segment_lang_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_lang_profile(docs, seg_tokens=_SEG_TOKENS)

@@ -321,3 +321,60 @@ def test_remove_repeated_spans_overlap_union(spark):
     assert out[1].n_removed == 9  # union of [1..8] and [2..9]
     assert out[1].clean_text == "x y"
     assert out[2].clean_text == "p q"
+
+
+def test_mixture_plan_math(spark):
+    from scrappy_spark.operators.curation import mixture_plan
+    import pytest
+
+    df = spark.createDataFrame(
+        [("wiki", 100), ("wiki", 100), ("cc", 1000), ("books", 50)],
+        "source string, n_chars long",
+    )
+    out = {
+        r.source: r
+        for r in mixture_plan(
+            df, {"wiki": 0.6, "cc": 0.4}, budget_tokens=1000
+        ).collect()
+    }
+    # wiki: avail 200, target 600 -> under-supplied, 3.0 epochs
+    assert out["wiki"].available_tokens == 200
+    assert out["wiki"].target_tokens == 600
+    assert out["wiki"].sample_rate_ppm == 1_000_000
+    assert out["wiki"].epochs_milli == 3000
+    assert out["wiki"].under_supplied == 1
+    # cc: avail 1000, target 400 -> over-supplied, 0.4 rate
+    assert out["cc"].sample_rate_ppm == 400_000
+    assert out["cc"].epochs_milli == 400
+    assert out["cc"].under_supplied == 0
+    # books: no weight declared -> excluded from the mix
+    assert out["books"].target_tokens == 0
+    assert out["books"].sample_rate_ppm == 0
+
+    with pytest.raises(ValueError):
+        mixture_plan(df, {"wiki": 0.5}, 1000)       # weights must sum to 1
+    with pytest.raises(ValueError):
+        mixture_plan(df, {"wiki": 1.0}, 0)          # budget must be > 0
+
+
+def test_segment_lang_profile_detects_code_switching(spark):
+    from scrappy_spark.operators.textstats import segment_lang_profile
+
+    en = "the quick fox and the lazy dog that was with it for a day "
+    de = "der hund und die katze das ist ein nicht mit von zu haus "
+    docs = spark.createDataFrame(
+        [
+            (1, en * 4),                 # pure English, 2 segments
+            (2, en * 4 + de * 4),        # half English, half German
+            (3, ""),                     # empty -> und, no segments
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in segment_lang_profile(docs, seg_tokens=20).collect()
+    }
+    assert out[1].majority_lang == "en" and out[1].mixed == 0
+    assert out[2].mixed == 1 and out[2].n_langs == 2
+    assert out[2].n_segments == out[2].majority_segments * 2  # even split
+    assert out[3] == (3, 0, "und", 0, 0, 0)

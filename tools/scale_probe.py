@@ -80,6 +80,8 @@ PROBES = [
     "q_quality_floor_sweep",
     "q_compaction_plan",
     "q_exact_substring_incremental",
+    "q_mixture_plan",
+    "q_segment_lang_profile",
 ]
 
 
