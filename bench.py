@@ -65,6 +65,7 @@ EXTENSIONS = [
     "q_hybrid_retrieve",  # round-7 wave 2 (BM25 + trigram RRF fusion)
     "q_dup_corpus_profile",  # round-7 wave 2 (stratum duplication ppm)
     "q_substring_provenance_sampled",  # round-8 (rate-scaled lineage)
+    "q_exact_substring_incremental",  # round-8 (stored-gram-index dedup)
 ]
 
 HEADLINE = CORE + EXTENSIONS
