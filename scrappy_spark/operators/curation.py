@@ -1447,3 +1447,52 @@ def exact_substring_provenance_sampled(
             "top_source_windows"
         ),
     )
+
+
+def xs_gram_hits(
+    docs: DataFrame,
+    min_len: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-occurrence ExactSubstr gram hits, window form — the batch
+    twin of the STREAMING gram-index maintenance
+    (``streaming/stateful.py::xs_gram_index``), exactly as
+    ``dedup_approx.minhash_bucket_hits`` twins the streaming MinHash
+    index: for every L-gram window occurrence, the earlier document
+    owning the gram's first occurrence so far (NULL when this
+    occurrence IS the first) and how many prior occurrences exist.
+
+    ``is_dup = n_prior > 0`` reproduces the ExactSubstr drop rule per
+    window; the dedup path itself stays on the partial-agg groupBy-min
+    (map-side combine); THIS shape exists for incremental/streaming
+    consumers that need per-occurrence answers as data arrives.
+
+    One window per gram (sort at gram-occurrence cardinality) — run it
+    on batch slices, not the full corpus, at 100 TB.
+    """
+    L = int(min_len)
+    g, _firsts = _lgram_stage(docs, L, id_col, text_col)
+    w = (
+        Window.partitionBy("gram")
+        .orderBy("__key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        g.select(
+            id_col,
+            "q",
+            "gram",
+            F.min("__key").over(w).alias("__prior"),
+            F.count("__key").over(w).cast("long").alias("n_prior"),
+        )
+        .select(
+            id_col,
+            F.col("q").cast("long").alias("q"),
+            "gram",
+            F.expr(f"__prior div {XS_POS_BASE}")
+            .cast("long")
+            .alias("first_source_doc"),
+            "n_prior",
+        )
+    )

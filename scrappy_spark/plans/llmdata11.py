@@ -360,3 +360,49 @@ def q_substring_provenance_sampled(
     return exact_substring_provenance_sampled(
         docs, min_len=_XS_L, rate=_PROV_RATE
     )
+
+
+_XS_HITS_MAX_ID = 100  # batch slice the per-occurrence audit runs on
+
+
+@register(
+    "q_xs_gram_hits",
+    sql=f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE doc_id < {_XS_HITS_MAX_ID}),
+    {exact_substring_gram_ctes(_XS_L)}
+    SELECT g.doc_id, CAST(g.q AS BIGINT) AS q, g.gram,
+           CAST(min(g.doc_id * 1000000 + g.q) OVER (
+                PARTITION BY gram
+                ORDER BY g.doc_id * 1000000 + g.q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                // 1000000 AS BIGINT) AS first_source_doc,
+           CAST(count(*) OVER (
+                PARTITION BY gram
+                ORDER BY g.doc_id * 1000000 + g.q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT) AS n_prior
+    FROM g
+    """,
+    doc="Per-occurrence ExactSubstr gram hits in corpus (doc, pos) "
+    "order: for every L-gram window, the doc owning the gram's "
+    "earliest prior occurrence (NULL for the first) and the prior "
+    "count — n_prior > 0 IS the ExactSubstr drop rule per window. "
+    "Batch twin of the STREAMING gram-index maintenance "
+    "(streaming/stateful.py::xs_gram_index, applyInPandasWithState "
+    "with two-BIGINT per-gram state), exactly as q_minhash_bucket_hits "
+    "twins the streaming MinHash index; stream-equivalence pinned in "
+    "test_streaming_sinks.py. Run on batch slices (here docs < "
+    f"{_XS_HITS_MAX_ID}) — the audit is per-occurrence-sized. Engine "
+    "path operators/curation.py::xs_gram_hits.",
+    tags=("llm", "dedup", "streaming-twin"),
+)
+def q_xs_gram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import xs_gram_hits
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < _XS_HITS_MAX_ID)
+    )
+    return xs_gram_hits(docs, min_len=_XS_L)

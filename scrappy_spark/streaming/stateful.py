@@ -241,3 +241,103 @@ def minhash_bucket_index(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ExactSubstr gram-index maintenance: the distinct-gram index
+# kept in STREAM STATE, keyed per gram — the exact-substring sibling of
+# minhash_bucket_index above, and the streaming leg of the
+# exact_substring_index / exact_substring_dedup_incremental family.
+# ---------------------------------------------------------------------------
+
+XS_HITS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("q", T.LongType()),
+        T.StructField("gram", T.StringType()),
+        T.StructField("first_source_doc", T.LongType()),
+        T.StructField("n_prior", T.LongType()),
+    ]
+)
+
+_XS_STATE_SCHEMA = "first_key BIGINT, n BIGINT"
+
+#: mirrors operators/curation.py::XS_POS_BASE — kept as a literal here
+#: because executors deserialize this module standalone
+_XS_POS_BASE = 1_000_000
+
+
+def _update_gram(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (gram,) = key
+    first_key, n = state.get if state.exists else (None, 0)
+    occ: list[tuple[int, int]] = []
+    for pdf in pdfs:
+        occ.extend(
+            (int(k), int(d), int(q))
+            for k, d, q in zip(pdf["__key"], pdf["doc_id"], pdf["q"])
+        )
+    if not occ:  # timeout invocation — nothing to emit or update
+        return
+    occ.sort()  # within-batch corpus (key) order — the arrival contract
+    rows = []
+    for k, d, q in occ:
+        rows.append(
+            (
+                d,
+                q,
+                gram,
+                (first_key // _XS_POS_BASE) if n > 0 else None,
+                n,
+            )
+        )
+        if n == 0 or k < first_key:
+            first_key = k
+        n += 1
+    state.update((first_key, n))
+    out = pd.DataFrame(
+        rows, columns=["doc_id", "q", "gram", "first_source_doc", "n_prior"]
+    )
+    out["first_source_doc"] = pd.array(
+        out["first_source_doc"], dtype="Int64"
+    )
+    yield out
+
+
+def xs_gram_index(gram_rows: DataFrame) -> DataFrame:
+    """Streaming ExactSubstr index maintenance: the gram index lives in
+    STREAM STATE, one entry per gram, and every incoming window
+    occurrence is answered against — and folded into — that state in
+    the same pass.
+
+    Per-key state is two BIGINTs (the gram's minimum (doc, pos) key +
+    occurrence count) — bounded regardless of corpus size, the same
+    no-members-list design as ``minhash_bucket_index``. Emits one row
+    per occurrence: ``first_source_doc`` (the doc owning the gram's
+    earliest occurrence BEFORE this row; NULL when this row is the
+    first) and ``n_prior``. ``n_prior > 0`` is exactly the ExactSubstr
+    drop rule per window, so a foreachBatch consumer can rebuild
+    cleaned text incrementally, and the stored-index family
+    (``exact_substring_dedup_incremental``) answers the same question
+    batch-side.
+
+    Input must be the STATELESS gram projection
+    (``operators/curation.py::_lgram_stage``'s ``g`` output — row-local
+    per doc, no window) — Structured Streaming allows one stateful
+    operator per query and this is it. Batches must arrive in corpus
+    order for keep-first semantics (the ``minhash_bucket_index``
+    contract); within a batch, occurrences are key-sorted here. Batch
+    twin, oracle-backed: ``curation.xs_gram_hits`` /
+    ``q_xs_gram_hits``. State never expires (corpus identity must not
+    age out); swap NoTimeout for EventTimeTimeout to bound state for
+    time-scoped windows.
+    """
+    grouped = gram_rows.select("doc_id", "q", "gram", "__key").groupBy("gram")
+    return grouped.applyInPandasWithState(
+        _update_gram,
+        outputStructType=XS_HITS_SCHEMA,
+        stateStructType=_XS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

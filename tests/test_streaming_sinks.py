@@ -498,3 +498,62 @@ def test_stream_quality_into_snapshots_commit_log(spark, tmp_path):
         stream, suite, table, ckpt2
     ).awaitTermination()
     assert table.current_version() == 1
+
+
+def test_xs_gram_index_stream_equals_batch_twin(spark):
+    """Streaming ExactSubstr gram-index maintenance: id-ordered
+    micro-batches through the applyInPandasWithState gram index must
+    emit exactly the batch twin's (first_source_doc, n_prior) per
+    window occurrence — state carries each gram's minimum (doc, pos)
+    key and occurrence count across triggers."""
+    import os
+
+    from scrappy_spark.operators.curation import _lgram_stage, xs_gram_hits
+    from scrappy_spark.streaming.stateful import xs_gram_index
+
+    L = 10
+    shared = "SHARED-SUBSTRING-CONTENT"
+    rows = [
+        (1, "first doc with " + shared),
+        (2, "totally different content here"),
+        (10, shared + " appears again later"),           # batch 2
+        (11, "more fresh second batch words"),
+        (20, "third batch repeats " + shared + " too"),  # batch 3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = {
+        (r.doc_id, r.q): (r.gram, r.first_source_doc, r.n_prior)
+        for r in xs_gram_hits(docs, min_len=L).collect()
+    }
+    assert any(v[2] > 0 for v in expect.values())  # real cross-batch hits
+
+    base = tempfile.mkdtemp(prefix="xs_index_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    try:
+        for i, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 99)]):
+            docs.filter(
+                (docs.doc_id >= lo) & (docs.doc_id < hi)
+            ).coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        g, _ = _lgram_stage(stream, L, "doc_id", "text")
+        q = (
+            xs_gram_index(g)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.doc_id, r.q): (r.gram, r.first_source_doc, r.n_prior)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == expect
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -82,6 +82,7 @@ PROBES = [
     "q_exact_substring_incremental",
     "q_mixture_plan",
     "q_segment_lang_profile",
+    "q_xs_gram_hits",
 ]
 
 
