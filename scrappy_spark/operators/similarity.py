@@ -708,3 +708,85 @@ def semdedup(
             F.when(F.col("__drop").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("kept"),
         )
     )
+
+
+def embedding_bucket_rows(
+    df: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Stateless multi-table LSH bucket projection: one row per
+    (vector, table) with its hyperplane bucket id — the row-local stage
+    the streaming index (``streaming/stateful.py::embedding_bucket_
+    index``) and the batch twin below share, the same split as
+    ``minhash_signatures_stateless`` / ``_lgram_stage``.
+
+    Exactness note for value-hash gates: feed INTEGER-VALUED vectors
+    (e.g. ``quantize_int8`` codes) — every plane projection is then a
+    sum of ±code integers, exact in double at any summation order, so
+    the bucket bits are bit-identical in any engine. Raw float
+    embeddings still bucket fine for recall purposes but their
+    near-zero projections are summation-order-sensitive, which is why
+    the float ANN family is gated by banded-flag audits instead.
+    """
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(
+                    F.col(vec_col), n_planes, dim=dim, seed=seed + t
+                ).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(tables).alias("tb")).select(
+        id_col,
+        F.col("tb.t").cast("long").alias("t"),
+        F.col("tb.bkt").cast("long").alias("bkt"),
+    )
+
+
+def embedding_bucket_hits(
+    df: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-(vector, table) LSH cell occupancy in arrival (id) order:
+    the earliest prior occupant of the row's (table, bucket) cell
+    (NULL for the first) and the prior-occupant count — the embedding
+    analogue of ``dedup_approx.minhash_bucket_hits``, and the
+    oracle-backed batch twin of the STREAMING vector index
+    (``streaming/stateful.py::embedding_bucket_index``). A vector
+    whose rows report priors in ≥ k of its tables is an ANN near-dup
+    candidate — the incremental form of ``embedding_near_dup_pairs``'s
+    (table, bucket) equi-join.
+
+    One window per cell (sort at n_vectors × n_tables rows) — batch
+    slices at 100 TB, same as the other index twins.
+    """
+    from pyspark.sql import Window
+
+    rows = embedding_bucket_rows(
+        df, n_planes, n_tables, seed, id_col, vec_col, dim
+    )
+    w = (
+        Window.partitionBy("t", "bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return rows.select(
+        id_col,
+        "t",
+        "bkt",
+        F.min(id_col).over(w).cast("long").alias("first_vec_id"),
+        F.count(id_col).over(w).cast("long").alias("n_prior"),
+    )

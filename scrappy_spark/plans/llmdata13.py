@@ -301,3 +301,107 @@ def q_segment_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return segment_lang_profile(docs, seg_tokens=_SEG_TOKENS)
+
+
+# ---------------------------------------------------------------------------
+# Embedding bucket hits — batch twin of the streaming ANN index
+# ---------------------------------------------------------------------------
+
+_EB_PLANES = 8
+_EB_TABLES = 4
+_EB_SEED = 7
+_EB_DIM = 64
+
+
+def _embedding_bucket_sql() -> str:
+    """Oracle with the SAME md5-parity hyperplanes as the engine,
+    embedded as ±1 literal arrays (operators/similarity.py::
+    _plane_signs — one source of truth), over int8-quantized codes so
+    every projection is a sum of ±code integers: exact in double at
+    any summation order, hence bit-identical buckets across engines
+    (the reason the STREAMING index twin can take the full value-hash
+    gate while the raw-float ANN family is banded-flag audited)."""
+    from ..operators.similarity import _plane_signs
+
+    def bucket_expr(t: int) -> str:
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(codes_d, [{signs}]) >= 0 "
+            "THEN {bit} ELSE 0 END)".format(
+                signs=", ".join(
+                    str(s)
+                    for s in _plane_signs(_EB_SEED + t, p, _EB_DIM)
+                ),
+                bit=1 << p,
+            )
+            for p in range(_EB_PLANES)
+        )
+        return f"CAST({bits} AS BIGINT)"
+
+    table_rows = " UNION ALL ".join(
+        f"SELECT vec_id, CAST({t} AS BIGINT) AS t, {bucket_expr(t)} AS bkt "
+        "FROM q"
+        for t in range(_EB_TABLES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      CAST(list_min(embedding) AS DOUBLE) AS vmin,
+                      CAST(list_max(embedding) AS DOUBLE)
+                        - CAST(list_min(embedding) AS DOUBLE) AS rng,
+                      embedding
+               FROM embeddings),
+    q AS (SELECT vec_id,
+                 CASE WHEN rng = 0
+                      THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                      ELSE list_transform(embedding,
+                           x -> CAST(round((CAST(x AS DOUBLE) - vmin)
+                                           / (rng / 255.0)) AS DOUBLE))
+                 END AS codes_d
+          FROM e),
+    rows_ AS ({table_rows})
+    SELECT vec_id, t, bkt,
+           CAST(min(vec_id) OVER (
+                PARTITION BY t, bkt ORDER BY vec_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT) AS first_vec_id,
+           CAST(count(*) OVER (
+                PARTITION BY t, bkt ORDER BY vec_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT) AS n_prior
+    FROM rows_
+    """
+
+
+@register(
+    "q_embedding_bucket_hits",
+    sql=_embedding_bucket_sql(),
+    doc="Per-(vector, table) ANN cell occupancy in arrival order over "
+    f"{_EB_TABLES}-table/{_EB_PLANES}-plane hyperplane LSH of the "
+    "int8-QUANTIZED embeddings: earliest prior occupant of each "
+    "(table, bucket) cell + prior count — priors in >= k tables mark "
+    "an ANN near-dup candidate, the incremental form of the "
+    "embedding_near_dup_pairs equi-join. Batch twin of the STREAMING "
+    "vector index (streaming/stateful.py::embedding_bucket_index — "
+    "the third member of the two-BIGINT bucket-index family after "
+    "MinHash and ExactSubstr grams); stream-equivalence pinned in "
+    "test_streaming_sinks.py. Quantization makes every plane "
+    "projection a sum of +-code integers (exact in double at any "
+    "order), so unlike the raw-float ANN audits this twin takes the "
+    "FULL value-hash gate: the oracle re-derives the identical "
+    "md5-parity planes as literal sign arrays. Engine path "
+    "operators/similarity.py::embedding_bucket_hits over "
+    "quantize_int8 codes.",
+    tags=("llm", "similarity", "streaming-twin", "quantization"),
+)
+def q_embedding_bucket_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_bucket_hits, quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = quantize_int8(e).select("vec_id", "codes")
+    return embedding_bucket_hits(
+        codes,
+        n_planes=_EB_PLANES,
+        n_tables=_EB_TABLES,
+        seed=_EB_SEED,
+        vec_col="codes",
+        dim=_EB_DIM,
+    )

@@ -341,3 +341,40 @@ def xs_gram_index(gram_rows: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def embedding_bucket_index(
+    bucket_rows: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Streaming embedding (ANN) index maintenance: the multi-table
+    LSH cell index lives in STREAM STATE — the third member of the
+    bucket-index family (MinHash buckets, ExactSubstr grams, now
+    vector cells), and deliberately a THIN WRAPPER over the same
+    two-BIGINT ``applyInPandasWithState`` kernel as
+    ``minhash_bucket_index``: the state key is (table, bucket) instead
+    of (seed, minhash), the value is still (first occupant, count),
+    bounded per cell regardless of corpus size.
+
+    Input must be the stateless projection
+    (``operators/similarity.py::embedding_bucket_rows`` — feed
+    quantized codes for bit-exact buckets); emits one row per
+    (vector, table): ``first_vec_id`` / ``n_prior``, with a vector
+    reporting priors in ≥ k tables being an ANN near-dup candidate.
+    Batch twin, oracle-backed: ``similarity.embedding_bucket_hits`` /
+    ``q_embedding_bucket_hits``; stream-equivalence pinned in
+    test_streaming_sinks.py.
+    """
+    from pyspark.sql import functions as F
+
+    renamed = bucket_rows.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("t").alias("seed"),
+        F.col("bkt").alias("minhash"),
+    )
+    return minhash_bucket_index(renamed).select(
+        F.col("doc_id").alias(id_col),
+        F.col("seed").alias("t"),
+        F.col("minhash").alias("bkt"),
+        F.col("first_doc_id").alias("first_vec_id"),
+        "n_prior",
+    )

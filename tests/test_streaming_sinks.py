@@ -557,3 +557,64 @@ def test_xs_gram_index_stream_equals_batch_twin(spark):
         assert got == expect
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_embedding_bucket_index_stream_equals_batch_twin(spark):
+    """Streaming ANN index maintenance (the third bucket-index family
+    member): id-ordered micro-batches of quantized vectors through the
+    state kernel must emit exactly the batch twin's
+    (first_vec_id, n_prior) per (vector, table) row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scrappy_spark.io import load_table
+    from scrappy_spark.operators.similarity import (
+        embedding_bucket_hits,
+        embedding_bucket_rows,
+        quantize_int8,
+    )
+    from scrappy_spark.streaming.stateful import embedding_bucket_index
+
+    vecs = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .filter(F.col("vec_id") < 60)
+        .select("vec_id", "embedding")
+    )
+    codes = quantize_int8(vecs).select("vec_id", "codes")
+    kw = dict(n_planes=8, n_tables=4, seed=7, vec_col="codes", dim=64)
+    expect = {
+        (r.vec_id, r.t): (r.bkt, r.first_vec_id, r.n_prior)
+        for r in embedding_bucket_hits(codes, **kw).collect()
+    }
+    assert any(v[2] > 0 for v in expect.values())  # real cell collisions
+
+    base = tempfile.mkdtemp(prefix="emb_index_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    try:
+        for i, (lo, hi) in enumerate([(0, 20), (20, 40), (40, 99)]):
+            codes.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+        stream = (
+            spark.readStream.schema(codes.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = (
+            embedding_bucket_index(embedding_bucket_rows(stream, **kw))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.vec_id, r.t): (r.bkt, r.first_vec_id, r.n_prior)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == expect
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -83,6 +83,7 @@ PROBES = [
     "q_mixture_plan",
     "q_segment_lang_profile",
     "q_xs_gram_hits",
+    "q_embedding_bucket_hits",
 ]
 
 
