@@ -190,16 +190,21 @@ def mixture_plan(
     that :func:`mix_corpora` then executes. All in exact integer ppm /
     milli units so the plan is reproducible and engine-checkable.
 
-    Per domain present in the data: available tokens, target weight
-    (ppm), target tokens (``budget · weight``), the sampling rate to
-    apply when the domain over-supplies (``min(1, target/available)``
-    in ppm — feed it straight to ``mix_corpora``), epochs in milli
-    units when it under-supplies (``target/available``; 2500 = 2.5
-    epochs), and an ``under_supplied`` flag (target exceeds one epoch).
-    Domains absent from ``weights`` get weight 0 (excluded from the
-    mix); weights must sum to ~1.
+    Per domain — present in the data OR merely declared in ``weights``
+    (a weighted domain MISSING from the corpus is precisely the
+    failure a plan must shout about, not silently omit): available
+    tokens, target weight (ppm), target tokens (``budget · weight``),
+    the sampling rate to apply when the domain over-supplies
+    (``min(1, target/available)`` in ppm — feed it straight to
+    ``mix_corpora``), epochs in milli units when it under-supplies
+    (``target/available``; 2500 = 2.5 epochs), and an
+    ``under_supplied`` flag (``target > available`` — an absent domain
+    with a positive target flags 1 with rate/epochs 0). Domains absent
+    from ``weights`` get weight 0 (excluded from the mix); weights
+    must sum to ~1.
 
-    Scale shape: one partial-agg groupBy at domain cardinality + pure
+    Scale shape: one partial-agg groupBy at domain cardinality + a
+    full-outer join against the |weights|-row declared side + pure
     integer projections; nothing row-sized survives the first agg.
     """
     total = sum(weights.values())
@@ -207,11 +212,10 @@ def mixture_plan(
         raise ValueError(f"mixture weights must sum to 1, got {total}")
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
-    w_ppm = F.lit(0).cast("long")
-    for dom, w in weights.items():
-        w_ppm = F.when(
-            F.col(domain_col) == dom, F.lit(int(round(w * 1_000_000)))
-        ).otherwise(w_ppm)
+    declared = df.sparkSession.createDataFrame(
+        [(d, int(round(w * 1_000_000))) for d, w in weights.items()],
+        schema=f"{domain_col} string, target_weight_ppm long",
+    )
     avail = (
         df.groupBy(domain_col)
         .agg(
@@ -219,7 +223,16 @@ def mixture_plan(
             .cast("long")
             .alias("available_tokens")
         )
-        .withColumn("target_weight_ppm", w_ppm.cast("long"))
+        .join(declared, domain_col, "full_outer")
+        .select(
+            domain_col,
+            F.coalesce("available_tokens", F.lit(0))
+            .cast("long")
+            .alias("available_tokens"),
+            F.coalesce("target_weight_ppm", F.lit(0))
+            .cast("long")
+            .alias("target_weight_ppm"),
+        )
     )
     target = F.expr(f"target_weight_ppm * {int(budget_tokens)} div 1000000")
     return avail.select(
@@ -250,14 +263,9 @@ def mixture_plan(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("epochs_milli"),
-        F.when(
-            (F.col("available_tokens") > 0)
-            & (target > F.col("available_tokens")),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("under_supplied"),
+        (target > F.col("available_tokens")).cast("long").alias(
+            "under_supplied"
+        ),
     )
 
 

@@ -166,19 +166,24 @@ _MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
 
 
 def _mixture_plan_sql() -> str:
-    w_case = "CASE lang " + " ".join(
-        f"WHEN '{d}' THEN {int(round(w * 1_000_000))}"
+    values = ", ".join(
+        f"('{d}', {int(round(w * 1_000_000))})"
         for d, w in _MIX_WEIGHTS.items()
-    ) + " ELSE 0 END"
+    )
     tgt = f"(target_weight_ppm * {_MIX_BUDGET} // 1000000)"
     return f"""
-    WITH a AS (SELECT lang,
-                      CAST(coalesce(sum(n_chars), 0) AS BIGINT)
-                          AS available_tokens
-               FROM documents GROUP BY lang),
-    w AS (SELECT lang, available_tokens,
-                 CAST({w_case} AS BIGINT) AS target_weight_ppm
-          FROM a)
+    WITH w0 AS (SELECT * FROM (VALUES {values})
+                    AS t(lang, target_weight_ppm)),
+    a AS (SELECT lang,
+                 CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+                     AS available_tokens
+          FROM documents GROUP BY lang),
+    w AS (SELECT coalesce(a.lang, w0.lang) AS lang,
+                 CAST(coalesce(a.available_tokens, 0) AS BIGINT)
+                     AS available_tokens,
+                 CAST(coalesce(w0.target_weight_ppm, 0) AS BIGINT)
+                     AS target_weight_ppm
+          FROM a FULL JOIN w0 ON a.lang = w0.lang)
     SELECT lang, available_tokens, target_weight_ppm,
            CAST({tgt} AS BIGINT) AS target_tokens,
            CAST(CASE WHEN available_tokens > 0
@@ -188,9 +193,7 @@ def _mixture_plan_sql() -> str:
            CAST(CASE WHEN available_tokens > 0
                 THEN {tgt} * 1000 // available_tokens
                 ELSE 0 END AS BIGINT) AS epochs_milli,
-           CAST(CASE WHEN available_tokens > 0
-                 AND {tgt} > available_tokens
-                THEN 1 ELSE 0 END AS BIGINT) AS under_supplied
+           CAST({tgt} > available_tokens AS BIGINT) AS under_supplied
     FROM w
     """
 

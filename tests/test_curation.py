@@ -350,6 +350,20 @@ def test_mixture_plan_math(spark):
     # books: no weight declared -> excluded from the mix
     assert out["books"].target_tokens == 0
     assert out["books"].sample_rate_ppm == 0
+    assert out["books"].under_supplied == 0
+
+    # a weighted domain ABSENT from the corpus must surface as an
+    # under-supplied row (available 0), never silently vanish
+    out2 = {
+        r.source: r
+        for r in mixture_plan(
+            df, {"wiki": 0.5, "code": 0.5}, budget_tokens=1000
+        ).collect()
+    }
+    assert out2["code"].available_tokens == 0
+    assert out2["code"].target_tokens == 500
+    assert out2["code"].under_supplied == 1
+    assert (out2["code"].sample_rate_ppm, out2["code"].epochs_milli) == (0, 0)
 
     with pytest.raises(ValueError):
         mixture_plan(df, {"wiki": 0.5}, 1000)       # weights must sum to 1
