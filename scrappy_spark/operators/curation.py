@@ -206,12 +206,25 @@ def mixture_plan(
     Scale shape: one partial-agg groupBy at domain cardinality + a
     full-outer join against the |weights|-row declared side + pure
     integer projections; nothing row-sized survives the first agg.
+
+    Overflow contract: ``weight_ppm * budget_tokens`` exceeds BIGINT
+    for budgets above ~9.2e12 tokens (a 15T-token plan — exactly the
+    web scale this planner targets), so every budget-scaled product is
+    computed in DECIMAL (exact well past 10^25) and only the final
+    floored quotients land in BIGINT. The over-supply rate is branched
+    on ``target >= available`` so the capped case never evaluates a
+    quotient wider than 10^6. ``budget_tokens`` itself must fit BIGINT
+    (raise otherwise) — the one remaining representability bound.
     """
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"mixture weights must sum to 1, got {total}")
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    if budget_tokens >= 2**63:
+        raise ValueError(
+            f"budget_tokens must fit BIGINT, got {budget_tokens}"
+        )
     declared = df.sparkSession.createDataFrame(
         [(d, int(round(w * 1_000_000))) for d, w in weights.items()],
         schema=f"{domain_col} string, target_weight_ppm long",
@@ -234,36 +247,36 @@ def mixture_plan(
             .alias("target_weight_ppm"),
         )
     )
-    target = F.expr(f"target_weight_ppm * {int(budget_tokens)} div 1000000")
+    # target = floor(ppm * budget / 1e6), exact in decimal(7,0)×(20,0):
+    # the decimal(28,0) intermediate never wraps; `div` floors to BIGINT.
+    b = int(budget_tokens)
+    tgt = (
+        f"(cast(target_weight_ppm as decimal(7,0))"
+        f" * cast({b} as decimal(20,0)) div 1000000)"
+    )
+    # decimal(20,0) re-widening for the rate/epoch products: target
+    # fits BIGINT (≤ budget) but target*1e6 does not, so keep it
+    # decimal until after the floor-division.
+    tgt_dec = f"cast({tgt} as decimal(20,0))"
     return avail.select(
         domain_col,
         "available_tokens",
         "target_weight_ppm",
-        target.cast("long").alias("target_tokens"),
-        F.when(
-            F.col("available_tokens") > 0,
-            F.least(
-                F.lit(1_000_000).cast("long"),
-                F.expr(
-                    f"(target_weight_ppm * {int(budget_tokens)} div 1000000)"
-                    " * 1000000 div available_tokens"
-                ),
-            ),
+        F.expr(tgt).cast("long").alias("target_tokens"),
+        F.expr(
+            f"case when available_tokens = 0 then 0 "
+            f"when {tgt} >= available_tokens then 1000000 "
+            f"else {tgt_dec} * 1000000 div available_tokens end"
         )
-        .otherwise(F.lit(0))
         .cast("long")
         .alias("sample_rate_ppm"),
-        F.when(
-            F.col("available_tokens") > 0,
-            F.expr(
-                f"(target_weight_ppm * {int(budget_tokens)} div 1000000)"
-                " * 1000 div available_tokens"
-            ),
+        F.expr(
+            f"case when available_tokens = 0 then 0 "
+            f"else {tgt_dec} * 1000 div available_tokens end"
         )
-        .otherwise(F.lit(0))
         .cast("long")
         .alias("epochs_milli"),
-        (target > F.col("available_tokens")).cast("long").alias(
+        F.expr(f"cast({tgt} > available_tokens as long)").alias(
             "under_supplied"
         ),
     )
@@ -976,11 +989,144 @@ def _lgram_stage(docs, L, id_col, text_col):
     return g, firsts
 
 
+#: chunk-mode defaults: stride × max_chunks bounds a single document at
+#: ~16.8M chars (any real book; raise max_chunks for bigger), and the
+#: packed key (doc·MAX + chunk)·(stride+1) + pos bounds doc_ids at
+#: 2⁶³ div (MAX·(stride+1)) ≈ 5.5e11 — the BIGINT budget split between
+#: corpus size and document size (id_bound · max_doc_len ≤ 2⁶³ is
+#: inherent to any single-BIGINT (doc, position) encoding).
+XS_CHUNK_STRIDE = 1024
+XS_MAX_CHUNKS = 16384
+
+
+def _lgram_stage_chunked(docs, L, id_col, text_col,
+                         stride=XS_CHUNK_STRIDE, max_chunks=XS_MAX_CHUNKS):
+    """ExactSubstr gram stage for corpora WITH oversized documents (the
+    ``long_doc="chunk"`` escape hatch, VERDICT r8 #1): documents are
+    first cut into overlapping chunks of ``stride + L − 1`` chars every
+    ``stride`` (an ``L−1``-char overlap), so
+
+    - every L-char window of the original document appears in EXACTLY
+      one chunk (windows at local positions 1..stride; the overlap
+      carries boundary-crossing windows into the next chunk — nothing
+      is lost at the seam, nothing is double-counted);
+    - the packed key ``(doc·max_chunks + chunk)·(stride+1) + local_pos``
+      still sorts by global corpus position (chunk index and local
+      position both increase with the global position), so keep-first
+      minima pick the SAME winner the unchunked rule would — chunk
+      mode is exact, not approximate;
+    - one book-length document's gram hashing spreads across the
+      cluster (the chunk rows are repartitioned before the per-window
+      explode) instead of serializing in one task — AND the per-window
+      ``substr`` stays cheap: JVM ``substr`` re-scans the string to its
+      start position (O(position) per call, measured quadratic past
+      ~100k chars — ARCHITECTURE.md r9), so slicing windows out of a
+      bounded ``stride``-sized chunk caps that scan at ``stride`` bytes
+      where the unchunked stage pays up to the full document length.
+      Small stride is therefore a PERFORMANCE bound, not just a key-
+      packing one; the ~``(L−1)/stride`` duplicated-overlap bytes are
+      the price.
+
+    Emits ``(id, q, gram, __key)`` with ``q`` already decoded back to
+    the GLOBAL character position, plus the per-gram key minima — the
+    same contract as ``_lgram_stage``. Guards (fail-loud, mirrored
+    from the unchunked stage): a doc needing more than ``max_chunks``
+    chunks, or a doc_id outside ``[0, 2⁶³ div (max_chunks·(stride+1)))``,
+    raises rather than risking key interleaving.
+    """
+    stride = int(stride)
+    if stride <= 0:
+        raise ValueError(f"chunk stride must be > 0, got {stride}")
+    chunk_len = stride + L - 1
+    id_bound = 2**63 // (int(max_chunks) * (stride + 1))
+    n = F.length(F.col(text_col))
+    n_win = F.when(n >= L, n - L + 1).otherwise(F.lit(0))
+    n_chunks = F.ceil(n_win / F.lit(stride)).cast("long")
+    n_shuffle = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    overflow = F.raise_error(
+        F.concat(
+            F.lit("exact_substring[chunk]: document "),
+            F.col(id_col).cast("string"),
+            F.lit(" (length "),
+            n.cast("string"),
+            F.lit(
+                f") exceeds the chunk-mode capacity: needs <= "
+                f"{int(max_chunks)} chunks of {chunk_len} chars and a "
+                f"doc id in [0, {id_bound})"
+            ),
+        )
+    )
+    bad = (
+        (n_chunks > int(max_chunks))
+        | (F.col(id_col) < 0)
+        | (F.col(id_col) >= id_bound)
+    )
+    chunks = (
+        docs.repartition(n_shuffle, F.col(id_col))
+        .select(
+            id_col,
+            F.explode_outer(
+                F.when(bad, overflow.cast("array<bigint>"))
+                .when(n_win > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+                .otherwise(F.array().cast("array<bigint>"))
+            ).alias("__ci"),
+            F.col(text_col),
+        )
+        .filter(F.col("__ci").isNotNull())
+        .select(
+            id_col,
+            "__ci",
+            F.col(text_col)
+            .substr(
+                (F.col("__ci") * stride + 1).cast("int"), F.lit(chunk_len)
+            )
+            .alias("__ctext"),
+        )
+        # spread the book's chunks across executors BEFORE the O(chars)
+        # md5 window stage — only ~chunk_len bytes per row move
+        .repartition(n_shuffle, F.col(id_col), F.col("__ci"))
+    )
+    m = F.length(F.col("__ctext"))
+    g = (
+        chunks.select(
+            id_col,
+            "__ci",
+            F.explode_outer(
+                F.when(m >= L, F.sequence(F.lit(1), m - L + 1)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("__ql"),
+            F.col("__ctext"),
+        )
+        .filter(F.col("__ql").isNotNull())
+        .select(
+            id_col,
+            # global position; fits INT (JVM strings are < 2^31 chars),
+            # and _covered_output's fold accumulator is typed on it
+            (F.col("__ci") * stride + F.col("__ql")).cast("int").alias("q"),
+            F.md5(F.col("__ctext").substr(F.col("__ql"), F.lit(L))).alias(
+                "gram"
+            ),
+            (
+                (F.col(id_col) * int(max_chunks) + F.col("__ci"))
+                * (stride + 1)
+                + F.col("__ql")
+            ).alias("__key"),
+        )
+    )
+    firsts = g.groupBy("gram").agg(F.min("__key").alias("__first"))
+    return g, firsts
+
+
 def exact_substring_dedup(
     docs: DataFrame,
     min_len: int = 30,
     id_col: str = "doc_id",
     text_col: str = "text",
+    long_doc: str = "raise",
+    chunk_stride: int = XS_CHUNK_STRIDE,
 ) -> DataFrame:
     """ExactSubstr-style cross-document dedup (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better",
@@ -1018,7 +1164,28 @@ def exact_substring_dedup(
 
     Output: ``(doc_id, n_chars, n_dropped, cleaned_text)`` — docs
     shorter than ``min_len`` pass through untouched.
+
+    Long documents (``long_doc``): the default ``"raise"`` keeps the
+    fail-loud key-packing guard — any doc of length ≥ ``XS_POS_BASE``
+    aborts the job (a verification posture: never silently interleave
+    keys). ``"chunk"`` is the production escape hatch (VERDICT r8 #1):
+    ALL docs are cut into overlapping ``chunk_stride``-sized chunks
+    (``_lgram_stage_chunked`` — ``L−1``-char overlap so no boundary
+    window is lost, packed keys still sorted by global corpus
+    position), so ONE book in a 100 TB web corpus degrades to a
+    chunked gram stage instead of aborting the job — and the result
+    is EXACTLY the keep-first rule, not an approximation
+    (property-tested against the unchunked path). Chunk mode is also
+    the right PERFORMANCE choice for corpora with many >~10k-char
+    docs: the JVM's O(position) substr makes the unchunked window
+    stage quadratic in doc length, while chunks cap each scan at
+    ``chunk_stride`` bytes. Shrinking ``chunk_stride`` in tests forces
+    chunk seams onto small fixtures.
     """
+    if long_doc not in ("raise", "chunk"):
+        raise ValueError(
+            f"long_doc must be 'raise' or 'chunk', got {long_doc!r}"
+        )
     L = int(min_len)
     n = F.length(F.col(text_col))
 
@@ -1039,7 +1206,12 @@ def exact_substring_dedup(
     #    would fabricate [1, 0], the descending-default trap) + the
     #    keep-first per-gram minima. It moves only unique-text bytes
     #    (already collapsed above).
-    g, firsts = _lgram_stage(reps, L, id_col, text_col)
+    if long_doc == "chunk":
+        g, firsts = _lgram_stage_chunked(
+            reps, L, id_col, text_col, stride=int(chunk_stride)
+        )
+    else:
+        g, firsts = _lgram_stage(reps, L, id_col, text_col)
     dup = (
         g.join(firsts, "gram")
         .filter(F.col("__key") > F.col("__first"))

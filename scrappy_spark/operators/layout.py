@@ -196,6 +196,7 @@ def compaction_plan(
     partition_cols: list[str],
     order_cols: list[str],
     target_bytes: int,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Small-file compaction plan: assign each manifest entry (a file,
     or any byte-sized unit) to a target output file of roughly
@@ -217,6 +218,16 @@ def compaction_plan(
     Output: the manifest's key columns + ``bytes_col`` + ``file_seq``
     (1-based position in packing order) + ``target_file`` (0-based
     within the partition).
+
+    Determinism contract: the packing window's ordering keys —
+    ``order_cols`` plus the optional ``tiebreak_col`` (use the file
+    path) — must uniquely key rows within each partition; otherwise
+    ``row_number``/running-sum tie order would vary run to run and the
+    "same manifest → same plan" contract silently breaks. The plan
+    ASSERTS this in-pass (an ordering-key tie raises, fail-loud house
+    style) rather than documenting it away: the check is a ``lag``
+    equality in the window sort the plan already pays for — no extra
+    shuffle.
     """
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
@@ -226,8 +237,9 @@ def compaction_plan(
             "manifest sort would single-task; partition by table "
             "partition, which is also the real compaction boundary)"
         )
+    ordering = list(order_cols) + ([tiebreak_col] if tiebreak_col else [])
     w = Window.partitionBy(*partition_cols).orderBy(
-        *[F.col(c).asc() for c in order_cols]
+        *[F.col(c).asc() for c in ordering]
     )
     before = F.coalesce(
         F.sum(F.col(bytes_col).cast("long")).over(
@@ -235,15 +247,35 @@ def compaction_plan(
         ),
         F.lit(0).cast("long"),
     )
+    # tie detector in the SAME window sort: a row whose full ordering
+    # tuple equals its predecessor's proves the keys don't uniquely
+    # order the partition → nondeterministic packing → raise.
+    key = F.struct(*[F.col(c) for c in ordering])
+    tied = F.lag(key).over(w).eqNullSafe(key)
+    out_keys = list(order_cols) + (
+        [tiebreak_col] if tiebreak_col else []
+    )
     return manifest.select(
         *partition_cols,
-        *order_cols,
+        *out_keys,
         F.col(bytes_col).cast("long").alias(bytes_col),
-        F.row_number().over(w).cast("long").alias("file_seq"),
+        F.when(
+            tied,
+            F.raise_error(
+                F.lit(
+                    "compaction_plan: ordering keys "
+                    f"{ordering} do not uniquely key rows within a "
+                    "partition; pass tiebreak_col (e.g. the file path) "
+                    "so the packing order is deterministic"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.row_number().over(w).cast("long"))
+        .alias("file_seq"),
         before.alias("__before"),
     ).select(
         *partition_cols,
-        *order_cols,
+        *out_keys,
         bytes_col,
         "file_seq",
         F.expr(f"__before div {int(target_bytes)}")

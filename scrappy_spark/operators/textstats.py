@@ -644,16 +644,24 @@ def quality_floor_sweep(
         F.col("__r.t_milli").alias("t_milli"),
         F.col("__r.kept_docs").alias("kept_docs"),
         F.col("__r.kept_weight").alias("kept_weight"),
+        # ppm products in DECIMAL: kept_weight is a character mass that
+        # reaches ~1e14 at the 100 TB scale this sweep is for, so
+        # kept_weight * 1e6 wraps BIGINT (ADVICE r8 #2). decimal(20,0)
+        # × 1e6 stays exact; `div` floors back to BIGINT (ppm ≤ 1e6).
         F.when(
             F.col("__nd") > 0,
-            F.expr("(__r.kept_docs * 1000000) div __nd"),
+            F.expr(
+                "cast(__r.kept_docs as decimal(20,0)) * 1000000 div __nd"
+            ),
         )
         .otherwise(F.lit(0))
         .cast("long")
         .alias("kept_docs_ppm"),
         F.when(
             F.col("__nw") > 0,
-            F.expr("(__r.kept_weight * 1000000) div __nw"),
+            F.expr(
+                "cast(__r.kept_weight as decimal(20,0)) * 1000000 div __nw"
+            ),
         )
         .otherwise(F.lit(0))
         .cast("long")

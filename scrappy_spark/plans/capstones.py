@@ -410,20 +410,29 @@ def q_expectations_snapshot_log(
     table = SnapshotTable(spark, os.path.join(root, "table"))
     head = table.current_version()
     if head is None or head < 1:
-        # each day lands as ONE file; two availableNow passes share a
-        # checkpoint, so pass 2 processes only the new file — batch
-        # identity (day d = batch d) is deterministic, not racy
+        # each day lands as ONE file in its OWN deterministic directory,
+        # written only if absent (ADVICE r8 #4: the first cut appended
+        # into a shared dir, so a rerun after a partial failure —
+        # version 0 committed, crash before day 1 — re-appended a
+        # second day-0 file that the checkpointed stream then processed
+        # as a wrong day-1 batch). With per-day dirs + skip-if-exists,
+        # a rerun re-feeds nothing: the checkpoint sees no new file for
+        # committed days and exactly one for the missing day. Two
+        # availableNow passes share the checkpoint, so batch identity
+        # (day d = batch d) stays deterministic.
         for day in (0, 1):
-            (
-                docs.filter(F.col("doc_id") % 2 == day)
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(os.path.join(root, "incoming"))
-            )
+            day_dir = os.path.join(root, f"incoming_day{day}")
+            if not os.path.isdir(day_dir):
+                (
+                    docs.filter(F.col("doc_id") % 2 == day)
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(day_dir)
+                )
             stream = (
                 spark.readStream.schema(docs.schema)
                 .option("maxFilesPerTrigger", 1)
-                .parquet(os.path.join(root, "incoming"))
+                .parquet(os.path.join(root, "incoming_day*"))
             )
             stream_quality_into_snapshots(
                 stream, suite, table, os.path.join(root, "ckpt")

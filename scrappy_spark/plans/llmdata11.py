@@ -201,6 +201,139 @@ def q_exact_substring_incremental(
 
 
 # ---------------------------------------------------------------------------
+# Long-document chunk mode (the XS_POS_BASE escape hatch, VERDICT r8 #1)
+# ---------------------------------------------------------------------------
+
+#: the synthetic book's id — above every fixture doc_id (≤ 4999 at
+#: sf0.1), so keep-first corpus order puts the book LAST: original
+#: docs own their grams, the book's repeats get dropped.
+_XS_BOOK_ID = 900_000
+_XS_BOOK_MIN = 1_000_123  # > XS_POS_BASE: default mode MUST refuse it
+
+
+def _xs_longdoc_sql() -> str:
+    """The keep-first rule over documents ∪ one >1M-char synthetic
+    book, WITHOUT the XS_POS_BASE guard: keys pack at base 2³¹ (global
+    positions < 2.1e9), computing the plain unchunked semantics the
+    engine's chunk mode must reproduce. The oracle PRE-CHUNKS too —
+    the VERDICT r8 #1 formulation, and a measured necessity, not
+    style: a lateral unnest over a row carrying the 1M-char string
+    copies that string per generated row in DuckDB (O(n²) — the 1M
+    book ran >300 s; ARCHITECTURE.md r9), so every lateral here walks
+    ~1 KB chunk strings and the whole oracle runs in ~3 s. Window
+    chunks overlap by L−1 (same seam rule and XS_CHUNK_STRIDE as the
+    engine); per-char rebuild chunks don't overlap.
+    Positions are decoded back to GLOBAL before f/dup/coverage, so the
+    RULE itself — keep-first over (doc, global pos) — is exactly the
+    unchunked definition."""
+    from ..operators.curation import XS_CHUNK_STRIDE as S
+
+    L = _XS_L
+    return f"""
+    WITH seedsel AS (SELECT text FROM documents WHERE length(text) > 0
+                     ORDER BY doc_id LIMIT 1),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT {_XS_BOOK_ID} AS doc_id,
+               repeat(text, CAST(ceil({_XS_BOOK_MIN}.0 / length(text))
+                                 AS INT)) AS text
+        FROM seedsel
+    ),
+    d AS (SELECT doc_id, text, length(text) AS n FROM corpus),
+    chunks AS (SELECT doc_id, CAST(u.ci AS INT) AS ci,
+                      substr(text, CAST(u.ci AS INT) * {S} + 1,
+                             {S + L - 1}) AS ctext
+               FROM d, unnest(generate_series(0,
+                    CAST(ceil((n - {L} + 1) / {S}.0) AS INT) - 1)) AS u(ci)
+               WHERE n >= {L}),
+    g AS (SELECT doc_id, CAST(ci * {S} + u.ql AS INT) AS q,
+                 md5(substr(ctext, CAST(u.ql AS INT), {L})) AS gram
+          FROM chunks,
+               unnest(generate_series(1, length(ctext) - {L} + 1)) AS u(ql)),
+    f AS (SELECT gram,
+                 CAST(min(doc_id * 2147483648 + q) AS BIGINT) AS first_key
+          FROM g GROUP BY gram),
+    dup AS (SELECT g.doc_id, g.q FROM g JOIN f USING (gram)
+            WHERE g.doc_id * 2147483648 + g.q > f.first_key),
+    cck AS (SELECT doc_id, CAST(u.ci AS INT) AS ci,
+                   substr(text, CAST(u.ci AS INT) * {S} + 1, {S}) AS ctext
+            FROM d, unnest(generate_series(0,
+                 CAST(ceil(n / {S}.0) AS INT) - 1)) AS u(ci)
+            WHERE n >= 1),
+    ch AS (SELECT doc_id, CAST(ci * {S} + u.p AS INT) AS p,
+                  substr(ctext, CAST(u.p AS INT), 1) AS c
+           FROM cck, unnest(generate_series(1, length(ctext))) AS u(p)),
+    ev AS (SELECT doc_id, q AS pos, 1 AS is_dup, NULL AS c FROM dup
+           UNION ALL
+           SELECT doc_id, p AS pos, 0 AS is_dup, c FROM ch),
+    run AS (SELECT doc_id, pos, is_dup, c,
+                   max(CASE WHEN is_dup = 1 THEN pos END) OVER (
+                       PARTITION BY doc_id
+                       ORDER BY pos ASC, is_dup DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS last_dup
+            FROM ev),
+    agg AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN last_dup IS NOT NULL
+                                  AND last_dup >= pos - {L} + 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                   coalesce(string_agg(
+                       CASE WHEN last_dup IS NULL
+                             OR last_dup < pos - {L} + 1
+                       THEN c END, '' ORDER BY pos), '') AS cleaned_text
+            FROM run WHERE is_dup = 0 GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars,
+           coalesce(agg.n_dropped, 0) AS n_dropped,
+           coalesce(agg.cleaned_text, '') AS cleaned_text
+    FROM d LEFT JOIN agg USING (doc_id)
+    """
+
+
+@register(
+    "q_exact_substring_longdoc",
+    sql=_xs_longdoc_sql(),
+    doc="ExactSubstr dedup with the long_doc='chunk' escape hatch "
+    "(VERDICT r8 #1): the corpus is documents plus ONE >1M-char "
+    "synthetic book (the smallest doc's text repeated past "
+    "XS_POS_BASE, id above every real doc) — exactly the input the "
+    "default mode refuses with its fail-loud key-packing guard. Chunk "
+    "mode cuts every doc into overlapping 1024-stride chunks (L-1 "
+    "overlap: no boundary window lost, packed keys still sorted by "
+    "global corpus position, per-window substr cost capped at the "
+    "stride instead of the full book — the JVM substr is O(position), "
+    "so this is also the perf-correct path) and reproduces the plain "
+    "keep-first semantics EXACTLY: the oracle computes the unchunked "
+    "rule at a 2^31 key base with no guard. The book lands last in "
+    "corpus order, so the seed doc keeps its text and the book "
+    "collapses to its first fresh spans. Engine path "
+    "operators/curation.py::exact_substring_dedup(long_doc='chunk') / "
+    "_lgram_stage_chunked.",
+    tags=("llm", "dedup", "curation", "longdoc"),
+)
+def q_exact_substring_longdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import exact_substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # smallest non-empty doc as the seed via one agg (min_by — no sort;
+    # the oracle's ORDER BY doc_id LIMIT 1 picks the same row since
+    # doc_id is unique)
+    seed = (
+        docs.filter(F.length("text") > 0)
+        .agg(F.min_by("text", "doc_id").alias("text"))
+        .select(
+            F.lit(_XS_BOOK_ID).cast("long").alias("doc_id"),
+            F.expr(
+                f"repeat(text, cast(ceil({_XS_BOOK_MIN}.0 / length(text))"
+                " as int))"
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(seed)
+    return exact_substring_dedup(corpus, min_len=_XS_L, long_doc="chunk")
+
+
+# ---------------------------------------------------------------------------
 # MinHash bucket hits — batch twin of the streaming state-store index
 # ---------------------------------------------------------------------------
 

@@ -69,13 +69,16 @@ def _quality_sweep_sql() -> str:
            CAST(coalesce(sum(j.n_chars)
                     FILTER (WHERE j.milli >= g.t_milli), 0) AS BIGINT)
                AS kept_weight,
+           -- HUGEINT ppm products mirror the engine's DECIMAL path:
+           -- kept_weight * 1e6 wraps BIGINT at ~1e14-char corpora
+           -- (ADVICE r8 #2); both sides floor-divide identically.
            CAST(CASE WHEN t.nd > 0 THEN
-                    count(*) FILTER (WHERE j.milli >= g.t_milli)
+                    count(*) FILTER (WHERE j.milli >= g.t_milli)::HUGEINT
                     * 1000000 // t.nd ELSE 0 END AS BIGINT)
                AS kept_docs_ppm,
            CAST(CASE WHEN t.nw > 0 THEN
                     coalesce(sum(j.n_chars)
-                        FILTER (WHERE j.milli >= g.t_milli), 0)
+                        FILTER (WHERE j.milli >= g.t_milli), 0)::HUGEINT
                     * 1000000 // t.nw ELSE 0 END AS BIGINT)
                AS kept_weight_ppm
     FROM grid g CROSS JOIN j CROSS JOIN tot t
@@ -115,9 +118,16 @@ _CP_TARGET = 4096  # bytes per compacted target file in the declared plan
                       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS bytes
                FROM documents GROUP BY lang, source),
     w AS (SELECT lang, source, bytes,
-                 CAST(row_number() OVER (PARTITION BY lang
-                                         ORDER BY source ASC) AS BIGINT)
-                     AS file_seq,
+                 -- mirrors the engine's in-window ordering-key tie
+                 -- assert (ADVICE r8 #5): a duplicate (lang, source)
+                 -- would make the packing order nondeterministic.
+                 CAST(CASE WHEN lag(source) OVER (PARTITION BY lang
+                               ORDER BY source ASC) IS NOT DISTINCT
+                               FROM source
+                      THEN error('compaction ordering-key tie')
+                      ELSE row_number() OVER (PARTITION BY lang
+                                              ORDER BY source ASC)
+                      END AS BIGINT) AS file_seq,
                  CAST(coalesce(sum(bytes) OVER (PARTITION BY lang
                           ORDER BY source ASC
                           ROWS BETWEEN UNBOUNDED PRECEDING
@@ -170,7 +180,10 @@ def _mixture_plan_sql() -> str:
         f"('{d}', {int(round(w * 1_000_000))})"
         for d, w in _MIX_WEIGHTS.items()
     )
-    tgt = f"(target_weight_ppm * {_MIX_BUDGET} // 1000000)"
+    # HUGEINT products mirror the engine's DECIMAL arithmetic: both are
+    # exact far past the ~9.2e12-token budget where BIGINT ppm products
+    # wrap (ADVICE r8 #1), and both floor-divide identically.
+    tgt = f"(target_weight_ppm::HUGEINT * {_MIX_BUDGET} // 1000000)"
     return f"""
     WITH w0 AS (SELECT * FROM (VALUES {values})
                     AS t(lang, target_weight_ppm)),
@@ -186,13 +199,13 @@ def _mixture_plan_sql() -> str:
           FROM a FULL JOIN w0 ON a.lang = w0.lang)
     SELECT lang, available_tokens, target_weight_ppm,
            CAST({tgt} AS BIGINT) AS target_tokens,
-           CAST(CASE WHEN available_tokens > 0
-                THEN least(1000000,
-                           {tgt} * 1000000 // available_tokens)
-                ELSE 0 END AS BIGINT) AS sample_rate_ppm,
-           CAST(CASE WHEN available_tokens > 0
-                THEN {tgt} * 1000 // available_tokens
-                ELSE 0 END AS BIGINT) AS epochs_milli,
+           CAST(CASE WHEN available_tokens = 0 THEN 0
+                WHEN {tgt} >= available_tokens THEN 1000000
+                ELSE {tgt} * 1000000 // available_tokens
+                END AS BIGINT) AS sample_rate_ppm,
+           CAST(CASE WHEN available_tokens = 0 THEN 0
+                ELSE {tgt} * 1000 // available_tokens
+                END AS BIGINT) AS epochs_milli,
            CAST({tgt} > available_tokens AS BIGINT) AS under_supplied
     FROM w
     """

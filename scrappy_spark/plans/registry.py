@@ -124,6 +124,7 @@ def _last_green_round(name: str) -> int:
     later ledgers override earlier ones, so membership is checked
     newest-first."""
     for rnd, ledger in (
+        (8, _R08_VERIFIED),
         (7, _R07_VERIFIED), (6, _R06_VERIFIED), (5, _R05_VERIFIED),
         (4, _R04_VERIFIED), (3, _R03_VERIFIED), (1, _R01_VERIFIED),
     ):
@@ -146,23 +147,28 @@ _NEVER_RUN_PIN: frozenset[str] = frozenset()
 #: the tree against the last round-boundary commit and fails when a
 #: _DRIVER_VERIFIED query's plan depends on changed code without a pin.
 _RECHECK_PIN: frozenset[str] = frozenset({
-    # XS_POS_BASE length guard in curation._lgram_stage + the mirrored
-    # error() bound in the oracle gram CTEs (VERDICT r7 #1): results
-    # unchanged on legal input, plan + oracle changed.
-    "q_exact_substring_dedup", "q_substring_provenance",
+    # mixture_plan: BIGINT-overflow-safe ppm arithmetic for budgets
+    # beyond ~9.2e12 tokens (ADVICE r8 #1); legal-input results
+    # unchanged, plan + oracle changed.
+    "q_mixture_plan",
+    # quality_floor_sweep: overflow-safe kept_weight ppm (ADVICE r8 #2).
+    "q_quality_floor_sweep",
+    # stream_quality_into_snapshots: replay dedup now keyed on a content
+    # fingerprint, not bare batch_id (ADVICE r8 #3), and the day loop
+    # writes deterministic per-day input files so a partial-failure
+    # rerun cannot double-feed day 0 (ADVICE r8 #4).
+    "q_expectations_snapshot_log",
+    # compaction_plan: deterministic file-path tiebreaker in the packing
+    # window (ADVICE r8 #5).
+    "q_compaction_plan",
+    # exact_substring_dedup gained the long_doc='chunk' dispatch
+    # (VERDICT r8 #1); the default path is behavior-identical but the
+    # function changed, so every green riding it is void until the
+    # driver re-checks (q_config_pipeline via the pipeline compiler,
+    # q_dup_corpus_profile via the shared family — both caught by
+    # repin_lint, not by hand).
+    "q_exact_substring_dedup", "q_config_pipeline",
     "q_dup_corpus_profile",
-    # q_config_pipeline's compiled stages include exact_substring_dedup
-    # — caught by repin_lint, not by hand.
-    "q_config_pipeline",
-    # char_ngram_topk: in-plan n_docs + lazily checkpointed gram index
-    # on the max_df path (ADVICE r7) — q_hybrid_retrieve rides it.
-    "q_hybrid_retrieve",
-    # cusum_changepoints: BIGINT-overflow guard on the n-scaled sums
-    # (ADVICE r7); legal-input results unchanged, plan changed.
-    "q_cusum_shift",
-    # frame_sample_audit: NULL-text rows surface as a frame verdict,
-    # not an AttributeError in the audit task (ADVICE r7).
-    "q_frame_sample",
 })
 
 
@@ -335,9 +341,36 @@ _R07_VERIFIED = frozenset({
     "q_token_subset",
 })
 
+# The 50 keys of CORRECTNESS_r08.json — all hash-green (the eighth
+# consecutive zero-failure round). Round-9 REIMPLEMENTATIONS are
+# deliberately absent so the driver re-checks them (re-entered via
+# _RECHECK_PIN): q_mixture_plan / q_quality_floor_sweep (BIGINT
+# overflow-safe ppm arithmetic, ADVICE r8 #1/#2),
+# q_expectations_snapshot_log (content-fingerprint replay dedup +
+# deterministic per-day inputs, ADVICE r8 #3/#4), q_compaction_plan
+# (deterministic packing tiebreaker, ADVICE r8 #5).
+_R08_VERIFIED = frozenset({
+    "q_config_pipeline", "q_context_examples", "q_count_distinct",
+    "q_cross_join_count", "q_cube_rollup", "q_cusum_shift", "q_date_funcs",
+    "q_dedup_keep_first", "q_dedup_title", "q_doc_stats",
+    "q_dup_corpus_profile", "q_embedding_bucket_hits",
+    "q_exact_substring_dedup", "q_exact_substring_incremental",
+    "q_except_titles", "q_filter_term", "q_filter_year",
+    "q_flatten_institutions", "q_frame_sample", "q_full_outer_join",
+    "q_groupby_sum_avg", "q_grouped_map_zscore", "q_grouping_sets",
+    "q_hybrid_retrieve", "q_intersect_langs", "q_join_lineitem_part_supp",
+    "q_join_orders_customer", "q_json_extract", "q_k_anonymity",
+    "q_levenshtein", "q_merge_simulation", "q_normalize", "q_percentiles",
+    "q_pivot", "q_project", "q_range_join", "q_regexp_extract",
+    "q_segment_lang_profile", "q_semi_orders_with_lineitem",
+    "q_session_window_agg", "q_sliding_window_agg", "q_string_funcs",
+    "q_substring_provenance", "q_substring_provenance_sampled",
+    "q_topic_lookup", "q_xs_gram_hits",
+})
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R03_VERIFIED | _R04_VERIFIED | _R05_VERIFIED
-    | _R06_VERIFIED | _R07_VERIFIED
+    | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED
 )
 
 

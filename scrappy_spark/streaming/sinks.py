@@ -406,10 +406,15 @@ def stream_quality_into_snapshots(
     100 TB pipeline runs against its ingest.
 
     Idempotent under foreachBatch's at-least-once replay: each commit
-    carries ``quality batch <id>`` as its message and a replayed batch
-    whose message already exists in the manifest log is skipped — the
-    snapshot analogue of ``stream_quality_monitor``'s dynamic partition
-    overwrite.
+    message carries the batch_id AND an order-insensitive content
+    fingerprint of the batch's report rows, and a batch whose message
+    already exists in the manifest log is skipped. Keying on batch_id
+    alone (the first cut; ADVICE r8 #3) silently dropped real verdicts:
+    a stream legitimately RESTARTED with a fresh checkpoint over new
+    input restarts batch_id at 0, so its genuinely new reports looked
+    like replays. With the fingerprint, only a true replay (same id,
+    same verdict content) dedups; identical-content skips commit no
+    information either way.
     """
     from pyspark.sql import functions as F
 
@@ -418,12 +423,22 @@ def stream_quality_into_snapshots(
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        msg = f"quality batch {batch_id}"
-        if any(v.get("message") == msg for v in table.versions()):
-            return  # replayed batch: its verdicts are already committed
         report = expectations_report(batch_df, expectations).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         )
+        # order-insensitive fingerprint: sum of per-row md5-prefix ints
+        # over the canonical (sorted-column) JSON of each report row —
+        # one tiny agg over |expectations| rows.
+        canon = F.to_json(F.struct(*sorted(report.columns)))
+        fp_row = report.agg(
+            F.coalesce(
+                F.sum(F.conv(F.substring(F.md5(canon), 1, 14), 16, 10).cast("long")),
+                F.lit(0),
+            ).alias("fp")
+        ).first()
+        msg = f"quality batch {batch_id} fp={fp_row['fp']}"
+        if any(v.get("message") == msg for v in table.versions()):
+            return  # true replay: same batch, same verdict content
         table.commit(
             report, message=msg, append=table.current_version() is not None
         )

@@ -426,3 +426,48 @@ def test_compaction_plan_packs_greedily(spark):
         compaction_plan(m, "bytes", [], ["name"], 100)
     with pytest.raises(ValueError):
         compaction_plan(m, "bytes", ["part"], ["name"], 0)
+
+
+def test_compaction_plan_rejects_ordering_ties(spark):
+    """ADVICE r8 #5: non-unique ordering keys make row_number /
+    running-sum ties nondeterministic across runs — the plan must
+    raise in-pass, and tiebreak_col must restore a deterministic
+    total order (and appear in the output so the executor knows
+    which file goes where)."""
+    import pytest
+    from scrappy_spark.operators.layout import compaction_plan
+
+    m = spark.createDataFrame(
+        [("p", "a", 10, "f1"), ("p", "a", 20, "f2"), ("p", "b", 30, "f3")],
+        "part string, name string, bytes long, path string",
+    )
+    with pytest.raises(Exception, match="uniquely key"):
+        compaction_plan(m, "bytes", ["part"], ["name"], 100).collect()
+    out = {
+        r.path: (r.file_seq, r.target_file)
+        for r in compaction_plan(
+            m, "bytes", ["part"], ["name"], 25, tiebreak_col="path"
+        ).collect()
+    }
+    # before: f1=0, f2=10, f3=30 -> targets 0, 0, 1
+    assert out == {"f1": (1, 0), "f2": (2, 0), "f3": (3, 1)}
+
+
+def test_quality_floor_sweep_web_scale_weights(spark):
+    """ADVICE r8 #2: kept_weight * 1e6 wraps BIGINT once the corpus
+    weight passes ~9.2e12 (a 100 TB corpus is ~1e14 chars); the
+    DECIMAL ppm path must stay exact."""
+    from scrappy_spark.operators.textstats import quality_floor_sweep
+
+    w = 5 * 10**12
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog. " * 5, w)
+         for i in range(4)],
+        "doc_id long, text string, w long",
+    )
+    rows = quality_floor_sweep(
+        docs, thresholds_milli=(0, 500), weight_col="w"
+    ).collect()
+    for r in rows:
+        assert 0 <= r.kept_weight_ppm <= 1_000_000
+        assert r.kept_weight_ppm == r.kept_weight * 1_000_000 // (4 * w)

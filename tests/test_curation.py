@@ -369,6 +369,32 @@ def test_mixture_plan_math(spark):
         mixture_plan(df, {"wiki": 0.5}, 1000)       # weights must sum to 1
     with pytest.raises(ValueError):
         mixture_plan(df, {"wiki": 1.0}, 0)          # budget must be > 0
+    with pytest.raises(ValueError):
+        mixture_plan(df, {"wiki": 1.0}, 2**63)      # budget must fit BIGINT
+
+
+def test_mixture_plan_web_scale_budget(spark):
+    """ADVICE r8 #1: ppm * budget wraps BIGINT above ~9.2e12 tokens —
+    a 15T-token plan (exactly the scale the planner is for) must stay
+    integer-exact through the DECIMAL path, on both supply branches."""
+    from scrappy_spark.operators.curation import mixture_plan
+
+    B = 15_000_000_000_000
+    df = spark.createDataFrame(
+        [("wiki", 200), ("cc", 10**15)], "source string, n_chars long"
+    )
+    out = {
+        r.source: r
+        for r in mixture_plan(df, {"wiki": 0.6, "cc": 0.4}, B).collect()
+    }
+    for dom, ppm, avail in (("wiki", 600_000, 200), ("cc", 400_000, 10**15)):
+        tgt = ppm * B // 1_000_000
+        want_rate = 1_000_000 if tgt >= avail else tgt * 1_000_000 // avail
+        got = out[dom]
+        assert got.target_tokens == tgt
+        assert got.sample_rate_ppm == want_rate
+        assert got.epochs_milli == tgt * 1000 // avail
+        assert got.under_supplied == int(tgt > avail)
 
 
 def test_segment_lang_profile_detects_code_switching(spark):

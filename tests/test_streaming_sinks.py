@@ -499,6 +499,33 @@ def test_stream_quality_into_snapshots_commit_log(spark, tmp_path):
     ).awaitTermination()
     assert table.current_version() == 1
 
+    # ADVICE r8 #3: a stream legitimately RESTARTED with a fresh
+    # checkpoint over NEW input restarts batch_id at 0 — its genuinely
+    # new verdicts must COMMIT, not dedup as "replays" of old batch 0.
+    # The content fingerprint in the commit message distinguishes them.
+    in2, ckpt3 = str(tmp_path / "in2"), str(tmp_path / "ckpt3")
+    day2 = spark.createDataFrame([(5, None), (6, None)], "id long, v int")
+    day2.coalesce(1).write.parquet(in2)
+    stream = (
+        spark.readStream.schema(day2.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in2)
+    )
+    stream_quality_into_snapshots(
+        stream, suite, table, ckpt3
+    ).awaitTermination()
+    assert table.current_version() == 2  # new content committed
+    v2 = {
+        r.expectation: r
+        for r in table.read(2).filter("batch_id = 0").collect()
+    }
+    # the log now holds all three runs' verdicts (append-only): day0's
+    # 1 violation, day1's 0, day2's 2 — the restarted run's batch_id 0
+    # coexists with the original batch 0 instead of shadowing it
+    assert {r.n_violations for r in table.read(2).collect()
+            if r.expectation == "v_not_null"} == {0, 1, 2}
+    assert v2  # non-empty read-back at the new head
+
 
 def test_xs_gram_index_stream_equals_batch_twin(spark):
     """Streaming ExactSubstr gram-index maintenance: id-ordered
