@@ -282,6 +282,90 @@ def mixture_plan(
     )
 
 
+def mixture_execute(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    domain_col: str = "source",
+    tokens_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "mixex",
+) -> DataFrame:
+    """EXECUTE a :func:`mixture_plan`: turn the planning table into the
+    actual mixed corpus, honoring BOTH supply branches per domain —
+
+    - **over-supplied** (target < available): one pass (``epoch`` 0)
+      sampled at the plan's ``sample_rate_ppm`` — the
+      :func:`mix_corpora` move, driven by the planner's exact rate;
+    - **under-supplied** (target > available): ``epochs_milli div
+      1000`` FULL repeats (epochs 0..n−1, every doc) plus one partial
+      epoch sampled at ``(epochs_milli mod 1000)·1000`` ppm — "2.5
+      epochs of Wikipedia" becomes two full passes and a half-rate
+      third;
+    - **unweighted** domains contribute nothing.
+
+    Sampling is the deterministic md5-uniform rule shared by the
+    family (epoch-salted 32-bit bucket vs an integer ppm threshold —
+    reproducible across engines, retries, and partitionings; a row's
+    fate in epoch e is independent of other epochs). Output: ``df``'s
+    columns plus ``epoch``; a (doc, epoch) pair is one training
+    occurrence.
+
+    Scale shape: the plan is a |domains|-row broadcast; the epoch
+    explode multiplies only under-supplied domains (by their epoch
+    count — exactly the data the mix NEEDS repeated); the keep filter
+    is scan-side. Nothing shuffles.
+    """
+    plan = F.broadcast(
+        mixture_plan(
+            df, weights, budget_tokens, domain_col=domain_col,
+            tokens_col=tokens_col,
+        ).select(
+            domain_col,
+            F.expr("epochs_milli div 1000").cast("long").alias("__full"),
+            F.when(
+                F.col("under_supplied") == 1,
+                (F.col("epochs_milli") % 1000) * 1000,
+            )
+            .otherwise(F.col("sample_rate_ppm"))
+            .cast("long")
+            .alias("__part_ppm"),
+        )
+    )
+    # integer threshold on the 32-bit md5 uniform: ppm * 2^32 div 1e6
+    thr = F.expr("__part_ppm * 4294967296 div 1000000")
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(salt),
+                    F.col("__ep").cast("string"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.join(plan, domain_col)
+        .select(
+            *df.columns,
+            "__full",
+            "__part_ppm",
+            F.explode_outer(
+                F.sequence(F.lit(0).cast("long"), F.col("__full"))
+            ).alias("__ep"),
+        )
+        .filter(F.col("__ep").isNotNull())
+        .filter((F.col("__ep") < F.col("__full")) | (u32 < thr))
+        .select(*df.columns, F.col("__ep").alias("epoch"))
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     alpha: float = 0.5,

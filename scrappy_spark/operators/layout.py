@@ -282,3 +282,128 @@ def compaction_plan(
         .cast("long")
         .alias("target_file"),
     )
+
+
+def snapshot_file_stats(table, version: int | None = None) -> DataFrame:
+    """Per-file stats of a SnapshotTable manifest (HEAD unless
+    ``version`` pins one), in MANIFEST
+    ORDER (= append order — the deterministic packing order compaction
+    uses): ``(idx, path, bytes, rows)``. Row counts come from ONE
+    grouped scan over the manifest's files (``input_file_name`` per
+    row, no per-file driver jobs); byte sizes from file metadata.
+    ``idx`` is zero-padded so its string sort equals the numeric
+    manifest order."""
+    import os
+
+    spark = table.spark
+    v = table.current_version() if version is None else version
+    files = table._manifest(v)["files"]
+    meta = spark.createDataFrame(
+        [
+            (f"{i:09d}", p, int(os.path.getsize(p)))
+            for i, p in enumerate(files)
+        ],
+        "idx string, path string, bytes long",
+    )
+    counts = (
+        spark.read.parquet(*files)
+        .groupBy(
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias(
+                "path"
+            )
+        )
+        .agg(F.count("*").cast("long").alias("rows"))
+    )
+    return meta.join(counts, "path", "left").select(
+        "idx", "path", "bytes", F.coalesce("rows", F.lit(0)).alias("rows")
+    )
+
+
+def compact_snapshot(
+    table,
+    target_units: int,
+    unit: str = "bytes",
+    message: str = "compact",
+) -> tuple[DataFrame, dict]:
+    """EXECUTE a compaction plan against a SnapshotTable's HEAD — the
+    companion of :func:`compaction_plan`, which only emits the table.
+    Files are packed in manifest (append) order by the same greedy
+    running-sum rule (``unit`` = 'bytes' from file metadata, or 'rows'
+    from one grouped scan); then each multi-file bin is REWRITTEN as
+    one fresh file under ``data/snap-<next>/bin-<t>.parquet`` while
+    each single-file bin is REUSED — its original file is referenced
+    unchanged, so untouched regions of the table are never rewritten
+    (the ``store.compact`` proof pattern at snapshot grain). The new
+    file list publishes as ONE atomic commit (``commit_files``), so
+    readers see either the old layout or the new one, never a mix, and
+    time travel across the compaction stays byte-exact (old manifests
+    keep referencing the old files).
+
+    Returns ``(plan, manifest)`` — the per-file plan DataFrame
+    (path, file_seq, target_file) and the new version's manifest.
+
+    Scale shape: planning is metadata-sized (the manifest, not the
+    data) — the plan collect is bounded by the file count, the same
+    grain every table format's compactor works at; rewriting reads
+    ONLY the multi-file bins' bytes. Rewritten bins coalesce to one
+    output file each — target_units IS the file-size knob, so a bin
+    is one right-sized file by construction.
+    """
+    import os
+    import shutil
+
+    if unit not in ("bytes", "rows"):
+        raise ValueError(f"unit must be 'bytes' or 'rows', got {unit!r}")
+    spark = table.spark
+    stats = snapshot_file_stats(table)
+    # single constant "partition": a snapshot manifest is one logical
+    # table, and the plan window runs over metadata (file count), not
+    # data — the compaction_plan partition-locality rule is about data-
+    # sized manifests.
+    plan = compaction_plan(
+        stats.select(
+            F.lit("t").alias("__tbl"), "idx", "path", F.col(unit).alias("__u")
+        ),
+        bytes_col="__u",
+        partition_cols=["__tbl"],
+        order_cols=["idx"],
+        target_bytes=target_units,
+        tiebreak_col="path",
+    )
+    rows = plan.collect()  # bounded: manifest-sized metadata
+    bins: dict[int, list[tuple[str, str]]] = {}
+    for r in rows:
+        bins.setdefault(int(r["target_file"]), []).append(
+            (r["idx"], r["path"])
+        )
+    version = table.current_version()
+    next_v = version + 1
+    snap_dir = os.path.join(table.path, "data", f"snap-{next_v}")
+    tmp_dir = os.path.join(table.path, "data", f".compact-tmp-{next_v}")
+    for d in (snap_dir, tmp_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    os.makedirs(snap_dir)
+    new_files: list[str] = []
+    for t in sorted(bins):
+        paths = [p for _, p in sorted(bins[t])]
+        if len(paths) == 1:
+            new_files.append(paths[0])  # untouched bin: reuse in place
+            continue
+        out = os.path.join(tmp_dir, f"bin-{t}")
+        spark.read.parquet(*paths).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out)
+        [part] = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        dest = os.path.join(snap_dir, f"bin-{t}.parquet")
+        os.replace(os.path.join(out, part), dest)
+        new_files.append(dest)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    if not any(f.startswith(snap_dir) for f in new_files):
+        shutil.rmtree(snap_dir, ignore_errors=True)  # nothing rewritten
+    manifest = table.commit_files(
+        new_files,
+        message=f"{message}: {len(rows)} files -> {len(new_files)} "
+        f"({unit} target {int(target_units)})",
+    )
+    return plan, manifest

@@ -182,6 +182,126 @@ def pq_encode(
     )
 
 
+def ivf_pq_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    label_col: str = "label",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-PQ composed ANN — the FAISS IVFPQ layout (Jégou et al. 2011
+    §V) and the actual 100 TB vector-index shape: a coarse quantizer
+    prunes the search to ``n_probe`` cells, and within cells vectors
+    exist only as ``m`` PQ codes of their RESIDUAL (vector − cell
+    centroid), so the index stores ~m bytes/vector and search reads no
+    embeddings at all.
+
+    Score decomposition (asymmetric distance, inner product):
+    ``dot(q, x) ≈ dot(q, c_cell) + Σ_j dot(q_j, centroid_{j, code_j})``
+    — the first term is one scalar per (query, probed cell); the
+    second comes from the per-query m·ksub lookup table built on the
+    SHARED residual codebook (cell-independent, so one broadcast table
+    per query, not per cell). Residual quantization is what makes the
+    shared codebook work: residuals of all cells live near the origin,
+    where one codebook fits them far better than it fits raw vectors.
+
+    Scale shape: cell assignment is the IVF broadcast-centroid pass
+    (corpus never shuffles by cell); codebook training is pq_train's
+    bounded deterministic sample; search explodes m small rows per
+    candidate IN PROBED CELLS ONLY (the n_probe/n_cells cost cut), and
+    every join side except the code stream is broadcast. Output:
+    ``(query_id, vec_id, score)`` with deterministic (−score, id)
+    ranking — approximate by design, audited by recall band
+    (ann_audit.topk_recall_audit), not exact scores.
+    """
+    from .joins import topk_per_group
+    from .similarity import cosine
+
+    cents = F.broadcast(
+        centroids.select(
+            F.col(label_col).alias("__cell"), F.col("centroid").alias("__c")
+        )
+    )
+
+    assigned = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(cents)
+        .withColumn("__d", cosine(F.col(vec_col), F.col("__c")))
+    )
+    best = topk_per_group(assigned, [id_col], [F.desc("__d"), F.asc("__cell")], 1)
+    resid = best.select(
+        id_col,
+        "__cell",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("__c").cast("array<double>"),
+            lambda x, y: x - y,
+        ).alias("__r"),
+    )
+
+    book = pq_train(
+        resid, m=m, ksub=ksub, dim=dim, vec_col="__r", id_col=id_col, seed=seed
+    )
+    codes = pq_encode(resid, book, m=m, dim=dim, id_col=id_col, vec_col="__r").join(
+        resid.select(id_col, "__cell"), id_col
+    )
+
+    q_probe = (
+        queries.crossJoin(cents)
+        .withColumn("__d", cosine(F.col(vec_col), F.col("__c")))
+    )
+    probes = topk_per_group(
+        q_probe, [query_id_col], [F.desc("__d"), F.asc("__cell")], n_probe
+    )
+    coarse = probes.select(
+        query_id_col,
+        "__cell",
+        _dot(
+            F.col(vec_col).cast("array<double>"), F.col("__c").cast("array<double>")
+        ).alias("__qc"),
+    )
+    qtab = F.broadcast(
+        queries.crossJoin(F.broadcast(book)).select(
+            query_id_col,
+            "subspace",
+            "code",
+            _dot(
+                _subvec(F.col(vec_col).cast("array<double>"), m, dim, F.col("subspace")),
+                F.col("centroid"),
+            ).alias("__p"),
+        )
+    )
+
+    cand = codes.join(F.broadcast(coarse), "__cell")
+    # posexplode_OUTER + null filter on the GENERATED column: plain
+    # posexplode would make Catalyst infer a size()>0 guard over the
+    # codes array and push it below the aggregation exchanges,
+    # re-evaluating the encode pipeline in the pre-exchange task (the
+    # generate-filter-pushdown rule, ARCHITECTURE.md).
+    exploded = cand.select(
+        query_id_col,
+        id_col,
+        "__qc",
+        F.posexplode_outer("codes").alias("subspace", "code"),
+    ).filter(F.col("code").isNotNull())
+    scored = (
+        exploded.join(qtab, [query_id_col, "subspace", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.max("__qc") + F.sum("__p"), 4).alias("score"))
+    )
+    return topk_per_group(
+        scored, [query_id_col], [F.desc("score"), F.asc(id_col)], k
+    )
+
+
 def pq_search(
     codes: DataFrame,
     codebook: DataFrame,

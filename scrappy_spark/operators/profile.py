@@ -577,3 +577,96 @@ def k_anonymity_profile(
             (F.col("group_size") < int(k)).cast("long").alias("at_risk"),
         )
     )
+
+
+def l_diversity_profile(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col,
+    k: int = 10,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit — the sensitive-attribute companion to
+    :func:`k_anonymity_profile` (Machanavajjhala et al. 2007's
+    l-diversity criterion): a QI group can satisfy k-anonymity and
+    still leak, when every row in it shares one sensitive value (the
+    homogeneity attack — "all 12 docs from this (lang, source) are the
+    same class"). Per observed QI combination: its size, the count of
+    DISTINCT sensitive values, and both flags — ``k_at_risk``
+    (size < k) and ``l_at_risk`` (distinct sensitive < l). A release
+    review acts on the union of the two.
+
+    ``sensitive_col`` may be a column name or a derived Column (e.g. a
+    length bucket). NULL sensitive values count as one value (DISTINCT
+    semantics on both engines).
+
+    Scale shape: one partial-agg groupBy at QI cardinality; the
+    distinct-count is per-group exact (the group is the unit a review
+    inspects — sketches would flag the wrong groups).
+    """
+    if not quasi_cols:
+        raise ValueError("l_diversity_profile needs >= 1 quasi column")
+    s = F.col(sensitive_col) if isinstance(sensitive_col, str) else sensitive_col
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count("*").cast("long").alias("group_size"),
+            F.countDistinct(s).cast("long").alias("n_sensitive"),
+        )
+        .select(
+            *quasi_cols,
+            "group_size",
+            "n_sensitive",
+            (F.col("group_size") < int(k)).cast("long").alias("k_at_risk"),
+            (F.col("n_sensitive") < int(l)).cast("long").alias("l_at_risk"),
+        )
+    )
+
+
+def generalization_candidates(
+    df: DataFrame, quasi_cols: list[str], k: int = 10
+) -> DataFrame:
+    """The decision table behind "which QI column do we coarsen to
+    reach k": for each candidate column, the profile the table would
+    have if that column were generalized away (dropped from the QI
+    set) — remaining group count, groups still under k, rows still in
+    under-k groups, and the smallest surviving group. The reviewer
+    picks the drop with zero (or least) residual risk; ties go to the
+    column whose removal keeps the most groups (least information
+    destroyed).
+
+    Scale shape: one partial-agg groupBy per candidate (|quasi_cols|
+    passes over the QI-combination aggregate, each at reduced-QI
+    cardinality), unioned; nothing row-sized crosses a shuffle.
+    """
+    if len(quasi_cols) < 2:
+        raise ValueError(
+            "generalization needs >= 2 quasi columns (dropping the only "
+            "one leaves no QI set to audit)"
+        )
+    legs = []
+    for drop in quasi_cols:
+        keep = [c for c in quasi_cols if c != drop]
+        g = df.groupBy(*keep).agg(F.count("*").alias("__n"))
+        legs.append(
+            g.agg(
+                F.lit(drop).alias("generalize_col"),
+                F.count("*").cast("long").alias("n_groups"),
+                F.coalesce(
+                    F.sum((F.col("__n") < int(k)).cast("long")), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_at_risk_groups"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__n") < int(k), F.col("__n"))),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("at_risk_rows"),
+                F.min("__n").cast("long").alias("min_group_size"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

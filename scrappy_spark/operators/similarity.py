@@ -116,8 +116,16 @@ def label_centroids(
 ) -> DataFrame:
     """Element-wise mean embedding per label (IVF coarse quantizer /
     per-class prototype). posexplode → (label, pos) partial-agg mean —
-    shuffle volume is n_labels × dim, independent of corpus size."""
-    exploded = df.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
+    shuffle volume is n_labels × dim, independent of corpus size.
+
+    posexplode_OUTER + null filter on the GENERATED column: the plain
+    form makes Catalyst infer a size(vec)>0 guard that composition can
+    push below another operator's round-robin exchange (it surfaced
+    under ivf_pq_search's encode repartition) — the generate-filter-
+    pushdown rule, ARCHITECTURE.md."""
+    exploded = df.select(
+        label_col, F.posexplode_outer(vec_col).alias("pos", "v")
+    ).filter(F.col("pos").isNotNull())
     return (
         exploded.groupBy(label_col, "pos")
         .agg(F.round(F.avg(F.col("v").cast("double")), round_digits).alias("centroid_val"))

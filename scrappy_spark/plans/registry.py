@@ -75,6 +75,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llmdata11,
         llmdata12,
         llmdata13,
+        llmdata14,
         audit,
         timeseries,
         sketches,
@@ -169,6 +170,14 @@ _RECHECK_PIN: frozenset[str] = frozenset({
     # repin_lint, not by hand).
     "q_exact_substring_dedup", "q_config_pipeline",
     "q_dup_corpus_profile",
+    # SnapshotTable.commit refactored through _publish (the
+    # commit_files compaction path) — q_incremental_ingest rides the
+    # snapshot commit (caught by repin_lint).
+    "q_incremental_ingest",
+    # label_centroids switched to the posexplode_outer + null-filter
+    # form (the generate-pushdown rule surfaced under ivf_pq_search's
+    # encode repartition); results unchanged, plan changed.
+    "q_ivf_ann_topk", "q_label_centroids",
 })
 
 

@@ -109,6 +109,31 @@ class SnapshotTable:
         )
         if append and parent is not None:
             files = self._manifest(parent)["files"] + files
+        return self._publish(version, parent, files, message)
+
+    def commit_files(self, files: list[str], message: str = "") -> dict:
+        """Publish a new version referencing an EXPLICIT file list —
+        the compaction path (operators/layout.py::compact_snapshot):
+        rewritten bins contribute fresh files the caller already landed
+        under ``data/snap-<next>/``, untouched bins contribute the
+        parent's ORIGINAL files unchanged. Immutability holds — no file
+        a prior manifest references is rewritten or moved, so time
+        travel across the compaction stays exact; publication is the
+        same tmp-write + rename dance as ``commit``.
+        """
+        parent = self.current_version()
+        version = 0 if parent is None else parent + 1
+        missing = [f for f in files if not os.path.isfile(f)]
+        if missing:
+            raise ValueError(
+                f"commit_files: {len(missing)} referenced files do not "
+                f"exist, e.g. {missing[0]!r}"
+            )
+        return self._publish(version, parent, list(files), message)
+
+    def _publish(
+        self, version: int, parent: int | None, files: list[str], message: str
+    ) -> dict:
         manifest = {
             "version": version,
             "parent": parent,

@@ -64,6 +64,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "py-row-udf": "the declared surface IS the Python UDTF "
         "integration demo, oracle-proven vs pure SQL (§2.10)"
     },
+    "q_compaction_execute": {
+        "global-sort": "the packing window runs over the snapshot "
+        "MANIFEST (one row per file — metadata, not data; 5 rows on "
+        "the fixture, bounded by file count at any scale), the same "
+        "grain every table format's compactor plans at"
+    },
 }
 
 
