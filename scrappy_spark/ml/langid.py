@@ -1,0 +1,384 @@
+"""Learned language ID: hashed char-n-gram multinomial Naive Bayes.
+
+The marker heuristic (``operators/textstats.py::lang_id``) only knows
+the languages in its hand-written stopword table and scores zero on
+any text without those exact tokens — learned systems instead weight
+hashed character n-grams (Cavnar & Trenkle 1994 n-gram categorization;
+Joulin et al. 2016 fastText hashing). This module is that design kept
+hermetic: a deterministic in-repo sentence corpus, an MLlib multinomial
+Naive Bayes over hashed char-{1,2}-gram counts, and scan-side scoring
+through a BROADCAST weight table — no UDF in the inference path, every
+cross-row reduction integer.
+
+Model choice, measured (ARCHITECTURE.md r9): on this corpus size
+(~12 sentences/language) discriminative logistic regression MEMORIZES
+— LBFGS zeroes the shared common-gram evidence and loads rare
+per-sentence grams (held-out accuracy 0.13–0.4 across intercept and
+regularization settings), while generative NB uses every gram's
+smoothed class likelihood and scores 1.0 held-out. NB's log-prob
+scoring is also exactly the linear form the scan-side scorer wants
+(score = Σ cnt·log p(gram|lang) + log prior) and its fit is
+closed-form — deterministic by construction, no optimizer state.
+
+Split of labor (the pq_train precedent):
+
+- TRAINING is bounded driver-side work — the corpus is a module
+  constant (~60 sentences), so collecting its feature vectors and
+  fitting MLlib NaiveBayes costs nothing at any corpus scale and keeps
+  the model a pure function of (sentences, smoothing);
+- FEATURES and INFERENCE are fully distributed: char trigrams are
+  sliced scan-side (``substr`` + md5 bucket — the same expression the
+  DuckDB oracle runs, so the feature stage is hash-checkable), counts
+  join the broadcast micro-snapped weights, and the per-doc argmax is
+  one partial-agg groupBy + deterministic tie-break.
+
+Reference parity: none — the reference has no language ID at all; this
+upgrades the text-analysis extension family (VERDICT r8 #6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+#: hashed feature space (buckets) and n-gram widths (multiple widths,
+#: fastText-style: 1-grams carry script and letter frequency, 2-grams
+#: the orthography)
+LANGID_BUCKETS = 4096
+LANGID_NS = (1, 2)
+
+#: deterministic training corpus — independently authored sentences,
+#: ~12 per language. zh is the language the marker heuristic cannot
+#: see at all (no zh row in LANG_MARKERS).
+LANGID_SENTENCES: list[tuple[str, str]] = [
+    ("the weather this morning is cold and clear", "en"),
+    ("she walked to the market to buy fresh bread", "en"),
+    ("our train leaves early in the morning", "en"),
+    ("he is reading a long book about history", "en"),
+    ("the children are playing in the garden", "en"),
+    ("we should finish this work before dinner", "en"),
+    ("that old house near the river is empty", "en"),
+    ("they often travel to the coast in summer", "en"),
+    ("my sister teaches mathematics at the school", "en"),
+    ("the library closes at nine in the evening", "en"),
+    ("a quiet street runs behind the station", "en"),
+    ("good coffee makes the morning much better", "en"),
+    ("das wetter ist heute morgen kalt und klar", "de"),
+    ("sie ging zum markt um frisches brot zu kaufen", "de"),
+    ("unser zug faehrt frueh am morgen ab", "de"),
+    ("er liest ein langes buch ueber geschichte", "de"),
+    ("die kinder spielen draussen im garten", "de"),
+    ("wir sollten diese arbeit vor dem abendessen beenden", "de"),
+    ("das alte haus am fluss steht leer", "de"),
+    ("sie reisen im sommer oft an die kueste", "de"),
+    ("meine schwester unterrichtet mathematik an der schule", "de"),
+    ("die bibliothek schliesst um neun uhr abends", "de"),
+    ("eine ruhige strasse liegt hinter dem bahnhof", "de"),
+    ("guter kaffee macht den morgen viel besser", "de"),
+    ("el tiempo esta frio y despejado esta manana", "es"),
+    ("ella fue al mercado a comprar pan fresco", "es"),
+    ("nuestro tren sale temprano por la manana", "es"),
+    ("el esta leyendo un libro largo sobre historia", "es"),
+    ("los ninos juegan en el jardin", "es"),
+    ("debemos terminar este trabajo antes de la cena", "es"),
+    ("esa casa vieja junto al rio esta vacia", "es"),
+    ("ellos viajan a la costa en verano", "es"),
+    ("mi hermana ensena matematicas en la escuela", "es"),
+    ("la biblioteca cierra a las nueve de la noche", "es"),
+    ("una calle tranquila pasa detras de la estacion", "es"),
+    ("un buen cafe mejora mucho la manana", "es"),
+    ("le temps est froid et clair ce matin", "fr"),
+    ("elle est allee au marche acheter du pain frais", "fr"),
+    ("notre train part tot le matin", "fr"),
+    ("il lit un long livre sur l histoire", "fr"),
+    ("les enfants jouent dans le jardin", "fr"),
+    ("nous devons finir ce travail avant le diner", "fr"),
+    ("cette vieille maison pres de la riviere est vide", "fr"),
+    ("ils voyagent souvent sur la cote en ete", "fr"),
+    ("ma soeur enseigne les mathematiques a l ecole", "fr"),
+    ("la bibliotheque ferme a neuf heures du soir", "fr"),
+    ("une rue calme passe derriere la gare", "fr"),
+    ("un bon cafe rend le matin bien meilleur", "fr"),
+    ("今天早上的天气又冷又晴朗", "zh"),
+    ("她去市场买新鲜的面包", "zh"),
+    ("我们的火车一大早就出发", "zh"),
+    ("他正在读一本关于历史的长书", "zh"),
+    ("孩子们在花园里玩耍", "zh"),
+    ("我们应该在晚饭前完成这项工作", "zh"),
+    ("河边那栋老房子是空的", "zh"),
+    ("他们夏天经常去海边旅行", "zh"),
+    ("我姐姐在学校教数学", "zh"),
+    ("图书馆晚上九点关门", "zh"),
+    ("车站后面有一条安静的街道", "zh"),
+    ("好咖啡让早晨好得多", "zh"),
+]
+
+#: held-out sentences (disjoint from training) for the accuracy pin
+LANGID_HELDOUT: list[tuple[str, str]] = [
+    ("the museum opens late on sunday afternoons", "en"),
+    ("a warm wind came in from the sea", "en"),
+    ("please bring the letters to the office", "en"),
+    ("das museum oeffnet sonntags erst spaet", "de"),
+    ("ein warmer wind kam vom meer herein", "de"),
+    ("bitte bring die briefe ins buero", "de"),
+    ("el museo abre tarde los domingos", "es"),
+    ("un viento calido llego desde el mar", "es"),
+    ("por favor lleva las cartas a la oficina", "es"),
+    ("le musee ouvre tard le dimanche", "fr"),
+    ("un vent chaud est venu de la mer", "fr"),
+    ("apporte les lettres au bureau s il te plait", "fr"),
+    ("博物馆星期天很晚才开门", "zh"),
+    ("一阵暖风从海上吹来", "zh"),
+    ("请把信件带到办公室", "zh"),
+]
+
+LANGID_LABELS = ("de", "en", "es", "fr", "zh")  # alphabetical
+
+
+def char_gram_buckets(
+    text: Column,
+    ns: tuple[int, ...] = LANGID_NS,
+    buckets: int = LANGID_BUCKETS,
+) -> Column:
+    """Array of hashed char-n-gram bucket ids of ``lower(text)``, all
+    widths in ``ns`` concatenated — the feature expression, shared
+    verbatim (via its SQL twin) with the DuckDB oracle: bucket =
+    first-8-hex of md5(gram) mod ``buckets``. Pure codegen (transform
+    over a position sequence), no UDF."""
+    t = F.lower(text)
+    m = F.length(t)
+
+    def leg(n: int) -> Column:
+        # single-arg lambda via a closure: a `lambda q, n=n` default
+        # would make PySpark see TWO parameters and bind the element
+        # INDEX to n (transform's optional second argument) — every
+        # first gram became md5('') before this was a factory.
+        return F.when(
+            m >= n,
+            F.transform(
+                F.sequence(F.lit(1), m - n + 1),
+                lambda q: F.conv(
+                    F.substring(F.md5(t.substr(q, F.lit(n))), 1, 8), 16, 10
+                ).cast("long")
+                % buckets,
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    out = leg(ns[0])
+    for n in ns[1:]:
+        out = F.concat(out, leg(n))
+    return out
+
+
+def doc_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = LANGID_NS,
+    buckets: int = LANGID_BUCKETS,
+) -> DataFrame:
+    """(id, bucket, cnt) hashed char-n-gram counts, scan-side. The
+    explode follows the generate-pushdown rule (outer + null filter on
+    the generated column)."""
+    return (
+        df.select(
+            id_col,
+            F.explode_outer(
+                char_gram_buckets(F.col(text_col), ns=ns, buckets=buckets)
+            ).alias("bucket"),
+        )
+        .filter(F.col("bucket").isNotNull())
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def train_lang_id(
+    spark: SparkSession,
+    sentences: list[tuple[str, str]] | None = None,
+    buckets: int = LANGID_BUCKETS,
+    ns: tuple[int, ...] = LANGID_NS,
+    smoothing: float = 1.0,
+    micro: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit multinomial Naive Bayes over the hashed char-n-gram counts
+    of the in-repo sentence corpus; returns broadcastable
+    ``(weights, intercepts)`` frames with INTEGER micro-snapped
+    log-probabilities — ``weights(lang, bucket, w_micro)`` =
+    round(log p(bucket|lang)·1e6) for every (lang, bucket) (Laplace-
+    smoothed, hence dense) and ``intercepts(lang, b_micro)`` = the log
+    class priors — so distributed scoring sums are BIGINT-exact and
+    the per-doc argmax cannot drift with partitioning.
+
+    The fit itself is bounded driver-side work (the corpus is a module
+    constant; the pq_train precedent) — feature vectors are assembled
+    in Python and the closed-form NB fit runs on ~60 rows.
+    """
+    from pyspark.ml.classification import NaiveBayes
+    from pyspark.ml.linalg import Vectors
+
+    data = sentences if sentences is not None else LANGID_SENTENCES
+    labels = sorted({lg for _, lg in data})
+    feats = doc_features(
+        spark.createDataFrame(
+            [(i, t) for i, (t, _) in enumerate(data)], "doc_id long, text string"
+        ),
+        ns=ns,
+        buckets=buckets,
+    ).collect()  # bounded: the constant training corpus
+    by_doc: dict[int, dict[int, float]] = {}
+    for r in feats:
+        by_doc.setdefault(r["doc_id"], {})[int(r["bucket"])] = float(r["cnt"])
+    rows = [
+        (
+            float(labels.index(lg)),
+            Vectors.sparse(buckets, sorted(by_doc.get(i, {}).items())),
+        )
+        for i, (_, lg) in enumerate(data)
+    ]
+    train = spark.createDataFrame(rows, ["label", "features"])
+    nb = NaiveBayes(modelType="multinomial", smoothing=float(smoothing))
+    model = nb.fit(train)
+    theta = model.theta  # (numClasses, buckets) log p(bucket|class)
+    w_rows = [
+        (lg, b, int(round(theta[c, b] * micro)))
+        for c, lg in enumerate(labels)
+        for b in range(buckets)
+    ]
+    i_rows = [
+        (lg, int(round(model.pi[c] * micro))) for c, lg in enumerate(labels)
+    ]
+    weights = spark.createDataFrame(
+        w_rows, "lang string, bucket long, w_micro long"
+    )
+    intercepts = spark.createDataFrame(i_rows, "lang string, b_micro long")
+    return weights, intercepts
+
+
+def lang_id_learned(
+    df: DataFrame,
+    weights: DataFrame,
+    intercepts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = LANGID_NS,
+    buckets: int = LANGID_BUCKETS,
+) -> DataFrame:
+    """Scan-side learned language ID: hashed-trigram counts ⋈ broadcast
+    micro weights, one partial-agg sum per (doc, lang), deterministic
+    argmax (score desc, lang asc). Docs with no n-gram at all (shorter
+    than ``n``) predict 'und' with zero margin.
+
+    Output: ``(id, pred_lang, top_micro, margin_micro, n_grams)`` —
+    margin is top1 − top2 in exact integer micro units.
+    """
+    from ..operators.joins import topk_per_group
+
+    feats = doc_features(
+        df, text_col=text_col, id_col=id_col, ns=ns, buckets=buckets
+    )
+    langs = F.broadcast(intercepts)
+    scored = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col, "lang")
+        .agg(F.sum(F.col("cnt") * F.col("w_micro")).alias("__dot"))
+    )
+    # every (doc, lang) pair gets a score (the NB log-posterior in
+    # integer micro units): prior-only when the doc hit no bucket for
+    # that lang — which cannot happen with Laplace-dense weights, but
+    # the left join keeps the contract shape.
+    base = feats.groupBy(id_col).agg(F.sum("cnt").cast("long").alias("n_grams"))
+    full = (
+        base.crossJoin(langs)
+        .join(scored, [id_col, "lang"], "left")
+        .select(
+            id_col,
+            "lang",
+            "n_grams",
+            (F.coalesce(F.col("__dot"), F.lit(0)) + F.col("b_micro"))
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    import pyspark.sql.functions as _F
+
+    top2 = topk_per_group(
+        full, [id_col], [_F.desc("score_micro"), _F.asc("lang")], 2
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("lang")
+    )
+    ranked = top2.withColumn("__rk", F.row_number().over(w))
+    best = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("__rk") == 1, F.col("lang"))).alias("pred_lang"),
+            F.max(F.when(F.col("__rk") == 1, F.col("score_micro"))).alias(
+                "top_micro"
+            ),
+            F.coalesce(
+                F.max(F.when(F.col("__rk") == 2, F.col("score_micro"))),
+                F.lit(0),
+            ).alias("__second"),
+            F.max("n_grams").alias("n_grams"),
+        )
+        .select(
+            id_col,
+            "pred_lang",
+            F.col("top_micro").cast("long").alias("top_micro"),
+            (F.col("top_micro") - F.col("__second"))
+            .cast("long")
+            .alias("margin_micro"),
+            "n_grams",
+        )
+    )
+    # gram-free docs never enter `feats`; surface them as 'und'
+    missing = df.select(id_col).join(best.select(id_col), id_col, "left_anti")
+    return best.unionByName(
+        missing.select(
+            id_col,
+            F.lit("und").alias("pred_lang"),
+            F.lit(0).cast("long").alias("top_micro"),
+            F.lit(0).cast("long").alias("margin_micro"),
+            F.lit(0).cast("long").alias("n_grams"),
+        )
+    )
+
+
+def learned_segment_scorer(
+    weights: DataFrame,
+    intercepts: DataFrame,
+    ns: tuple[int, ...] = LANGID_NS,
+    buckets: int = LANGID_BUCKETS,
+):
+    """Adapter plugging the learned model into
+    ``textstats.segment_lang_profile(scorer=...)``: scores each
+    (doc, segment) row independently through :func:`lang_id_learned`
+    on a composite key, so the code-switching detector's votes come
+    from the learned model instead of the marker table."""
+
+    def scorer(segments: DataFrame) -> DataFrame:
+        id_col = [
+            c for c in segments.columns if c not in ("__s", "__seg_text")
+        ][0]
+        keyed = segments.withColumn(
+            "__k",
+            F.concat_ws(
+                ":", F.col(id_col).cast("string"), F.col("__s").cast("string")
+            ),
+        )
+        scored = lang_id_learned(
+            keyed.select("__k", "__seg_text"),
+            weights,
+            intercepts,
+            text_col="__seg_text",
+            id_col="__k",
+            ns=ns,
+            buckets=buckets,
+        )
+        return keyed.join(scored, "__k").select(
+            id_col, F.col("pred_lang").alias("__pred")
+        )
+
+    return scorer

@@ -674,6 +674,7 @@ def segment_lang_profile(
     seg_tokens: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scorer=None,
 ) -> DataFrame:
     """Segment-level language profile — the code-switching / mixed-
     language detector whole-document :func:`lang_id` cannot be: the
@@ -686,7 +687,16 @@ def segment_lang_profile(
 
     Determinism: same token/marker machinery as ``lang_id``; vote ties
     break by the fixed marker-table precedence (en, de, es, fr, then
-    'und'). Zero-token docs report (0 segments, 'und', mixed=0).
+    any other label lexically, 'und' grouped with those). Zero-token
+    docs report (0 segments, 'und', mixed=0).
+
+    ``scorer``: optional upgrade hook — a callable receiving the
+    segment frame ``(id_col, __s, __seg_text)`` (one row per segment,
+    text = the segment's tokens joined by spaces) and returning
+    ``(id_col, __pred)`` per segment. The learned language ID plugs in
+    here (``ml/langid.py::learned_segment_scorer``), upgrading the
+    code-switching detector without touching the vote/majority
+    machinery; ``None`` keeps the marker heuristic.
 
     Scale shape: the segment explode is ~tokens/seg rows per doc
     (linear scan-side), then ONE partial-agg groupBy at
@@ -715,17 +725,30 @@ def segment_lang_profile(
     pred = F.lit("und")
     for lg in reversed(langs):
         pred = F.when((scores[lg] == best) & (best > 0), F.lit(lg)).otherwise(pred)
+    live = segs.filter(F.col("__s").isNotNull())
+    if scorer is None:
+        pred_frame = live.select(id_col, pred.alias("__pred"))
+    else:
+        pred_frame = scorer(
+            live.select(
+                id_col,
+                "__s",
+                F.array_join(seg_toks, " ").alias("__seg_text"),
+            )
+        ).select(id_col, "__pred")
     voted = (
-        segs.filter(F.col("__s").isNotNull())
-        .select(id_col, pred.alias("__pred"))
+        pred_frame
         .groupBy(id_col, "__pred")
         .agg(F.count("*").cast("long").alias("__votes"))
     )
     prec = F.lit(len(langs))
     for i, lg in enumerate(langs):
         prec = F.when(F.col("__pred") == lg, F.lit(i)).otherwise(prec)
+    # final lexical tiebreak: marker langs carry unique precedence, but
+    # a plugged-in scorer may emit labels outside the table — without
+    # it, equal-vote ties among those would be nondeterministic
     w = Window.partitionBy(id_col).orderBy(
-        F.desc("__votes"), prec.asc()
+        F.desc("__votes"), prec.asc(), F.asc("__pred")
     )
     per_doc = (
         voted.withColumn("__rn", F.row_number().over(w))

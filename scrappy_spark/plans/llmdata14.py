@@ -416,3 +416,88 @@ def q_generalization_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return generalization_candidates(docs, ["lang", "source"], k=_LD_K)
+
+
+# ---------------------------------------------------------------------------
+# Learned language ID (ml/langid.py)
+# ---------------------------------------------------------------------------
+
+
+def _langid_sql() -> str:
+    from ..ml.langid import LANGID_BUCKETS, LANGID_NS
+
+    legs = "\n        UNION ALL\n".join(
+        f"""        SELECT doc_id,
+               CAST(('0x' || substr(md5(substr(lower(text),
+                    CAST(u.q AS INT), {n})), 1, 8)) AS BIGINT)
+                    % {LANGID_BUCKETS} AS bucket
+        FROM documents,
+             unnest(generate_series(1, length(text) - {n} + 1)) AS u(q)
+        WHERE length(text) >= {n}"""
+        for n in LANGID_NS
+    )
+    return f"""
+    WITH g AS (
+{legs}
+    ),
+    per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(bucket) AS BIGINT) AS bucket_checksum
+            FROM g GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(per.n_grams, 0) AS n_grams,
+           coalesce(per.bucket_checksum, 0) AS bucket_checksum,
+           CAST(1 AS BIGINT) AS pred_in_set,
+           CAST(1 AS BIGINT) AS margin_ok
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """
+
+
+@register(
+    "q_lang_id_learned",
+    sql=_langid_sql(),
+    doc="Learned language ID (ml/langid.py): hashed char-{1,2}-gram "
+    "multinomial Naive Bayes trained on the in-repo sentence corpus "
+    "(bounded driver-side closed-form fit, the pq_train precedent), "
+    "scored scan-side through BROADCAST integer micro log-prob weights "
+    "— no UDF, BIGINT-exact sums, deterministic argmax. Declared "
+    "through the plumbing-audit pattern (the learned weights have no "
+    "SQL twin, the contract does): the oracle recomputes the EXACT "
+    "hashed feature stream per document (gram count + bucket-id "
+    "checksum — proves the md5-bucket feature expression bit-for-bit) "
+    "and pins pred_in_set (prediction is a trained label, or 'und' "
+    "exactly for gram-free docs) and margin_ok (integer top1-top2 "
+    "margin >= 0) to 1. Model QUALITY (1.0 held-out accuracy vs 0.8 "
+    "for the marker heuristic, which cannot see zh at all) is pinned "
+    "in tests/test_llm_ops5.py.",
+    tags=("llm", "textstats", "ml", "curation"),
+)
+def q_lang_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.langid import doc_features, lang_id_learned, train_lang_id
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    weights, intercepts = train_lang_id(spark)
+    labels = {r["lang"] for r in intercepts.collect()}  # bounded: 5 rows
+    pred = lang_id_learned(docs, weights, intercepts).drop("n_grams")
+    sums = doc_features(docs).groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_grams"),
+        F.sum(F.col("bucket") * F.col("cnt")).cast("long").alias(
+            "bucket_checksum"
+        ),
+    )
+    return (
+        pred.join(sums, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("bucket_checksum", F.lit(0))
+            .cast("long")
+            .alias("bucket_checksum"),
+            (
+                F.col("pred_lang").isin(*labels)
+                | ((F.col("pred_lang") == "und") & (F.col("n_grams").isNull()))
+            )
+            .cast("long")
+            .alias("pred_in_set"),
+            (F.col("margin_micro") >= 0).cast("long").alias("margin_ok"),
+        )
+    )

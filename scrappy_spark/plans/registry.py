@@ -178,6 +178,10 @@ _RECHECK_PIN: frozenset[str] = frozenset({
     # form (the generate-pushdown rule surfaced under ivf_pq_search's
     # encode repartition); results unchanged, plan changed.
     "q_ivf_ann_topk", "q_label_centroids",
+    # segment_lang_profile gained the scorer= hook + a lexical vote
+    # tiebreaker (default-path results unchanged: marker labels carry
+    # unique precedence).
+    "q_segment_lang_profile",
 })
 
 

@@ -247,3 +247,89 @@ def test_l_diversity_flags_homogeneous_groups(spark):
         l_diversity_profile(df, [], "sens")
     with pytest.raises(ValueError):
         generalization_candidates(df, ["lang"], k=10)
+
+
+# ---------------------------------------------------------------------------
+# learned language ID (ml/langid.py)
+# ---------------------------------------------------------------------------
+
+
+def test_learned_langid_beats_heuristic_on_heldout(spark):
+    """The VERDICT r8 #6 pin: on held-out sentences (disjoint from the
+    training corpus) the learned NB model must beat the marker
+    heuristic — which structurally cannot see zh at all (no zh row in
+    LANG_MARKERS) and tops out at 0.8 here; the learned model scores
+    1.0. Also pins und-iff-gram-free and determinism of the argmax."""
+    from scrappy_spark.ml.langid import (
+        LANGID_HELDOUT,
+        lang_id_learned,
+        train_lang_id,
+    )
+    from scrappy_spark.operators.textstats import lang_id
+
+    w, b = train_lang_id(spark)
+    held = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(LANGID_HELDOUT)],
+        "doc_id long, text string",
+    )
+    truth = {i: lg for i, (_, lg) in enumerate(LANGID_HELDOUT)}
+    learned = {
+        r.doc_id: r for r in lang_id_learned(held, w, b).collect()
+    }
+    heur = {r.doc_id: r.pred_lang for r in lang_id(held).collect()}
+    l_acc = sum(learned[i].pred_lang == truth[i] for i in truth) / len(truth)
+    h_acc = sum(heur[i] == truth[i] for i in truth) / len(truth)
+    assert l_acc == 1.0
+    assert h_acc <= 0.8           # zh is invisible to the marker table
+    assert l_acc > h_acc
+    assert all(learned[i].margin_micro > 0 for i in truth)
+    # gram-free doc -> 'und'
+    empty = spark.createDataFrame([(99, "")], "doc_id long, text string")
+    row = lang_id_learned(empty, w, b).first()
+    assert (row.pred_lang, row.n_grams, row.margin_micro) == ("und", 0, 0)
+    # deterministic end to end (closed-form NB + integer scoring)
+    again = {
+        r.doc_id: r.pred_lang for r in lang_id_learned(held, w, b).collect()
+    }
+    assert again == {i: learned[i].pred_lang for i in truth}
+
+
+def test_segment_profile_learned_scorer_sees_code_switching(spark):
+    """The scorer= hook: a doc that pastes a MARKER-FREE Spanish
+    paragraph into an en text is invisible to the marker-heuristic
+    profile (those segments -> 'und', mixed=0) but flags mixed=1
+    through the learned scorer. (zh can't serve as the foreign leg
+    here: the profile's token machinery splits on [^a-z0-9], so
+    non-Latin text produces no segments at all — the segmenter's
+    documented Latin-script scope, not the scorer's.)"""
+    from scrappy_spark.ml.langid import (
+        learned_segment_scorer,
+        train_lang_id,
+    )
+    from scrappy_spark.operators.textstats import segment_lang_profile
+
+    w, b = train_lang_id(spark)
+    en = "the museum opens late and the children are playing outside "
+    # every word absent from every LANG_MARKERS row -> heuristic 'und'
+    es = (
+        "un viento calido llego desde mar abierto durante toda "
+        "aquella tarde serena sin nubes "
+    )
+    docs = spark.createDataFrame(
+        [(1, en * 4 + es * 4 + en * 4), (2, en * 8)],
+        "doc_id long, text string",
+    )
+    base = {
+        r.doc_id: r
+        for r in segment_lang_profile(docs, seg_tokens=10).collect()
+    }
+    up = {
+        r.doc_id: r
+        for r in segment_lang_profile(
+            docs, seg_tokens=10, scorer=learned_segment_scorer(w, b)
+        ).collect()
+    }
+    assert base[1].mixed == 0          # es paragraph reads as 'und'
+    assert up[1].mixed == 1            # learned scorer sees en + es
+    assert up[1].n_langs >= 2
+    assert up[2].mixed == 0 and up[2].majority_lang == "en"
