@@ -66,6 +66,9 @@ EXTENSIONS = [
     "q_dup_corpus_profile",  # round-7 wave 2 (stratum duplication ppm)
     "q_substring_provenance_sampled",  # round-8 (rate-scaled lineage)
     "q_exact_substring_incremental",  # round-8 (stored-gram-index dedup)
+    "q_exact_substring_longdoc",  # round-9 (chunk-mode dedup, 1M-char book)
+    "q_mixture_execute",  # round-9 (plan->execute->temperature->shards)
+    "q_ivf_pq_ann_topk",  # round-9 (residual-PQ probed search + audit)
 ]
 
 HEADLINE = CORE + EXTENSIONS
