@@ -84,6 +84,13 @@ PROBES = [
     "q_segment_lang_profile",
     "q_xs_gram_hits",
     "q_embedding_bucket_hits",
+    "q_exact_substring_longdoc",
+    "q_mixture_execute",
+    "q_ivf_pq_ann_topk",
+    "q_compaction_execute",
+    "q_l_diversity",
+    "q_generalization_advice",
+    "q_lang_id_learned",
 ]
 
 
