@@ -211,26 +211,22 @@ _XS_BOOK_ID = 900_000
 _XS_BOOK_MIN = 1_000_123  # > XS_POS_BASE: default mode MUST refuse it
 
 
-def _xs_longdoc_sql() -> str:
-    """The keep-first rule over documents ∪ one >1M-char synthetic
-    book, WITHOUT the XS_POS_BASE guard: keys pack at base 2³¹ (global
-    positions < 2.1e9), computing the plain unchunked semantics the
-    engine's chunk mode must reproduce. The oracle PRE-CHUNKS too —
-    the VERDICT r8 #1 formulation, and a measured necessity, not
-    style: a lateral unnest over a row carrying the 1M-char string
-    copies that string per generated row in DuckDB (O(n²) — the 1M
-    book ran >300 s; ARCHITECTURE.md r9), so every lateral here walks
-    ~1 KB chunk strings and the whole oracle runs in ~3 s. Window
-    chunks overlap by L−1 (same seam rule and XS_CHUNK_STRIDE as the
-    engine); per-char rebuild chunks don't overlap.
-    Positions are decoded back to GLOBAL before f/dup/coverage, so the
-    RULE itself — keep-first over (doc, global pos) — is exactly the
-    unchunked definition."""
+def _xs_longdoc_gram_ctes() -> str:
+    """Shared chunked-corpus gram CTEs for the long-doc oracle family:
+    seedsel/corpus (documents ∪ the >1M-char synthetic book), then the
+    PRE-CHUNKED gram stage at base 2³¹ with NO length guard — the plain
+    keep-first rule over global positions, computed the only way DuckDB
+    can afford it: a lateral unnest over a row carrying the 1M-char
+    string copies that string per generated row (O(n²), measured
+    >300 s; ARCHITECTURE.md r9), so every lateral here walks ~1 KB
+    chunk strings (same seam rule and XS_CHUNK_STRIDE as the engine)
+    and positions decode back to GLOBAL before f. Ends with the g/f
+    CTEs; used by the long-doc dedup AND provenance oracles so both
+    gates pin one gram semantics."""
     from ..operators.curation import XS_CHUNK_STRIDE as S
 
     L = _XS_L
-    return f"""
-    WITH seedsel AS (SELECT text FROM documents WHERE length(text) > 0
+    return f"""seedsel AS (SELECT text FROM documents WHERE length(text) > 0
                      ORDER BY doc_id LIMIT 1),
     corpus AS (
         SELECT doc_id, text FROM documents
@@ -253,7 +249,18 @@ def _xs_longdoc_sql() -> str:
                unnest(generate_series(1, length(ctext) - {L} + 1)) AS u(ql)),
     f AS (SELECT gram,
                  CAST(min(doc_id * 2147483648 + q) AS BIGINT) AS first_key
-          FROM g GROUP BY gram),
+          FROM g GROUP BY gram)"""
+
+
+def _xs_longdoc_sql() -> str:
+    """The long-doc DEDUP oracle: shared chunked gram CTEs + the
+    dup/coverage/rebuild chain (per-char stage also chunked — same
+    string-copy hazard)."""
+    from ..operators.curation import XS_CHUNK_STRIDE as S
+
+    L = _XS_L
+    return f"""
+    WITH {_xs_longdoc_gram_ctes()},
     dup AS (SELECT g.doc_id, g.q FROM g JOIN f USING (gram)
             WHERE g.doc_id * 2147483648 + g.q > f.first_key),
     cck AS (SELECT doc_id, CAST(u.ci AS INT) AS ci,
@@ -539,3 +546,58 @@ def q_xs_gram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < _XS_HITS_MAX_ID)
     )
     return xs_gram_hits(docs, min_len=_XS_L)
+
+
+@register(
+    "q_substring_provenance_longdoc",
+    sql=f"""
+    WITH {_xs_longdoc_gram_ctes()},
+    cnt AS (SELECT g.doc_id,
+                   CAST(f.first_key // 2147483648 AS BIGINT) AS source_doc,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM g JOIN f USING (gram)
+            WHERE g.doc_id * 2147483648 + g.q > f.first_key
+            GROUP BY 1, 2),
+    rk AS (SELECT doc_id, source_doc, n_windows,
+                  CAST(sum(n_windows) OVER (PARTITION BY doc_id)
+                       AS BIGINT) AS n_dup_windows,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY n_windows DESC,
+                                              source_doc ASC) AS rn
+           FROM cnt)
+    SELECT doc_id, n_dup_windows, source_doc AS top_source_doc,
+           n_windows AS top_source_windows
+    FROM rk WHERE rn = 1
+    """,
+    doc="Removal lineage with the long_doc='chunk' escape hatch — the "
+    "family-wide completion of VERDICT r8 #1: the same documents ∪ "
+    ">1M-char synthetic book corpus as q_exact_substring_longdoc, "
+    "through exact_substring_provenance(long_doc='chunk'). Chunked "
+    "first-keys decode to their owner doc with two integer divides "
+    "((key div (stride+1)) div max_chunks) instead of one — still the "
+    "exact keep-first attribution, since chunk keys preserve global "
+    "corpus order. The book attributes its dominant share to the seed "
+    "doc that first said its content; the oracle recomputes the rule "
+    "over the pre-chunked corpus at a 2^31 key base with no guard. "
+    "Engine path operators/curation.py::exact_substring_provenance.",
+    tags=("llm", "dedup", "curation", "lineage", "longdoc"),
+)
+def q_substring_provenance_longdoc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.curation import exact_substring_provenance
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = (
+        docs.filter(F.length("text") > 0)
+        .agg(F.min_by("text", "doc_id").alias("text"))
+        .select(
+            F.lit(_XS_BOOK_ID).cast("long").alias("doc_id"),
+            F.expr(
+                f"repeat(text, cast(ceil({_XS_BOOK_MIN}.0 / length(text))"
+                " as int))"
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(seed)
+    return exact_substring_provenance(corpus, min_len=_XS_L, long_doc="chunk")

@@ -182,6 +182,10 @@ _RECHECK_PIN: frozenset[str] = frozenset({
     # tiebreaker (default-path results unchanged: marker labels carry
     # unique precedence).
     "q_segment_lang_profile",
+    # family-wide long_doc='chunk' dispatch reached provenance, the
+    # gram index, and incremental dedup (default paths behavior-
+    # identical; functions changed).
+    "q_substring_provenance", "q_exact_substring_incremental",
 })
 
 

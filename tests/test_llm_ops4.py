@@ -589,3 +589,72 @@ def test_exact_substring_incremental_equals_full_run(spark):
         ).collect()
     }
     assert all(t == "" for d, t in again.items() if d != 14)
+
+
+def test_exact_substring_chunk_mode_family_complete(spark):
+    """Family-wide chunk mode: (a) provenance through chunked keys
+    equals the unchunked reference attribution; (b) the gram INDEX is
+    mode-invariant (identical set either way — the seam property);
+    (c) incremental dedup accepts a book-length batch doc and matches
+    the full chunked rerun on the batch rows."""
+    from scrappy_spark.operators.curation import (
+        exact_substring_dedup,
+        exact_substring_dedup_incremental,
+        exact_substring_index,
+        exact_substring_provenance,
+    )
+
+    L = 10
+    shared = "COMMON-SPAN-CONTENT-HERE"
+    docs = [
+        (0, "first doc holds " + shared + " originally"),
+        (1, "second doc repeats " + shared + " later on"),
+        (2, "third doc also has " + shared + " plus " + shared),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    plain = {
+        r.doc_id: (r.n_dup_windows, r.top_source_doc, r.top_source_windows)
+        for r in exact_substring_provenance(df, min_len=L).collect()
+    }
+    chunked = {
+        r.doc_id: (r.n_dup_windows, r.top_source_doc, r.top_source_windows)
+        for r in exact_substring_provenance(
+            df, min_len=L, long_doc="chunk", chunk_stride=16
+        ).collect()
+    }
+    assert plain == chunked and chunked[1][1] == 0  # doc 0 owns the span
+
+    a = {r.gram for r in exact_substring_index(df, min_len=L).collect()}
+    b = {
+        r.gram
+        for r in exact_substring_index(
+            df, min_len=L, long_doc="chunk", chunk_stride=16
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+    base = df.filter("doc_id = 0")
+    book = "NOVEL-HEAD-" + ("this paragraph loops around " * 40)
+    batch = spark.createDataFrame(
+        [(10, "fresh batch doc with " + shared), (11, book)],
+        ["doc_id", "text"],
+    )
+    idx = exact_substring_index(base, min_len=L)
+    inc = {
+        r.doc_id: (r.n_dropped, r.cleaned_text)
+        for r in exact_substring_dedup_incremental(
+            batch, idx, min_len=L, long_doc="chunk", chunk_stride=64
+        ).collect()
+    }
+    # equivalence: full chunked rerun over base ∪ batch, batch rows only
+    full = {
+        r.doc_id: (r.n_dropped, r.cleaned_text)
+        for r in exact_substring_dedup(
+            base.unionByName(batch), min_len=L, long_doc="chunk",
+            chunk_stride=64,
+        ).collect()
+        if r.doc_id >= 10
+    }
+    assert inc == full
+    assert inc[10][0] >= len(shared)      # the indexed span fell
+    assert inc[11][1].startswith("NOVEL-HEAD-")
