@@ -366,6 +366,64 @@ def mixture_execute(
     )
 
 
+def mixture_audit(
+    mixed: DataFrame,
+    plan: DataFrame,
+    domain_col: str = "source",
+    tokens_col: str = "n_chars",
+    tol_ppm: int = 100_000,
+) -> DataFrame:
+    """Close the mixture loop: audit an EXECUTED mix against its plan —
+    per planned domain, the achieved token mass over (doc, epoch)
+    occurrences, the absolute deviation from the plan's target in
+    exact integer ppm, and a tolerance flag. The release gate reads
+    this table: a weighted domain that came back empty (it was absent
+    from the corpus) or far off its quota (a sampling-salt bug, a
+    truncated epoch) fails loudly here instead of skewing a training
+    run.
+
+    Deviation semantics: ``|achieved − target| · 10⁶ div target``
+    (target 0 → deviation 0 iff achieved 0, else 10⁶); md5-uniform
+    sampling makes the achieved mass a deterministic function of the
+    corpus, so the flag is reproducible, and the expected deviation is
+    the binomial sampling noise of doc-granular quotas — size
+    ``tol_ppm`` to cover it. DECIMAL products keep the ppm exact past
+    BIGINT (the mixture_plan overflow contract).
+
+    Scale shape: one partial-agg groupBy at domain cardinality over
+    the mixed occurrences + a |plan|-row broadcast join.
+    """
+    ach = mixed.groupBy(domain_col).agg(
+        F.coalesce(F.sum(F.col(tokens_col).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("achieved_tokens")
+    )
+    dev = F.expr(
+        "case when target_tokens = 0 then "
+        "  case when achieved_tokens > 0 then 1000000 else 0 end "
+        "else cast(abs(achieved_tokens - target_tokens) as decimal(20,0))"
+        "  * 1000000 div target_tokens end"
+    )
+    return (
+        plan.select(domain_col, "target_tokens")
+        .join(ach, domain_col, "left")
+        .select(
+            domain_col,
+            "target_tokens",
+            F.coalesce("achieved_tokens", F.lit(0))
+            .cast("long")
+            .alias("achieved_tokens"),
+        )
+        .select(
+            domain_col,
+            "target_tokens",
+            "achieved_tokens",
+            dev.cast("long").alias("deviation_ppm"),
+            (dev <= int(tol_ppm)).cast("long").alias("within_tolerance"),
+        )
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     alpha: float = 0.5,

@@ -215,31 +215,34 @@ _MX_FRAC = 0.5
 _MX_SHARD = 64
 
 
-def _mixture_execute_sql() -> str:
+def _mix_exec_ctes(weights: dict[str, float], budget: int) -> str:
+    """Shared w0/a/plan0/px/mix CTE chain (plan -> branch split ->
+    executed (doc, epoch) occurrences) parameterized by the weight
+    table — used by the execute capstone and the audit so both gates
+    pin ONE sampling semantics."""
     values = ", ".join(
-        f"('{d}', {int(round(w * 1_000_000))})"
-        for d, w in _MX_WEIGHTS.items()
+        f"('{d}', {int(round(w * 1_000_000))})" for d, w in weights.items()
     )
-    tgt = f"(target_weight_ppm::HUGEINT * {_MX_BUDGET} // 1000000)"
-    return f"""
-    WITH w0 AS (SELECT * FROM (VALUES {values})
+    tgt = f"(target_weight_ppm::HUGEINT * {budget} // 1000000)"
+    return f"""w0 AS (SELECT * FROM (VALUES {values})
                     AS t(lang, target_weight_ppm)),
     a AS (SELECT lang, CAST(coalesce(sum(n_chars), 0) AS BIGINT)
                  AS available_tokens
           FROM documents GROUP BY lang),
     plan0 AS (SELECT w0.lang,
                  CAST({tgt} AS BIGINT) AS target_tokens,
-                 a.available_tokens,
-                 CAST(CASE WHEN a.available_tokens = 0 THEN 0
+                 CAST(coalesce(a.available_tokens, 0) AS BIGINT)
+                     AS available_tokens,
+                 CAST(CASE WHEN coalesce(a.available_tokens, 0) = 0 THEN 0
                       WHEN {tgt} >= a.available_tokens THEN 1000000
                       ELSE {tgt} * 1000000 // a.available_tokens
                       END AS BIGINT) AS sample_rate_ppm,
-                 CAST(CASE WHEN a.available_tokens = 0 THEN 0
+                 CAST(CASE WHEN coalesce(a.available_tokens, 0) = 0 THEN 0
                       ELSE {tgt} * 1000 // a.available_tokens
                       END AS BIGINT) AS epochs_milli,
-                 CAST({tgt} > a.available_tokens AS BIGINT)
+                 CAST({tgt} > coalesce(a.available_tokens, 0) AS BIGINT)
                      AS under_supplied
-          FROM w0 JOIN a USING (lang)),
+          FROM w0 LEFT JOIN a USING (lang)),
     px AS (SELECT lang,
                   CAST(epochs_milli // 1000 AS BIGINT) AS fullep,
                   CAST(CASE WHEN under_supplied = 1
@@ -253,7 +256,12 @@ def _mixture_execute_sql() -> str:
                OR CAST(('0x' || substr(md5('mixex|' ||
                         CAST(u.e AS VARCHAR) || '|' ||
                         CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                  < part_ppm * 4294967296 // 1000000),
+                  < part_ppm * 4294967296 // 1000000)"""
+
+
+def _mixture_execute_sql() -> str:
+    return f"""
+    WITH {_mix_exec_ctes(_MX_WEIGHTS, _MX_BUDGET)},
     c AS (SELECT lang, CAST(count(*) AS BIGINT) AS ng FROM mix GROUP BY lang),
     t AS (SELECT CAST(sum(ng) AS BIGINT) AS n FROM c),
     w AS (SELECT lang, ng, n,
@@ -500,4 +508,83 @@ def q_lang_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pred_in_set"),
             (F.col("margin_micro") >= 0).cast("long").alias("margin_ok"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture audit: executed mix vs plan (the release gate)
+# ---------------------------------------------------------------------------
+
+#: audit weights include 'code' — weighted but ABSENT from the corpus,
+#: so the gate's failure branch is live (target > 0, achieved 0).
+_MXA_WEIGHTS = {"en": 0.38, "de": 0.33, "es": 0.24, "code": 0.05}
+_MXA_TOL_PPM = 100_000
+
+
+def _mixture_audit_sql() -> str:
+    return f"""
+    WITH {_mix_exec_ctes(_MXA_WEIGHTS, _MX_BUDGET)},
+    ach AS (SELECT lang, CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+                   AS achieved_tokens
+            FROM mix GROUP BY lang)
+    SELECT p.lang, p.target_tokens,
+           CAST(coalesce(ach.achieved_tokens, 0) AS BIGINT)
+               AS achieved_tokens,
+           CAST(CASE WHEN p.target_tokens = 0 THEN
+                  CASE WHEN coalesce(ach.achieved_tokens, 0) > 0
+                       THEN 1000000 ELSE 0 END
+                ELSE abs(coalesce(ach.achieved_tokens, 0)
+                         - p.target_tokens)::HUGEINT
+                     * 1000000 // p.target_tokens END AS BIGINT)
+               AS deviation_ppm,
+           CAST((CASE WHEN p.target_tokens = 0 THEN
+                  CASE WHEN coalesce(ach.achieved_tokens, 0) > 0
+                       THEN 1000000 ELSE 0 END
+                ELSE abs(coalesce(ach.achieved_tokens, 0)
+                         - p.target_tokens)::HUGEINT
+                     * 1000000 // p.target_tokens END)
+                <= {_MXA_TOL_PPM} AS BIGINT) AS within_tolerance
+    FROM plan0 p LEFT JOIN ach USING (lang)
+    """
+
+
+@register(
+    "q_mixture_audit",
+    sql=_mixture_audit_sql(),
+    doc="Mixture release gate: the executed mix audited against its "
+    "own plan — per planned domain, achieved (doc, epoch) token mass, "
+    "absolute deviation from target in exact integer ppm, and a "
+    f"{_MXA_TOL_PPM // 10000}% tolerance flag. The md5-uniform "
+    "sampling makes achieved mass deterministic, so the gate "
+    "hash-matches; doc-granular quotas land within binomial noise of "
+    "their targets (passing branch), while 'code' — weighted but "
+    "ABSENT from the corpus — fails at 10^6 ppm (the branch that "
+    "catches a mis-declared mix before a training run). DECIMAL/"
+    "HUGEINT deviation products stay exact past BIGINT budgets (the "
+    "mixture_plan overflow contract). Engine path "
+    "operators/curation.py::mixture_audit over mixture_execute + "
+    "mixture_plan.",
+    tags=("llm", "curation", "mixing", "ops"),
+)
+def q_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import (
+        mixture_audit,
+        mixture_execute,
+        mixture_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    plan = mixture_plan(
+        docs, _MXA_WEIGHTS, _MX_BUDGET, domain_col="lang",
+        tokens_col="n_chars",
+    ).filter(F.col("target_weight_ppm") > 0)
+    mixed = mixture_execute(
+        docs, _MXA_WEIGHTS, _MX_BUDGET, domain_col="lang",
+        tokens_col="n_chars",
+    )
+    return mixture_audit(
+        mixed, plan, domain_col="lang", tokens_col="n_chars",
+        tol_ppm=_MXA_TOL_PPM,
     )

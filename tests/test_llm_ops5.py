@@ -333,3 +333,29 @@ def test_segment_profile_learned_scorer_sees_code_switching(spark):
     assert up[1].mixed == 1            # learned scorer sees en + es
     assert up[1].n_langs >= 2
     assert up[2].mixed == 0 and up[2].majority_lang == "en"
+
+
+def test_mixture_audit_gate(spark):
+    """The mixture release gate: achieved quotas within tolerance pass,
+    a weighted-but-absent domain fails at 10^6 ppm, an unweighted
+    domain with zero achieved passes at zero deviation, and the
+    deviation arithmetic is exact integer ppm."""
+    from scrappy_spark.operators.curation import mixture_audit
+
+    mixed = spark.createDataFrame(
+        [("wiki", 95, 0), ("wiki", 8, 1), ("cc", 240, 0)],
+        "source string, n_chars long, epoch long",
+    )
+    plan = spark.createDataFrame(
+        [("wiki", 100), ("cc", 250), ("code", 50), ("junk", 0)],
+        "source string, target_tokens long",
+    )
+    out = {r.source: r for r in mixture_audit(mixed, plan, tol_ppm=50_000).collect()}
+    assert out["wiki"].achieved_tokens == 103
+    assert out["wiki"].deviation_ppm == 3 * 1_000_000 // 100
+    assert out["wiki"].within_tolerance == 1
+    assert out["cc"].deviation_ppm == 10 * 1_000_000 // 250
+    assert out["cc"].within_tolerance == 1
+    assert (out["code"].achieved_tokens, out["code"].deviation_ppm,
+            out["code"].within_tolerance) == (0, 1_000_000, 0)
+    assert (out["junk"].deviation_ppm, out["junk"].within_tolerance) == (0, 1)
