@@ -370,6 +370,17 @@ def compact_snapshot(
         target_bytes=target_units,
         tiebreak_col="path",
     )
+    # rewrites must read with the RECORDED table schema: a bin mixing
+    # files from before and after a widening append would otherwise
+    # take one footer's schema and silently drop the evolved column
+    import json as _json
+
+    m = table._manifest(table.current_version())
+    reader = spark.read
+    if "schema" in m:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(_json.loads(m["schema"])))
     rows = plan.collect()  # bounded: manifest-sized metadata
     bins: dict[int, list[tuple[str, str]]] = {}
     for r in rows:
@@ -391,7 +402,7 @@ def compact_snapshot(
             new_files.append(paths[0])  # untouched bin: reuse in place
             continue
         out = os.path.join(tmp_dir, f"bin-{t}")
-        spark.read.parquet(*paths).coalesce(1).write.mode(
+        reader.parquet(*paths).coalesce(1).write.mode(
             "overwrite"
         ).parquet(out)
         [part] = [f for f in os.listdir(out) if f.endswith(".parquet")]

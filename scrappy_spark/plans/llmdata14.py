@@ -588,3 +588,64 @@ def q_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         mixed, plan, domain_col="lang", tokens_col="n_chars",
         tol_ppm=_MXA_TOL_PPM,
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot schema evolution
+# ---------------------------------------------------------------------------
+
+_SE_NEW_MAX_ID = 50       # appended slice: documents below this id
+_SE_ID_OFFSET = 1_000_000  # re-keyed so appended rows are NEW rows
+
+
+@register(
+    "q_snapshot_schema_evolution",
+    sql=f"""
+    SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source
+    FROM documents
+    UNION ALL
+    SELECT doc_id + {_SE_ID_OFFSET} AS doc_id, lang, source
+    FROM documents WHERE doc_id < {_SE_NEW_MAX_ID}
+    """,
+    doc="Snapshot-table schema evolution: v0 lands documents as "
+    "(doc_id, lang); a later append WIDENS the table with a source "
+    "column (re-keyed slice, so rows are new). Every manifest records "
+    "its version's unified all-nullable schema, and read() applies the "
+    "RECORDED schema — v0's files read NULL for the added column with "
+    "no per-read footer merge, time travel shows each version with the "
+    "schema it had, and a same-name type conflict raises instead of "
+    "coercing (pytest). The oracle recomputes the expected union "
+    "directly (old rows NULL-backfilled, appended rows valued) — the "
+    "hash proves the recorded-schema read end-to-end. Engine path "
+    "sources/snapshots.py::commit/_unify_schemas/read.",
+    tags=("storage", "snapshot", "schema"),
+)
+def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.snapshots import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"schema_evo_{tag}")
+    table = SnapshotTable(spark, os.path.join(root, "table"))
+    head = table.current_version()
+    if head is None:
+        table.commit(docs.select("doc_id", "lang").coalesce(1))
+        head = 0
+    if head == 0:
+        widened = (
+            docs.filter(F.col("doc_id") < _SE_NEW_MAX_ID)
+            .select(
+                (F.col("doc_id") + _SE_ID_OFFSET).alias("doc_id"),
+                "lang",
+                "source",
+            )
+            .coalesce(1)
+        )
+        table.commit(widened, append=True)
+    return table.read(1).select("doc_id", "lang", "source")

@@ -42,6 +42,30 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructField, StructType
+
+
+def _unify_schemas(parent: StructType, new: StructType) -> StructType:
+    """Parent schema + any new columns from ``new`` (appended in their
+    ``new`` order), everything nullable (old files lack new columns).
+    A same-name column with a DIFFERENT type raises — silent coercion
+    across appends is how a table's history becomes unreadable."""
+    by_name = {f.name: f for f in parent.fields}
+    for f in new.fields:
+        have = by_name.get(f.name)
+        if have is not None and have.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution conflict on column {f.name!r}: "
+                f"table has {have.dataType.simpleString()}, append has "
+                f"{f.dataType.simpleString()} — cast before committing"
+            )
+    fields = [StructField(f.name, f.dataType, True) for f in parent.fields]
+    fields += [
+        StructField(f.name, f.dataType, True)
+        for f in new.fields
+        if f.name not in by_name
+    ]
+    return StructType(fields)
 
 
 class SnapshotTable:
@@ -89,6 +113,16 @@ class SnapshotTable:
         ``append=True``: content is parent's files + ``df``'s new files
         (no read, no rewrite of existing data).
 
+        Schema evolution: every manifest records its version's schema
+        (all-nullable), and an append UNIFIES the parent schema with
+        ``df``'s — new columns join the table (old files read NULL for
+        them), same-name columns must keep their type (conflict raises;
+        silent coercion is how tables rot). ``read`` applies the
+        RECORDED schema, so a widened append is visible immediately and
+        time travel shows each version with the schema it had — without
+        per-read footer merging (the mergeSchema cost real formats also
+        avoid by recording schema in metadata).
+
         Write order is the crash-safety argument: (1) data files land
         in a version-unique dir — unreferenced until (3), so a crash
         here orphans bytes, never corrupts state; (2) the manifest is
@@ -107,9 +141,15 @@ class SnapshotTable:
             for f in os.listdir(snap_dir)
             if f.endswith(".parquet")
         )
+        schema = df.schema
         if append and parent is not None:
-            files = self._manifest(parent)["files"] + files
-        return self._publish(version, parent, files, message)
+            pm = self._manifest(parent)
+            files = pm["files"] + files
+            if "schema" in pm:
+                schema = _unify_schemas(
+                    StructType.fromJson(json.loads(pm["schema"])), df.schema
+                )
+        return self._publish(version, parent, files, message, schema)
 
     def commit_files(self, files: list[str], message: str = "") -> dict:
         """Publish a new version referencing an EXPLICIT file list —
@@ -129,10 +169,20 @@ class SnapshotTable:
                 f"commit_files: {len(missing)} referenced files do not "
                 f"exist, e.g. {missing[0]!r}"
             )
-        return self._publish(version, parent, list(files), message)
+        schema = None
+        if parent is not None:
+            pm = self._manifest(parent)
+            if "schema" in pm:  # compaction preserves the table schema
+                schema = StructType.fromJson(json.loads(pm["schema"]))
+        return self._publish(version, parent, list(files), message, schema)
 
     def _publish(
-        self, version: int, parent: int | None, files: list[str], message: str
+        self,
+        version: int,
+        parent: int | None,
+        files: list[str],
+        message: str,
+        schema=None,
     ) -> dict:
         manifest = {
             "version": version,
@@ -142,6 +192,8 @@ class SnapshotTable:
             "files": files,
             "n_files": len(files),
         }
+        if schema is not None:
+            manifest["schema"] = schema.json()
         os.makedirs(self._mdir, exist_ok=True)
         tmp = os.path.join(self._mdir, f".v{version}.json.tmp")
         with open(tmp, "w") as f:
@@ -161,10 +213,20 @@ class SnapshotTable:
         v = self.current_version() if version is None else version
         if v is None:
             raise ValueError(f"snapshot table {self.path!r} has no commits")
-        files = self._manifest(v)["files"]
+        m = self._manifest(v)
+        files = m["files"]
         if not files:
             raise ValueError(f"version {v} references no files")
-        return self.spark.read.parquet(*files)
+        reader = self.spark.read
+        if "schema" in m:
+            # the version's RECORDED schema: files predating a widening
+            # append read NULL for the added columns, and no per-read
+            # footer merge is needed (pre-schema manifests fall back to
+            # footer inference)
+            reader = reader.schema(
+                StructType.fromJson(json.loads(m["schema"]))
+            )
+        return reader.parquet(*files)
 
     def diff(self, a: int, b: int) -> dict:
         """File-level diff {added, removed} from version a to b."""

@@ -359,3 +359,46 @@ def test_mixture_audit_gate(spark):
     assert (out["code"].achieved_tokens, out["code"].deviation_ppm,
             out["code"].within_tolerance) == (0, 1_000_000, 0)
     assert (out["junk"].deviation_ppm, out["junk"].within_tolerance) == (0, 1)
+
+
+# ---------------------------------------------------------------------------
+# snapshot schema evolution
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_schema_evolution(spark, tmp_path):
+    """A widened append joins the table (old files read NULL for the
+    new column), time travel keeps each version's own schema, a
+    same-name type conflict raises instead of coercing, and compaction
+    across the widening preserves the evolved schema."""
+    import pytest
+
+    from scrappy_spark.operators.layout import compact_snapshot
+    from scrappy_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        .coalesce(1)
+    )
+    t.commit(
+        spark.createDataFrame([(3, "c", 9.5)], "id long, v string, score double")
+        .coalesce(1),
+        append=True,
+    )
+    head = t.read()
+    assert head.columns == ["id", "v", "score"]
+    rows = {r.id: (r.v, r.score) for r in head.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+    assert t.read(0).columns == ["id", "v"]          # version-true schema
+    with pytest.raises(ValueError, match="conflict"):
+        t.commit(
+            spark.createDataFrame([(4, "d", "oops")],
+                                  "id long, v string, score string"),
+            append=True,
+        )
+    # compaction across the widening keeps the evolved schema and NULLs
+    _, manifest = compact_snapshot(t, 10, unit="rows")
+    after = t.read()
+    assert after.columns == ["id", "v", "score"]
+    assert {r.id: (r.v, r.score) for r in after.collect()} == rows
