@@ -125,7 +125,7 @@ def _last_green_round(name: str) -> int:
     later ledgers override earlier ones, so membership is checked
     newest-first."""
     for rnd, ledger in (
-        (8, _R08_VERIFIED),
+        (9, _R09_VERIFIED), (9, _R09_JUDGE_VERIFIED), (8, _R08_VERIFIED),
         (7, _R07_VERIFIED), (6, _R06_VERIFIED), (5, _R05_VERIFIED),
         (4, _R04_VERIFIED), (3, _R03_VERIFIED), (1, _R01_VERIFIED),
     ):
@@ -139,53 +139,33 @@ def _last_green_round(name: str) -> int:
 #: mechanism for any future late additions that miss the 50-slot cap.
 _NEVER_RUN_PIN: frozenset[str] = frozenset()
 
-#: Pin tier — driver verification VOIDED or UPGRADED by a round-8
+#: Pin tier — driver verification VOIDED or UPGRADED by a round-10
 #: change (the registry rule: a verification from before an
 #: implementation change is void). Front of the prefix so
-#: CORRECTNESS_r08 records the new forms. (All 18 round-7 pins came
-#: back hash-green in CORRECTNESS_r07 and rotated into _R07_VERIFIED.)
+#: CORRECTNESS_r10 records the new forms. (All 13 round-9 pins came
+#: back hash-green in CORRECTNESS_r09 and rotated into _R09_VERIFIED.)
 #: tools/repin_lint.py now enforces membership mechanically: it diffs
 #: the tree against the last round-boundary commit and fails when a
 #: _DRIVER_VERIFIED query's plan depends on changed code without a pin.
 _RECHECK_PIN: frozenset[str] = frozenset({
-    # mixture_plan: BIGINT-overflow-safe ppm arithmetic for budgets
-    # beyond ~9.2e12 tokens (ADVICE r8 #1); legal-input results
-    # unchanged, plan + oracle changed.
-    "q_mixture_plan",
-    # quality_floor_sweep: overflow-safe kept_weight ppm (ADVICE r8 #2).
-    "q_quality_floor_sweep",
-    # stream_quality_into_snapshots: replay dedup now keyed on a content
-    # fingerprint, not bare batch_id (ADVICE r8 #3), and the day loop
-    # writes deterministic per-day input files so a partial-failure
-    # rerun cannot double-feed day 0 (ADVICE r8 #4).
+    # mixture_execute: target==available no longer double-counts the
+    # domain (ADVICE r9 #1 — full-epoch count gated on under_supplied;
+    # oracle CTE mirrored); the audit rides the executor.
+    "q_mixture_execute", "q_mixture_audit",
+    # snapshot_file_stats now URL-decodes input_file_name() before the
+    # manifest join and fails loud on a count-less file (ADVICE r9 #2);
+    # both compaction queries ride it.
+    "q_compaction_plan", "q_compaction_execute",
+    # ivf_pq_search ADC scores micro-snapped to BIGINT partial sums
+    # (ADVICE r9 #4) — float addition order can no longer flip a
+    # 4-decimal rounding boundary.
+    "q_ivf_pq_ann_topk",
+    # SnapshotTable: legacy (pre-schema-recording) manifests now infer
+    # the parent schema from its files before unification (ADVICE r9
+    # #3), and appends record per-column identity ids for rename/drop
+    # evolution — every green riding snapshot commit/read is void.
+    "q_incremental_ingest", "q_snapshot_schema_evolution",
     "q_expectations_snapshot_log",
-    # compaction_plan: deterministic file-path tiebreaker in the packing
-    # window (ADVICE r8 #5).
-    "q_compaction_plan",
-    # exact_substring_dedup gained the long_doc='chunk' dispatch
-    # (VERDICT r8 #1); the default path is behavior-identical but the
-    # function changed, so every green riding it is void until the
-    # driver re-checks (q_config_pipeline via the pipeline compiler,
-    # q_dup_corpus_profile via the shared family — both caught by
-    # repin_lint, not by hand).
-    "q_exact_substring_dedup", "q_config_pipeline",
-    "q_dup_corpus_profile",
-    # SnapshotTable.commit refactored through _publish (the
-    # commit_files compaction path) — q_incremental_ingest rides the
-    # snapshot commit (caught by repin_lint).
-    "q_incremental_ingest",
-    # label_centroids switched to the posexplode_outer + null-filter
-    # form (the generate-pushdown rule surfaced under ivf_pq_search's
-    # encode repartition); results unchanged, plan changed.
-    "q_ivf_ann_topk", "q_label_centroids",
-    # segment_lang_profile gained the scorer= hook + a lexical vote
-    # tiebreaker (default-path results unchanged: marker labels carry
-    # unique precedence).
-    "q_segment_lang_profile",
-    # family-wide long_doc='chunk' dispatch reached provenance, the
-    # gram index, and incremental dedup (default paths behavior-
-    # identical; functions changed).
-    "q_substring_provenance", "q_exact_substring_incremental",
 })
 
 
@@ -385,9 +365,59 @@ _R08_VERIFIED = frozenset({
     "q_topic_lookup", "q_xs_gram_hits",
 })
 
+# The 50 keys of CORRECTNESS_r09.json — all hash-green (the ninth
+# consecutive zero-failure round). Includes all 13 round-9
+# _RECHECK_PIN entries (overflow-contract fixes, long_doc dispatch
+# re-pins, snapshot _publish refactor) — all satisfied. Round-10
+# REIMPLEMENTATIONS are deliberately absent so the driver re-checks
+# them (re-entered via _RECHECK_PIN): q_mixture_execute /
+# q_mixture_audit (equality-boundary fix, ADVICE r9 #1),
+# q_compaction_plan / q_compaction_execute (URL-decoded file-stats
+# join, ADVICE r9 #2), q_ivf_pq_ann_topk (BIGINT ADC partial sums,
+# ADVICE r9 #4), q_incremental_ingest / q_snapshot_schema_evolution /
+# q_expectations_snapshot_log (legacy-manifest schema inference +
+# column-identity ids, ADVICE r9 #3 + VERDICT r9 #5).
+_R09_VERIFIED = frozenset({
+    "q_compaction_execute", "q_compaction_plan", "q_config_pipeline",
+    "q_corpus_mix", "q_correlated_avg", "q_decontaminate",
+    "q_dedup_exact_hash", "q_domain_stats", "q_dup_corpus_profile",
+    "q_embedding_cosine_topk", "q_embedding_near_dups",
+    "q_embedding_quantize", "q_event_transitions",
+    "q_exact_substring_dedup", "q_exact_substring_incremental",
+    "q_exact_substring_longdoc", "q_expect_audit",
+    "q_expectations_snapshot_log", "q_filter_institution", "q_fingerprint",
+    "q_funnel_stages", "q_gapfill_locf", "q_generalization_advice",
+    "q_hash_sample", "q_incremental_ingest", "q_ivf_ann_topk",
+    "q_ivf_pq_ann_topk", "q_jaccard_pairs", "q_l_diversity",
+    "q_label_centroids", "q_lang_id", "q_lang_id_learned",
+    "q_length_batches", "q_map_funcs", "q_mixture_audit",
+    "q_mixture_execute", "q_mixture_plan", "q_quality_floor_sweep",
+    "q_segment_lang_profile", "q_snapshot_schema_evolution",
+    "q_substring_provenance", "q_substring_provenance_longdoc",
+    "q_topk_per_group", "q_tpch_q3_shape", "q_tpch_q5_shape",
+    "q_tumbling_window_agg", "q_udtf_split", "q_union_sources",
+    "q_window_rank", "q_word_weights",
+})
+
+# The 19 round-3 greens the ROUND-9 JUDGE independently re-certified
+# against current code (VERDICT r9: "judge-run tools/verify_oracle.py
+# re-check at sf0.01 ... 19/19 PASS"). Counted as round-9-fresh for
+# slot prioritization only (they are not in a driver CORRECTNESS file
+# for r9), so the driver's leftover slots refresh the genuinely
+# stalest cohort — the r4 greens — per VERDICT r9 next-round #2.
+_R09_JUDGE_VERIFIED = frozenset({
+    "q_matryoshka_energy", "q_moving_range_window", "q_multimodal_meta",
+    "q_pack_sequences", "q_pagerank_pages", "q_pii_scrub",
+    "q_profile_columns", "q_quality_score", "q_quantile_normalize",
+    "q_quota_sample", "q_remove_boilerplate", "q_repetition_stats",
+    "q_retention_cohorts", "q_rolling_hash", "q_safe_cast_quality",
+    "q_scd2_merge", "q_shard_manifest", "q_skew_salted_agg",
+    "q_tfidf_topk",
+})
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R03_VERIFIED | _R04_VERIFIED | _R05_VERIFIED
-    | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED
+    | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED | _R09_VERIFIED
 )
 
 
