@@ -322,7 +322,19 @@ def mixture_execute(
             tokens_col=tokens_col,
         ).select(
             domain_col,
-            F.expr("epochs_milli div 1000").cast("long").alias("__full"),
+            # Full epochs exist only on the STRICT under-supplied
+            # branch: at target == available, epochs_milli is exactly
+            # 1000 but under_supplied is 0 and sample_rate_ppm is
+            # 1_000_000 — the single full pass is the rate-1e6 partial
+            # epoch, not a full epoch PLUS one (which double-counted
+            # the domain at the equality boundary).
+            F.when(
+                F.col("under_supplied") == 1,
+                F.expr("epochs_milli div 1000"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("__full"),
             F.when(
                 F.col("under_supplied") == 1,
                 (F.col("epochs_milli") % 1000) * 1000,

@@ -292,30 +292,51 @@ def snapshot_file_stats(table, version: int | None = None) -> DataFrame:
     grouped scan over the manifest's files (``input_file_name`` per
     row, no per-file driver jobs); byte sizes from file metadata.
     ``idx`` is zero-padded so its string sort equals the numeric
-    manifest order."""
+    manifest order.
+
+    ``input_file_name`` returns a PERCENT-ENCODED ``file:`` URI, so
+    the per-file counts are matched to the manifest driver-side (the
+    group is manifest-sized metadata, same grain as the ``getsize``
+    loop) after exact RFC percent-decoding — ``urllib.parse.unquote``,
+    not Spark's ``url_decode``, which is form-decoding and would turn
+    a literal ``+`` in a path into a space. A counted file that maps
+    to no manifest path raises instead of silently skewing the
+    ``unit='rows'`` bin packing to 0 (ADVICE r9 #2)."""
     import os
+    from urllib.parse import unquote, urlparse
 
     spark = table.spark
     v = table.current_version() if version is None else version
     files = table._manifest(v)["files"]
-    meta = spark.createDataFrame(
-        [
-            (f"{i:09d}", p, int(os.path.getsize(p)))
-            for i, p in enumerate(files)
-        ],
-        "idx string, path string, bytes long",
-    )
     counts = (
         spark.read.parquet(*files)
-        .groupBy(
-            F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias(
-                "path"
-            )
-        )
+        .groupBy(F.input_file_name().alias("uri"))
         .agg(F.count("*").cast("long").alias("rows"))
+        .collect()  # bounded: one row per manifest file
     )
-    return meta.join(counts, "path", "left").select(
-        "idx", "path", "bytes", F.coalesce("rows", F.lit(0)).alias("rows")
+    by_path: dict[str, int] = {}
+    manifest_paths = {os.path.realpath(p) for p in files}
+    for r in counts:
+        uri = r["uri"]
+        p = unquote(urlparse(uri).path) if uri.startswith("file:") else uri
+        p = os.path.realpath(p)
+        if p not in manifest_paths:
+            raise ValueError(
+                f"snapshot_file_stats: counted file {uri!r} (decoded "
+                f"{p!r}) matches no manifest path of version {v}"
+            )
+        by_path[p] = by_path.get(p, 0) + int(r["rows"])
+    return spark.createDataFrame(
+        [
+            (
+                f"{i:09d}",
+                p,
+                int(os.path.getsize(p)),
+                by_path.get(os.path.realpath(p), 0),
+            )
+            for i, p in enumerate(files)
+        ],
+        "idx string, path string, bytes long, rows long",
     )
 
 
@@ -376,11 +397,21 @@ def compact_snapshot(
     import json as _json
 
     m = table._manifest(table.current_version())
-    reader = spark.read
-    if "schema" in m:
-        from pyspark.sql.types import StructType
+    def _read_bin(paths: list[str]):
+        if "columns" in m:
+            # id-mapped read: a bin mixing files from before and after
+            # a RENAME would otherwise NULL out the renamed column
+            # under a flat recorded-schema read
+            return table.read_files(paths)
+        reader = spark.read
+        if "schema" in m:
+            from pyspark.sql.types import StructType
 
-        reader = reader.schema(StructType.fromJson(_json.loads(m["schema"])))
+            reader = reader.schema(
+                StructType.fromJson(_json.loads(m["schema"]))
+            )
+        return reader.parquet(*paths)
+
     rows = plan.collect()  # bounded: manifest-sized metadata
     bins: dict[int, list[tuple[str, str]]] = {}
     for r in rows:
@@ -402,9 +433,7 @@ def compact_snapshot(
             new_files.append(paths[0])  # untouched bin: reuse in place
             continue
         out = os.path.join(tmp_dir, f"bin-{t}")
-        reader.parquet(*paths).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(out)
+        _read_bin(paths).coalesce(1).write.mode("overwrite").parquet(out)
         [part] = [f for f in os.listdir(out) if f.endswith(".parquet")]
         dest = os.path.join(snap_dir, f"bin-{t}.parquet")
         os.replace(os.path.join(out, part), dest)

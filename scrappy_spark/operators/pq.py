@@ -268,15 +268,30 @@ def ivf_pq_search(
             F.col(vec_col).cast("array<double>"), F.col("__c").cast("array<double>")
         ).alias("__qc"),
     )
+    # Per-(query, subspace, code) lookup values micro-snapped to BIGINT
+    # (ADVICE r9 #4): the per-candidate ADC sum is then integer-exact,
+    # so float addition order across partial aggregations can never
+    # flip a rank at a 4-decimal rounding boundary — the langid-scorer
+    # determinism pattern; approximation stays in the quantization.
     qtab = F.broadcast(
         queries.crossJoin(F.broadcast(book)).select(
             query_id_col,
             "subspace",
             "code",
-            _dot(
-                _subvec(F.col(vec_col).cast("array<double>"), m, dim, F.col("subspace")),
-                F.col("centroid"),
-            ).alias("__p"),
+            F.round(
+                _dot(
+                    _subvec(
+                        F.col(vec_col).cast("array<double>"),
+                        m,
+                        dim,
+                        F.col("subspace"),
+                    ),
+                    F.col("centroid"),
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("__p_u"),
         )
     )
 
@@ -295,7 +310,11 @@ def ivf_pq_search(
     scored = (
         exploded.join(qtab, [query_id_col, "subspace", "code"])
         .groupBy(query_id_col, id_col)
-        .agg(F.round(F.max("__qc") + F.sum("__p"), 4).alias("score"))
+        .agg(
+            F.round(
+                F.max("__qc") + F.sum("__p_u").cast("double") / 1e6, 4
+            ).alias("score")
+        )
     )
     return topk_per_group(
         scored, [query_id_col], [F.desc("score"), F.asc(id_col)], k
@@ -318,12 +337,22 @@ def pq_search(
     with deterministic (−score, id) ranking."""
     from .joins import topk_per_group
 
+    # same BIGINT micro-snap as ivf_pq_search (ADVICE r9 #4): the ADC
+    # sum is integer-exact, rank order run-stable.
     qtab = F.broadcast(
         queries.crossJoin(F.broadcast(codebook)).select(
             query_id_col,
             "subspace",
             "code",
-            _dot(_subvec(F.col(vec_col), m, dim, F.col("subspace")), F.col("centroid")).alias("__p"),
+            F.round(
+                _dot(
+                    _subvec(F.col(vec_col), m, dim, F.col("subspace")),
+                    F.col("centroid"),
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("__p_u"),
         )
     )
     exploded = codes.select(
@@ -332,6 +361,8 @@ def pq_search(
     scored = (
         exploded.join(qtab, ["subspace", "code"])
         .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum("__p"), 4).alias("score"))
+        .agg(
+            F.round(F.sum("__p_u").cast("double") / 1e6, 4).alias("score")
+        )
     )
     return topk_per_group(scored, [query_id_col], [F.desc("score"), F.asc(id_col)], k)

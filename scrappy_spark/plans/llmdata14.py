@@ -244,7 +244,9 @@ def _mix_exec_ctes(weights: dict[str, float], budget: int) -> str:
                      AS under_supplied
           FROM w0 LEFT JOIN a USING (lang)),
     px AS (SELECT lang,
-                  CAST(epochs_milli // 1000 AS BIGINT) AS fullep,
+                  CAST(CASE WHEN under_supplied = 1
+                       THEN epochs_milli // 1000
+                       ELSE 0 END AS BIGINT) AS fullep,
                   CAST(CASE WHEN under_supplied = 1
                        THEN (epochs_milli % 1000) * 1000
                        ELSE sample_rate_ppm END AS BIGINT) AS part_ppm

@@ -76,6 +76,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llmdata12,
         llmdata13,
         llmdata14,
+        llmdata15,
         audit,
         timeseries,
         sketches,
@@ -156,10 +157,10 @@ _RECHECK_PIN: frozenset[str] = frozenset({
     # manifest join and fails loud on a count-less file (ADVICE r9 #2);
     # both compaction queries ride it.
     "q_compaction_plan", "q_compaction_execute",
-    # ivf_pq_search ADC scores micro-snapped to BIGINT partial sums
-    # (ADVICE r9 #4) — float addition order can no longer flip a
-    # 4-decimal rounding boundary.
-    "q_ivf_pq_ann_topk",
+    # ivf_pq_search AND pq_search ADC scores micro-snapped to BIGINT
+    # partial sums (ADVICE r9 #4) — float addition order can no longer
+    # flip a 4-decimal rounding boundary.
+    "q_ivf_pq_ann_topk", "q_pq_ann_topk",
     # SnapshotTable: legacy (pre-schema-recording) manifests now infer
     # the parent schema from its files before unification (ADVICE r9
     # #3), and appends record per-column identity ids for rename/drop

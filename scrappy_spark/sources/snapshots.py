@@ -68,6 +68,67 @@ def _unify_schemas(parent: StructType, new: StructType) -> StructType:
     return StructType(fields)
 
 
+# Column-identity helpers (the Iceberg-style second notch of schema
+# evolution): a manifest's ``columns`` entry is an ordered list of
+# ``{"id", "name", "type"}`` dicts — the version's LOGICAL schema —
+# and data files are mapped to columns BY ID through the per-file
+# write-schema registry, so a rename is metadata-only, a dropped name
+# re-added later gets a FRESH id (old files' values are never
+# resurrected), and time travel shows each version under the names it
+# had.
+
+
+def _cols_of(struct: StructType, next_id: int) -> tuple[list[dict], int]:
+    """Assign fresh ids to every field of ``struct`` (field order)."""
+    cols = []
+    for f in struct.fields:
+        cols.append(
+            {"id": next_id, "name": f.name, "type": f.dataType.jsonValue()}
+        )
+        next_id += 1
+    return cols, next_id
+
+
+def _struct_of(cols: list[dict]) -> StructType:
+    from pyspark.sql.types import _parse_datatype_json_value
+
+    return StructType(
+        [
+            StructField(c["name"], _parse_datatype_json_value(c["type"]), True)
+            for c in cols
+        ]
+    )
+
+
+def _unify_cols(
+    parent: list[dict], new: StructType, next_id: int
+) -> tuple[list[dict], list[dict], int]:
+    """Unify a parent column list with an append's schema BY NAME:
+    matching names keep their id (type conflict raises), unseen names
+    get fresh ids appended in ``new`` order. Returns (unified columns,
+    the append's WRITE schema — its own columns under their current
+    ids, in ``new`` field order, next_id)."""
+    by_name = {c["name"]: c for c in parent}
+    write_cols: list[dict] = []
+    added: list[dict] = []
+    for f in new.fields:
+        have = by_name.get(f.name)
+        if have is not None:
+            if _struct_of([have]).fields[0].dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution conflict on column {f.name!r}: "
+                    f"table has column id {have['id']} with a different "
+                    f"type — cast before committing"
+                )
+            write_cols.append(have)
+        else:
+            c = {"id": next_id, "name": f.name, "type": f.dataType.jsonValue()}
+            next_id += 1
+            added.append(c)
+            write_cols.append(c)
+    return list(parent) + added, write_cols, next_id
+
+
 class SnapshotTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -101,6 +162,46 @@ class SnapshotTable:
         p = os.path.join(self._mdir, f"v{version}.json")
         with open(p) as f:
             return json.load(f)
+
+    def _parent_identity(
+        self, pm: dict
+    ) -> tuple[list[dict], dict, dict, int]:
+        """``(columns, schemas, file_schema, next_col_id)`` of a parent
+        manifest, upgrading legacy manifests on the way: a parent that
+        predates column recording gets its schema inferred — from its
+        RECORDED flat schema when present, else from its files' footer
+        union (ADVICE r9 #3: trusting ``df.schema`` alone silently
+        dropped parent-only columns from the next version) — with ids
+        assigned by position and every parent file name-mapped to that
+        one write schema (the Iceberg imported-file move)."""
+        if "columns" in pm:
+            return (
+                [dict(c) for c in pm["columns"]],
+                {k: [dict(c) for c in v] for k, v in pm["schemas"].items()},
+                dict(pm["file_schema"]),
+                int(pm["next_col_id"]),
+            )
+        if "schema" in pm:
+            st = StructType.fromJson(json.loads(pm["schema"]))
+        else:
+            st = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*pm["files"])
+                .schema
+            )
+        cols, next_id = _cols_of(st, 1)
+        return cols, {"0": cols}, {p: "0" for p in pm["files"]}, next_id
+
+    @staticmethod
+    def _intern_schema(schemas: dict, write_cols: list[dict]) -> str:
+        """Schema-registry id for ``write_cols``, reusing an existing
+        entry when one matches by value."""
+        for sid, cols in schemas.items():
+            if cols == write_cols:
+                return sid
+        sid = str(1 + max((int(k) for k in schemas), default=-1))
+        schemas[sid] = write_cols
+        return sid
 
     # ------------------------------------------------------------ commit
 
@@ -136,20 +237,60 @@ class SnapshotTable:
         if os.path.exists(snap_dir):  # failed prior attempt at this version
             shutil.rmtree(snap_dir)
         df.write.mode("overwrite").parquet(snap_dir)
-        files = sorted(
+        new_files = sorted(
             os.path.join(snap_dir, f)
             for f in os.listdir(snap_dir)
             if f.endswith(".parquet")
         )
-        schema = df.schema
         if append and parent is not None:
             pm = self._manifest(parent)
-            files = pm["files"] + files
-            if "schema" in pm:
-                schema = _unify_schemas(
-                    StructType.fromJson(json.loads(pm["schema"])), df.schema
-                )
-        return self._publish(version, parent, files, message, schema)
+            pcols, schemas, file_schema, next_id = self._parent_identity(pm)
+            cols, write_cols, next_id = _unify_cols(pcols, df.schema, next_id)
+            files = pm["files"] + new_files
+            sid = self._intern_schema(schemas, write_cols)
+            for p in new_files:
+                file_schema[p] = sid
+        else:
+            # replace: old files drop out, but column IDENTITY carries
+            # by (name, type) from the parent's columns so a rename
+            # history survives a content rewrite
+            pcols: list[dict] = []
+            next_id = 1
+            if parent is not None:
+                pm = self._manifest(parent)
+                if "columns" in pm:
+                    pcols = pm["columns"]
+                    next_id = int(pm["next_col_id"])
+            by_name = {c["name"]: c for c in pcols}
+            cols = []
+            for f in df.schema.fields:
+                have = by_name.get(f.name)
+                if (
+                    have is not None
+                    and _struct_of([have]).fields[0].dataType == f.dataType
+                ):
+                    cols.append(dict(have))
+                else:
+                    cols.append(
+                        {
+                            "id": next_id,
+                            "name": f.name,
+                            "type": f.dataType.jsonValue(),
+                        }
+                    )
+                    next_id += 1
+            files = new_files
+            schemas = {}
+            sid = self._intern_schema(schemas, cols)
+            file_schema = {p: sid for p in files}
+        return self._publish(
+            version,
+            parent,
+            files,
+            message,
+            _struct_of(cols),
+            identity=(cols, schemas, file_schema, next_id),
+        )
 
     def commit_files(self, files: list[str], message: str = "") -> dict:
         """Publish a new version referencing an EXPLICIT file list —
@@ -170,11 +311,29 @@ class SnapshotTable:
                 f"exist, e.g. {missing[0]!r}"
             )
         schema = None
+        identity = None
         if parent is not None:
             pm = self._manifest(parent)
-            if "schema" in pm:  # compaction preserves the table schema
+            if "columns" in pm:
+                # compaction preserves the table schema AND column
+                # identity: reused files keep their write-schema
+                # mapping; fresh (rewritten) files were produced by
+                # read_files under the CURRENT names, so they map to
+                # the current column list.
+                cols, schemas, pfs, next_id = self._parent_identity(pm)
+                file_schema = {p: pfs[p] for p in files if p in pfs}
+                fresh = [p for p in files if p not in pfs]
+                if fresh:
+                    sid = self._intern_schema(schemas, cols)
+                    for p in fresh:
+                        file_schema[p] = sid
+                schema = _struct_of(cols)
+                identity = (cols, schemas, file_schema, next_id)
+            elif "schema" in pm:  # legacy flat-schema table
                 schema = StructType.fromJson(json.loads(pm["schema"]))
-        return self._publish(version, parent, list(files), message, schema)
+        return self._publish(
+            version, parent, list(files), message, schema, identity=identity
+        )
 
     def _publish(
         self,
@@ -183,6 +342,7 @@ class SnapshotTable:
         files: list[str],
         message: str,
         schema=None,
+        identity: tuple[list[dict], dict, dict, int] | None = None,
     ) -> dict:
         manifest = {
             "version": version,
@@ -194,6 +354,12 @@ class SnapshotTable:
         }
         if schema is not None:
             manifest["schema"] = schema.json()
+        if identity is not None:
+            cols, schemas, file_schema, next_id = identity
+            manifest["columns"] = cols
+            manifest["schemas"] = schemas
+            manifest["file_schema"] = file_schema
+            manifest["next_col_id"] = next_id
         os.makedirs(self._mdir, exist_ok=True)
         tmp = os.path.join(self._mdir, f".v{version}.json.tmp")
         with open(tmp, "w") as f:
@@ -204,6 +370,61 @@ class SnapshotTable:
             f.write(str(version))
         os.rename(head_tmp, self._head_path())
         return manifest
+
+    # ----------------------------------------------------- rename / drop
+
+    def rename_column(self, old: str, new: str, message: str = "") -> dict:
+        """Metadata-only rename: publishes a new version with the SAME
+        files whose column ``old`` is now named ``new`` — no byte of
+        data moves (the column keeps its id; files are mapped by id at
+        read). Time travel shows each version under its own names.
+        Raises if ``old`` is absent or ``new`` already exists."""
+        parent = self.current_version()
+        if parent is None:
+            raise ValueError(f"snapshot table {self.path!r} has no commits")
+        pm = self._manifest(parent)
+        cols, schemas, file_schema, next_id = self._parent_identity(pm)
+        names = [c["name"] for c in cols]
+        if old not in names:
+            raise ValueError(f"rename_column: no column {old!r} ({names})")
+        if new in names:
+            raise ValueError(
+                f"rename_column: column {new!r} already exists ({names})"
+            )
+        cols = [dict(c, name=new) if c["name"] == old else c for c in cols]
+        return self._publish(
+            parent + 1,
+            parent,
+            pm["files"],
+            message or f"rename {old} -> {new}",
+            _struct_of(cols),
+            identity=(cols, schemas, file_schema, next_id),
+        )
+
+    def drop_column(self, name: str, message: str = "") -> dict:
+        """Metadata-only drop: the column's id leaves the logical
+        schema (data files are untouched — old versions still read
+        it). A LATER append re-adding the same name gets a FRESH id,
+        so the dropped column's old values are never resurrected under
+        the new name (the Iceberg re-add contract)."""
+        parent = self.current_version()
+        if parent is None:
+            raise ValueError(f"snapshot table {self.path!r} has no commits")
+        pm = self._manifest(parent)
+        cols, schemas, file_schema, next_id = self._parent_identity(pm)
+        if name not in [c["name"] for c in cols]:
+            raise ValueError(f"drop_column: no column {name!r}")
+        cols = [c for c in cols if c["name"] != name]
+        if not cols:
+            raise ValueError("drop_column: cannot drop the last column")
+        return self._publish(
+            parent + 1,
+            parent,
+            pm["files"],
+            message or f"drop {name}",
+            _struct_of(cols),
+            identity=(cols, schemas, file_schema, next_id),
+        )
 
     # -------------------------------------------------------------- read
 
@@ -217,6 +438,8 @@ class SnapshotTable:
         files = m["files"]
         if not files:
             raise ValueError(f"version {v} references no files")
+        if "columns" in m:
+            return self._read_mapped(m, files)
         reader = self.spark.read
         if "schema" in m:
             # the version's RECORDED schema: files predating a widening
@@ -227,6 +450,73 @@ class SnapshotTable:
                 StructType.fromJson(json.loads(m["schema"]))
             )
         return reader.parquet(*files)
+
+    def read_files(
+        self, files: list[str], version: int | None = None
+    ) -> DataFrame:
+        """A SUBSET of a version's files under that version's logical
+        schema (id-mapped, current names) — the compaction rewrite
+        path, where a bin may mix files written under different
+        schemas and a flat recorded-schema read would NULL out renamed
+        columns."""
+        v = self.current_version() if version is None else version
+        m = self._manifest(v)
+        extra = [p for p in files if p not in set(m["files"])]
+        if extra:
+            raise ValueError(
+                f"read_files: {extra[0]!r} is not a file of version {v}"
+            )
+        if "columns" in m:
+            return self._read_mapped(m, files)
+        reader = self.spark.read
+        if "schema" in m:
+            reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
+        return reader.parquet(*files)
+
+    def _read_mapped(self, m: dict, files: list[str]) -> DataFrame:
+        """Read ``files`` BY COLUMN ID: group by write schema, read
+        each group under exactly the names/types its files were
+        written with, project every group onto the manifest's logical
+        columns (id present → rename to the current name; id absent →
+        typed NULL), and union. One parquet scan per distinct write
+        schema — manifest-grain metadata, not data work."""
+        from pyspark.sql import functions as F
+
+        cols = m["columns"]
+        schemas = m["schemas"]
+        fs = m["file_schema"]
+        unmapped = [p for p in files if p not in fs]
+        if unmapped:
+            raise ValueError(
+                f"version {m['version']} has no write-schema mapping for "
+                f"{unmapped[0]!r} — manifest corrupt"
+            )
+        groups: dict[str, list[str]] = {}
+        for p in files:
+            groups.setdefault(fs[p], []).append(p)
+        out: DataFrame | None = None
+        for sid in sorted(groups):
+            wcols = schemas[sid]
+            by_id = {c["id"]: c for c in wcols}
+            part = (
+                self.spark.read.schema(_struct_of(wcols))
+                .parquet(*groups[sid])
+            )
+            sel = []
+            for c in cols:
+                w = by_id.get(c["id"])
+                if w is not None:
+                    sel.append(F.col(w["name"]).alias(c["name"]))
+                else:
+                    sel.append(
+                        F.lit(None)
+                        .cast(_struct_of([c]).fields[0].dataType)
+                        .alias(c["name"])
+                    )
+            part = part.select(*sel)
+            out = part if out is None else out.unionByName(part)
+        assert out is not None
+        return out
 
     def diff(self, a: int, b: int) -> dict:
         """File-level diff {added, removed} from version a to b."""

@@ -141,6 +141,31 @@ def test_compact_snapshot_content_identity_and_time_travel(spark, tmp_path):
     assert sorted(map(tuple, table.read().collect())) == before_rows
 
 
+def test_snapshot_file_stats_path_with_space(spark, tmp_path):
+    """input_file_name() returns a percent-encoded URI (ADVICE r9 #2):
+    a table path with a space must still get REAL per-file row counts
+    (the old string join silently coalesced them to 0, skewing
+    unit='rows' compaction)."""
+    from scrappy_spark.operators.layout import (
+        compact_snapshot,
+        snapshot_file_stats,
+    )
+    from scrappy_spark.sources.snapshots import SnapshotTable
+
+    table = SnapshotTable(spark, str(tmp_path / "dir with space" / "t +x"))
+    for lo, n in ((0, 7), (100, 3)):
+        df = spark.createDataFrame(
+            [(lo + i, "v") for i in range(n)], "id long, v string"
+        ).coalesce(1)
+        table.commit(df, message=f"append {n}", append=True)
+    stats = {r.idx: r.rows for r in snapshot_file_stats(table).collect()}
+    assert stats == {"000000000": 7, "000000001": 3}
+    # and rows-unit compaction over the spaced path works end to end
+    _, manifest = compact_snapshot(table, 100, unit="rows")
+    assert manifest["n_files"] == 1
+    assert table.read().count() == 10
+
+
 def test_compact_snapshot_rejects_bad_unit(spark, tmp_path):
     import pytest
 
@@ -196,6 +221,26 @@ def test_mixture_execute_branches(spark):
     # determinism
     again = mixture_execute(df, weights, budget).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_mixture_execute_equality_boundary(spark):
+    """target == available exactly (ADVICE r9 #1): epochs_milli is
+    1000 but under_supplied is 0, so the domain must get EXACTLY one
+    full pass (the rate-1e6 partial epoch), never a full epoch PLUS a
+    rate-1e6 epoch — the double-count the gated __full fixes."""
+    from scrappy_spark.operators.curation import mixture_execute, mixture_plan
+
+    rows = [("eq", i, 10) for i in range(50)]  # avail 500 tokens
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    weights, budget = {"eq": 1.0}, 500  # target 500 == available 500
+    plan = mixture_plan(df, weights, budget).collect()[0]
+    assert (plan.epochs_milli, plan.under_supplied, plan.sample_rate_ppm) == (
+        1000, 0, 1_000_000,
+    )
+    out = mixture_execute(df, weights, budget).collect()
+    # one occurrence per doc, all in epoch 0 — 500 tokens, not 1000
+    assert sorted(r.doc_id for r in out) == list(range(50))
+    assert {r.epoch for r in out} == {0}
 
 
 # ---------------------------------------------------------------------------

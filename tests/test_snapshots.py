@@ -172,3 +172,151 @@ def test_row_diff_detects_value_move_between_columns(spark, tmp_path):
     t.commit(v1, "v1")
     got = t.row_diff(0, 1, ["id"]).collect()
     assert len(got) == 1 and got[0]["change"] == "changed"
+
+
+# ---------------------------------------------------------------------------
+# column identity: rename / drop / re-add (Iceberg-style, VERDICT r9 #5)
+# ---------------------------------------------------------------------------
+
+
+def test_rename_is_metadata_only_and_time_travels(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    m0 = t.commit(
+        spark.createDataFrame([(1, "en"), (2, "de")], "id long, lang string")
+        .coalesce(1),
+        "base",
+    )
+    m1 = t.rename_column("lang", "language")
+    assert m1["files"] == m0["files"]  # no byte moved
+    assert t.read().columns == ["id", "language"]
+    assert sorted(r.language for r in t.read().collect()) == ["de", "en"]
+    # time travel shows the OLD name
+    assert t.read(0).columns == ["id", "lang"]
+    # the column kept its id across the rename
+    assert m1["columns"][1]["id"] == m0["columns"][1]["id"]
+    with pytest.raises(ValueError):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError):
+        t.rename_column("language", "id")  # collision
+
+
+def test_append_after_rename_maps_by_id(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame([(1, "en")], "id long, lang string").coalesce(1),
+        "base",
+    )
+    t.rename_column("lang", "language")
+    t.commit(
+        spark.createDataFrame(
+            [(2, "fr")], "id long, language string"
+        ).coalesce(1),
+        "post-rename append",
+        append=True,
+    )
+    got = {r.id: r.language for r in t.read().collect()}
+    assert got == {1: "en", 2: "fr"}  # old file's lang surfaces as language
+
+
+def test_drop_then_readd_gets_fresh_id_no_resurrection(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, "en", 10), (2, "de", 20)], "id long, lang string, score long"
+        ).coalesce(1),
+        "base",
+    )
+    m_drop = t.drop_column("score")
+    assert t.read().columns == ["id", "lang"]
+    assert t.read(0).columns == ["id", "lang", "score"]  # still in history
+    m_re = t.commit(
+        spark.createDataFrame(
+            [(3, "fr", 99)], "id long, lang string, score long"
+        ).coalesce(1),
+        "re-add score",
+        append=True,
+    )
+    # the re-added name got a FRESH id
+    old_id = next(c["id"] for c in t._manifest(0)["columns"] if c["name"] == "score")
+    new_id = next(c["id"] for c in m_re["columns"] if c["name"] == "score")
+    assert new_id != old_id
+    # old rows read NULL for the re-added column: no resurrection
+    got = {r.id: r.score for r in t.read().collect()}
+    assert got == {1: None, 2: None, 3: 99}
+    assert m_drop["n_files"] == 1
+
+
+def test_drop_guards(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1,)], "id long"))
+    with pytest.raises(ValueError):
+        t.drop_column("nope")
+    with pytest.raises(ValueError):
+        t.drop_column("id")  # last column
+
+
+def test_replace_carries_column_identity_by_name(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    m0 = t.commit(
+        spark.createDataFrame([(1, "en")], "id long, lang string"), "base"
+    )
+    m1 = t.commit(
+        spark.createDataFrame([(9, "xx")], "id long, lang string"), "replace"
+    )
+    assert [c["id"] for c in m1["columns"]] == [c["id"] for c in m0["columns"]]
+
+
+def test_legacy_manifest_append_infers_parent_schema(spark, tmp_path):
+    """ADVICE r9 #3: appending to a manifest that predates schema
+    recording must unify against the PARENT FILES' columns, not trust
+    df.schema — a parent-only column may not silently vanish."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    m0 = t.commit(
+        spark.createDataFrame(
+            [(1, "en", "keepme")], "id long, lang string, extra string"
+        ).coalesce(1),
+        "base",
+    )
+    # strip the manifest back to the legacy (pre-schema) shape
+    p = os.path.join(t._mdir, "v0.json")
+    with open(p) as f:
+        m = json.load(f)
+    for k in ("schema", "columns", "schemas", "file_schema", "next_col_id"):
+        m.pop(k, None)
+    with open(p, "w") as f:
+        json.dump(m, f)
+    t.commit(
+        spark.createDataFrame([(2, "de")], "id long, lang string").coalesce(1),
+        "narrow append",
+        append=True,
+    )
+    df = t.read()
+    assert df.columns == ["id", "lang", "extra"]  # parent-only col survives
+    got = {r.id: r.extra for r in df.collect()}
+    assert got == {1: "keepme", 2: None}
+
+
+def test_compaction_across_rename_preserves_values(spark, tmp_path):
+    """A compaction bin mixing files written before and after a rename
+    must rewrite under the id mapping — the flat recorded-schema read
+    would NULL the renamed column for pre-rename files."""
+    from scrappy_spark.operators.layout import compact_snapshot
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame([(1, "en")], "id long, lang string").coalesce(1),
+        "base",
+    )
+    t.rename_column("lang", "language")
+    t.commit(
+        spark.createDataFrame(
+            [(2, "fr")], "id long, language string"
+        ).coalesce(1),
+        "append",
+        append=True,
+    )
+    before = sorted(map(tuple, t.read().collect()))
+    _, manifest = compact_snapshot(t, 100, unit="rows")
+    assert manifest["n_files"] == 1  # both files packed into one bin
+    assert sorted(map(tuple, t.read().collect())) == before
+    assert {r.language for r in t.read().collect()} == {"en", "fr"}
