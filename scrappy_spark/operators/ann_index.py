@@ -1,0 +1,234 @@
+"""Stored IVF-PQ vector index: the train-once / serve-many lifecycle.
+
+``ivf_pq_search`` (operators/pq.py) trains its codebook in-query —
+right for a one-shot audit, wrong for production, where the codebook
+and codes are ARTIFACTS: trained once, persisted, served by every
+search, extended by every ingest batch, and shrunk by takedown
+requests without a rebuild. This module is that lifecycle, riding
+``SnapshotTable`` for the same atomic-pointer versioning the gram
+index and corpus snapshots use (VERDICT r9 #1):
+
+- ``build``  — train the coarse cells' shared residual codebook and
+  encode the corpus; persist ``cells`` / ``codebook`` / ``codes`` as
+  three snapshot tables plus a geometry manifest.
+- ``search`` — ADC search over the STORED artifacts
+  (``pq.ivf_pq_search_artifacts``): no training, no corpus
+  embeddings, per-query cost unchanged.
+- ``append`` — encode NEW vectors against the STORED model
+  (``pq.ivf_pq_encode_against``) and snapshot-append their codes:
+  byte-identical to batch-encoding the union (tested), O(batch).
+- ``delete`` — right-to-be-forgotten takedown as a TOMBSTONE append
+  (VERDICT r9 #4): O(request) metadata, no rewrite; ``search`` and
+  ``codes()`` exclude tombstoned ids immediately.
+- ``vacuum`` — the scheduled physical rewrite: codes minus tombstones
+  recommitted, tombstone list reset; equivalent to an index built
+  over corpus∖deleted with the same stored model (tested).
+
+Scale shape: cells and codebook are broadcast-sized; ``codes`` is the
+only data-sized table (~m bytes/vector) and is only ever appended or
+(in vacuum) linearly rewritten. Tombstones are takedown-request-sized
+and broadcast into the anti-join. Retraining is deliberately NOT an
+incremental operation — it is a new ``build`` at a new path, exactly
+like FAISS index rotation.
+
+Reference parity: none (the reference has no vector search); this
+closes the similarity-search family's production loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.snapshots import SnapshotTable
+from . import pq as PQ
+
+
+class IvfPqIndex:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.cells = SnapshotTable(spark, os.path.join(path, "cells"))
+        self.codebook = SnapshotTable(spark, os.path.join(path, "codebook"))
+        self._codes = SnapshotTable(spark, os.path.join(path, "codes"))
+        self.tombstones = SnapshotTable(spark, os.path.join(path, "tombs"))
+        self._meta: dict | None = None
+
+    # ------------------------------------------------------------- meta
+
+    @property
+    def meta(self) -> dict:
+        if self._meta is None:
+            with open(os.path.join(self.path, "meta.json")) as f:
+                self._meta = json.load(f)
+        return self._meta
+
+    def exists(self) -> bool:
+        return os.path.isfile(os.path.join(self.path, "meta.json"))
+
+    # ------------------------------------------------------------ build
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        path: str,
+        corpus: DataFrame,
+        centroids: DataFrame,
+        m: int = PQ.PQ_M,
+        ksub: int = PQ.PQ_KSUB,
+        dim: int = 64,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        label_col: str = "label",
+        seed: int = 7,
+    ) -> "IvfPqIndex":
+        """Train + encode + persist. The geometry manifest lands LAST
+        (after all three tables committed), so ``exists()`` implies a
+        complete index — a crash mid-build leaves no readable index."""
+        idx = cls(spark, path)
+        codes, book = PQ.ivf_pq_build(
+            corpus,
+            centroids,
+            m=m,
+            ksub=ksub,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            label_col=label_col,
+            seed=seed,
+        )
+        idx.cells.commit(
+            centroids.select(
+                F.col(label_col).alias("cell"), F.col("centroid")
+            ),
+            "coarse cells",
+        )
+        idx.codebook.commit(book, "shared residual codebook")
+        idx._codes.commit(
+            codes.select(id_col, "codes", F.col("__cell").alias("cell")),
+            "corpus codes",
+        )
+        idx.tombstones.commit(
+            spark.createDataFrame([], f"{id_col} long").coalesce(1),
+            "empty tombstones",
+        )
+        meta = {
+            "m": m,
+            "ksub": ksub,
+            "dim": dim,
+            "id_col": id_col,
+            "label_col": label_col,
+            "seed": seed,
+        }
+        tmp = os.path.join(path, ".meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.rename(tmp, os.path.join(path, "meta.json"))
+        idx._meta = meta
+        return idx
+
+    # ---------------------------------------------------------- serving
+
+    def codes(self, include_deleted: bool = False) -> DataFrame:
+        """Live codes — stored codes minus tombstoned ids (broadcast
+        anti-join; takedown lists are request-sized)."""
+        out = self._codes.read()
+        if include_deleted:
+            return out
+        id_col = self.meta["id_col"]
+        tombs = self.tombstones.read().select(id_col).distinct()
+        return out.join(F.broadcast(tombs), id_col, "left_anti")
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 2,
+        query_id_col: str = "query_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        meta = self.meta
+        return PQ.ivf_pq_search_artifacts(
+            self.codes().withColumnRenamed("cell", "__cell"),
+            self.codebook.read(),
+            self.cells.read().withColumnRenamed("cell", "label"),
+            queries,
+            k=k,
+            n_probe=n_probe,
+            m=meta["m"],
+            dim=meta["dim"],
+            id_col=meta["id_col"],
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            label_col="label",
+        )
+
+    # --------------------------------------------------------- mutation
+
+    def append(self, vectors: DataFrame, vec_col: str = "embedding") -> dict:
+        """Encode a new batch against the STORED model and append its
+        codes — O(batch), the base corpus is never re-read. Appending
+        an id that already exists (or is tombstoned) raises: ids are
+        the index's primary key, and silent duplicates would make
+        takedown semantics ambiguous."""
+        meta = self.meta
+        id_col = meta["id_col"]
+        taken = self._codes.read().select(id_col).unionByName(
+            self.tombstones.read().select(id_col)
+        )
+        clash = (
+            vectors.select(id_col)
+            .join(taken, id_col, "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"append: id {clash[0][0]} already present (or tombstoned) "
+                f"in the index"
+            )
+        codes = PQ.ivf_pq_encode_against(
+            vectors,
+            self.cells.read().withColumnRenamed("cell", "label"),
+            self.codebook.read(),
+            m=meta["m"],
+            dim=meta["dim"],
+            id_col=id_col,
+            vec_col=vec_col,
+            label_col="label",
+        )
+        return self._codes.commit(
+            codes.select(id_col, "codes", F.col("__cell").alias("cell")),
+            "append batch",
+            append=True,
+        )
+
+    def delete(self, ids: list[int]) -> dict:
+        """Takedown: tombstone-append the ids — O(request), no data
+        rewrite. ``search``/``codes`` exclude them from this commit
+        on; ``vacuum`` reclaims the bytes later."""
+        id_col = self.meta["id_col"]
+        return self.tombstones.commit(
+            self.spark.createDataFrame(
+                [(int(i),) for i in ids], f"{id_col} long"
+            ).coalesce(1),
+            f"tombstone {len(ids)} ids",
+            append=True,
+        )
+
+    def vacuum(self) -> dict:
+        """Physically drop tombstoned codes: recommit codes∖tombstones
+        and reset the tombstone list. After vacuum the codes table is
+        byte-equivalent to encoding corpus∖deleted against the stored
+        model (the delete-vs-rebuild identity, tested)."""
+        live = self.codes()
+        m = self._codes.commit(live, "vacuum: drop tombstoned codes")
+        id_col = self.meta["id_col"]
+        self.tombstones.commit(
+            self.spark.createDataFrame([], f"{id_col} long").coalesce(1),
+            "vacuumed",
+        )
+        return m

@@ -222,6 +222,44 @@ def ivf_pq_search(
     ranking — approximate by design, audited by recall band
     (ann_audit.topk_recall_audit), not exact scores.
     """
+    codes, book = ivf_pq_build(
+        corpus,
+        centroids,
+        m=m,
+        ksub=ksub,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        label_col=label_col,
+        seed=seed,
+    )
+    return ivf_pq_search_artifacts(
+        codes,
+        book,
+        centroids,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        m=m,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        label_col=label_col,
+    )
+
+
+def ivf_assign_residual(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Coarse-quantizer assignment: each vector's nearest cell by
+    cosine (ties to the lower cell) plus its RESIDUAL against that
+    cell's centroid — ``(id, __cell, __r)``. Broadcast centroids; the
+    corpus never shuffles by cell."""
     from .joins import topk_per_group
     from .similarity import cosine
 
@@ -230,14 +268,13 @@ def ivf_pq_search(
             F.col(label_col).alias("__cell"), F.col("centroid").alias("__c")
         )
     )
-
     assigned = (
-        corpus.select(id_col, vec_col)
+        vectors.select(id_col, vec_col)
         .crossJoin(cents)
         .withColumn("__d", cosine(F.col(vec_col), F.col("__c")))
     )
     best = topk_per_group(assigned, [id_col], [F.desc("__d"), F.asc("__cell")], 1)
-    resid = best.select(
+    return best.select(
         id_col,
         "__cell",
         F.zip_with(
@@ -247,12 +284,94 @@ def ivf_pq_search(
         ).alias("__r"),
     )
 
+
+def ivf_pq_build(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    seed: int = 7,
+) -> tuple[DataFrame, DataFrame]:
+    """Train-and-encode half of the IVF-PQ lifecycle: assign cells,
+    train the SHARED residual codebook on the bounded deterministic
+    sample, encode every vector. Returns ``(codes, codebook)`` —
+    ``codes`` is ``(id, codes array, __cell)``, ~m bytes/vector; both
+    are the artifacts a stored index persists (ann_index.IvfPqIndex),
+    so production trains once here and serves many searches."""
+    resid = ivf_assign_residual(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, label_col=label_col
+    )
     book = pq_train(
         resid, m=m, ksub=ksub, dim=dim, vec_col="__r", id_col=id_col, seed=seed
     )
-    codes = pq_encode(resid, book, m=m, dim=dim, id_col=id_col, vec_col="__r").join(
-        resid.select(id_col, "__cell"), id_col
+    codes = ivf_pq_encode_against(
+        corpus,
+        centroids,
+        book,
+        m=m,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        label_col=label_col,
     )
+    return codes, book
+
+
+def ivf_pq_encode_against(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    m: int = PQ_M,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Encode vectors against a STORED coarse quantizer + codebook —
+    no training. This is the incremental-append path: new vectors
+    entering a stored index are coded with the index's OWN model, so
+    append-then-search is byte-identical to batch-encoding the union
+    (the equivalence the stored-index tests pin)."""
+    resid = ivf_assign_residual(
+        vectors, centroids, id_col=id_col, vec_col=vec_col, label_col=label_col
+    )
+    return pq_encode(
+        resid, codebook, m=m, dim=dim, id_col=id_col, vec_col="__r"
+    ).join(resid.select(id_col, "__cell"), id_col)
+
+
+def ivf_pq_search_artifacts(
+    codes: DataFrame,
+    codebook: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    m: int = PQ_M,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Serve-side half: ADC search over PREBUILT ``(codes, codebook,
+    centroids)`` artifacts — what a stored index runs per query batch.
+    Reads no corpus embeddings; every join side except the code stream
+    is broadcast."""
+    from .joins import topk_per_group
+
+    from .similarity import cosine
+
+    cents = F.broadcast(
+        centroids.select(
+            F.col(label_col).alias("__cell"), F.col("centroid").alias("__c")
+        )
+    )
+    book = codebook
 
     q_probe = (
         queries.crossJoin(cents)
