@@ -171,24 +171,48 @@ class IvfPqIndex:
     def append(self, vectors: DataFrame, vec_col: str = "embedding") -> dict:
         """Encode a new batch against the STORED model and append its
         codes — O(batch), the base corpus is never re-read. Appending
-        an id that already exists (or is tombstoned) raises: ids are
-        the index's primary key, and silent duplicates would make
-        takedown semantics ambiguous."""
+        an id whose code is stored (live, or tombstoned-but-not-yet-
+        vacuumed) raises: ids are the index's primary key, and silent
+        duplicates would make takedown semantics ambiguous. An id whose
+        tombstone remains but whose code is GONE (a vacuum that crashed
+        between its two commits — ADVICE r10 #2) is fully deleted
+        semantically, so re-append is allowed: the stale tombstone is
+        healed (rewritten to the active set) first, so it cannot mask
+        the new code."""
         meta = self.meta
         id_col = meta["id_col"]
-        taken = self._codes.read().select(id_col).unionByName(
-            self.tombstones.read().select(id_col)
-        )
+        stored = self._codes.read().select(id_col)
         clash = (
             vectors.select(id_col)
-            .join(taken, id_col, "left_semi")
+            .join(stored, id_col, "left_semi")
             .limit(1)
             .collect()
         )
         if clash:
             raise ValueError(
-                f"append: id {clash[0][0]} already present (or tombstoned) "
-                f"in the index"
+                f"append: id {clash[0][0]} already present (or tombstoned "
+                f"and not yet vacuumed) in the index"
+            )
+        stale_hit = (
+            vectors.select(id_col)
+            .join(
+                F.broadcast(self.tombstones.read().select(id_col)),
+                id_col,
+                "left_semi",
+            )
+            .limit(1)
+            .collect()
+        )
+        if stale_hit:
+            # every tombstone the batch touches is stale (its code is
+            # absent — the clash check above passed), i.e. a crashed
+            # vacuum's leftover: clear to the active set so the new
+            # code is not anti-joined away by a dead tombstone
+            active = self.tombstones.read().join(
+                self._codes.read().select(id_col), id_col, "left_semi"
+            )
+            self.tombstones.commit(
+                active.coalesce(1), "heal stale tombstones (crashed vacuum)"
             )
         codes = PQ.ivf_pq_encode_against(
             vectors,
@@ -223,7 +247,16 @@ class IvfPqIndex:
         """Physically drop tombstoned codes: recommit codes∖tombstones
         and reset the tombstone list. After vacuum the codes table is
         byte-equivalent to encoding corpus∖deleted against the stored
-        model (the delete-vs-rebuild identity, tested)."""
+        model (the delete-vs-rebuild identity, tested).
+
+        Crash semantics (ADVICE r10 #2): the two commits are not
+        atomic together. A crash AFTER the codes recommit but BEFORE
+        the tombstone reset leaves tombstones whose codes are already
+        gone — semantically inert (search's anti-join matches nothing)
+        and self-healing: the next ``vacuum`` call re-runs both steps
+        idempotently (the recommit is a no-op rewrite of the live set),
+        and ``append`` of such an id heals the stale entry itself, so
+        post-crash behavior equals post-vacuum behavior."""
         live = self.codes()
         m = self._codes.commit(live, "vacuum: drop tombstoned codes")
         id_col = self.meta["id_col"]

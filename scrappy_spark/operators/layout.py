@@ -318,7 +318,19 @@ def snapshot_file_stats(table, version: int | None = None) -> DataFrame:
     manifest_paths = {os.path.realpath(p) for p in files}
     for r in counts:
         uri = r["uri"]
-        p = unquote(urlparse(uri).path) if uri.startswith("file:") else uri
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            # ADVICE r10 #3: this engine resolves manifest paths on the
+            # LOCAL filesystem (os.path.getsize below); a remote-store
+            # URI can never match, so fail with the real reason instead
+            # of the misleading unmatched-path error.
+            raise ValueError(
+                f"snapshot_file_stats: unsupported URI scheme "
+                f"{parsed.scheme!r} from input_file_name ({uri!r}) — "
+                f"file stats require a locally-resolvable store "
+                f"(file: or bare paths)"
+            )
+        p = unquote(parsed.path) if parsed.scheme == "file" else uri
         p = os.path.realpath(p)
         if p not in manifest_paths:
             raise ValueError(

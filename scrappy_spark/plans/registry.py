@@ -126,7 +126,8 @@ def _last_green_round(name: str) -> int:
     later ledgers override earlier ones, so membership is checked
     newest-first."""
     for rnd, ledger in (
-        (9, _R09_VERIFIED), (9, _R09_JUDGE_VERIFIED), (8, _R08_VERIFIED),
+        (10, _R10_VERIFIED), (10, _R10_JUDGE_VERIFIED), (9, _R09_VERIFIED),
+        (8, _R08_VERIFIED),
         (7, _R07_VERIFIED), (6, _R06_VERIFIED), (5, _R05_VERIFIED),
         (4, _R04_VERIFIED), (3, _R03_VERIFIED), (1, _R01_VERIFIED),
     ):
@@ -140,33 +141,20 @@ def _last_green_round(name: str) -> int:
 #: mechanism for any future late additions that miss the 50-slot cap.
 _NEVER_RUN_PIN: frozenset[str] = frozenset()
 
-#: Pin tier — driver verification VOIDED or UPGRADED by a round-10
+#: Pin tier — driver verification VOIDED or UPGRADED by a round-11
 #: change (the registry rule: a verification from before an
 #: implementation change is void). Front of the prefix so
-#: CORRECTNESS_r10 records the new forms. (All 13 round-9 pins came
-#: back hash-green in CORRECTNESS_r09 and rotated into _R09_VERIFIED.)
-#: tools/repin_lint.py now enforces membership mechanically: it diffs
+#: CORRECTNESS_r11 records the new forms. (All 9 round-10 pins came
+#: back hash-green in CORRECTNESS_r10 and rotated into _R10_VERIFIED.)
+#: tools/repin_lint.py enforces membership mechanically: it diffs
 #: the tree against the last round-boundary commit and fails when a
 #: _DRIVER_VERIFIED query's plan depends on changed code without a pin.
 _RECHECK_PIN: frozenset[str] = frozenset({
-    # mixture_execute: target==available no longer double-counts the
-    # domain (ADVICE r9 #1 — full-epoch count gated on under_supplied;
-    # oracle CTE mirrored); the audit rides the executor.
-    "q_mixture_execute", "q_mixture_audit",
-    # snapshot_file_stats now URL-decodes input_file_name() before the
-    # manifest join and fails loud on a count-less file (ADVICE r9 #2);
+    # snapshot_file_stats now percent-decodes the path component of ANY
+    # input_file_name URI scheme and raises a clear error on non-local
+    # schemes instead of an unmatched-path ValueError (ADVICE r10 #3);
     # both compaction queries ride it.
     "q_compaction_plan", "q_compaction_execute",
-    # ivf_pq_search AND pq_search ADC scores micro-snapped to BIGINT
-    # partial sums (ADVICE r9 #4) — float addition order can no longer
-    # flip a 4-decimal rounding boundary.
-    "q_ivf_pq_ann_topk", "q_pq_ann_topk",
-    # SnapshotTable: legacy (pre-schema-recording) manifests now infer
-    # the parent schema from its files before unification (ADVICE r9
-    # #3), and appends record per-column identity ids for rename/drop
-    # evolution — every green riding snapshot commit/read is void.
-    "q_incremental_ingest", "q_snapshot_schema_evolution",
-    "q_expectations_snapshot_log",
 })
 
 
@@ -369,15 +357,13 @@ _R08_VERIFIED = frozenset({
 # The 50 keys of CORRECTNESS_r09.json — all hash-green (the ninth
 # consecutive zero-failure round). Includes all 13 round-9
 # _RECHECK_PIN entries (overflow-contract fixes, long_doc dispatch
-# re-pins, snapshot _publish refactor) — all satisfied. Round-10
-# REIMPLEMENTATIONS are deliberately absent so the driver re-checks
-# them (re-entered via _RECHECK_PIN): q_mixture_execute /
-# q_mixture_audit (equality-boundary fix, ADVICE r9 #1),
-# q_compaction_plan / q_compaction_execute (URL-decoded file-stats
-# join, ADVICE r9 #2), q_ivf_pq_ann_topk (BIGINT ADC partial sums,
-# ADVICE r9 #4), q_incremental_ingest / q_snapshot_schema_evolution /
-# q_expectations_snapshot_log (legacy-manifest schema inference +
-# column-identity ids, ADVICE r9 #3 + VERDICT r9 #5).
+# re-pins, snapshot _publish refactor) — all satisfied. Unlike the
+# earlier ledgers, the 8 round-10 reimplementations were NOT removed
+# from this set: their re-check was enforced solely via _RECHECK_PIN,
+# which outranks the verified tier in the sort key (ADVICE r10 #1 —
+# the convention going forward: pins are the re-check mechanism;
+# ledger membership only feeds staleness ordering, and all 8 rotated
+# into _R10_VERIFIED green anyway).
 _R09_VERIFIED = frozenset({
     "q_compaction_execute", "q_compaction_plan", "q_config_pipeline",
     "q_corpus_mix", "q_correlated_avg", "q_decontaminate",
@@ -400,13 +386,42 @@ _R09_VERIFIED = frozenset({
     "q_window_rank", "q_word_weights",
 })
 
-# The 19 round-3 greens the ROUND-9 JUDGE independently re-certified
-# against current code (VERDICT r9: "judge-run tools/verify_oracle.py
-# re-check at sf0.01 ... 19/19 PASS"). Counted as round-9-fresh for
-# slot prioritization only (they are not in a driver CORRECTNESS file
-# for r9), so the driver's leftover slots refresh the genuinely
-# stalest cohort — the r4 greens — per VERDICT r9 next-round #2.
-_R09_JUDGE_VERIFIED = frozenset({
+# The 50 keys of CORRECTNESS_r10.json — all hash-green (the tenth
+# consecutive zero-failure round). Includes all 9 round-10
+# _RECHECK_PIN entries (mixture equality boundary, file-stats URL
+# decode, BIGINT ADC snap, snapshot column-identity work) plus the
+# new q_snapshot_schema_rename and 22 TPC-H shape refreshes — the r4
+# cohort is no longer the stalest; r5 is.
+_R10_VERIFIED = frozenset({
+    "q_compaction_execute", "q_compaction_plan", "q_contrastive_negatives",
+    "q_copurchase_butterflies", "q_copurchase_triangles", "q_curate_corpus",
+    "q_curriculum_shards", "q_dataset_card", "q_dedup_best_keeper",
+    "q_expectations_snapshot_log", "q_incremental_ingest", "q_ivf_pq_ann_topk",
+    "q_mixture_audit", "q_mixture_execute", "q_pq_ann_topk",
+    "q_snapshot_schema_evolution", "q_snapshot_schema_rename",
+    "q_time_weighted_avg", "q_token_count", "q_token_pmi", "q_tpch_q10_shape",
+    "q_tpch_q11_shape", "q_tpch_q12_shape", "q_tpch_q13_shape",
+    "q_tpch_q14_shape", "q_tpch_q15_shape", "q_tpch_q16_shape",
+    "q_tpch_q17_shape", "q_tpch_q18_shape", "q_tpch_q19_shape",
+    "q_tpch_q1_shape", "q_tpch_q20_shape", "q_tpch_q21_shape",
+    "q_tpch_q22_shape", "q_tpch_q2_shape", "q_tpch_q4_shape",
+    "q_tpch_q6_shape",
+    "q_tpch_q7_shape", "q_tpch_q8_shape", "q_tpch_q9_shape",
+    "q_train_val_split", "q_truncate", "q_unigram_surprisal",
+    "q_unpivot_metrics", "q_value_histogram", "q_variant_extract",
+    "q_vocab_coverage", "q_weighted_sample", "q_window_lead_lag",
+    "q_zorder_key",
+})
+
+# The 19 round-3 greens the ROUND-10 JUDGE independently re-certified
+# against round-10 code (VERDICT r10: "judge-run tools/verify_oracle.py
+# re-check at sf0.01 of all 19 queries whose latest driver green is
+# round 3 ... 19/19 PASS" — the same cohort the r9 judge certified,
+# re-run because curation.py changed in round 10). Counted as
+# round-10-fresh for slot prioritization only (they are not in a
+# driver CORRECTNESS file), so the driver's leftover slots refresh the
+# genuinely stalest cohort — the r5 greens — per VERDICT r10 #5.
+_R10_JUDGE_VERIFIED = frozenset({
     "q_matryoshka_energy", "q_moving_range_window", "q_multimodal_meta",
     "q_pack_sequences", "q_pagerank_pages", "q_pii_scrub",
     "q_profile_columns", "q_quality_score", "q_quantile_normalize",
@@ -419,6 +434,7 @@ _R09_JUDGE_VERIFIED = frozenset({
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R03_VERIFIED | _R04_VERIFIED | _R05_VERIFIED
     | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED | _R09_VERIFIED
+    | _R10_VERIFIED
 )
 
 

@@ -135,3 +135,38 @@ def test_delete_tombstones_then_vacuum_equals_rebuild(spark, tmp_path):
     assert idx.tombstones.read().count() == 0
     hits2 = {r.vec_id for r in idx.search(q, k=10).collect()}
     assert not (hits2 & set(gone))
+
+
+def test_crashed_vacuum_heals(spark, tmp_path):
+    """ADVICE r10 #2: a crash between vacuum's two commits (codes
+    recommitted, tombstone reset lost) leaves STALE tombstones. They
+    must be semantically inert (search unchanged vs completed vacuum),
+    a second vacuum must clear them, and append of the fully-deleted
+    id must be allowed again — not refused forever."""
+    from scrappy_spark.operators.ann_index import IvfPqIndex
+
+    e = _load(spark)
+    cents = _centroids(e)
+    idx = IvfPqIndex.build(spark, str(tmp_path / "idx"), e, cents)
+    idx.delete([0])
+    # simulate the crash: vacuum's FIRST commit lands (codes minus
+    # tombstones), the tombstone reset never does
+    idx._codes.commit(idx.codes(), "simulated crashed vacuum")
+    assert idx.tombstones.read().count() == 1  # stale entry left
+
+    q0 = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert not {r.vec_id for r in idx.search(q0, k=5).collect()} & {0}
+
+    # branch 1: a second vacuum heals in place
+    idx.vacuum()
+    assert idx.tombstones.read().count() == 0
+
+    # branch 2: re-crash, then re-APPEND of the vacuumed id heals too
+    idx.delete([0])
+    idx._codes.commit(idx.codes(), "simulated crashed vacuum")
+    idx.append(e.filter(F.col("vec_id") == 0))
+    assert idx.tombstones.read().count() == 0  # stale entry healed
+    hits = {r.vec_id for r in idx.search(q0, k=5).collect()}
+    assert 0 in hits  # re-appended vector searchable, not masked
