@@ -135,3 +135,90 @@ def q_snapshot_schema_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(",".join(v4.columns)).alias("schema_sig"),
     )
     return part0.unionByName(part4)
+
+
+# ---------------------------------------------------------------------------
+# Stored IVF-PQ index: search from persisted artifacts (no in-query train)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ivf_pq_search_stored",
+    sql="""
+    SELECT vec_id AS query_id,
+           CAST(1 AS BIGINT) AS n_results,
+           CAST(1 AS BIGINT) AS self_found,
+           CAST(1 AS BIGINT) AS recall_ok,
+           CAST(1 AS BIGINT) AS stored_eq_fresh
+    FROM embeddings WHERE vec_id < 5
+    """,
+    doc="Stored IVF-PQ index lifecycle (VERDICT r9 #1 / r10 #1): the "
+    "train-once/serve-many path. operators/ann_index.py::IvfPqIndex."
+    "build persists cells / shared residual codebook / codes as "
+    "snapshot tables (meta lands last, so a crash leaves no readable "
+    "index); search then runs pure ADC over the STORED artifacts — no "
+    "training, no corpus embeddings read. Declared through the same "
+    "banded-flag recall audit as q_ivf_pq_ann_topk (full-k, "
+    "self-retrieval, recall >= 1 of the true top-10; approx by "
+    "design) PLUS the persistence identity promoted from "
+    "tests/test_ann_index.py to the hash gate: stored_eq_fresh pins "
+    "per query that the stored-artifact search returns EXACTLY the "
+    "in-query ivf_pq_search rows — (vec_id, score) multiset equality "
+    "via full-outer join with the per-row verdict coalesced before "
+    "the min, scores BIGINT-snapped so the comparison is "
+    "shuffle-order-proof. Build runs once per session at a "
+    "deterministic temp path and is skipped on rerun; the fresh side "
+    "re-derives the same model (pq_train is deterministic), so "
+    "equality proves the round-trip loses nothing. Append/delete/"
+    "vacuum equivalences stay pinned in tests/test_ann_index.py.",
+    tags=("llm", "similarity", "approx", "storage"),
+)
+def q_ivf_pq_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators import pq as PQ
+    from ..operators import similarity as SIM
+    from ..operators.ann_audit import topk_recall_audit
+    from ..operators.ann_index import IvfPqIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        SIM.label_centroids(e)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+                lambda s: s.centroid_val,
+            ).alias("centroid")
+        )
+    )
+    path = os.path.join(_tmp_root(spark, sf_dir, "ivfpq_idx"), "idx")
+    idx = IvfPqIndex(spark, path)
+    if not idx.exists():
+        idx = IvfPqIndex.build(spark, path, e, cents)
+
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    stored = idx.search(queries, k=10, n_probe=2)
+    fresh = PQ.ivf_pq_search(e, queries, cents, k=10, n_probe=2)
+    exact = SIM.cosine_topk(e, queries, k=10)
+    audit = topk_recall_audit(stored, exact, k=10, min_hits=1)
+
+    a = stored.withColumn("__a", F.lit(1))
+    b = fresh.withColumn("__b", F.lit(1))
+    eq = (
+        a.join(b, list(stored.columns), "full_outer")
+        .select(
+            "query_id",
+            F.coalesce(
+                (F.col("__a").isNotNull() & F.col("__b").isNotNull()),
+                F.lit(False),
+            )
+            .cast("long")
+            .alias("__ok"),
+        )
+        .groupBy("query_id")
+        .agg(F.min("__ok").alias("stored_eq_fresh"))
+    )
+    return audit.join(eq, "query_id")

@@ -202,3 +202,26 @@ def test_verified_ledgers_reference_live_queries():
         if name not in live
     }
     assert not stale, f"ledger names not in the registry: {sorted(stale)}"
+
+
+def test_every_library_module_is_documented():
+    """VERDICT r10 #2: the registry↔docs sync lint above only sees
+    DECLARED queries, so an operator module with zero declared queries
+    (ann_index.py in round 10) was invisible to it. Close the gap
+    structurally: every module under the library packages must be
+    named in COVERAGE.md (by its `<pkg>/<mod>.py` path), so a new
+    module cannot ship undocumented."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "COVERAGE.md")) as f:
+        cov = f.read()
+    missing = []
+    for pkg in ("operators", "sources", "ml", "streaming"):
+        d = os.path.join(root, "scrappy_spark", pkg)
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".py") or fn == "__init__.py":
+                continue
+            if f"{pkg}/{fn}" not in cov and fn not in cov:
+                missing.append(f"{pkg}/{fn}")
+    assert not missing, f"library modules not named in COVERAGE.md: {missing}"
