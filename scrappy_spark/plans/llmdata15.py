@@ -222,3 +222,87 @@ def q_ivf_pq_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("__ok").alias("stored_eq_fresh"))
     )
     return audit.join(eq, "query_id")
+
+
+# ---------------------------------------------------------------------------
+# Stored lang-id model: score from persisted artifacts (no in-query train)
+# ---------------------------------------------------------------------------
+
+
+def _langid_scored_sql() -> str:
+    from .llmdata14 import _langid_sql
+
+    return f"""
+    SELECT doc_id, n_grams, bucket_checksum, pred_in_set, margin_ok,
+           CAST(0 AS BIGINT) AS model_version,
+           CAST(1 AS BIGINT) AS model_complete
+    FROM ({_langid_sql()})
+    """
+
+
+@register(
+    "q_lang_id_scored",
+    sql=_langid_scored_sql(),
+    doc="Stored lang-id model (VERDICT r9 #3 / r10 #3): the NB micro "
+    "weight/intercept tables persisted once as snapshot artifacts "
+    "(ml/langid.py::LangIdModel.train_and_store — meta lands last, a "
+    "crash leaves no readable model), then SCORED from the stored "
+    "broadcast tables with no in-query training — the serve-many "
+    "path q_lang_id_learned's ~8s closed-form fit is rotated out of. "
+    "Same plumbing-audit oracle as q_lang_id_learned (shared SQL "
+    "CTEs: exact hashed feature stream per doc — gram count + bucket "
+    "checksum — plus pred_in_set / margin_ok pinned 1), extended "
+    "with the stored-artifact contract: model_version (the weights "
+    "snapshot version every prediction is stamped with — the "
+    "train-version audit column; 0 for the first fit) and "
+    "model_complete (weights rows == |labels|*buckets and intercept "
+    "rows == |labels| — the Laplace-dense artifact arrived whole), "
+    "both oracle-pinned. Stored==fresh-retrain model equality and "
+    "segment_scorer reuse are pinned in tests/test_llm_ops5.py.",
+    tags=("llm", "textstats", "ml", "storage"),
+)
+def q_lang_id_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..ml.langid import LangIdModel, doc_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = os.path.join(_tmp_root(spark, sf_dir, "langid_model"), "model")
+    model = LangIdModel(spark, path)
+    if not model.exists():
+        model = LangIdModel.train_and_store(spark, path)
+
+    meta = model.meta
+    labels = set(meta["labels"])
+    n_w = model.weights().count()  # bounded: |labels| * buckets rows
+    n_i = model.intercepts().count()  # bounded: |labels| rows
+    complete = int(
+        n_w == len(labels) * meta["buckets"] and n_i == len(labels)
+    )
+
+    pred = model.score(docs).drop("n_grams")
+    sums = doc_features(docs).groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_grams"),
+        F.sum(F.col("bucket") * F.col("cnt")).cast("long").alias(
+            "bucket_checksum"
+        ),
+    )
+    return (
+        pred.join(sums, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("bucket_checksum", F.lit(0))
+            .cast("long")
+            .alias("bucket_checksum"),
+            (
+                F.col("pred_lang").isin(*labels)
+                | ((F.col("pred_lang") == "und") & (F.col("n_grams").isNull()))
+            )
+            .cast("long")
+            .alias("pred_in_set"),
+            (F.col("margin_micro") >= 0).cast("long").alias("margin_ok"),
+            "model_version",
+            F.lit(complete).cast("long").alias("model_complete"),
+        )
+    )
