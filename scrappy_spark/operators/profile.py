@@ -670,3 +670,150 @@ def generalization_candidates(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def privacy_release_gate(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col,
+    k: int = 10,
+    l: int = 3,
+) -> DataFrame:
+    """The release-review capstone (VERDICT r9 #8 / r10 #6): compose
+    :func:`k_anonymity_profile`, :func:`l_diversity_profile` and
+    :func:`generalization_candidates` into ONE verdict table — the
+    page a reviewer reads before a corpus slice ships, in the
+    ``expectations_snapshot_log`` one-row-per-check shape:
+
+    - ``('k_anonymity', 'k=<k>', …)`` — groups under k, rows exposed;
+    - ``('l_diversity', 'l=<l>', …)`` — homogeneous groups
+      (``min_stat`` here is the SMALLEST distinct-sensitive count);
+    - ``('generalize', <col>, …)`` one row per QI column — the
+      residual risk if that column were coarsened away; ``passed``
+      when the residue is zero;
+    - ``('release', <verdict>, …)`` — the decision: ``release`` when
+      both audits pass, else ``generalize:<col>`` naming the best
+      zero-residue candidate (most groups retained, ties by name),
+      else ``block``. Its counts aggregate EITHER-flag exposure.
+
+    All legs are QI-cardinality aggregates composed with broadcast
+    one-row cross-joins — rows never cross a shuffle and nothing
+    reaches the driver; the verdict string is computed in-plan.
+    """
+    ld = l_diversity_profile(df, quasi_cols, sensitive_col, k=k, l=l)
+    schema = [
+        "gate_check",
+        "detail",
+        "n_groups",
+        "n_at_risk_groups",
+        "at_risk_rows",
+        "min_stat",
+        "passed",
+    ]
+
+    def _leg(name: str, detail, flag: str, min_col: str) -> DataFrame:
+        return ld.agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.coalesce(F.sum(F.col(flag)), F.lit(0))
+            .cast("long")
+            .alias("n_at_risk_groups"),
+            F.coalesce(
+                F.sum(F.when(F.col(flag) == 1, F.col("group_size"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("at_risk_rows"),
+            F.min(min_col).cast("long").alias("min_stat"),
+        ).select(
+            F.lit(name).alias("gate_check"),
+            F.lit(detail).alias("detail"),
+            "n_groups",
+            "n_at_risk_groups",
+            "at_risk_rows",
+            "min_stat",
+            (F.col("n_at_risk_groups") == 0).cast("long").alias("passed"),
+        )
+
+    k_row = _leg("k_anonymity", f"k={int(k)}", "k_at_risk", "group_size")
+    l_row = _leg("l_diversity", f"l={int(l)}", "l_at_risk", "n_sensitive")
+
+    gen = generalization_candidates(df, quasi_cols, k=k)
+    gen_rows = gen.select(
+        F.lit("generalize").alias("gate_check"),
+        F.col("generalize_col").alias("detail"),
+        "n_groups",
+        "n_at_risk_groups",
+        "at_risk_rows",
+        F.col("min_group_size").alias("min_stat"),
+        (F.col("n_at_risk_groups") == 0).cast("long").alias("passed"),
+    )
+
+    # best zero-residue candidate: most groups retained, ties by name
+    ok = gen.filter(F.col("n_at_risk_groups") == 0)
+    mx = ok.agg(F.max("n_groups").alias("__mx"))
+    best = (
+        ok.join(F.broadcast(mx), F.col("n_groups") == F.col("__mx"))
+        .agg(F.min("generalize_col").alias("__best"))
+    )
+    either = ld.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.coalesce(
+            F.sum(
+                ((F.col("k_at_risk") == 1) | (F.col("l_at_risk") == 1)).cast(
+                    "long"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_at_risk_groups"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("k_at_risk") == 1) | (F.col("l_at_risk") == 1),
+                    F.col("group_size"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("at_risk_rows"),
+        F.min("group_size").cast("long").alias("min_stat"),
+    )
+    release = (
+        either.crossJoin(
+            F.broadcast(
+                k_row.select(F.col("passed").alias("__k_ok"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(l_row.select(F.col("passed").alias("__l_ok")))
+        )
+        .crossJoin(F.broadcast(best))
+        .select(
+            F.lit("release").alias("gate_check"),
+            F.when(
+                (F.col("__k_ok") == 1) & (F.col("__l_ok") == 1),
+                F.lit("release"),
+            )
+            .when(
+                F.col("__best").isNotNull(),
+                F.concat(F.lit("generalize:"), F.col("__best")),
+            )
+            .otherwise(F.lit("block"))
+            .alias("detail"),
+            "n_groups",
+            "n_at_risk_groups",
+            "at_risk_rows",
+            "min_stat",
+            ((F.col("__k_ok") == 1) & (F.col("__l_ok") == 1))
+            .cast("long")
+            .alias("passed"),
+        )
+    )
+    return (
+        k_row.unionByName(l_row)
+        .unionByName(gen_rows)
+        .unionByName(release)
+        .select(*schema)
+    )

@@ -1,0 +1,255 @@
+"""Takedown lifecycles for the gram and MinHash stored indexes
+(operators/stored_indexes.py) plus the privacy release gate — VERDICT
+r9 #4 / #8, r10 #4 / #6."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+_L = 30
+_ALPHA = "SHARED ALPHA CONTENT MARKER " * 3
+_BRAVO = "UNIQUE BRAVO CONTENT MARKER " * 3
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _load_docs(spark):
+    from scrappy_spark.io import load_table
+
+    return (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+
+
+# ---------------------------------------------------------------- GramIndex
+
+
+def _gram_set(df):
+    return {r[0] for r in df.collect()}
+
+
+def test_gram_index_build_equals_plain_index(spark, tmp_path):
+    from scrappy_spark.operators.curation import exact_substring_index
+    from scrappy_spark.operators.stored_indexes import GramIndex
+
+    docs = _load_docs(spark)
+    idx = GramIndex.build(spark, str(tmp_path / "g"), docs, min_len=_L)
+    assert idx.exists()
+    assert _gram_set(idx.grams()) == _gram_set(
+        exact_substring_index(docs, min_len=_L)
+    )
+    # reopening from disk serves identically
+    again = GramIndex(spark, str(tmp_path / "g"))
+    assert _gram_set(again.grams()) == _gram_set(idx.grams())
+
+
+def test_gram_delete_equals_rebuild_and_shared_grams_survive(
+    spark, tmp_path
+):
+    """The refcount contract: deleting one holder of shared content
+    keeps the grams live; deleting the SOLE holder retires them —
+    live set == index rebuilt over corpus∖deleted."""
+    from scrappy_spark.operators.curation import exact_substring_index
+    from scrappy_spark.operators.stored_indexes import GramIndex
+
+    extra = _docs(
+        spark, [(1001, _ALPHA), (1002, _ALPHA), (1003, _BRAVO)]
+    )
+    docs = _load_docs(spark).unionByName(extra)
+    idx = GramIndex.build(spark, str(tmp_path / "g"), docs, min_len=_L)
+    deleted = docs.filter(F.col("doc_id").isin(1002, 1003))
+    idx.delete(deleted)
+    live = _gram_set(idx.grams())
+    remainder = docs.filter(~F.col("doc_id").isin(1002, 1003))
+    assert live == _gram_set(exact_substring_index(remainder, min_len=_L))
+    alpha = _gram_set(
+        exact_substring_index(_docs(spark, [(1, _ALPHA)]), min_len=_L)
+    )
+    bravo = _gram_set(
+        exact_substring_index(_docs(spark, [(1, _BRAVO)]), min_len=_L)
+    )
+    assert alpha <= live  # doc 1001 still holds ALPHA
+    assert not (bravo & live)  # sole BRAVO holder deleted
+
+
+def test_gram_append_then_delete_roundtrip_and_vacuum(spark, tmp_path):
+    from scrappy_spark.operators.stored_indexes import GramIndex
+
+    base = _load_docs(spark)
+    batch = _docs(spark, [(2001, _ALPHA), (2002, _BRAVO)])
+    idx = GramIndex.build(spark, str(tmp_path / "g"), base, min_len=_L)
+    before = _gram_set(idx.grams())
+    idx.append(batch)
+    idx.delete(batch)
+    assert _gram_set(idx.grams()) == before
+    n_ledger_rows = idx.ledger.read().count()
+    idx.vacuum()
+    assert _gram_set(idx.grams()) == before  # vacuum is invisible
+    assert idx.ledger.read().count() < n_ledger_rows  # bytes reclaimed
+    # vacuum is idempotent: rerun recommits the same net state
+    idx.vacuum()
+    assert _gram_set(idx.grams()) == before
+
+
+def test_gram_guards_refuse_double_index_and_double_delete(
+    spark, tmp_path
+):
+    from scrappy_spark.operators.stored_indexes import GramIndex
+
+    docs = _docs(spark, [(1, _ALPHA), (2, _BRAVO)])
+    idx = GramIndex.build(spark, str(tmp_path / "g"), docs, min_len=_L)
+    with pytest.raises(ValueError, match="already indexed"):
+        idx.append(_docs(spark, [(1, _ALPHA)]))
+    idx.delete(_docs(spark, [(2, _BRAVO)]))
+    with pytest.raises(ValueError, match="not a live member"):
+        idx.delete(_docs(spark, [(2, _BRAVO)]))
+    # after takedown the id may be re-indexed (right-to-return)
+    idx.append(_docs(spark, [(2, _BRAVO)]))
+    assert 2 in {r[0] for r in idx.members().collect()}
+
+
+def test_gram_index_serves_incremental_dedup(spark, tmp_path):
+    """clean_batch through the live index equals the plain incremental
+    dedup against the equivalent membership set."""
+    from scrappy_spark.operators.curation import (
+        exact_substring_dedup_incremental,
+        exact_substring_index,
+    )
+    from scrappy_spark.operators.stored_indexes import GramIndex
+
+    base = _load_docs(spark)
+    batch = _docs(spark, [(3001, _ALPHA), (3002, _BRAVO)]).unionByName(
+        base.limit(3).select(
+            (F.col("doc_id") + 5000).alias("doc_id"), "text"
+        )
+    )
+    idx = GramIndex.build(spark, str(tmp_path / "g"), base, min_len=_L)
+    got = sorted(map(tuple, idx.clean_batch(batch).collect()))
+    want = sorted(
+        map(
+            tuple,
+            exact_substring_dedup_incremental(
+                batch, exact_substring_index(base, min_len=_L), min_len=_L
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+# -------------------------------------------------------------- MinHashIndex
+
+
+def _sig_rows(df):
+    return sorted(map(tuple, df.select("doc_id", "seed", "minhash").collect()))
+
+
+def test_minhash_delete_equals_rebuild(spark, tmp_path):
+    from scrappy_spark.operators.dedup_approx import minhash_signatures
+    from scrappy_spark.operators.stored_indexes import MinHashIndex
+
+    docs = _load_docs(spark)
+    idx = MinHashIndex.build(spark, str(tmp_path / "m"), docs)
+    assert idx.exists()
+    dead = [0, 1, 2, 3, 4]
+    idx.delete(dead)
+    remainder = docs.filter(~F.col("doc_id").isin(dead))
+    assert _sig_rows(idx.signatures()) == _sig_rows(
+        minhash_signatures(remainder)
+    )
+    # vacuum reclaims bytes without changing a visible row
+    before = _sig_rows(idx.signatures())
+    idx.vacuum()
+    assert _sig_rows(idx.signatures()) == before
+    assert idx.tombstones.read().count() == 0
+
+
+def test_minhash_append_parity_and_clash_guard(spark, tmp_path):
+    from scrappy_spark.operators.dedup_approx import minhash_signatures
+    from scrappy_spark.operators.stored_indexes import MinHashIndex
+
+    docs = _load_docs(spark)
+    base = docs.filter(F.col("doc_id") < 20)
+    batch = docs.filter(F.col("doc_id") >= 20)
+    idx = MinHashIndex.build(spark, str(tmp_path / "m"), base)
+    idx.append(batch)
+    assert _sig_rows(idx.signatures()) == _sig_rows(minhash_signatures(docs))
+    with pytest.raises(ValueError, match="already signed"):
+        idx.append(batch.limit(1))
+
+
+def test_minhash_index_serves_incremental_dedup(spark, tmp_path):
+    """dedup_corpus_incremental fed from the live stored signatures
+    equals feeding it the freshly computed remainder signatures."""
+    from scrappy_spark.operators.dedup_approx import minhash_signatures
+    from scrappy_spark.operators.stored_indexes import MinHashIndex
+    from scrappy_spark.pipelines import dedup_corpus_incremental
+
+    docs = _load_docs(spark)
+    idx = MinHashIndex.build(spark, str(tmp_path / "m"), docs)
+    idx.delete([5, 6, 7])
+    new = _docs(spark, [(9001, _ALPHA), (9002, _ALPHA + " tail")])
+    _, got, _ = dedup_corpus_incremental(new, idx.signatures())
+    _, want, _ = dedup_corpus_incremental(
+        new, minhash_signatures(docs.filter(~F.col("doc_id").isin(5, 6, 7)))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+# ------------------------------------------------------ privacy release gate
+
+
+def _gate(spark, rows, k=3, l=2):
+    from scrappy_spark.operators.profile import privacy_release_gate
+
+    df = spark.createDataFrame(
+        rows, "lang string, source string, n long"
+    )
+    return {
+        (r["gate_check"], r["detail"]): r
+        for r in privacy_release_gate(
+            df, ["lang", "source"], F.col("n"), k=k, l=l
+        ).collect()
+    }
+
+
+def test_release_gate_all_clear_releases(spark):
+    rows = [
+        ("en", "web", i) for i in range(5)
+    ] + [("de", "web", i + 10) for i in range(5)]
+    got = _gate(spark, rows)
+    release = got[("release", "release")]
+    assert release["passed"] == 1 and release["n_at_risk_groups"] == 0
+    assert got[("k_anonymity", "k=3")]["passed"] == 1
+    assert got[("l_diversity", "l=2")]["passed"] == 1
+
+
+def test_release_gate_blocks_when_no_candidate_clears(spark):
+    # every (lang, source) group is a singleton AND every reduced-QI
+    # group is still under k -> no generalization clears, verdict=block
+    rows = [("en", "a", 1), ("de", "b", 2), ("fr", "c", 3)]
+    got = _gate(spark, rows)
+    keys = {k for k in got if k[0] == "release"}
+    assert keys == {("release", "block")}
+    assert got[("release", "block")]["passed"] == 0
+    assert got[("generalize", "lang")]["passed"] == 0
+    assert got[("generalize", "source")]["passed"] == 0
+
+
+def test_release_gate_picks_best_generalization(spark):
+    # lang groups are big, source splinters them -> dropping source
+    # clears all risk; dropping lang does not (sources are singletons)
+    rows = [("en", f"s{i}", i % 2) for i in range(6)] + [
+        ("de", f"t{i}", i % 2) for i in range(6)
+    ]
+    got = _gate(spark, rows)
+    assert ("release", "generalize:source") in got
+    assert got[("generalize", "source")]["passed"] == 1
+    assert got[("generalize", "lang")]["passed"] == 0
