@@ -129,6 +129,74 @@ def _unify_cols(
     return list(parent) + added, write_cols, next_id
 
 
+def _footer_minmax(files: list[str], wanted: dict[str, str]) -> dict:
+    """Per-file [min, max] for the ``wanted`` columns ({write-time
+    name: stats key}), read from parquet FOOTER metadata only — the
+    writers already recorded row-group statistics, so collecting them
+    is O(files) metadata reads, no row scanned (the same economics as
+    ``profile.footer_stats``, here at the per-file grain the manifest
+    needs for pruning). A column is recorded only when EVERY row group
+    of the file carries comparable stats and the values are JSON-safe
+    scalars (int/float/str/bool) — anything else is simply absent, and
+    absence means "never pruned" (conservative), never "wrong"."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        names = {c: i for i, c in enumerate(md.schema.names)}
+        per: dict[str, list] = {}
+        for name, key in wanted.items():
+            ci = names.get(name)
+            if ci is None:
+                continue
+            lo = hi = None
+            ok = md.num_row_groups > 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or not isinstance(st.min, (int, float, str, bool))
+                ):
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok:
+                per[key] = [lo, hi]
+        if per:
+            out[path] = per
+    return out
+
+
+def _stats_prune(stats: dict, key: str, op: str, value) -> bool:
+    """True when a file's recorded [min, max] PROVES no row matches —
+    missing stats (or a type mismatch) keep the file. Pure interval
+    logic; the caller still applies the real filter to survivors."""
+    rng = stats.get(key)
+    if rng is None:
+        return False
+    lo, hi = rng
+    try:
+        if op == "=":
+            return value < lo or value > hi
+        if op == "<":
+            return lo >= value
+        if op == "<=":
+            return lo > value
+        if op == ">":
+            return hi <= value
+        if op == ">=":
+            return hi < value
+        if op == "between":
+            vlo, vhi = value
+            return hi < vlo or lo > vhi
+    except TypeError:
+        return False
+    raise ValueError(f"unknown prune op {op!r}")
+
+
 class SnapshotTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -206,13 +274,28 @@ class SnapshotTable:
     # ------------------------------------------------------------ commit
 
     def commit(
-        self, df: DataFrame, message: str = "", append: bool = False
+        self,
+        df: DataFrame,
+        message: str = "",
+        append: bool = False,
+        stats_cols: list[str] | None = None,
     ) -> dict:
         """Publish ``df`` as the next version; returns its manifest.
 
         ``append=False``: the new version's content is exactly ``df``.
         ``append=True``: content is parent's files + ``df``'s new files
         (no read, no rewrite of existing data).
+
+        ``stats_cols`` designates columns whose per-file [min, max] is
+        recorded in the manifest (from parquet footers — metadata
+        reads, no row scanned), enabling ``read(where=...)`` to prune
+        files without opening them (VERDICT r10 #7 — at 100 TB a
+        selective read that lists every file of a version scans the
+        world; Iceberg's answer is manifest-level column stats, and
+        this is that move). Stats are keyed by COLUMN ID, so they
+        survive renames; appends inherit the parent's designated
+        columns automatically (new files get stats, retained files
+        keep theirs), and files without stats are simply never pruned.
 
         Schema evolution: every manifest records its version's schema
         (all-nullable), and an append UNIFIES the parent schema with
@@ -242,6 +325,8 @@ class SnapshotTable:
             for f in os.listdir(snap_dir)
             if f.endswith(".parquet")
         )
+        stats: dict = {}
+        stats_ids: list[int] = []
         if append and parent is not None:
             pm = self._manifest(parent)
             pcols, schemas, file_schema, next_id = self._parent_identity(pm)
@@ -250,6 +335,21 @@ class SnapshotTable:
             sid = self._intern_schema(schemas, write_cols)
             for p in new_files:
                 file_schema[p] = sid
+            stats = dict(pm.get("stats", {}))
+            stats_ids = list(pm.get("stats_ids", []))
+            for name in stats_cols or []:
+                hit = [c["id"] for c in cols if c["name"] == name]
+                if not hit:
+                    raise ValueError(
+                        f"stats_cols: no column {name!r} in the table"
+                    )
+                if hit[0] not in stats_ids:
+                    stats_ids.append(hit[0])
+            by_id = {c["id"]: c["name"] for c in write_cols}
+            wanted = {
+                by_id[i]: str(i) for i in stats_ids if i in by_id
+            }
+            stats.update(_footer_minmax(new_files, wanted))
         else:
             # replace: old files drop out, but column IDENTITY carries
             # by (name, type) from the parent's columns so a rename
@@ -283,6 +383,27 @@ class SnapshotTable:
             schemas = {}
             sid = self._intern_schema(schemas, cols)
             file_schema = {p: sid for p in files}
+            # designation survives a rewrite for columns that kept
+            # their identity; fresh designations come from stats_cols
+            live_ids = {c["id"] for c in cols}
+            if parent is not None:
+                stats_ids = [
+                    i
+                    for i in self._manifest(parent).get("stats_ids", [])
+                    if i in live_ids
+                ]
+            for name in stats_cols or []:
+                hit = [c["id"] for c in cols if c["name"] == name]
+                if not hit:
+                    raise ValueError(
+                        f"stats_cols: no column {name!r} in the table"
+                    )
+                if hit[0] not in stats_ids:
+                    stats_ids.append(hit[0])
+            by_id = {c["id"]: c["name"] for c in cols}
+            stats = _footer_minmax(
+                new_files, {by_id[i]: str(i) for i in stats_ids}
+            )
         return self._publish(
             version,
             parent,
@@ -290,6 +411,7 @@ class SnapshotTable:
             message,
             _struct_of(cols),
             identity=(cols, schemas, file_schema, next_id),
+            stats=(stats, stats_ids),
         )
 
     def commit_files(self, files: list[str], message: str = "") -> dict:
@@ -312,6 +434,7 @@ class SnapshotTable:
             )
         schema = None
         identity = None
+        stats = None
         if parent is not None:
             pm = self._manifest(parent)
             if "columns" in pm:
@@ -329,10 +452,33 @@ class SnapshotTable:
                         file_schema[p] = sid
                 schema = _struct_of(cols)
                 identity = (cols, schemas, file_schema, next_id)
+                stats_ids = list(pm.get("stats_ids", []))
+                if stats_ids:
+                    # reused files keep their stats; rewritten bins'
+                    # fresh files get theirs from their own footers
+                    file_stats = dict(pm.get("stats", {}))
+                    by_id = {c["id"]: c["name"] for c in cols}
+                    file_stats.update(
+                        _footer_minmax(
+                            fresh,
+                            {
+                                by_id[i]: str(i)
+                                for i in stats_ids
+                                if i in by_id
+                            },
+                        )
+                    )
+                    stats = (file_stats, stats_ids)
             elif "schema" in pm:  # legacy flat-schema table
                 schema = StructType.fromJson(json.loads(pm["schema"]))
         return self._publish(
-            version, parent, list(files), message, schema, identity=identity
+            version,
+            parent,
+            list(files),
+            message,
+            schema,
+            identity=identity,
+            stats=stats,
         )
 
     def _publish(
@@ -343,6 +489,7 @@ class SnapshotTable:
         message: str,
         schema=None,
         identity: tuple[list[dict], dict, dict, int] | None = None,
+        stats: tuple[dict, list[int]] | None = None,
     ) -> dict:
         manifest = {
             "version": version,
@@ -360,6 +507,12 @@ class SnapshotTable:
             manifest["schemas"] = schemas
             manifest["file_schema"] = file_schema
             manifest["next_col_id"] = next_id
+        if stats is not None and stats[1]:
+            file_stats, stats_ids = stats
+            manifest["stats"] = {
+                p: file_stats[p] for p in files if p in file_stats
+            }
+            manifest["stats_ids"] = stats_ids
         os.makedirs(self._mdir, exist_ok=True)
         tmp = os.path.join(self._mdir, f".v{version}.json.tmp")
         with open(tmp, "w") as f:
@@ -399,6 +552,7 @@ class SnapshotTable:
             message or f"rename {old} -> {new}",
             _struct_of(cols),
             identity=(cols, schemas, file_schema, next_id),
+            stats=(pm.get("stats", {}), pm.get("stats_ids", [])),
         )
 
     def drop_column(self, name: str, message: str = "") -> dict:
@@ -424,13 +578,95 @@ class SnapshotTable:
             message or f"drop {name}",
             _struct_of(cols),
             identity=(cols, schemas, file_schema, next_id),
+            stats=(
+                pm.get("stats", {}),
+                [
+                    i
+                    for i in pm.get("stats_ids", [])
+                    if i in {c["id"] for c in cols}
+                ],
+            ),
         )
 
     # -------------------------------------------------------------- read
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def _pruned_files(self, m: dict, where) -> tuple[list[str], list]:
+        """Split a pruning spec against a version's manifest stats:
+        returns (surviving files, normalized conjuncts). ``where`` is
+        one ``(col, op, value)`` tuple or a list of them (ANDed); ops
+        ``= < <= > >= between`` (between takes a (lo, hi) pair).
+        Column names resolve to COLUMN IDS through the manifest, so a
+        predicate on a renamed column prunes against stats recorded
+        under the old name. Files lacking stats for a conjunct's
+        column survive it — pruning only ever REMOVES provably
+        row-free files; the caller re-applies the real filter."""
+        conjuncts = [where] if isinstance(where, tuple) else list(where)
+        stats = m.get("stats", {})
+        by_name = {c["name"]: c["id"] for c in m.get("columns", [])}
+        keys: list[str] = []
+        for col, op, _ in conjuncts:
+            if col in by_name:
+                keys.append(str(by_name[col]))
+            elif "columns" in m:
+                raise ValueError(
+                    f"read(where=...): no column {col!r} in version "
+                    f"{m['version']} ({sorted(by_name)})"
+                )
+            else:  # legacy manifest: stats (if any) are keyed by name
+                keys.append(col)
+        kept = [
+            p
+            for p in m["files"]
+            if not any(
+                _stats_prune(stats.get(p, {}), k, op, val)
+                for k, (_, op, val) in zip(keys, conjuncts)
+            )
+        ]
+        return kept, conjuncts
+
+    @staticmethod
+    def _where_condition(conjuncts):
+        from pyspark.sql import functions as F
+
+        ops = {
+            "=": lambda c, v: c == v,
+            "<": lambda c, v: c < v,
+            "<=": lambda c, v: c <= v,
+            ">": lambda c, v: c > v,
+            ">=": lambda c, v: c >= v,
+            "between": lambda c, v: c.between(v[0], v[1]),
+        }
+        cond = None
+        for col, op, val in conjuncts:
+            leg = ops[op](F.col(col), val)
+            cond = leg if cond is None else cond & leg
+        return cond
+
+    def prune_report(self, where, version: int | None = None) -> dict:
+        """How selective a ``read(where=...)`` would be, at manifest
+        grain: total vs surviving file counts — the number a plan
+        review (or a test) pins to prove pruning actually happened."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"snapshot table {self.path!r} has no commits")
+        m = self._manifest(v)
+        kept, _ = self._pruned_files(m, where)
+        return {
+            "n_files": len(m["files"]),
+            "n_read": len(kept),
+            "n_pruned": len(m["files"]) - len(kept),
+        }
+
+    def read(self, version: int | None = None, where=None) -> DataFrame:
         """The table at ``version`` (default: HEAD). Reads exactly the
-        manifest's file list — concurrent commits are invisible."""
+        manifest's file list — concurrent commits are invisible.
+
+        ``where``: optional ``(col, op, value)`` conjuncts. Files whose
+        manifest [min, max] stats prove them row-free are NOT read at
+        all (manifest pruning — see ``commit(stats_cols=...)``), and
+        the predicate is then applied to the survivors, so the result
+        equals an unpruned read + filter whether or not any file
+        carries stats."""
         v = self.current_version() if version is None else version
         if v is None:
             raise ValueError(f"snapshot table {self.path!r} has no commits")
@@ -438,6 +674,26 @@ class SnapshotTable:
         files = m["files"]
         if not files:
             raise ValueError(f"version {v} references no files")
+        if where is not None:
+            kept, conjuncts = self._pruned_files(m, where)
+            cond = self._where_condition(conjuncts)
+            if not kept:  # every file provably row-free
+                schema = (
+                    _struct_of(m["columns"])
+                    if "columns" in m
+                    else StructType.fromJson(json.loads(m["schema"]))
+                )
+                return self.spark.createDataFrame([], schema)
+            if "columns" in m:
+                base = self._read_mapped(m, kept)
+            else:
+                reader = self.spark.read
+                if "schema" in m:
+                    reader = reader.schema(
+                        StructType.fromJson(json.loads(m["schema"]))
+                    )
+                base = reader.parquet(*kept)
+            return base.filter(cond)
         if "columns" in m:
             return self._read_mapped(m, files)
         reader = self.spark.read

@@ -320,3 +320,117 @@ def test_compaction_across_rename_preserves_values(spark, tmp_path):
     assert manifest["n_files"] == 1  # both files packed into one bin
     assert sorted(map(tuple, t.read().collect())) == before
     assert {r.language for r in t.read().collect()} == {"en", "fr"}
+
+
+# ----------------------------------------------------- manifest file pruning
+
+
+def _range_table(spark, tmp_path, name="pt"):
+    from scrappy_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / name))
+    for i, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 30)]):
+        df = (
+            spark.range(lo, hi)
+            .selectExpr("id AS k", "concat('v', id) AS v")
+            .coalesce(1)
+        )
+        t.commit(df, append=i > 0, stats_cols=["k"] if i == 0 else None)
+    return t
+
+
+def test_pruned_read_skips_provably_empty_files(spark, tmp_path):
+    t = _range_table(spark, tmp_path)
+    m = t._manifest(t.current_version())
+    assert m["n_files"] == 3 and len(m["stats"]) == 3
+    rep = t.prune_report(("k", "between", (12, 17)))
+    assert rep == {"n_files": 3, "n_read": 1, "n_pruned": 2}
+    got = sorted(r.k for r in t.read(where=("k", "between", (12, 17))).collect())
+    assert got == list(range(12, 18))
+    # every comparison op prunes AND filters correctly
+    for where, n_read, want in [
+        (("k", "=", 25), 1, [25]),
+        (("k", "<", 3), 1, [0, 1, 2]),
+        (("k", "<=", 10), 2, list(range(11))),
+        (("k", ">", 27), 1, [28, 29]),
+        (("k", ">=", 20), 1, list(range(20, 30))),
+    ]:
+        assert t.prune_report(where)["n_read"] == n_read, where
+        assert sorted(r.k for r in t.read(where=where).collect()) == want
+
+
+def test_pruned_read_all_pruned_returns_typed_empty(spark, tmp_path):
+    t = _range_table(spark, tmp_path)
+    out = t.read(where=("k", ">", 1000))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "v"]
+
+
+def test_pruned_read_equals_unpruned_filter(spark, tmp_path):
+    """Pruning is pure optimization: result == full read + filter,
+    including conjuncts on a column WITHOUT stats (never pruned)."""
+    t = _range_table(spark, tmp_path)
+    where = [("k", ">=", 25), ("v", "=", "v27")]
+    assert t.prune_report(where)["n_read"] == 1  # k-stats still prune
+    got = [tuple(r) for r in t.read(where=where).collect()]
+    want = [
+        tuple(r)
+        for r in t.read().filter("k >= 25 AND v = 'v27'").collect()
+    ]
+    assert got == want == [(27, "v27")]
+
+
+def test_pruning_stats_survive_rename_and_inherit_on_append(
+    spark, tmp_path
+):
+    t = _range_table(spark, tmp_path)
+    t.rename_column("k", "key")
+    # appends after the rename inherit the designation under the id
+    t.commit(
+        spark.range(30, 40).selectExpr("id AS key", "concat('v', id) AS v").coalesce(1),
+        append=True,
+    )
+    rep = t.prune_report(("key", "=", 35))
+    assert rep == {"n_files": 4, "n_read": 1, "n_pruned": 3}
+    assert [r.key for r in t.read(where=("key", "=", 35)).collect()] == [35]
+    # unknown predicate column is loud, not silently unpruned
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no column"):
+        t.read(where=("k", "=", 1))
+
+
+def test_pruning_stats_survive_compaction(spark, tmp_path):
+    """commit_files (the compaction path) keeps reused files' stats
+    and collects fresh stats for rewritten files from their footers."""
+    import os
+
+    t = _range_table(spark, tmp_path)
+    v = t.current_version()
+    m = t._manifest(v)
+    # rewrite the first two files into one, reuse the third
+    snap_dir = str(tmp_path / "pt" / "data" / f"snap-{v + 1}")
+    t.read_files(m["files"][:2]).coalesce(1).write.mode("overwrite").parquet(
+        snap_dir
+    )
+    fresh = sorted(
+        os.path.join(snap_dir, f)
+        for f in os.listdir(snap_dir)
+        if f.endswith(".parquet")
+    )
+    t.commit_files(fresh + [m["files"][2]], "compact 2->1")
+    rep = t.prune_report(("k", "=", 25))
+    assert rep == {"n_files": 2, "n_read": 1, "n_pruned": 1}
+    assert [r.k for r in t.read(where=("k", "=", 25)).collect()] == [25]
+
+
+def test_stats_cols_unknown_column_raises(spark, tmp_path):
+    from scrappy_spark.sources.snapshots import SnapshotTable
+    import pytest as _pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "bad"))
+    with _pytest.raises(ValueError, match="stats_cols"):
+        t.commit(
+            spark.range(3).selectExpr("id AS k"),
+            stats_cols=["nope"],
+        )
