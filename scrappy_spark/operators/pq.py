@@ -67,9 +67,9 @@ def pq_train(
     cluster: FAISS trains its codebooks on a bounded sample too,
     because ksub centroids per subspace saturate at a few thousand
     points per centroid — more corpus adds cost, not quality. So:
-    a deterministic md5-threshold sample capped at ``train_cap`` rows
-    is collected (BOUNDED driver-side action, ≤ train_cap·dim doubles
-    — the same justification as bloom.bank_to_dense), and vectorized
+    a deterministic md5-threshold sample capped at 65 536 rows
+    is collected (``train_sample`` — BOUNDED driver-side action,
+    ≤ cap·dim doubles, same justification as bloom.bank_to_dense), and vectorized
     numpy Lloyd iterations train all m subspaces at once. Distributed
     alternatives measured at sf0.01: m MLlib fits ≈27s, a
     DataFrame-native joint Lloyd loop ≈52s (per-iteration shuffle
@@ -85,30 +85,8 @@ def pq_train(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     import numpy as np
 
-    train_cap = 65_536
     spark = corpus.sparkSession
-    # deterministic sample: md5-bucket threshold scaled to ~train_cap
-    # rows; cheap count first (metadata-light aggregate).
-    n = corpus.count()
-    src = corpus.select(id_col, vec_col)
-    if n > train_cap:
-        keep = (train_cap / n) * 4_294_967_296.0
-        h = F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"pq{seed}s:"), F.col(id_col).cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("double")
-        # no .limit() on top: the threshold already concentrates the
-        # sample at ~train_cap rows, and limit's row choice depends on
-        # partition layout — it would break codebook determinism.
-        src = src.filter(h < F.lit(keep))
-    rows = src.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).collect()
-    order = np.argsort(
-        [__import__("hashlib").md5(f"pq{seed}:{r[id_col]}".encode()).hexdigest() for r in rows]
-    )
-    x = np.array([rows[i]["__v"] for i in order])  # (ns, dim), seed-order
+    x = train_sample(corpus, vec_col=vec_col, id_col=id_col, seed=seed)
     d = dim // m
     prev: list[tuple[int, int, list[float]]] = []
     for j in range(m):
@@ -126,6 +104,43 @@ def pq_train(
     return spark.createDataFrame(
         prev, "subspace int, code int, centroid array<double>"
     ).coalesce(1)
+
+
+def train_sample(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    cap: int = 65_536,
+):
+    """The deterministic bounded training sample ``pq_train`` (and OPQ
+    rotation learning) collects: an md5-threshold row sample capped at
+    ``cap`` rows, returned as a seed-ordered (ns, dim) numpy array —
+    a pure function of (corpus, seed), independent of partition
+    layout. No ``.limit()`` on top: the threshold already concentrates
+    the sample at ~cap rows, and limit's row choice depends on
+    partition layout — it would break codebook determinism. BOUNDED
+    driver-side action (≤ cap·dim doubles), same justification as
+    bloom.bank_to_dense."""
+    import numpy as np
+
+    n = corpus.count()
+    src = corpus.select(id_col, vec_col)
+    if n > cap:
+        keep = (cap / n) * 4_294_967_296.0
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"pq{seed}s:"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        src = src.filter(h < F.lit(keep))
+    rows = src.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).collect()
+    order = np.argsort(
+        [__import__("hashlib").md5(f"pq{seed}:{r[id_col]}".encode()).hexdigest() for r in rows]
+    )
+    return np.array([rows[i]["__v"] for i in order])  # (ns, dim)
 
 
 def _sq_l2(a, b):

@@ -77,6 +77,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llmdata13,
         llmdata14,
         llmdata15,
+        llmdata16,
         audit,
         timeseries,
         sketches,
@@ -155,6 +156,16 @@ _RECHECK_PIN: frozenset[str] = frozenset({
     # schemes instead of an unmatched-path ValueError (ADVICE r10 #3);
     # both compaction queries ride it.
     "q_compaction_plan", "q_compaction_execute",
+    # round 11 added manifest column stats + pruned reads to
+    # SnapshotTable (commit/commit_files/_publish/read signatures grew
+    # stats plumbing); every query riding the snapshot commit/read path
+    # re-checks against the new code.
+    "q_expectations_snapshot_log", "q_incremental_ingest",
+    "q_snapshot_schema_evolution", "q_snapshot_schema_rename",
+    # round 11 factored pq_train's deterministic capped sample out
+    # into pq.train_sample (shared with the new OPQ rotation learner);
+    # the two pq-riding ANN audits re-check against the refactor.
+    "q_pq_ann_topk", "q_ivf_pq_ann_topk",
 })
 
 

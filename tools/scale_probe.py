@@ -91,6 +91,11 @@ PROBES = [
     "q_l_diversity",
     "q_generalization_advice",
     "q_lang_id_learned",
+    "q_gram_index_takedown",
+    "q_minhash_index_takedown",
+    "q_privacy_release_gate",
+    "q_snapshot_pruned_read",
+    "q_opq_ann_topk",
 ]
 
 
