@@ -84,11 +84,35 @@ class IvfPqIndex:
         vec_col: str = "embedding",
         label_col: str = "label",
         seed: int = 7,
+        opq: bool = False,
     ) -> "IvfPqIndex":
         """Train + encode + persist. The geometry manifest lands LAST
         (after all three tables committed), so ``exists()`` implies a
-        complete index — a crash mid-build leaves no readable index."""
+        complete index — a crash mid-build leaves no readable index.
+
+        ``opq=True`` learns the parametric OPQ rotation (operators/
+        opq.py) over the corpus and stores it IN the manifest as part
+        of the index geometry — cells, codebook and codes then live in
+        rotated space, ``search``/``append`` rotate queries/batches
+        with the stored matrix, and because the rotation is orthonormal
+        every distance (and so every stored-lifecycle identity) is
+        exactly preserved. This is the 'production pays one stack and
+        stores codebook+rotation' leg of the OPQ family."""
+        from . import opq as OPQ
+
         idx = cls(spark, path)
+        rotation: list[list[float]] | None = None
+        if opq:
+            rotation = OPQ.opq_rotation(
+                corpus, m=m, dim=dim, vec_col=vec_col, id_col=id_col, seed=seed
+            )
+            OPQ.opq_check_orthonormal(rotation)
+            corpus = OPQ.opq_rotate(
+                corpus.select(id_col, vec_col), rotation, vec_col
+            )
+            centroids = centroids.withColumn(
+                "centroid", OPQ.rotate_expr(rotation, F.col("centroid"))
+            )
         codes, book = PQ.ivf_pq_build(
             corpus,
             centroids,
@@ -122,6 +146,7 @@ class IvfPqIndex:
             "id_col": id_col,
             "label_col": label_col,
             "seed": seed,
+            "rotation": rotation,
         }
         tmp = os.path.join(path, ".meta.json.tmp")
         with open(tmp, "w") as f:
@@ -142,6 +167,16 @@ class IvfPqIndex:
         tombs = self.tombstones.read().select(id_col).distinct()
         return out.join(F.broadcast(tombs), id_col, "left_anti")
 
+    def _rotated(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        """Apply the stored OPQ rotation (identity when the index was
+        built without one) — pre-rotation manifests read as plain."""
+        rotation = self.meta.get("rotation")
+        if rotation is None:
+            return df
+        from . import opq as OPQ
+
+        return OPQ.opq_rotate(df.select(id_col, vec_col), rotation, vec_col)
+
     def search(
         self,
         queries: DataFrame,
@@ -151,6 +186,7 @@ class IvfPqIndex:
         vec_col: str = "embedding",
     ) -> DataFrame:
         meta = self.meta
+        queries = self._rotated(queries, query_id_col, vec_col)
         return PQ.ivf_pq_search_artifacts(
             self.codes().withColumnRenamed("cell", "__cell"),
             self.codebook.read(),
@@ -215,7 +251,7 @@ class IvfPqIndex:
                 active.coalesce(1), "heal stale tombstones (crashed vacuum)"
             )
         codes = PQ.ivf_pq_encode_against(
-            vectors,
+            self._rotated(vectors, id_col, vec_col),
             self.cells.read().withColumnRenamed("cell", "label"),
             self.codebook.read(),
             m=meta["m"],

