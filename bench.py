@@ -69,12 +69,16 @@ EXTENSIONS = [
     "q_exact_substring_longdoc",  # round-9 (chunk-mode dedup, 1M-char book)
     "q_mixture_execute",  # round-9 (plan->execute->temperature->shards)
     "q_ivf_pq_ann_topk",  # round-9 (residual-PQ probed search + audit)
-    # round-11: the stored-artifact serve paths (train-once/serve-many;
-    # min-of-3 keeps the serve-only runs — the one-time build/train is
-    # charged to run 1) and the privacy capstone. The two takedown
-    # lifecycle queries stay OUT: their wall is snapshot-commit
-    # constant cost by design (probes in ARCHITECTURE.md), not a
-    # data-scaling number a round-over-round bench should track.
+    # round-11: the stored-artifact serve paths (train-once/serve-many)
+    # and the privacy capstone. Honest-number caveat: min-of-3 keeps
+    # the one-time index/model BUILD out (charged to run 1), but
+    # q_ivf_pq_search_stored's stored_eq_fresh oracle flag reruns the
+    # FRESH in-query ivf_pq_search every run — its wall is fresh-side
+    # train + both searches, NOT the stored serve path (which probes at
+    # ~0.8s, ARCHITECTURE.md). The two takedown lifecycle queries stay
+    # OUT: their wall is snapshot-commit constant cost by design
+    # (probes in ARCHITECTURE.md), not a data-scaling number a
+    # round-over-round bench should track.
     "q_ivf_pq_search_stored",
     "q_lang_id_scored",
     "q_privacy_release_gate",

@@ -170,6 +170,35 @@ def _footer_minmax(files: list[str], wanted: dict[str, str]) -> dict:
     return out
 
 
+def _stats_full_cover(stats: dict, key: str, op: str, value) -> bool:
+    """True when a file's recorded [min, max] PROVES every row matches
+    the conjunct — the metadata-delete dual of ``_stats_prune``: a
+    fully-covered file can leave the manifest outright instead of
+    carrying a residual delete predicate. Missing stats (or a type
+    mismatch) are never full cover."""
+    rng = stats.get(key)
+    if rng is None:
+        return False
+    lo, hi = rng
+    try:
+        if op == "=":
+            return lo == value and hi == value
+        if op == "<":
+            return hi < value
+        if op == "<=":
+            return hi <= value
+        if op == ">":
+            return lo > value
+        if op == ">=":
+            return lo >= value
+        if op == "between":
+            vlo, vhi = value
+            return vlo <= lo and hi <= vhi
+    except TypeError:
+        return False
+    raise ValueError(f"unknown delete op {op!r}")
+
+
 def _stats_prune(stats: dict, key: str, op: str, value) -> bool:
     """True when a file's recorded [min, max] PROVES no row matches —
     missing stats (or a type mismatch) keep the file. Pure interval
@@ -327,6 +356,12 @@ class SnapshotTable:
         )
         stats: dict = {}
         stats_ids: list[int] = []
+        deletes: list[dict] = []
+        if append and parent is not None:
+            # pending row-level deletes carry: their file scopes name
+            # only pre-existing files, so the appended rows are OUTSIDE
+            # every entry (a re-ingested key survives its old takedown)
+            deletes = list(self._manifest(parent).get("deletes", []))
         if append and parent is not None:
             pm = self._manifest(parent)
             pcols, schemas, file_schema, next_id = self._parent_identity(pm)
@@ -412,6 +447,7 @@ class SnapshotTable:
             _struct_of(cols),
             identity=(cols, schemas, file_schema, next_id),
             stats=(stats, stats_ids),
+            deletes=deletes,
         )
 
     def commit_files(self, files: list[str], message: str = "") -> dict:
@@ -426,6 +462,15 @@ class SnapshotTable:
         """
         parent = self.current_version()
         version = 0 if parent is None else parent + 1
+        if parent is not None and self._manifest(parent).get("deletes"):
+            # a rewritten bin's fresh file is outside every delete
+            # entry's scope, so compacting THROUGH pending row-level
+            # deletes would resurrect the deleted rows — materialize
+            # them first, then compact.
+            raise ValueError(
+                "commit_files: pending row-level deletes — run "
+                "apply_deletes() before compaction"
+            )
         missing = [f for f in files if not os.path.isfile(f)]
         if missing:
             raise ValueError(
@@ -490,6 +535,7 @@ class SnapshotTable:
         schema=None,
         identity: tuple[list[dict], dict, dict, int] | None = None,
         stats: tuple[dict, list[int]] | None = None,
+        deletes: list[dict] | None = None,
     ) -> dict:
         manifest = {
             "version": version,
@@ -499,6 +545,8 @@ class SnapshotTable:
             "files": files,
             "n_files": len(files),
         }
+        if deletes:
+            manifest["deletes"] = deletes
         if schema is not None:
             manifest["schema"] = schema.json()
         if identity is not None:
@@ -553,6 +601,7 @@ class SnapshotTable:
             _struct_of(cols),
             identity=(cols, schemas, file_schema, next_id),
             stats=(pm.get("stats", {}), pm.get("stats_ids", [])),
+            deletes=pm.get("deletes", []),
         )
 
     def drop_column(self, name: str, message: str = "") -> dict:
@@ -568,6 +617,18 @@ class SnapshotTable:
         cols, schemas, file_schema, next_id = self._parent_identity(pm)
         if name not in [c["name"] for c in cols]:
             raise ValueError(f"drop_column: no column {name!r}")
+        dropped_id = next(c["id"] for c in cols if c["name"] == name)
+        for e in pm.get("deletes", []):
+            refs = (
+                {k for k, _, _ in e["conjuncts"]}
+                if e["kind"] == "pred"
+                else {str(kc["id"]) for kc in e["key_cols"]}
+            )
+            if str(dropped_id) in refs:
+                raise ValueError(
+                    f"drop_column: pending row-level delete references "
+                    f"{name!r} — run apply_deletes() first"
+                )
         cols = [c for c in cols if c["name"] != name]
         if not cols:
             raise ValueError("drop_column: cannot drop the last column")
@@ -586,6 +647,248 @@ class SnapshotTable:
                     if i in {c["id"] for c in cols}
                 ],
             ),
+            deletes=pm.get("deletes", []),
+        )
+
+    # ---------------------------------------------------- row-level delete
+
+    def _resolve_cols(self, m: dict) -> tuple[dict, dict]:
+        """(name → stats/delete key, key → current name) for a
+        manifest: column ids for identity manifests, bare names for
+        legacy ones."""
+        if "columns" in m:
+            by_name = {c["name"]: str(c["id"]) for c in m["columns"]}
+            by_key = {str(c["id"]): c["name"] for c in m["columns"]}
+        else:
+            names = StructType.fromJson(json.loads(m["schema"])).names if "schema" in m else []
+            by_name = {n: n for n in names}
+            by_key = dict(by_name)
+        return by_name, by_key
+
+    def delete_where(self, where, message: str = "") -> dict:
+        """Row-level delete by predicate — the merge-on-read move
+        (Iceberg's metadata/equality-delete economics): publishes a new
+        version whose manifest carries the predicate SCOPED to the
+        files present now, no data read or rewritten (O(manifest)).
+        Files whose [min, max] stats prove EVERY row matches leave the
+        file list outright (the metadata-delete fast path — their bytes
+        stop being read immediately); the rest carry the residual
+        predicate, applied at read. Later appends are OUTSIDE the
+        scope: a re-ingested row is not retro-deleted. Time travel is
+        unaffected — parent versions still show the rows.
+
+        ``where``: the ``read(where=...)`` conjunct form. Predicate
+        columns are recorded by COLUMN ID (rename-proof); NULL never
+        matches a conjunct, so rows with NULL in a predicate column
+        are kept (SQL DELETE semantics)."""
+        parent = self.current_version()
+        if parent is None:
+            raise ValueError(f"snapshot table {self.path!r} has no commits")
+        pm = self._manifest(parent)
+        by_name, _ = self._resolve_cols(pm)
+        conjuncts = [where] if isinstance(where, tuple) else list(where)
+        norm = []
+        for col, op, val in conjuncts:
+            if col not in by_name:
+                raise ValueError(
+                    f"delete_where: no column {col!r} ({sorted(by_name)})"
+                )
+            if op == "between":
+                val = list(val)
+            norm.append([by_name[col], op, val])
+        stats = pm.get("stats", {})
+        full = [
+            p
+            for p in pm["files"]
+            if all(
+                _stats_full_cover(stats.get(p, {}), k, op, v)
+                for k, op, v in norm
+            )
+        ]
+        remaining = [p for p in pm["files"] if p not in set(full)]
+        deletes = [
+            dict(e, files=[f for f in e["files"] if f not in set(full)])
+            for e in pm.get("deletes", [])
+        ]
+        deletes = [e for e in deletes if e["files"]]
+        # scope the residual predicate to files that MIGHT hold a
+        # matching row — a file whose stats already prune the predicate
+        # carries no merge-on-read leg, and when stats settle the whole
+        # delete (full covers + clean rest) no entry is recorded at all
+        scope = [
+            p
+            for p in remaining
+            if not any(
+                _stats_prune(stats.get(p, {}), k, op, v) for k, op, v in norm
+            )
+        ]
+        if scope:
+            deletes = deletes + [
+                {"kind": "pred", "conjuncts": norm, "files": scope}
+            ]
+        return self._publish(
+            parent + 1,
+            parent,
+            remaining,
+            message or f"delete where {norm}",
+            _struct_of(pm["columns"]) if "columns" in pm else None,
+            identity=self._parent_identity(pm) if "columns" in pm else None,
+            stats=(stats, pm.get("stats_ids", [])),
+            deletes=deletes,
+        )
+
+    def delete_keys(
+        self, keys: DataFrame, key_cols: list[str], message: str = ""
+    ) -> dict:
+        """Row-level delete by KEY LIST — the equality-delete file:
+        the keys land as parquet next to the version's data (takedown
+        lists can be millions of rows; they do not belong in a JSON
+        manifest), the manifest records the entry scoped to the files
+        present now, and reads anti-join the keys against exactly
+        those files. O(request) commit, no data rewritten; rows whose
+        key is NULL never match (anti-join semantics)."""
+        parent = self.current_version()
+        if parent is None:
+            raise ValueError(f"snapshot table {self.path!r} has no commits")
+        pm = self._manifest(parent)
+        by_name, _ = self._resolve_cols(pm)
+        missing = [c for c in key_cols if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"delete_keys: no column {missing[0]!r} ({sorted(by_name)})"
+            )
+        version = parent + 1
+        del_dir = os.path.join(self.path, "data", f"deletes-{version}")
+        if os.path.exists(del_dir):
+            shutil.rmtree(del_dir)
+        keys.select(*key_cols).distinct().write.mode("overwrite").parquet(
+            del_dir
+        )
+        delete_files = sorted(
+            os.path.join(del_dir, f)
+            for f in os.listdir(del_dir)
+            if f.endswith(".parquet")
+        )
+        # scope: a single-column key list has a [min, max]; files whose
+        # stats prune that interval cannot hold a matching row, so they
+        # carry no anti-join leg (and apply_deletes never rewrites
+        # them) — at 100 TB a takedown request touches few files.
+        scope = list(pm["files"])
+        if len(key_cols) == 1:
+            bounds = (
+                keys.selectExpr(
+                    f"min({key_cols[0]}) AS lo", f"max({key_cols[0]}) AS hi"
+                ).collect()[0]
+            )
+            if bounds["lo"] is not None:
+                stats = pm.get("stats", {})
+                kkey = by_name[key_cols[0]]
+                scope = [
+                    p
+                    for p in scope
+                    if not _stats_prune(
+                        stats.get(p, {}),
+                        kkey,
+                        "between",
+                        (bounds["lo"], bounds["hi"]),
+                    )
+                ]
+        entry = {
+            "kind": "keys",
+            "key_cols": [
+                {"id": by_name[c], "name": c} for c in key_cols
+            ],
+            "delete_files": delete_files,
+            "files": scope,
+        }
+        return self._publish(
+            version,
+            parent,
+            list(pm["files"]),
+            message or f"delete keys on {key_cols}",
+            _struct_of(pm["columns"]) if "columns" in pm else None,
+            identity=self._parent_identity(pm) if "columns" in pm else None,
+            stats=(pm.get("stats", {}), pm.get("stats_ids", [])),
+            deletes=pm.get("deletes", []) + [entry],
+        )
+
+    def _apply_delete(self, df: DataFrame, m: dict, entry: dict) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        _, by_key = self._resolve_cols(m)
+        if entry["kind"] == "pred":
+            conj = [
+                (by_key[k], op, tuple(v) if op == "between" else v)
+                for k, op, v in entry["conjuncts"]
+            ]
+            cond = self._where_condition(conj)
+            return df.filter(~F.coalesce(cond, F.lit(False)))
+        names = [by_key[str(kc["id"])] for kc in entry["key_cols"]]
+        kdf = self.spark.read.parquet(*entry["delete_files"])
+        kdf = kdf.toDF(*names)  # stored under delete-time names
+        return df.join(kdf, names, "left_anti")
+
+    def apply_deletes(self, message: str = "") -> dict:
+        """Materialize pending row-level deletes: rewrite ONLY the
+        files the entries scope (untouched files are reused as-is, the
+        compaction move), publish with the delete list cleared. After
+        this, reads pay zero merge-on-read cost and compaction /
+        drop_column are unblocked. No-op when nothing is pending."""
+        parent = self.current_version()
+        if parent is None:
+            raise ValueError(f"snapshot table {self.path!r} has no commits")
+        pm = self._manifest(parent)
+        deletes = pm.get("deletes", [])
+        if not deletes:
+            return pm
+        in_files = set(pm["files"])
+        affected = sorted(
+            {f for e in deletes for f in e["files"] if f in in_files}
+        )
+        untouched = [f for f in pm["files"] if f not in set(affected)]
+        version = parent + 1
+        snap_dir = os.path.join(self.path, "data", f"snap-{version}")
+        if os.path.exists(snap_dir):
+            shutil.rmtree(snap_dir)
+        self._read_subset(pm, affected).write.mode("overwrite").parquet(
+            snap_dir
+        )
+        fresh = sorted(
+            os.path.join(snap_dir, f)
+            for f in os.listdir(snap_dir)
+            if f.endswith(".parquet")
+        )
+        files = untouched + fresh
+        schema = None
+        identity = None
+        stats = None
+        if "columns" in pm:
+            cols, schemas, pfs, next_id = self._parent_identity(pm)
+            file_schema = {p: pfs[p] for p in files if p in pfs}
+            sid = self._intern_schema(schemas, cols)
+            for p in fresh:
+                file_schema[p] = sid
+            schema = _struct_of(cols)
+            identity = (cols, schemas, file_schema, next_id)
+            stats_ids = list(pm.get("stats_ids", []))
+            if stats_ids:
+                file_stats = dict(pm.get("stats", {}))
+                by_id = {c["id"]: c["name"] for c in cols}
+                file_stats.update(
+                    _footer_minmax(
+                        fresh,
+                        {by_id[i]: str(i) for i in stats_ids if i in by_id},
+                    )
+                )
+                stats = (file_stats, stats_ids)
+        return self._publish(
+            version,
+            parent,
+            files,
+            message or f"apply {len(deletes)} pending deletes",
+            schema,
+            identity=identity,
+            stats=stats,
         )
 
     # -------------------------------------------------------------- read
@@ -672,40 +975,57 @@ class SnapshotTable:
             raise ValueError(f"snapshot table {self.path!r} has no commits")
         m = self._manifest(v)
         files = m["files"]
-        if not files:
+        if not files and not m.get("deletes"):
             raise ValueError(f"version {v} references no files")
         if where is not None:
             kept, conjuncts = self._pruned_files(m, where)
-            cond = self._where_condition(conjuncts)
-            if not kept:  # every file provably row-free
-                schema = (
-                    _struct_of(m["columns"])
-                    if "columns" in m
-                    else StructType.fromJson(json.loads(m["schema"]))
-                )
-                return self.spark.createDataFrame([], schema)
+            base = self._read_subset(m, kept)
+            return base.filter(self._where_condition(conjuncts))
+        return self._read_subset(m, files)
+
+    def _raw_read(self, m: dict, files: list[str]) -> DataFrame:
+        """``files`` of manifest ``m`` with NO delete application —
+        id-mapped for identity manifests, recorded-schema for flat
+        ones (files predating a widening append read NULL for the
+        added columns; pre-schema manifests fall back to footer
+        inference), typed-empty for an empty list."""
+        if not files:
             if "columns" in m:
-                base = self._read_mapped(m, kept)
-            else:
-                reader = self.spark.read
-                if "schema" in m:
-                    reader = reader.schema(
-                        StructType.fromJson(json.loads(m["schema"]))
-                    )
-                base = reader.parquet(*kept)
-            return base.filter(cond)
+                return self.spark.createDataFrame([], _struct_of(m["columns"]))
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(m["schema"]))
+            )
         if "columns" in m:
             return self._read_mapped(m, files)
         reader = self.spark.read
         if "schema" in m:
-            # the version's RECORDED schema: files predating a widening
-            # append read NULL for the added columns, and no per-read
-            # footer merge is needed (pre-schema manifests fall back to
-            # footer inference)
             reader = reader.schema(
                 StructType.fromJson(json.loads(m["schema"]))
             )
         return reader.parquet(*files)
+
+    def _read_subset(self, m: dict, files: list[str]) -> DataFrame:
+        """``files`` of manifest ``m`` with the version's row-level
+        deletes applied. Each delete entry is SCOPED to the files it
+        named at delete time, so files are grouped by the exact set of
+        entries covering them (almost always 1-2 groups), each group
+        reads once with its own merge-on-read legs, and the groups
+        union — a later append (outside every scope) pays nothing."""
+        deletes = m.get("deletes", [])
+        if not deletes:
+            return self._raw_read(m, files)
+        scopes = [set(e["files"]) for e in deletes]
+        groups: dict[tuple[int, ...], list[str]] = {}
+        for p in files:
+            sig = tuple(i for i, s in enumerate(scopes) if p in s)
+            groups.setdefault(sig, []).append(p)
+        out: DataFrame | None = None
+        for sig in sorted(groups):
+            part = self._raw_read(m, groups[sig])
+            for i in sig:
+                part = self._apply_delete(part, m, deletes[i])
+            out = part if out is None else out.unionByName(part)
+        return out if out is not None else self._raw_read(m, [])
 
     def read_files(
         self, files: list[str], version: int | None = None
@@ -845,6 +1165,8 @@ class SnapshotTable:
         live: set[str] = set()
         for m in keep:
             live.update(m["files"])
+            for e in m.get("deletes", []):
+                live.update(e.get("delete_files", []))
         deleted: list[str] = []
         data_dir = os.path.join(self.path, "data")
         if os.path.isdir(data_dir):

@@ -434,3 +434,132 @@ def test_stats_cols_unknown_column_raises(spark, tmp_path):
             spark.range(3).selectExpr("id AS k"),
             stats_cols=["nope"],
         )
+
+
+# ------------------------------------------------------- row-level deletes
+
+
+def test_delete_where_merge_on_read_and_time_travel(spark, tmp_path):
+    t = _range_table(spark, tmp_path)
+    v_before = t.current_version()
+    t.delete_where(("k", "between", (12, 17)))
+    got = sorted(r.k for r in t.read().collect())
+    assert got == [k for k in range(30) if not 12 <= k <= 17]
+    # time travel: the parent version still shows every row
+    assert sorted(r.k for r in t.read(v_before).collect()) == list(range(30))
+    # composes with pruned reads
+    assert sorted(
+        r.k for r in t.read(where=("k", "between", (10, 20))).collect()
+    ) == [10, 11, 18, 19, 20]
+
+
+def test_delete_where_full_cover_is_pure_metadata(spark, tmp_path):
+    """A predicate exactly covering one file's [min, max] drops the
+    file from the manifest and — because every other file's stats
+    prune the predicate — records NO residual entry at all."""
+    t = _range_table(spark, tmp_path)
+    t.delete_where(("k", "between", (10, 19)))
+    m = t._manifest(t.current_version())
+    assert m["n_files"] == 2
+    assert "deletes" not in m
+    assert sorted(r.k for r in t.read().collect()) == [
+        *range(10), *range(20, 30)
+    ]
+
+
+def test_delete_keys_scoped_so_reingest_survives(spark, tmp_path):
+    """The takedown-then-reingest contract: a key delete names the
+    files present at delete time, so a later append of the same key
+    is NOT retro-deleted."""
+    t = _range_table(spark, tmp_path)
+    keys = spark.range(3).selectExpr("id + 5 AS k")  # delete 5,6,7
+    t.delete_keys(keys, ["k"])
+    assert sorted(r.k for r in t.read().collect()) == [
+        k for k in range(30) if k not in (5, 6, 7)
+    ]
+    # re-ingest one taken-down key: it must survive
+    t.commit(
+        spark.range(6, 7).selectExpr("id AS k", "'reborn' AS v").coalesce(1),
+        append=True,
+    )
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[6] == "reborn" and 5 not in rows and 7 not in rows
+
+
+def test_delete_rename_proof_and_guards(spark, tmp_path):
+    t = _range_table(spark, tmp_path)
+    t.delete_where(("k", "=", 3))
+    t.rename_column("k", "key")  # deletes are recorded by column id
+    assert 3 not in {r.key for r in t.read().collect()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="apply_deletes"):
+        t.drop_column("key")
+    with _pytest.raises(ValueError, match="apply_deletes"):
+        t.commit_files(t._manifest(t.current_version())["files"])
+    with _pytest.raises(ValueError, match="no column"):
+        t.delete_where(("nope", "=", 1))
+
+
+def test_apply_deletes_materializes_and_reuses_untouched(spark, tmp_path):
+    t = _range_table(spark, tmp_path)
+    t.delete_where(("k", "between", (12, 17)))
+    t.delete_keys(spark.range(25, 27).selectExpr("id AS k"), ["k"])
+    before = sorted(map(tuple, t.read().collect()))
+    files_before = set(t._manifest(t.current_version())["files"])
+    t.apply_deletes()
+    m = t._manifest(t.current_version())
+    assert "deletes" not in m
+    assert sorted(map(tuple, t.read().collect())) == before
+    # the untouched first file ([0,10) — outside both entries' scopes
+    # after stats scoping) is reused byte-identically
+    assert any(f in files_before for f in m["files"])
+    # stats were refreshed for rewritten files: pruning still exact
+    rep = t.prune_report(("k", "=", 25))
+    assert rep["n_pruned"] >= 1
+    assert [r.k for r in t.read(where=("k", "=", 25)).collect()] == []
+    # drop_column and compaction unblocked
+    t.drop_column("v")
+    assert t.read().columns == ["k"]
+
+
+def test_delete_null_semantics(spark, tmp_path):
+    """NULL never matches: rows with NULL in the predicate / key
+    column are kept by both delete flavors (SQL DELETE semantics)."""
+    from scrappy_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "n"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, "a"), (None, "b"), (3, "c")], "k long, v string"
+        ).coalesce(1)
+    )
+    t.delete_where(("k", ">=", 1))
+    assert [r.v for r in t.read().collect()] == ["b"]
+    t2 = SnapshotTable(spark, str(tmp_path / "n2"))
+    t2.commit(
+        spark.createDataFrame(
+            [(1, "a"), (None, "b"), (3, "c")], "k long, v string"
+        ).coalesce(1)
+    )
+    t2.delete_keys(spark.range(1, 4).selectExpr("id AS k"), ["k"])
+    assert [r.v for r in t2.read().collect()] == ["b"]
+
+
+def test_expire_keeps_live_delete_files(spark, tmp_path):
+    t = _range_table(spark, tmp_path)
+    t.delete_keys(spark.range(5, 8).selectExpr("id AS k"), ["k"])
+    t.expire(keep_last=1)
+    assert sorted(r.k for r in t.read().collect()) == [
+        k for k in range(30) if k not in (5, 6, 7)
+    ]
+
+
+def test_row_diff_sees_row_level_deletes_as_cdc(spark, tmp_path):
+    t = _range_table(spark, tmp_path)
+    v = t.current_version()
+    t.delete_where(("k", "=", 21))
+    diff = {
+        (r.k, r.change) for r in t.row_diff(v, t.current_version(), ["k"]).collect()
+    }
+    assert diff == {(21, "removed")}

@@ -96,6 +96,7 @@ PROBES = [
     "q_privacy_release_gate",
     "q_snapshot_pruned_read",
     "q_opq_ann_topk",
+    "q_snapshot_row_delete",
 ]
 
 
