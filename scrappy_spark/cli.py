@@ -173,6 +173,37 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--sf-dir", help="fixture-table dir to register for --sql")
     p.add_argument(
+        "--table",
+        metavar="PATH",
+        help="snapshot-table path for the --table-* admin commands",
+    )
+    p.add_argument(
+        "--table-history",
+        action="store_true",
+        help="list a snapshot table's versions (message, files, pending "
+        "row-level deletes)",
+    )
+    p.add_argument(
+        "--table-delete-where",
+        nargs=3,
+        metavar=("COL", "OP", "VALUE"),
+        help="row-level takedown by predicate (merge-on-read; ops "
+        "= < <= > >=; numeric VALUE auto-cast)",
+    )
+    p.add_argument(
+        "--table-delete-keys",
+        metavar="PARQUET",
+        help="row-level takedown by key list read from PARQUET "
+        "(requires --key-col)",
+    )
+    p.add_argument("--key-col", help="key column for --table-delete-keys")
+    p.add_argument(
+        "--table-apply-deletes",
+        action="store_true",
+        help="materialize pending row-level deletes (rewrites only the "
+        "scoped files)",
+    )
+    p.add_argument(
         "--run-pipeline",
         help="JSON pipeline spec (file path or inline JSON; see "
         "pipeline_config.py) applied to --pipeline-input parquet",
@@ -186,6 +217,60 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("scrappy_spark_cli")
     store = ArticleStore(spark, args.store)
+
+    if (
+        args.table_history
+        or args.table_delete_where
+        or args.table_delete_keys
+        or args.table_apply_deletes
+    ):
+        from .sources.snapshots import SnapshotTable
+
+        if not args.table:
+            print("--table PATH is required for table admin", file=sys.stderr)
+            return 2
+        table = SnapshotTable(spark, args.table)
+        if args.table_delete_where:
+            col, op, raw = args.table_delete_where
+            val: object = raw
+            try:
+                val = int(raw)
+            except ValueError:
+                try:
+                    val = float(raw)
+                except ValueError:
+                    pass
+            m = table.delete_where((col, op, val))
+            print(
+                f"v{m['version']}: delete where {col} {op} {val!r} — "
+                f"{m['n_files']} files remain, "
+                f"{len(m.get('deletes', []))} pending entr(ies)"
+            )
+        if args.table_delete_keys:
+            if not args.key_col:
+                print("--table-delete-keys requires --key-col", file=sys.stderr)
+                return 2
+            keys = spark.read.parquet(args.table_delete_keys)
+            m = table.delete_keys(keys, [args.key_col])
+            print(
+                f"v{m['version']}: key takedown on {args.key_col} — "
+                f"{len(m.get('deletes', []))} pending entr(ies)"
+            )
+        if args.table_apply_deletes:
+            m = table.apply_deletes()
+            print(
+                f"v{m['version']}: deletes materialized — "
+                f"{m['n_files']} files, 0 pending"
+            )
+        if args.table_history:
+            for m in table.versions():
+                pend = len(m.get("deletes", []))
+                print(
+                    f"v{m['version']}: {m['n_files']} files"
+                    + (f", {pend} pending delete(s)" if pend else "")
+                    + (f" — {m['message']}" if m.get("message") else "")
+                )
+        return 0
 
     if args.run_pipeline:
         from .pipeline_config import run_pipeline

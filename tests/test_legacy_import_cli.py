@@ -317,3 +317,41 @@ def test_cli_run_pipeline_bad_spec_raises_named_error(tmp_path):
             "--run-pipeline", '[{"op": "frobnicate"}]',
             "--pipeline-input", "/root/testdata/sf0.001/documents.parquet",
         ])
+
+
+def test_cli_table_admin_roundtrip(spark, tmp_path, capsys):
+    """--table-delete-where / --table-delete-keys / --table-apply-deletes
+    / --table-history drive the snapshot takedown lifecycle end-to-end."""
+    from scrappy_spark.sources.snapshots import SnapshotTable
+
+    tpath = str(tmp_path / "t")
+    t = SnapshotTable(spark, tpath)
+    t.commit(
+        spark.range(0, 10).selectExpr("id AS k", "concat('v', id) AS v").coalesce(1),
+        stats_cols=["k"],
+    )
+    keys = str(tmp_path / "keys")
+    spark.range(7, 9).selectExpr("id AS k").write.parquet(keys)
+
+    assert cli.main(
+        ["--store", str(tmp_path / "s"), "--table", tpath,
+         "--table-delete-where", "k", "<", "3"]
+    ) == 0
+    assert cli.main(
+        ["--store", str(tmp_path / "s"), "--table", tpath,
+         "--table-delete-keys", keys, "--key-col", "k"]
+    ) == 0
+    assert cli.main(
+        ["--store", str(tmp_path / "s"), "--table", tpath,
+         "--table-apply-deletes", "--table-history"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "deletes materialized" in out and "pending delete(s)" in out
+    assert sorted(r.k for r in t.read().collect()) == [3, 4, 5, 6, 9]
+    assert "deletes" not in t._manifest(t.current_version())
+
+
+def test_cli_table_admin_requires_table_path(tmp_path, capsys):
+    rc = cli.main(["--store", str(tmp_path / "s"), "--table-history"])
+    assert rc == 2
+    assert "--table PATH" in capsys.readouterr().err
