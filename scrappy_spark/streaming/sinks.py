@@ -450,3 +450,63 @@ def stream_quality_into_snapshots(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_append_into_snapshot(
+    stream: DataFrame,
+    table,
+    checkpoint_dir: str,
+    stats_cols: list[str] | None = None,
+    trigger_available_now: bool = True,
+):
+    """Stream DATA straight into a versioned ``SnapshotTable``: every
+    micro-batch append-commits (prior files referenced, never
+    rewritten — the O(1)-commit ingest shape), so a stream-built table
+    is immediately time-travelable, CDC-diffable, ROW-DELETABLE
+    (takedown composes: entries scope the files already landed, later
+    batches are outside them), and — with ``stats_cols`` — pruned-
+    readable: each batch's files get [min, max] manifest stats from
+    their footers as they land, and ``read(where=...)`` skips landed
+    batches the predicate cannot touch.
+
+    Idempotent under foreachBatch's at-least-once replay by the
+    ``stream_quality_into_snapshots`` contract: the commit message
+    carries batch_id plus an order-insensitive content fingerprint
+    (one extra agg scan per batch — micro-batch-sized), so a true
+    replay skips while a fresh-checkpoint restart over new data still
+    commits. Returns the started StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        canon = F.to_json(F.struct(*sorted(batch_df.columns)))
+        fp_row = batch_df.agg(
+            F.coalesce(
+                F.sum(
+                    F.conv(F.substring(F.md5(canon), 1, 14), 16, 10).cast(
+                        "long"
+                    )
+                ),
+                F.lit(0),
+            ).alias("fp")
+        ).first()
+        msg = f"stream batch {batch_id} fp={fp_row['fp']}"
+        if any(v.get("message") == msg for v in table.versions()):
+            return  # true replay: same batch, same content
+        table.commit(
+            batch_df,
+            message=msg,
+            append=table.current_version() is not None,
+            stats_cols=stats_cols,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -645,3 +645,52 @@ def test_embedding_bucket_index_stream_equals_batch_twin(spark):
         assert got == expect
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_append_into_snapshot_prunes_and_takedown_composes(
+    spark, tmp_path
+):
+    """Micro-batches land as snapshot versions with manifest stats
+    (pruned reads work on a STREAM-BUILT table), a replayed batch
+    dedups, and a row-level takedown scopes only the landed files."""
+    from scrappy_spark.sources.snapshots import SnapshotTable
+    from scrappy_spark.streaming.sinks import stream_append_into_snapshot
+
+    src = str(tmp_path / "in")
+    for lo, hi in [(0, 10), (10, 20), (20, 30)]:
+        spark.range(lo, hi).selectExpr(
+            "id AS k", "concat('v', id) AS v"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    table = SnapshotTable(spark, str(tmp_path / "t"))
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_append_into_snapshot(
+        stream, table, str(tmp_path / "ckpt"), stats_cols=["k"]
+    )
+    q.awaitTermination(180)
+
+    assert table.current_version() == 2  # one version per micro-batch
+    assert sorted(r.k for r in table.read().collect()) == list(range(30))
+    # stats landed per batch: the pruned read skips two of three files
+    rep = table.prune_report(("k", "between", (12, 17)))
+    assert rep["n_read"] == 1 and rep["n_files"] == 3
+    # restart over the SAME checkpoint: nothing re-commits
+    q2 = stream_append_into_snapshot(
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        table,
+        str(tmp_path / "ckpt"),
+        stats_cols=["k"],
+    )
+    q2.awaitTermination(180)
+    assert table.current_version() == 2
+    # takedown composes on the stream-built table
+    table.delete_where(("k", "between", (10, 19)))
+    assert sorted(r.k for r in table.read().collect()) == [
+        *range(10), *range(20, 30)
+    ]
