@@ -253,3 +253,48 @@ def test_release_gate_picks_best_generalization(spark):
     assert ("release", "generalize:source") in got
     assert got[("generalize", "source")]["passed"] == 1
     assert got[("generalize", "lang")]["passed"] == 0
+
+
+def test_gram_ledger_seeded_op_sequence_matches_rebuild(spark, tmp_path):
+    """Model-based pin for the refcount algebra: a seeded interleaving
+    of append/delete over documents with heavily SHARED content must
+    leave the live gram set equal to a fresh index over exactly the
+    docs the model says are present — after every vacuum too."""
+    import random
+
+    from scrappy_spark.operators.curation import exact_substring_index
+    from scrappy_spark.operators.stored_indexes import GramIndex
+
+    markers = [
+        ("AAAA SHARED SEGMENT NUMBER ONE " * 2),
+        ("BBBB SHARED SEGMENT NUMBER TWO " * 2),
+        ("CCCC SHARED SEGMENT NUMBER SIX " * 2),
+    ]
+    rng = random.Random(11)
+    pool = {
+        i: markers[i % 3] + markers[(i + 1) % 3][: 40 + 3 * i]
+        for i in range(12)
+    }
+
+    def frame(ids):
+        return _docs(spark, [(i, pool[i]) for i in ids])
+
+    present = set(range(6))
+    idx = GramIndex.build(
+        spark, str(tmp_path / "g"), frame(sorted(present)), min_len=_L
+    )
+    free = set(pool) - present
+    for step in range(6):
+        if step % 2 == 0 and free:
+            add = {free.pop()}
+            idx.append(frame(sorted(add)))
+            present |= add
+        elif present:
+            victim = {sorted(present)[rng.randrange(len(present))]}
+            idx.delete(frame(sorted(victim)))
+            present -= victim
+        if step == 3:
+            idx.vacuum()
+        assert _gram_set(idx.grams()) == _gram_set(
+            exact_substring_index(frame(sorted(present)), min_len=_L)
+        ), f"diverged at step {step} (present={sorted(present)})"

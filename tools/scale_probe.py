@@ -97,6 +97,8 @@ PROBES = [
     "q_snapshot_pruned_read",
     "q_opq_ann_topk",
     "q_snapshot_row_delete",
+    "q_ivf_pq_search_stored",
+    "q_lang_id_scored",
 ]
 
 
