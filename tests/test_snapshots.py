@@ -563,3 +563,57 @@ def test_row_diff_sees_row_level_deletes_as_cdc(spark, tmp_path):
         (r.k, r.change) for r in t.row_diff(v, t.current_version(), ["k"]).collect()
     }
     assert diff == {(21, "removed")}
+
+
+def test_string_stats_prune_and_multi_column_conjuncts(spark, tmp_path):
+    """Footer stats work for string columns too (lexicographic
+    intervals), and a multi-column conjunct prunes on every designated
+    column independently."""
+    t = SnapshotTable(spark, str(tmp_path / "s"))
+    batches = [("a", "f"), ("g", "m"), ("n", "z")]
+    for i, (lo, hi) in enumerate(batches):
+        df = spark.createDataFrame(
+            [(lo, i * 10), (hi, i * 10 + 5)], "name string, n long"
+        ).coalesce(1)
+        t.commit(
+            df, append=i > 0, stats_cols=["name", "n"] if i == 0 else None
+        )
+    assert t.prune_report(("name", "between", ("h", "k")))["n_read"] == 1
+    assert [r.name for r in t.read(where=("name", ">=", "n")).collect()] == [
+        "n",
+        "z",
+    ]
+    # conjuncts on BOTH designated columns: each prunes independently
+    where = [("name", ">=", "g"), ("n", "<=", 15)]
+    assert t.prune_report(where)["n_read"] == 1
+    assert [tuple(r) for r in t.read(where=where).collect()] == [("g", 10), ("m", 15)]
+    # string-keyed row-level delete settles against string stats
+    t.delete_where(("name", "between", ("g", "m")))
+    m = t._manifest(t.current_version())
+    assert m["n_files"] == 2 and "deletes" not in m
+
+
+def test_zorder_clustered_commit_prunes_two_dimensions(spark, tmp_path):
+    """Layout x stats composition: committing a Z-order-clustered
+    frame gives every file a compact rectangle in (x, y) space, so a
+    2-D conjunct prunes to a corner's file(s) — the partition-pruning
+    economics without a partition column."""
+    from pyspark.sql import functions as F
+
+    from scrappy_spark.operators.layout import z_value
+
+    grid = spark.range(4096).selectExpr("id % 64 AS x", "id DIV 64 AS y")
+    t = SnapshotTable(spark, str(tmp_path / "z"))
+    t.commit(
+        grid.withColumn("__z", z_value(F.col("x"), F.col("y"), 6))
+        .repartitionByRange(16, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z"),
+        stats_cols=["x", "y"],
+    )
+    where = [("x", "between", (0, 7)), ("y", "between", (0, 7))]
+    rep = t.prune_report(where)
+    assert rep["n_files"] == 16
+    assert rep["n_read"] <= 2  # the corner is one compact z-range
+    got = sorted((r.x, r.y) for r in t.read(where=where).collect())
+    assert got == [(x, y) for x in range(8) for y in range(8)]
