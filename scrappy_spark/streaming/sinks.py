@@ -510,3 +510,79 @@ def stream_append_into_snapshot(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_takedown(
+    requests: DataFrame,
+    corpus_table,
+    gram_index=None,
+    minhash_index=None,
+    ann_index=None,
+    checkpoint_dir: str = None,
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+):
+    """The right-to-be-forgotten pipeline: a stream of takedown
+    requests (one ``id_col`` column) propagated across EVERY stored
+    artifact that knows the document — the capstone composing the
+    per-artifact delete designs (ARCHITECTURE.md, round-11 design
+    notes):
+
+    - the corpus ``SnapshotTable`` gets a key-list row delete
+      (merge-on-read, O(request), scoped to landed files);
+    - the ``GramIndex`` gets its refcount negation — the doc text is
+      resolved FROM the corpus snapshot as it still stands in this
+      batch (the index stores no text), so the corpus delete is
+      sequenced after the gram retraction;
+    - the ``MinHashIndex`` and ``IvfPqIndex`` get tombstone appends.
+
+    Idempotent under replay PER LEG, not by one global guard: each
+    artifact filters the request down to ids it still holds before
+    mutating (gram → its live members; corpus → rows still present;
+    tombstone legs are naturally idempotent — duplicate tombstones
+    against absent rows are inert and distinct-ed at read), so a
+    crash between legs re-runs the batch and the already-deleted legs
+    no-op — partial progress is safe, not ambiguous. Leg ORDER is the
+    one correctness constraint: the gram retraction reads the doc
+    TEXT from the corpus snapshot (the index stores no text), so it
+    runs before the corpus row delete. Requests are takedown-sized —
+    id lists are collected driver-side (bounded, the same
+    request-scale argument as every delete leg). Returns the started
+    StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    def takedown_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ids = batch_df.select(id_col).distinct()
+        if gram_index is not None:
+            gram_live = ids.join(
+                gram_index.members().withColumnRenamed("doc_id", id_col),
+                id_col,
+                "left_semi",
+            )
+            if gram_live.limit(1).count():
+                docs = corpus_table.read().join(
+                    F.broadcast(gram_live), id_col, "left_semi"
+                )
+                gram_index.delete(docs)
+        id_list = [r[0] for r in ids.collect()]  # request-sized
+        if minhash_index is not None:
+            minhash_index.delete(id_list)
+        if ann_index is not None:
+            ann_index.delete(id_list)
+        corpus_live = ids.join(
+            corpus_table.read().select(id_col), id_col, "left_semi"
+        )
+        if corpus_live.limit(1).count():
+            corpus_table.delete_keys(corpus_live, [id_col])
+
+    writer = (
+        requests.writeStream.foreachBatch(takedown_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

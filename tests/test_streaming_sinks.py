@@ -694,3 +694,69 @@ def test_stream_append_into_snapshot_prunes_and_takedown_composes(
     assert sorted(r.k for r in table.read().collect()) == [
         *range(10), *range(20, 30)
     ]
+
+
+def test_stream_takedown_propagates_across_all_artifacts(spark, tmp_path):
+    """Right-to-be-forgotten capstone: a stream of takedown requests
+    clears the corpus snapshot (row delete), the gram ledger
+    (refcount negation), and the MinHash signatures (tombstones) —
+    and a full redelivery with a fresh checkpoint leaves every
+    artifact unchanged (per-leg guards)."""
+    from pyspark.sql import functions as F
+
+    from scrappy_spark.operators.curation import exact_substring_index
+    from scrappy_spark.operators.dedup_approx import minhash_signatures
+    from scrappy_spark.operators.stored_indexes import GramIndex, MinHashIndex
+    from scrappy_spark.sources.snapshots import SnapshotTable
+    from scrappy_spark.streaming.sinks import stream_takedown
+
+    marker = "STREAM TAKEDOWN SHARED MARKER SEGMENT "
+    docs = spark.createDataFrame(
+        [(i, marker + f"tail {i} " * 4) for i in range(20)],
+        "doc_id long, text string",
+    )
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"))
+    corpus.commit(docs.coalesce(1), stats_cols=["doc_id"])
+    gram = GramIndex.build(spark, str(tmp_path / "gram"), docs, min_len=30)
+    mh = MinHashIndex.build(spark, str(tmp_path / "mh"), docs)
+
+    src = str(tmp_path / "req")
+    spark.createDataFrame([(3,), (4,)], "doc_id long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame([(4,), (11,)], "doc_id long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run(ckpt):
+        q = stream_takedown(
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            corpus,
+            gram_index=gram,
+            minhash_index=mh,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(180)
+
+    run("ckpt1")
+
+    remainder = docs.filter(~F.col("doc_id").isin(3, 4, 11))
+    assert sorted(r.doc_id for r in corpus.read().collect()) == [
+        i for i in range(20) if i not in (3, 4, 11)
+    ]
+    want_grams = {
+        r[0] for r in exact_substring_index(remainder, min_len=30).collect()
+    }
+    assert {r[0] for r in gram.grams().collect()} == want_grams
+    want_sigs = sorted(map(tuple, minhash_signatures(remainder).collect()))
+    assert sorted(map(tuple, mh.signatures().collect())) == want_sigs
+
+    # full redelivery with a FRESH checkpoint: every leg no-ops
+    run("ckpt2")
+    assert sorted(r.doc_id for r in corpus.read().collect()) == [
+        i for i in range(20) if i not in (3, 4, 11)
+    ]
+    assert {r[0] for r in gram.grams().collect()} == want_grams
+    assert sorted(map(tuple, mh.signatures().collect())) == want_sigs
