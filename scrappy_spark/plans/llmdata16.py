@@ -602,3 +602,99 @@ def q_snapshot_row_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long").alias("pred_is_pure_metadata"),
         F.lit(len(scopes)).cast("long").alias("keys_scope_single_file"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest into a versioned snapshot table — under the hash gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_snapshot_ingest",
+    sql="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(3 AS BIGINT) AS n_versions,
+           CAST(3 AS BIGINT) AS n_files,
+           CAST(1 AS BIGINT) AS n_files_read
+    FROM documents WHERE doc_id < 450
+    """,
+    doc="Streaming ingest into a versioned snapshot table, promoted "
+    "from pytest to the hash gate — the first declared query that "
+    "runs a REAL StreamingQuery (availableNow trigger) inside the "
+    "oracle harness: three deterministic source files (doc_id ranges "
+    "0-149 / 150-299 / 300-449, staged ATOMICALLY via a dir rename "
+    "so a crash cannot leave a partial source) stream through "
+    "streaming/sinks.py::stream_append_into_snapshot with "
+    "maxFilesPerTrigger=1 — one append-commit per micro-batch, "
+    "manifest [min,max] doc_id stats collected from each batch's "
+    "footers AS IT LANDS. The oracle pins the full corpus content "
+    "plus three lifecycle facts as literals: n_versions=3 (exactly "
+    "one commit per micro-batch — a replayed or double-committed "
+    "batch fails the hash), n_files=3, and n_files_read=1 for a "
+    "range predicate inside one batch (pruned reads work on a "
+    "STREAM-BUILT table). Restart/resume rides the checkpoint plus "
+    "the batch_id+content-fingerprint commit dedup; the in-session "
+    "rerun path skips the stream once the table is complete. "
+    "Replay/takedown composition stays pinned in "
+    "test_streaming_sinks.py.",
+    tags=("streaming", "storage", "snapshot"),
+)
+def q_stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..sources.snapshots import SnapshotTable
+    from ..streaming.sinks import stream_append_into_snapshot
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    root = _tmp_root(spark, sf_dir, "stream_ingest")
+    src = os.path.join(root, "src")
+    if not os.path.isdir(src):
+        stage = os.path.join(root, ".src.stage")
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)
+        os.makedirs(stage)
+        for i, (lo, hi) in enumerate([(0, 150), (150, 300), (300, 450)]):
+            part_dir = os.path.join(root, f".part{i}")
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+            part = next(
+                f for f in sorted(os.listdir(part_dir))
+                if f.endswith(".parquet")
+            )
+            shutil.copy(
+                os.path.join(part_dir, part),
+                os.path.join(stage, f"batch-{i}.parquet"),
+            )
+            shutil.rmtree(part_dir)
+        os.rename(stage, src)  # the atomic publication point
+
+    table = SnapshotTable(spark, os.path.join(root, "t"))
+    if (table.current_version() or -1) < 2:
+        q = stream_append_into_snapshot(
+            spark.readStream.schema("doc_id long, lang string, n_chars long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            table,
+            os.path.join(root, "ckpt"),
+            stats_cols=["doc_id"],
+        )
+        q.awaitTermination(120)
+
+    n_versions = len(table.versions())
+    rep = table.prune_report(("doc_id", "between", (200, 249)))
+    if n_versions != 3 or rep != {"n_files": 3, "n_read": 1, "n_pruned": 2}:
+        raise ValueError(
+            f"stream ingest lifecycle regressed: {n_versions} versions, {rep}"
+        )
+    return table.read().select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.lit(n_versions).cast("long").alias("n_versions"),
+        F.lit(rep["n_files"]).cast("long").alias("n_files"),
+        F.lit(rep["n_read"]).cast("long").alias("n_files_read"),
+    )

@@ -99,6 +99,7 @@ PROBES = [
     "q_snapshot_row_delete",
     "q_ivf_pq_search_stored",
     "q_lang_id_scored",
+    "q_stream_snapshot_ingest",
 ]
 
 
