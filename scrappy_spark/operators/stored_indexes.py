@@ -440,3 +440,27 @@ class MinHashIndex:
             "vacuumed",
         )
         return m
+
+
+def _gc(tables: dict, keep_last: int) -> dict:
+    """Shared version GC for index artifacts: ``vacuum`` reclaims
+    ROWS inside the head version; this reclaims old VERSIONS — every
+    mutation committed a snapshot, and a long-lived index otherwise
+    retains one manifest (and its unshared files) per append/delete
+    forever. ``keep_last`` preserves the time-travel window."""
+    return {
+        name: t.expire(keep_last=keep_last) for name, t in tables.items()
+    }
+
+
+def gram_index_gc(idx: GramIndex, keep_last: int = 2) -> dict:
+    """Expire old ledger versions of a :class:`GramIndex` (run after
+    ``vacuum``: vacuum compacts the live state into the head version,
+    expire then drops the superseded history)."""
+    return _gc({"ledger": idx.ledger}, keep_last)
+
+
+def minhash_index_gc(idx: MinHashIndex, keep_last: int = 2) -> dict:
+    """Expire old signature/tombstone versions of a
+    :class:`MinHashIndex` (run after ``vacuum``)."""
+    return _gc({"sigs": idx.sigs, "tombs": idx.tombstones}, keep_last)

@@ -298,3 +298,31 @@ def test_gram_ledger_seeded_op_sequence_matches_rebuild(spark, tmp_path):
         assert _gram_set(idx.grams()) == _gram_set(
             exact_substring_index(frame(sorted(present)), min_len=_L)
         ), f"diverged at step {step} (present={sorted(present)})"
+
+
+def test_index_gc_reclaims_versions_not_state(spark, tmp_path):
+    """vacuum + gc: rows reclaimed by vacuum, superseded VERSIONS
+    reclaimed by expire — live state identical afterwards."""
+    from scrappy_spark.operators.stored_indexes import (
+        GramIndex,
+        MinHashIndex,
+        gram_index_gc,
+        minhash_index_gc,
+    )
+
+    docs = _load_docs(spark)
+    g = GramIndex.build(spark, str(tmp_path / "g"), docs, min_len=_L)
+    g.delete(docs.filter(F.col("doc_id") < 5))
+    g.vacuum()
+    before = _gram_set(g.grams())
+    rep = gram_index_gc(g)
+    assert rep["ledger"]["dropped_versions"]  # history reclaimed
+    assert _gram_set(g.grams()) == before
+
+    m = MinHashIndex.build(spark, str(tmp_path / "m"), docs)
+    m.delete([0, 1])
+    m.vacuum()
+    sigs_before = _sig_rows(m.signatures())
+    rep = minhash_index_gc(m, keep_last=1)
+    assert rep["sigs"]["dropped_versions"]
+    assert _sig_rows(m.signatures()) == sigs_before
