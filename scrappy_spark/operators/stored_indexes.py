@@ -52,8 +52,6 @@ from ..sources.snapshots import SnapshotTable
 from . import curation as CUR
 from . import dedup_approx as DA
 
-_LEDGER_SCHEMA = "kind string, gram string, doc_id long, delta long"
-
 
 class GramIndex:
     """Stored ExactSubstr gram index with refcounted takedown.
