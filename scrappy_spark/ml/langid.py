@@ -457,10 +457,15 @@ class LangIdModel:
             smoothing=smoothing,
             micro=micro,
         )
-        model._weights.commit(weights.coalesce(1), "NB micro log-probs")
-        model._intercepts.commit(
-            intercepts.coalesce(1), "NB micro log-priors"
-        )
+        # a retried train reuses tables the crashed attempt already
+        # committed (the closed-form fit is deterministic), so the
+        # retry cannot bump the model_version every prediction stamps
+        if model._weights.current_version() is None:
+            model._weights.commit(weights.coalesce(1), "NB micro log-probs")
+        if model._intercepts.current_version() is None:
+            model._intercepts.commit(
+                intercepts.coalesce(1), "NB micro log-priors"
+            )
         data = sentences if sentences is not None else LANGID_SENTENCES
         meta = {
             "buckets": buckets,

@@ -124,21 +124,29 @@ class IvfPqIndex:
             label_col=label_col,
             seed=seed,
         )
-        idx.cells.commit(
-            centroids.select(
-                F.col(label_col).alias("cell"), F.col("centroid")
-            ),
-            "coarse cells",
-        )
-        idx.codebook.commit(book, "shared residual codebook")
-        idx._codes.commit(
-            codes.select(id_col, "codes", F.col("__cell").alias("cell")),
-            "corpus codes",
-        )
-        idx.tombstones.commit(
-            spark.createDataFrame([], f"{id_col} long").coalesce(1),
-            "empty tombstones",
-        )
+        # a retried build reuses tables the crashed attempt already
+        # committed (all four are pure functions of corpus+geometry),
+        # so the retry cannot bump version numbers — meta still lands
+        # last, so exists() still implies a complete index
+        if idx.cells.current_version() is None:
+            idx.cells.commit(
+                centroids.select(
+                    F.col(label_col).alias("cell"), F.col("centroid")
+                ),
+                "coarse cells",
+            )
+        if idx.codebook.current_version() is None:
+            idx.codebook.commit(book, "shared residual codebook")
+        if idx._codes.current_version() is None:
+            idx._codes.commit(
+                codes.select(id_col, "codes", F.col("__cell").alias("cell")),
+                "corpus codes",
+            )
+        if idx.tombstones.current_version() is None:
+            idx.tombstones.commit(
+                spark.createDataFrame([], f"{id_col} long").coalesce(1),
+                "empty tombstones",
+            )
         meta = {
             "m": m,
             "ksub": ksub,

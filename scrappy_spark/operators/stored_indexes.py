@@ -104,7 +104,11 @@ class GramIndex:
     ) -> "GramIndex":
         """Index a corpus: one commit of its +gram/+member deltas. The
         meta manifest lands LAST, so ``exists()`` implies a complete
-        index — a crash mid-build leaves no readable index."""
+        index — a crash mid-build leaves no readable index, and a
+        RETRIED build reuses a ledger the crashed attempt already
+        committed (the deltas are a pure function of the corpus)
+        instead of recommitting it — the retry cannot bump version
+        numbers a caller's resume logic may key on."""
         idx = cls(spark, path)
         meta = {
             "min_len": int(min_len),
@@ -113,7 +117,8 @@ class GramIndex:
             "long_doc": long_doc,
         }
         idx._meta = meta
-        idx.ledger.commit(idx._delta_rows(docs, +1), "index base corpus")
+        if idx.ledger.current_version() is None:
+            idx.ledger.commit(idx._delta_rows(docs, +1), "index base corpus")
         tmp = os.path.join(path, ".meta.json.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
@@ -125,9 +130,28 @@ class GramIndex:
         distinct-doc counts plus per-doc membership markers. Uses the
         same gram stage as the dedup itself, so the chunked and plain
         modes produce identical per-doc gram SETS (the seam property)
-        and interoperate in one ledger."""
+        and interoperate in one ledger.
+
+        Duplicate ids WITHIN the batch are refused loudly: the gram
+        stage counts a doc's grams once (distinct per doc) while a
+        naive member row per INPUT row would count it twice — the
+        resulting member/gram refcount skew would let a later
+        double-delete retract other documents' shared grams, the exact
+        corruption the refcount design exists to prevent."""
         m = self.meta
         id_col, text_col = m["id_col"], m["text_col"]
+        dup = (
+            docs.groupBy(id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"gram index batch contains doc {dup[0][0]} more than "
+                "once — ids must be unique within a batch"
+            )
         if m["long_doc"] == "chunk":
             g, _ = CUR._lgram_stage_chunked(
                 docs, m["min_len"], id_col, text_col
@@ -327,7 +351,10 @@ class MinHashIndex:
         text_col: str = "text",
     ) -> "MinHashIndex":
         """Sign the corpus and persist; meta lands last, so a crash
-        mid-build leaves no readable index."""
+        mid-build leaves no readable index — and a retried build
+        reuses tables the crashed attempt already committed (the
+        signatures are a pure function of the corpus), so the retry
+        cannot bump version numbers a caller's resume logic keys on."""
         idx = cls(spark, path)
         meta = {
             "num_hashes": int(num_hashes),
@@ -337,11 +364,13 @@ class MinHashIndex:
             "text_col": text_col,
         }
         idx._meta = meta
-        idx.sigs.commit(idx._sign(docs), "corpus signatures")
-        idx.tombstones.commit(
-            spark.createDataFrame([], f"{id_col} long").coalesce(1),
-            "empty tombstones",
-        )
+        if idx.sigs.current_version() is None:
+            idx.sigs.commit(idx._sign(docs), "corpus signatures")
+        if idx.tombstones.current_version() is None:
+            idx.tombstones.commit(
+                spark.createDataFrame([], f"{id_col} long").coalesce(1),
+                "empty tombstones",
+            )
         tmp = os.path.join(path, ".meta.json.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)

@@ -358,12 +358,11 @@ class SnapshotTable:
         stats_ids: list[int] = []
         deletes: list[dict] = []
         if append and parent is not None:
+            pm = self._manifest(parent)
             # pending row-level deletes carry: their file scopes name
             # only pre-existing files, so the appended rows are OUTSIDE
             # every entry (a re-ingested key survives its old takedown)
-            deletes = list(self._manifest(parent).get("deletes", []))
-        if append and parent is not None:
-            pm = self._manifest(parent)
+            deletes = list(pm.get("deletes", []))
             pcols, schemas, file_schema, next_id = self._parent_identity(pm)
             cols, write_cols, next_id = _unify_cols(pcols, df.schema, next_id)
             files = pm["files"] + new_files
@@ -391,11 +390,10 @@ class SnapshotTable:
             # history survives a content rewrite
             pcols: list[dict] = []
             next_id = 1
-            if parent is not None:
-                pm = self._manifest(parent)
-                if "columns" in pm:
-                    pcols = pm["columns"]
-                    next_id = int(pm["next_col_id"])
+            pm = self._manifest(parent) if parent is not None else {}
+            if "columns" in pm:
+                pcols = pm["columns"]
+                next_id = int(pm["next_col_id"])
             by_name = {c["name"]: c for c in pcols}
             cols = []
             for f in df.schema.fields:
@@ -421,12 +419,9 @@ class SnapshotTable:
             # designation survives a rewrite for columns that kept
             # their identity; fresh designations come from stats_cols
             live_ids = {c["id"] for c in cols}
-            if parent is not None:
-                stats_ids = [
-                    i
-                    for i in self._manifest(parent).get("stats_ids", [])
-                    if i in live_ids
-                ]
+            stats_ids = [
+                i for i in pm.get("stats_ids", []) if i in live_ids
+            ]
             for name in stats_cols or []:
                 hit = [c["id"] for c in cols if c["name"] == name]
                 if not hit:
@@ -692,6 +687,15 @@ class SnapshotTable:
             if col not in by_name:
                 raise ValueError(
                     f"delete_where: no column {col!r} ({sorted(by_name)})"
+                )
+            # validate BEFORE persisting: an unknown op recorded in the
+            # manifest would poison every later read/apply_deletes
+            # (stats-less files skip the op dispatch in the prune
+            # helpers, so they cannot catch it here)
+            if op not in ("=", "<", "<=", ">", ">=", "between"):
+                raise ValueError(
+                    f"delete_where: unknown op {op!r} "
+                    "(= < <= > >= between)"
                 )
             if op == "between":
                 val = list(val)

@@ -474,9 +474,15 @@ def stream_append_into_snapshot(
     carries batch_id plus an order-insensitive content fingerprint
     (one extra agg scan per batch — micro-batch-sized), so a true
     replay skips while a fresh-checkpoint restart over new data still
-    commits. Returns the started StreamingQuery.
+    commits. The seen-message set is read from the manifests ONCE at
+    sink start and maintained in the closure — a long-lived ingest
+    stream pays O(1) dedup per batch, not a full manifest-log scan
+    (which would make the sink quadratic in committed versions).
+    Returns the started StreamingQuery.
     """
     from pyspark.sql import functions as F
+
+    seen = {v.get("message") for v in table.versions()}
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -493,8 +499,9 @@ def stream_append_into_snapshot(
             ).alias("fp")
         ).first()
         msg = f"stream batch {batch_id} fp={fp_row['fp']}"
-        if any(v.get("message") == msg for v in table.versions()):
+        if msg in seen:
             return  # true replay: same batch, same content
+        seen.add(msg)
         table.commit(
             batch_df,
             message=msg,
@@ -562,10 +569,26 @@ def stream_takedown(
                 id_col,
                 "left_semi",
             )
-            if gram_live.limit(1).count():
+            live_ids = [r[0] for r in gram_live.collect()]  # request-sized
+            if live_ids:
                 docs = corpus_table.read().join(
                     F.broadcast(gram_live), id_col, "left_semi"
                 )
+                # loud-fail, never silently retain: a live gram member
+                # whose corpus row is already gone (out-of-band corpus
+                # delete) cannot have its grams retracted — the text is
+                # the only source of the negation deltas
+                missing = set(live_ids) - {
+                    r[0] for r in docs.select(id_col).collect()
+                }
+                if missing:
+                    raise ValueError(
+                        f"stream_takedown: docs {sorted(missing)[:5]} are "
+                        "live in the gram index but absent from the corpus "
+                        "— their text is unrecoverable, so the gram "
+                        "retraction cannot proceed (restore the corpus "
+                        "rows or rebuild the gram index)"
+                    )
                 gram_index.delete(docs)
         id_list = [r[0] for r in ids.collect()]  # request-sized
         if minhash_index is not None:

@@ -209,9 +209,12 @@ def test_every_library_module_is_documented():
     DECLARED queries, so an operator module with zero declared queries
     (ann_index.py in round 10) was invisible to it. Close the gap
     structurally: every module under the library packages must be
-    named in COVERAGE.md (by its `<pkg>/<mod>.py` path), so a new
-    module cannot ship undocumented."""
+    named in COVERAGE.md (by its `<pkg>/<mod>.py` path, or the bare
+    filename at a word boundary — NOT as a substring of another name:
+    'opq.py' documenting itself must not count as documenting
+    'pq.py'), so a new module cannot ship undocumented."""
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "COVERAGE.md")) as f:
@@ -222,6 +225,7 @@ def test_every_library_module_is_documented():
         for fn in sorted(os.listdir(d)):
             if not fn.endswith(".py") or fn == "__init__.py":
                 continue
-            if f"{pkg}/{fn}" not in cov and fn not in cov:
+            bare = re.search(rf"(?<![\w.]){re.escape(fn)}", cov)
+            if f"{pkg}/{fn}" not in cov and not bare:
                 missing.append(f"{pkg}/{fn}")
     assert not missing, f"library modules not named in COVERAGE.md: {missing}"

@@ -617,3 +617,14 @@ def test_zorder_clustered_commit_prunes_two_dimensions(spark, tmp_path):
     assert rep["n_read"] <= 2  # the corner is one compact z-range
     got = sorted((r.x, r.y) for r in t.read(where=where).collect())
     assert got == [(x, y) for x in range(8) for y in range(8)]
+
+
+def test_delete_where_rejects_unknown_op_before_persisting(spark, tmp_path):
+    """An unvalidated op recorded in the manifest would poison every
+    later read — it must be refused at the door, even when no file
+    has stats to dispatch on."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(3).selectExpr("id AS k"))  # no stats_cols
+    with pytest.raises(ValueError, match="unknown op"):
+        t.delete_where(("k", "!=", 1))
+    t.read().count()  # table unpoisoned

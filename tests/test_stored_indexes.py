@@ -326,3 +326,41 @@ def test_index_gc_reclaims_versions_not_state(spark, tmp_path):
     rep = minhash_index_gc(m, keep_last=1)
     assert rep["sigs"]["dropped_versions"]
     assert _sig_rows(m.signatures()) == sigs_before
+
+
+def test_gram_batch_with_duplicate_ids_is_refused(spark, tmp_path):
+    """A doc appearing twice in one batch would skew member vs gram
+    refcounts (grams count distinct docs, members would count rows) —
+    refused loudly in build, append, and delete."""
+    from scrappy_spark.operators.stored_indexes import GramIndex
+
+    dup = _docs(spark, [(1, _ALPHA), (1, _ALPHA), (2, _BRAVO)])
+    with pytest.raises(ValueError, match="more than once"):
+        GramIndex.build(spark, str(tmp_path / "g"), dup, min_len=_L)
+    idx = GramIndex.build(
+        spark, str(tmp_path / "g2"), _docs(spark, [(2, _BRAVO)]), min_len=_L
+    )
+    with pytest.raises(ValueError, match="more than once"):
+        idx.append(_docs(spark, [(1, _ALPHA), (1, _ALPHA)]))
+
+
+def test_crashed_build_retry_does_not_bump_versions(spark, tmp_path):
+    """A build that crashed after committing tables but before meta
+    lands must retry WITHOUT recommitting — resume logic (the declared
+    lifecycle queries) keys on version numbers."""
+    import os
+
+    from scrappy_spark.operators.stored_indexes import GramIndex, MinHashIndex
+
+    docs = _docs(spark, [(1, _ALPHA), (2, _BRAVO)])
+    g = GramIndex.build(spark, str(tmp_path / "g"), docs, min_len=_L)
+    os.remove(os.path.join(str(tmp_path / "g"), "meta.json"))  # crash sim
+    g2 = GramIndex.build(spark, str(tmp_path / "g"), docs, min_len=_L)
+    assert g2.ledger.current_version() == 0
+    assert _gram_set(g2.grams()) == _gram_set(g.grams())
+
+    m = MinHashIndex.build(spark, str(tmp_path / "m"), docs)
+    os.remove(os.path.join(str(tmp_path / "m"), "meta.json"))
+    m2 = MinHashIndex.build(spark, str(tmp_path / "m"), docs)
+    assert m2.sigs.current_version() == 0
+    assert _sig_rows(m2.signatures()) == _sig_rows(m.signatures())
