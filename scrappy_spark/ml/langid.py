@@ -448,6 +448,10 @@ class LangIdModel:
         import json
         import os
 
+        import hashlib
+
+        from ..sources.snapshots import stage_build_params
+
         model = cls(spark, path)
         weights, intercepts = train_lang_id(
             spark,
@@ -459,14 +463,32 @@ class LangIdModel:
         )
         # a retried train reuses tables the crashed attempt already
         # committed (the closed-form fit is deterministic), so the
-        # retry cannot bump the model_version every prediction stamps
+        # retry cannot bump the model_version every prediction stamps.
+        # Reuse is only sound for the SAME fit: params + a training-set
+        # fingerprint are staged before the first commit and verified
+        # on retry (ADVICE r11 #3 — different buckets/ns/sentences over
+        # a crashed attempt's weight tables would score wrongly with
+        # no error).
+        data = sentences if sentences is not None else LANGID_SENTENCES
+        train_fp = hashlib.md5(
+            json.dumps(sorted(data)).encode()
+        ).hexdigest()
+        stage_build_params(
+            path,
+            {
+                "buckets": int(buckets),
+                "ns": list(ns),
+                "smoothing": float(smoothing),
+                "micro": int(micro),
+                "train_fp": train_fp,
+            },
+        )
         if model._weights.current_version() is None:
             model._weights.commit(weights.coalesce(1), "NB micro log-probs")
         if model._intercepts.current_version() is None:
             model._intercepts.commit(
                 intercepts.coalesce(1), "NB micro log-priors"
             )
-        data = sentences if sentences is not None else LANGID_SENTENCES
         meta = {
             "buckets": buckets,
             "ns": list(ns),

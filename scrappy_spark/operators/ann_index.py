@@ -127,7 +127,26 @@ class IvfPqIndex:
         # a retried build reuses tables the crashed attempt already
         # committed (all four are pure functions of corpus+geometry),
         # so the retry cannot bump version numbers — meta still lands
-        # last, so exists() still implies a complete index
+        # last, so exists() still implies a complete index. Reuse is
+        # only sound for the SAME build: params + corpus fingerprint
+        # are staged before the first commit and verified on retry
+        # (ADVICE r11 #3 — a retry with different m/opq/corpus over a
+        # crashed attempt's tables would serve wrong results silently)
+        from ..sources.snapshots import corpus_fingerprint, stage_build_params
+
+        stage_build_params(
+            path,
+            {
+                "m": int(m),
+                "ksub": int(ksub),
+                "dim": int(dim),
+                "id_col": id_col,
+                "label_col": label_col,
+                "seed": int(seed),
+                "opq": bool(opq),
+                "corpus_fp": corpus_fingerprint(corpus, id_col),
+            },
+        )
         if idx.cells.current_version() is None:
             idx.cells.commit(
                 centroids.select(

@@ -52,6 +52,25 @@ from ..sources.snapshots import SnapshotTable
 from . import curation as CUR
 from . import dedup_approx as DA
 
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral_id(docs: DataFrame, id_col: str, ctx: str) -> None:
+    """The gram ledger stores doc ids as ``long`` and every refcount
+    guard casts through it — a non-numeric ``id_col`` would silently
+    cast to NULL, collapsing all members onto one NULL row and
+    defeating the double-index/double-delete guards the design
+    depends on (ADVICE r11 #5). Fail loudly at the door instead."""
+    dt = dict(docs.dtypes).get(id_col)
+    if dt is None:
+        raise ValueError(f"{ctx}: no column {id_col!r} ({docs.columns})")
+    if dt not in _INTEGRAL:
+        raise ValueError(
+            f"{ctx}: id column {id_col!r} has type {dt} — the gram "
+            "ledger requires an integral id (tinyint/smallint/int/"
+            "bigint); cast or map your ids to integers first"
+        )
+
 
 class GramIndex:
     """Stored ExactSubstr gram index with refcounted takedown.
@@ -108,7 +127,13 @@ class GramIndex:
         RETRIED build reuses a ledger the crashed attempt already
         committed (the deltas are a pure function of the corpus)
         instead of recommitting it — the retry cannot bump version
-        numbers a caller's resume logic may key on."""
+        numbers a caller's resume logic may key on. Params (+ corpus
+        fingerprint) are STAGED before the first commit and verified
+        on retry, so reuse with different parameters or a changed
+        corpus refuses loudly instead of pairing fresh meta with stale
+        data (ADVICE r11 #3)."""
+        from ..sources.snapshots import corpus_fingerprint, stage_build_params
+
         idx = cls(spark, path)
         meta = {
             "min_len": int(min_len),
@@ -117,6 +142,9 @@ class GramIndex:
             "long_doc": long_doc,
         }
         idx._meta = meta
+        stage_build_params(
+            path, dict(meta, corpus_fp=corpus_fingerprint(docs, id_col))
+        )
         if idx.ledger.current_version() is None:
             idx.ledger.commit(idx._delta_rows(docs, +1), "index base corpus")
         tmp = os.path.join(path, ".meta.json.tmp")
@@ -140,6 +168,7 @@ class GramIndex:
         corruption the refcount design exists to prevent."""
         m = self.meta
         id_col, text_col = m["id_col"], m["text_col"]
+        _require_integral_id(docs, id_col, "gram index")
         dup = (
             docs.groupBy(id_col)
             .count()
@@ -211,6 +240,7 @@ class GramIndex:
         Re-indexing a live member is refused (it would double its
         grams' refcounts and make a later takedown leave residue)."""
         id_col = self.meta["id_col"]
+        _require_integral_id(docs, id_col, "gram index append")
         clash = (
             docs.select(F.col(id_col).cast("long").alias("doc_id"))
             .join(self.members(), "doc_id", "left_semi")
@@ -236,6 +266,7 @@ class GramIndex:
         is refused (a double-delete would push shared refcounts to
         zero and take down other documents' grams)."""
         id_col = self.meta["id_col"]
+        _require_integral_id(docs, id_col, "gram index delete")
         missing = (
             docs.select(F.col(id_col).cast("long").alias("doc_id"))
             .join(self.members(), "doc_id", "left_anti")
@@ -354,7 +385,11 @@ class MinHashIndex:
         mid-build leaves no readable index — and a retried build
         reuses tables the crashed attempt already committed (the
         signatures are a pure function of the corpus), so the retry
-        cannot bump version numbers a caller's resume logic keys on."""
+        cannot bump version numbers a caller's resume logic keys on.
+        Params (+ corpus fingerprint) are staged before the first
+        commit and verified on retry (ADVICE r11 #3)."""
+        from ..sources.snapshots import corpus_fingerprint, stage_build_params
+
         idx = cls(spark, path)
         meta = {
             "num_hashes": int(num_hashes),
@@ -364,6 +399,9 @@ class MinHashIndex:
             "text_col": text_col,
         }
         idx._meta = meta
+        stage_build_params(
+            path, dict(meta, corpus_fp=corpus_fingerprint(docs, id_col))
+        )
         if idx.sigs.current_version() is None:
             idx.sigs.commit(idx._sign(docs), "corpus signatures")
         if idx.tombstones.current_version() is None:

@@ -130,15 +130,31 @@ def _unify_cols(
 
 
 def _footer_minmax(files: list[str], wanted: dict[str, str]) -> dict:
-    """Per-file [min, max] for the ``wanted`` columns ({write-time
-    name: stats key}), read from parquet FOOTER metadata only — the
-    writers already recorded row-group statistics, so collecting them
-    is O(files) metadata reads, no row scanned (the same economics as
-    ``profile.footer_stats``, here at the per-file grain the manifest
-    needs for pruning). A column is recorded only when EVERY row group
-    of the file carries comparable stats and the values are JSON-safe
-    scalars (int/float/str/bool) — anything else is simply absent, and
-    absence means "never pruned" (conservative), never "wrong"."""
+    """Per-file ``[min, max, null_count]`` for the ``wanted`` columns
+    ({write-time name: stats key}), read from parquet FOOTER metadata
+    only — the writers already recorded row-group statistics, so
+    collecting them is O(files) metadata reads, no row scanned (the
+    same economics as ``profile.footer_stats``, here at the per-file
+    grain the manifest needs for pruning). A column is recorded only
+    when EVERY row group of the file carries comparable stats and the
+    values are JSON-safe scalars (int/float/str/bool) — anything else
+    is simply absent, and absence means "never pruned" (conservative),
+    never "wrong".
+
+    ``null_count`` is ``None`` when any row group omits it; full-cover
+    metadata deletes (``_stats_full_cover``) require a KNOWN-ZERO null
+    count, because parquet min/max exclude NULLs — dropping a file
+    whose non-null values all match would silently delete its NULL
+    rows, violating the 'NULL never matches' DELETE contract
+    (ADVICE r11 #1).
+
+    Floating-point physical types are skipped outright: parquet
+    min/max exclude NaN while Spark orders NaN above every double, so
+    a [min, max] interval cannot prove a float file row-free (a file
+    with values [1, 3] plus NaN rows DOES match ``x > 5``) — stats on
+    float columns would break the 'pruned read equals unpruned read +
+    filter' guarantee (ADVICE r11 #4). Absence just means those
+    columns are never pruned."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict[str, list]] = {}
@@ -150,7 +166,10 @@ def _footer_minmax(files: list[str], wanted: dict[str, str]) -> dict:
             ci = names.get(name)
             if ci is None:
                 continue
+            if md.schema.column(ci).physical_type in ("FLOAT", "DOUBLE"):
+                continue  # NaN breaks interval logic — never recorded
             lo = hi = None
+            nulls: int | None = 0
             ok = md.num_row_groups > 0
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(ci).statistics
@@ -163,23 +182,33 @@ def _footer_minmax(files: list[str], wanted: dict[str, str]) -> dict:
                     break
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
+                if nulls is None or not st.has_null_count:
+                    nulls = None  # unknown: pruning fine, full cover never
+                else:
+                    nulls += st.null_count
             if ok:
-                per[key] = [lo, hi]
+                per[key] = [lo, hi, nulls]
         if per:
             out[path] = per
     return out
 
 
 def _stats_full_cover(stats: dict, key: str, op: str, value) -> bool:
-    """True when a file's recorded [min, max] PROVES every row matches
-    the conjunct — the metadata-delete dual of ``_stats_prune``: a
+    """True when a file's recorded stats PROVE every row matches the
+    conjunct — the metadata-delete dual of ``_stats_prune``: a
     fully-covered file can leave the manifest outright instead of
     carrying a residual delete predicate. Missing stats (or a type
-    mismatch) are never full cover."""
+    mismatch) are never full cover — and neither is a file with NULL
+    rows in the column (or an unknown null count, including every
+    legacy two-element ``[min, max]`` entry): min/max exclude NULLs,
+    NULL never matches a conjunct, so such a file always keeps rows
+    a full-cover drop would silently delete (ADVICE r11 #1)."""
     rng = stats.get(key)
     if rng is None:
         return False
-    lo, hi = rng
+    if len(rng) < 3 or rng[2] != 0:
+        return False  # NULL rows present (or unknown): never full cover
+    lo, hi = rng[0], rng[1]
     try:
         if op == "=":
             return lo == value and hi == value
@@ -202,11 +231,14 @@ def _stats_full_cover(stats: dict, key: str, op: str, value) -> bool:
 def _stats_prune(stats: dict, key: str, op: str, value) -> bool:
     """True when a file's recorded [min, max] PROVES no row matches —
     missing stats (or a type mismatch) keep the file. Pure interval
-    logic; the caller still applies the real filter to survivors."""
+    logic; the caller still applies the real filter to survivors.
+    Entries are ``[min, max]`` (legacy) or ``[min, max, null_count]``;
+    pruning is NULL-safe either way (a conjunct matches no NULL row,
+    so NULL rows never make a pruned file wrong)."""
     rng = stats.get(key)
     if rng is None:
         return False
-    lo, hi = rng
+    lo, hi = rng[0], rng[1]
     try:
         if op == "=":
             return value < lo or value > hi
@@ -224,6 +256,67 @@ def _stats_prune(stats: dict, key: str, op: str, value) -> bool:
     except TypeError:
         return False
     raise ValueError(f"unknown prune op {op!r}")
+
+
+def corpus_fingerprint(docs: DataFrame, id_col: str) -> list[int]:
+    """``[row_count, order-insensitive id-hash XOR]`` — the cheap
+    corpus identity a multi-commit artifact build stages alongside its
+    parameters (one agg over the id column the build scans anyway).
+    XOR, not SUM: a 64-bit hash sum overflows under ANSI arithmetic on
+    any real corpus; XOR is order-insensitive and overflow-free at any
+    row count."""
+    from pyspark.sql import functions as F
+
+    r = docs.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.col(id_col).cast("string"))), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return [int(r["n"]), int(r["h"])]
+
+
+def stage_build_params(path: str, params: dict) -> None:
+    """Crash-safe parameter staging for multi-commit artifact builds
+    (ADVICE r11 #3). The index families (GramIndex / MinHashIndex /
+    IvfPqIndex / LangIdModel) land their meta manifest LAST so a crash
+    mid-build leaves no readable index, and a RETRIED build reuses
+    tables the crashed attempt already committed. That reuse is only
+    sound when the retry runs the SAME build: a retry with different
+    parameters (or a changed corpus) would silently pair fresh meta
+    with data committed under the old parameters — an index that
+    serves wrong results with no error. So the params (plus a corpus
+    fingerprint) are staged ATOMICALLY under ``.build_params.json``
+    BEFORE the first data commit; a build that finds a sidecar
+    verifies it is resuming the same build and refuses loudly on any
+    mismatch (the remedy is a fresh path, or removing the crashed
+    directory). Artifacts built before staging existed carry no
+    sidecar; their first rebuild stages one."""
+    import os as _os
+
+    sidecar = _os.path.join(path, ".build_params.json")
+    if _os.path.isfile(sidecar):
+        with open(sidecar) as f:
+            staged = json.load(f)
+        if staged != params:
+            diff = sorted(
+                k
+                for k in set(staged) | set(params)
+                if staged.get(k) != params.get(k)
+            )
+            raise ValueError(
+                f"build at {path!r}: a prior (possibly crashed) build "
+                f"staged different parameters — mismatched keys {diff} "
+                f"(staged {staged!r}, requested {params!r}); reusing its "
+                "committed tables would corrupt the index. Build at a "
+                "fresh path or remove the directory to rebuild."
+            )
+        return
+    _os.makedirs(path, exist_ok=True)
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(params, f, indent=1)
+    os.rename(tmp, sidecar)
 
 
 class SnapshotTable:
@@ -979,7 +1072,17 @@ class SnapshotTable:
             raise ValueError(f"snapshot table {self.path!r} has no commits")
         m = self._manifest(v)
         files = m["files"]
-        if not files and not m.get("deletes"):
+        if (
+            not files
+            and not m.get("deletes")
+            and "columns" not in m
+            and "schema" not in m
+        ):
+            # only a LEGACY schema-less manifest is unreadable when
+            # empty (no way to type the frame); a delete that stats
+            # fully settle across every file legitimately publishes
+            # files=[] with no pending entries, and the recorded
+            # schema types the empty result (ADVICE r11 #2)
             raise ValueError(f"version {v} references no files")
         if where is not None:
             kept, conjuncts = self._pruned_files(m, where)

@@ -272,3 +272,25 @@ def test_opq_append_equals_batch_encode_union(spark, tmp_path):
     )
     assert got == want_rows
     assert whole.exists()  # the union index itself is also servable
+
+
+def test_crashed_build_retry_param_mismatch_refused(spark, tmp_path):
+    """ADVICE r11 #3: a retried build over a crashed attempt's
+    committed tables (e.g. an unrotated codes table) must refuse
+    different parameters — fresh meta carrying a rotation over old
+    plain-space codes would serve wrong results with no error."""
+    import os
+
+    from scrappy_spark.operators.ann_index import IvfPqIndex
+
+    e = _load(spark)
+    cents = _centroids(e)
+    path = str(tmp_path / "idx")
+    IvfPqIndex.build(spark, path, e, cents)
+    os.remove(os.path.join(path, "meta.json"))  # crash sim: meta lost
+    with pytest.raises(ValueError, match="different parameters"):
+        IvfPqIndex.build(spark, path, e, cents, opq=True)
+    with pytest.raises(ValueError, match="different parameters"):
+        IvfPqIndex.build(spark, path, e.filter(F.col("vec_id") < 50), cents)
+    idx = IvfPqIndex.build(spark, path, e, cents)  # same build resumes
+    assert idx.exists() and idx._codes.current_version() == 0

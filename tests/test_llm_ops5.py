@@ -507,3 +507,26 @@ def test_langid_model_missing_is_loud(spark, tmp_path):
 
     model = LangIdModel(spark, str(tmp_path / "nope"))
     assert not model.exists()
+
+
+def test_langid_crashed_train_retry_param_mismatch_refused(spark, tmp_path):
+    """ADVICE r11 #3: a retried train over a crashed attempt's weight
+    tables must refuse different params / training data — scoring with
+    mismatched buckets would hash features into the wrong rows."""
+    import os
+
+    import pytest
+
+    from scrappy_spark.ml.langid import LANGID_BUCKETS, LangIdModel
+
+    path = str(tmp_path / "model")
+    LangIdModel.train_and_store(spark, path)
+    os.remove(os.path.join(path, "meta.json"))  # crash sim
+    with pytest.raises(ValueError, match="different parameters"):
+        LangIdModel.train_and_store(spark, path, buckets=LANGID_BUCKETS * 2)
+    with pytest.raises(ValueError, match="different parameters"):
+        LangIdModel.train_and_store(
+            spark, path, sentences=[("hello world", "en"), ("hallo welt", "de")]
+        )
+    model = LangIdModel.train_and_store(spark, path)  # same fit resumes
+    assert model.exists() and model.version() == 0

@@ -619,6 +619,90 @@ def test_zorder_clustered_commit_prunes_two_dimensions(spark, tmp_path):
     assert got == [(x, y) for x in range(8) for y in range(8)]
 
 
+def test_delete_full_cover_keeps_null_rows(spark, tmp_path):
+    """ADVICE r11 #1: parquet min/max exclude NULLs, so a file whose
+    NON-NULL values all match the predicate must NOT take the
+    metadata-delete fast path — dropping it outright would silently
+    delete its NULL rows, contradicting the 'NULL never matches'
+    DELETE contract. Files with null_count == 0 still fast-path."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    withnull = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "n")], "k long, v string"
+    ).coalesce(1)
+    t.commit(withnull, stats_cols=["k"])
+    clean = spark.createDataFrame(
+        [(5, "c"), (6, "d")], "k long, v string"
+    ).coalesce(1)
+    t.commit(clean, append=True)
+    # the null-bearing file's stats fully cover [1,2] — but it holds a
+    # NULL row, so it must stay, carrying a residual entry
+    m = t.delete_where(("k", "between", (1, 2)))
+    assert m["n_files"] == 2  # nothing dropped outright
+    assert len(m.get("deletes", [])) == 1
+    assert sorted(r.v for r in t.read().collect()) == ["c", "d", "n"]
+    # the clean file (null_count == 0) still fast-paths out entirely
+    m2 = t.delete_where(("k", "between", (5, 6)))
+    assert m2["n_files"] == 1
+    assert sorted(r.v for r in t.read().collect()) == ["n"]
+
+
+def test_stats_record_null_count(spark, tmp_path):
+    t = _range_table(spark, tmp_path)
+    m = t._manifest(t.current_version())
+    for per in m["stats"].values():
+        for rng in per.values():
+            assert len(rng) == 3 and rng[2] == 0
+
+
+def test_delete_everything_stats_settled_is_readable(spark, tmp_path):
+    """ADVICE r11 #2: a delete_where that stats fully settle across
+    ALL files publishes files=[] with no pending entries — HEAD must
+    stay readable (typed empty), and the table must accept later
+    appends."""
+    t = _range_table(spark, tmp_path)
+    m = t.delete_where(("k", "between", (0, 29)))
+    assert m["files"] == [] and "deletes" not in m
+    out = t.read()
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "v"]
+    # pruned read on the empty head also works
+    assert t.read(where=("k", "=", 5)).count() == 0
+    # the table lives on: a later append revives it
+    t.commit(
+        spark.range(100, 103).selectExpr(
+            "id AS k", "concat('v', id) AS v"
+        ).coalesce(1),
+        append=True,
+    )
+    assert sorted(r.k for r in t.read().collect()) == [100, 101, 102]
+
+
+def test_float_stats_never_recorded_nan_safe(spark, tmp_path):
+    """ADVICE r11 #4: parquet min/max exclude NaN while Spark orders
+    NaN above every double, so float stats would prune files whose
+    NaN rows match — float/double columns are simply never recorded,
+    and pruned/deleted reads stay exact with NaN present."""
+    t = SnapshotTable(spark, str(tmp_path / "f"))
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 3.0), (3, float("nan"))], "id long, x double"
+    ).coalesce(1)
+    t.commit(df, stats_cols=["x", "id"])
+    m = t._manifest(0)
+    x_id = next(c["id"] for c in m["columns"] if c["name"] == "x")
+    id_id = next(c["id"] for c in m["columns"] if c["name"] == "id")
+    per = next(iter(m["stats"].values()))
+    assert str(x_id) not in per  # float: no stats, never pruned
+    assert str(id_id) in per  # the long column still records
+    # Spark semantics: NaN > 5.0 is TRUE — the pruned read must agree
+    # with unpruned read + filter (a [1,3] interval would prune it)
+    got = [r.id for r in t.read(where=("x", ">", 5.0)).collect()]
+    want = [r.id for r in t.read().filter("x > 5.0").collect()]
+    assert got == want == [3]
+    # the delete analog: the NaN row matches and is deleted
+    t.delete_where(("x", ">", 5.0))
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+
 def test_delete_where_rejects_unknown_op_before_persisting(spark, tmp_path):
     """An unvalidated op recorded in the manifest would poison every
     later read — it must be refused at the door, even when no file

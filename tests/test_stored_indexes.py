@@ -364,3 +364,52 @@ def test_crashed_build_retry_does_not_bump_versions(spark, tmp_path):
     m2 = MinHashIndex.build(spark, str(tmp_path / "m"), docs)
     assert m2.sigs.current_version() == 0
     assert _sig_rows(m2.signatures()) == _sig_rows(m.signatures())
+
+
+def test_crashed_build_retry_param_mismatch_refused(spark, tmp_path):
+    """ADVICE r11 #3: a retried build over a crashed attempt's
+    committed tables must verify it is resuming the SAME build —
+    different parameters or a changed corpus would silently pair
+    fresh meta with data built under the old parameters."""
+    import os
+
+    from scrappy_spark.operators.stored_indexes import GramIndex, MinHashIndex
+
+    docs = _docs(spark, [(1, _ALPHA), (2, _BRAVO)])
+    GramIndex.build(spark, str(tmp_path / "g"), docs, min_len=_L)
+    os.remove(os.path.join(str(tmp_path / "g"), "meta.json"))  # crash sim
+    with pytest.raises(ValueError, match="different parameters"):
+        GramIndex.build(spark, str(tmp_path / "g"), docs, min_len=_L + 5)
+    other = _docs(spark, [(9, _ALPHA)])
+    with pytest.raises(ValueError, match="different parameters"):
+        GramIndex.build(spark, str(tmp_path / "g"), other, min_len=_L)
+    # the genuine retry still resumes cleanly after the refusals
+    g = GramIndex.build(spark, str(tmp_path / "g"), docs, min_len=_L)
+    assert g.ledger.current_version() == 0
+
+    MinHashIndex.build(spark, str(tmp_path / "m"), docs, num_hashes=8)
+    os.remove(os.path.join(str(tmp_path / "m"), "meta.json"))
+    with pytest.raises(ValueError, match="different parameters"):
+        MinHashIndex.build(spark, str(tmp_path / "m"), docs, num_hashes=4)
+    m = MinHashIndex.build(spark, str(tmp_path / "m"), docs, num_hashes=8)
+    assert m.sigs.current_version() == 0
+
+
+def test_gram_index_rejects_non_integral_ids(spark, tmp_path):
+    """ADVICE r11 #5: a string id column would cast to NULL in the
+    member rows and collapse the refcount guards — refused loudly at
+    build, append and delete."""
+    from scrappy_spark.operators.stored_indexes import GramIndex
+
+    sdocs = spark.createDataFrame(
+        [("a", _ALPHA), ("b", _BRAVO)], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        GramIndex.build(spark, str(tmp_path / "g"), sdocs, min_len=_L)
+    idx = GramIndex.build(
+        spark, str(tmp_path / "g2"), _docs(spark, [(1, _ALPHA)]), min_len=_L
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        idx.append(sdocs)
+    with pytest.raises(ValueError, match="integral id"):
+        idx.delete(sdocs)
