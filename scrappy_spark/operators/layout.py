@@ -363,7 +363,7 @@ def compact_snapshot(
     Files are packed in manifest (append) order by the same greedy
     running-sum rule (``unit`` = 'bytes' from file metadata, or 'rows'
     from one grouped scan); then each multi-file bin is REWRITTEN as
-    one fresh file under ``data/snap-<next>/bin-<t>.parquet`` while
+    one fresh file under a writer-unique ``data/snap-compact-*/`` dir while
     each single-file bin is REUSED — its original file is referenced
     unchanged, so untouched regions of the table are never rewritten
     (the ``store.compact`` proof pattern at snapshot grain). The new
@@ -430,13 +430,16 @@ def compact_snapshot(
         bins.setdefault(int(r["target_file"]), []).append(
             (r["idx"], r["path"])
         )
-    version = table.current_version()
-    next_v = version + 1
-    snap_dir = os.path.join(table.path, "data", f"snap-{next_v}")
-    tmp_dir = os.path.join(table.path, "data", f".compact-tmp-{next_v}")
-    for d in (snap_dir, tmp_dir):
-        if os.path.exists(d):
-            shutil.rmtree(d)
+    # writer-unique staging dirs: a concurrent writer's landed-but-
+    # unpublished files must never be clobbered by this compaction's
+    # cleanup (the commit itself is serialized by commit_files — a
+    # raced compaction gets a CommitConflict and its bins become
+    # expire-swept orphans)
+    from ..sources.snapshots import _token
+
+    tok = _token()
+    snap_dir = os.path.join(table.path, "data", f"snap-compact-{tok}")
+    tmp_dir = os.path.join(table.path, "data", f".compact-tmp-{tok}")
     os.makedirs(snap_dir)
     new_files: list[str] = []
     for t in sorted(bins):

@@ -11,9 +11,17 @@ yesterday's exact table. Both fall out of two invariants:
    files under ``data/snap-N/``; nothing ever rewrites or deletes a
    file a live manifest references.
 2. **State is one pointer.** A version is a JSON manifest (the file
-   list + row count + lineage); ``HEAD`` advances by an atomic rename.
-   Readers resolve HEAD (or any pinned version) to a file list and
-   read only those files — a concurrent commit is invisible to them.
+   list + row count + lineage) published by an atomic ``os.link`` —
+   POSIX hard-linking fails if the name exists, so version N can land
+   exactly once. Readers resolve the head (or any pinned version) to
+   a file list and read only those files — a concurrent commit is
+   invisible to them — and a concurrent WRITER is detected, never
+   silently overwritten: the second writer to version N gets a
+   :class:`CommitConflict` (optimistic concurrency, the Iceberg
+   model). Appends rebase-and-retry automatically (an append's files
+   are fresh, so it commutes with any concurrent commit — Iceberg's
+   fast-append); every other operation surfaces the conflict loudly
+   and is safe to re-run (each recomputes from the new head).
 
 Consequences, each tested:
 
@@ -40,9 +48,27 @@ import json
 import os
 import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructField, StructType
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent writer published this version first (VERDICT r11
+    #1). The losing commit's data files are orphans (swept by
+    ``expire``); table state is untouched. Appends handle this
+    internally by rebasing onto the new head; for every other
+    operation the caller may simply re-run it — each reads the head
+    at entry, so a re-run IS the rebase."""
+
+
+def _token() -> str:
+    """Unique per-attempt suffix for staging paths: two concurrent
+    writers must never share a data directory or tmp manifest (a
+    shared ``snap-N`` dir would let one writer's cleanup destroy the
+    other's landed-but-unpublished files)."""
+    return uuid.uuid4().hex[:10]
 
 
 def _unify_schemas(parent: StructType, new: StructType) -> StructType:
@@ -331,11 +357,25 @@ class SnapshotTable:
         return os.path.join(self._mdir, "HEAD")
 
     def current_version(self) -> int | None:
-        try:
-            with open(self._head_path()) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
+        """Latest committed version — the max manifest PRESENT, not
+        the HEAD file: the manifest link in ``_publish`` is the
+        atomic commit point, so deriving the head from the manifest
+        listing makes a concurrent writer impossible to miss (two
+        writers racing HEAD rename could regress the pointer; two
+        writers cannot both own ``vN.json``). HEAD is still written
+        as an advisory pointer for external tools. O(versions)
+        metadata listing — ``expire`` bounds it."""
+        if not os.path.isdir(self._mdir):
             return None
+        best = None
+        for name in os.listdir(self._mdir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    n = int(name[1:-5])
+                except ValueError:
+                    continue
+                best = n if best is None or n > best else best
+        return best
 
     def versions(self) -> list[dict]:
         """All committed manifests, ascending by version."""
@@ -401,6 +441,7 @@ class SnapshotTable:
         message: str = "",
         append: bool = False,
         stats_cols: list[str] | None = None,
+        max_retries: int = 10,
     ) -> dict:
         """Publish ``df`` as the next version; returns its manifest.
 
@@ -430,113 +471,133 @@ class SnapshotTable:
         avoid by recording schema in metadata).
 
         Write order is the crash-safety argument: (1) data files land
-        in a version-unique dir — unreferenced until (3), so a crash
+        in a writer-unique dir — unreferenced until (3), so a crash
         here orphans bytes, never corrupts state; (2) the manifest is
-        written COMPLETE under a tmp name and renamed into place —
-        readers never see a partial manifest; (3) HEAD advances by
-        rename — the single atomic publication point.
+        written COMPLETE under a tmp name; (3) it is LINKED into place
+        — the single atomic publication point, which also DETECTS a
+        concurrent writer (VERDICT r11 #1): the second writer to a
+        version gets a :class:`CommitConflict`. An append losing the
+        race rebases onto the new head and retries (its files are
+        fresh, so it commutes with any concurrent commit — Iceberg's
+        fast-append; the manifest assembly re-runs against the new
+        parent, manifest-grain work only); a replace raises instead —
+        rebasing it would wipe the concurrent commit's content, a
+        decision that belongs to the caller.
         """
-        parent = self.current_version()
-        version = 0 if parent is None else parent + 1
-        snap_dir = os.path.join(self.path, "data", f"snap-{version}")
-        if os.path.exists(snap_dir):  # failed prior attempt at this version
-            shutil.rmtree(snap_dir)
+        snap_dir = os.path.join(self.path, "data", f"snap-{_token()}")
         df.write.mode("overwrite").parquet(snap_dir)
         new_files = sorted(
             os.path.join(snap_dir, f)
             for f in os.listdir(snap_dir)
             if f.endswith(".parquet")
         )
-        stats: dict = {}
-        stats_ids: list[int] = []
-        deletes: list[dict] = []
-        if append and parent is not None:
-            pm = self._manifest(parent)
-            # pending row-level deletes carry: their file scopes name
-            # only pre-existing files, so the appended rows are OUTSIDE
-            # every entry (a re-ingested key survives its old takedown)
-            deletes = list(pm.get("deletes", []))
-            pcols, schemas, file_schema, next_id = self._parent_identity(pm)
-            cols, write_cols, next_id = _unify_cols(pcols, df.schema, next_id)
-            files = pm["files"] + new_files
-            sid = self._intern_schema(schemas, write_cols)
-            for p in new_files:
-                file_schema[p] = sid
-            stats = dict(pm.get("stats", {}))
-            stats_ids = list(pm.get("stats_ids", []))
-            for name in stats_cols or []:
-                hit = [c["id"] for c in cols if c["name"] == name]
-                if not hit:
-                    raise ValueError(
-                        f"stats_cols: no column {name!r} in the table"
-                    )
-                if hit[0] not in stats_ids:
-                    stats_ids.append(hit[0])
-            by_id = {c["id"]: c["name"] for c in write_cols}
-            wanted = {
-                by_id[i]: str(i) for i in stats_ids if i in by_id
-            }
-            stats.update(_footer_minmax(new_files, wanted))
-        else:
-            # replace: old files drop out, but column IDENTITY carries
-            # by (name, type) from the parent's columns so a rename
-            # history survives a content rewrite
-            pcols: list[dict] = []
-            next_id = 1
-            pm = self._manifest(parent) if parent is not None else {}
-            if "columns" in pm:
-                pcols = pm["columns"]
-                next_id = int(pm["next_col_id"])
-            by_name = {c["name"]: c for c in pcols}
-            cols = []
-            for f in df.schema.fields:
-                have = by_name.get(f.name)
-                if (
-                    have is not None
-                    and _struct_of([have]).fields[0].dataType == f.dataType
-                ):
-                    cols.append(dict(have))
-                else:
-                    cols.append(
-                        {
-                            "id": next_id,
-                            "name": f.name,
-                            "type": f.dataType.jsonValue(),
-                        }
-                    )
-                    next_id += 1
-            files = new_files
-            schemas = {}
-            sid = self._intern_schema(schemas, cols)
-            file_schema = {p: sid for p in files}
-            # designation survives a rewrite for columns that kept
-            # their identity; fresh designations come from stats_cols
-            live_ids = {c["id"] for c in cols}
-            stats_ids = [
-                i for i in pm.get("stats_ids", []) if i in live_ids
-            ]
-            for name in stats_cols or []:
-                hit = [c["id"] for c in cols if c["name"] == name]
-                if not hit:
-                    raise ValueError(
-                        f"stats_cols: no column {name!r} in the table"
-                    )
-                if hit[0] not in stats_ids:
-                    stats_ids.append(hit[0])
-            by_id = {c["id"]: c["name"] for c in cols}
-            stats = _footer_minmax(
-                new_files, {by_id[i]: str(i) for i in stats_ids}
-            )
-        return self._publish(
-            version,
-            parent,
-            files,
-            message,
-            _struct_of(cols),
-            identity=(cols, schemas, file_schema, next_id),
-            stats=(stats, stats_ids),
-            deletes=deletes,
-        )
+        conflict: CommitConflict | None = None
+        for _ in range(max_retries + 1):
+            parent = self.current_version()
+            version = 0 if parent is None else parent + 1
+            stats: dict = {}
+            stats_ids: list[int] = []
+            deletes: list[dict] = []
+            if append and parent is not None:
+                pm = self._manifest(parent)
+                # pending row-level deletes carry: their file scopes
+                # name only pre-existing files, so the appended rows
+                # are OUTSIDE every entry (a re-ingested key survives
+                # its old takedown)
+                deletes = list(pm.get("deletes", []))
+                pcols, schemas, file_schema, next_id = self._parent_identity(
+                    pm
+                )
+                cols, write_cols, next_id = _unify_cols(
+                    pcols, df.schema, next_id
+                )
+                files = pm["files"] + new_files
+                sid = self._intern_schema(schemas, write_cols)
+                for p in new_files:
+                    file_schema[p] = sid
+                stats = dict(pm.get("stats", {}))
+                stats_ids = list(pm.get("stats_ids", []))
+                for name in stats_cols or []:
+                    hit = [c["id"] for c in cols if c["name"] == name]
+                    if not hit:
+                        raise ValueError(
+                            f"stats_cols: no column {name!r} in the table"
+                        )
+                    if hit[0] not in stats_ids:
+                        stats_ids.append(hit[0])
+                by_id = {c["id"]: c["name"] for c in write_cols}
+                wanted = {
+                    by_id[i]: str(i) for i in stats_ids if i in by_id
+                }
+                stats.update(_footer_minmax(new_files, wanted))
+            else:
+                # replace: old files drop out, but column IDENTITY
+                # carries by (name, type) from the parent's columns so
+                # a rename history survives a content rewrite
+                pcols: list[dict] = []
+                next_id = 1
+                pm = self._manifest(parent) if parent is not None else {}
+                if "columns" in pm:
+                    pcols = pm["columns"]
+                    next_id = int(pm["next_col_id"])
+                by_name = {c["name"]: c for c in pcols}
+                cols = []
+                for f in df.schema.fields:
+                    have = by_name.get(f.name)
+                    if (
+                        have is not None
+                        and _struct_of([have]).fields[0].dataType
+                        == f.dataType
+                    ):
+                        cols.append(dict(have))
+                    else:
+                        cols.append(
+                            {
+                                "id": next_id,
+                                "name": f.name,
+                                "type": f.dataType.jsonValue(),
+                            }
+                        )
+                        next_id += 1
+                files = new_files
+                schemas = {}
+                sid = self._intern_schema(schemas, cols)
+                file_schema = {p: sid for p in files}
+                # designation survives a rewrite for columns that kept
+                # their identity; fresh designations from stats_cols
+                live_ids = {c["id"] for c in cols}
+                stats_ids = [
+                    i for i in pm.get("stats_ids", []) if i in live_ids
+                ]
+                for name in stats_cols or []:
+                    hit = [c["id"] for c in cols if c["name"] == name]
+                    if not hit:
+                        raise ValueError(
+                            f"stats_cols: no column {name!r} in the table"
+                        )
+                    if hit[0] not in stats_ids:
+                        stats_ids.append(hit[0])
+                by_id = {c["id"]: c["name"] for c in cols}
+                stats = _footer_minmax(
+                    new_files, {by_id[i]: str(i) for i in stats_ids}
+                )
+            try:
+                return self._publish(
+                    version,
+                    parent,
+                    files,
+                    message,
+                    _struct_of(cols),
+                    identity=(cols, schemas, file_schema, next_id),
+                    stats=(stats, stats_ids),
+                    deletes=deletes,
+                )
+            except CommitConflict as exc:
+                if not append:
+                    raise
+                conflict = exc  # rebase: re-assemble against the new head
+        assert conflict is not None
+        raise conflict
 
     def commit_files(self, files: list[str], message: str = "") -> dict:
         """Publish a new version referencing an EXPLICIT file list —
@@ -650,14 +711,39 @@ class SnapshotTable:
             }
             manifest["stats_ids"] = stats_ids
         os.makedirs(self._mdir, exist_ok=True)
-        tmp = os.path.join(self._mdir, f".v{version}.json.tmp")
+        # write COMPLETE under a writer-unique tmp name, then LINK into
+        # place: os.link is POSIX-atomic and fails when the name exists,
+        # so version N lands exactly once — the second writer gets a
+        # CommitConflict instead of silently overwriting the first
+        # (VERDICT r11 #1; on an object store this is the conditional
+        # PUT / put-if-absent the same design rides).
+        tmp = os.path.join(self._mdir, f".v{version}.{_token()}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
-        os.rename(tmp, os.path.join(self._mdir, f"v{version}.json"))
-        head_tmp = os.path.join(self._mdir, ".HEAD.tmp")
+        try:
+            os.link(tmp, os.path.join(self._mdir, f"v{version}.json"))
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflict(
+                f"snapshot table {self.path!r}: version {version} was "
+                f"committed by a concurrent writer — re-read the head "
+                f"and retry (appends rebase automatically)"
+            ) from None
+        os.unlink(tmp)
+        # advisory HEAD (external tools): monotonic best-effort — the
+        # manifest listing, not this file, is the source of truth
+        head_tmp = os.path.join(self._mdir, f".HEAD.{_token()}.tmp")
         with open(head_tmp, "w") as f:
             f.write(str(version))
-        os.rename(head_tmp, self._head_path())
+        try:
+            with open(self._head_path()) as f:
+                cur = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            cur = None
+        if cur is None or cur < version:
+            os.rename(head_tmp, self._head_path())
+        else:
+            os.unlink(head_tmp)
         return manifest
 
     # ----------------------------------------------------- rename / drop
@@ -855,9 +941,7 @@ class SnapshotTable:
                 f"delete_keys: no column {missing[0]!r} ({sorted(by_name)})"
             )
         version = parent + 1
-        del_dir = os.path.join(self.path, "data", f"deletes-{version}")
-        if os.path.exists(del_dir):
-            shutil.rmtree(del_dir)
+        del_dir = os.path.join(self.path, "data", f"deletes-{_token()}")
         keys.select(*key_cols).distinct().write.mode("overwrite").parquet(
             del_dir
         )
@@ -944,9 +1028,7 @@ class SnapshotTable:
         )
         untouched = [f for f in pm["files"] if f not in set(affected)]
         version = parent + 1
-        snap_dir = os.path.join(self.path, "data", f"snap-{version}")
-        if os.path.exists(snap_dir):
-            shutil.rmtree(snap_dir)
+        snap_dir = os.path.join(self.path, "data", f"snap-{_token()}")
         self._read_subset(pm, affected).write.mode("overwrite").parquet(
             snap_dir
         )

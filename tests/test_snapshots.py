@@ -712,3 +712,123 @@ def test_delete_where_rejects_unknown_op_before_persisting(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown op"):
         t.delete_where(("k", "!=", 1))
     t.read().count()  # table unpoisoned
+
+
+# -------------------------------------------------- optimistic concurrency
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string").coalesce(1)
+
+
+def _race_once(monkeypatch, match, racer):
+    """Fire ``racer()`` exactly once, right before the publish of the
+    commit whose message satisfies ``match`` — a deterministic
+    simulation of a concurrent writer landing between this writer's
+    head read and its publication."""
+    orig = SnapshotTable._publish
+    state = {"fired": False}
+
+    def publish(self, version, parent, files, message, *a, **k):
+        if not state["fired"] and match(message):
+            state["fired"] = True
+            racer()
+        return orig(self, version, parent, files, message, *a, **k)
+
+    monkeypatch.setattr(SnapshotTable, "_publish", publish)
+
+
+def test_concurrent_append_rebases_no_lost_update(spark, tmp_path, monkeypatch):
+    """VERDICT r11 #1, the headline case: two writers both read
+    HEAD=0 and append. Before optimistic concurrency the second
+    publish silently overwrote the first (last-writer-wins lost
+    update); now the loser detects the conflict at the manifest link
+    and REBASES onto the new head — both appends survive."""
+    from scrappy_spark.sources.snapshots import CommitConflict
+
+    path = str(tmp_path / "t")
+    t_a, t_b = SnapshotTable(spark, path), SnapshotTable(spark, path)
+    t_a.commit(_kv(spark, [(0, "base")]), "base")
+    _race_once(
+        monkeypatch,
+        lambda m: m == "A",
+        lambda: t_b.commit(_kv(spark, [(2, "b")]), "B", append=True),
+    )
+    m = t_a.commit(_kv(spark, [(1, "a")]), "A", append=True)
+    rows = {r.k: r.v for r in t_a.read().collect()}
+    assert rows == {0: "base", 1: "a", 2: "b"}  # neither append lost
+    assert [v["message"] for v in t_a.versions()] == ["base", "B", "A"]
+    assert m["version"] == 2 and m["parent"] == 1  # rebased lineage
+    # and with retries exhausted the conflict surfaces, never a
+    # silent overwrite
+    _race_once(
+        monkeypatch,
+        lambda m: m == "A2",
+        lambda: t_b.commit(_kv(spark, [(4, "b2")]), "B2", append=True),
+    )
+    with pytest.raises(CommitConflict):
+        t_a.commit(_kv(spark, [(3, "a2")]), "A2", append=True, max_retries=0)
+    assert {r.k for r in t_a.read().collect()} == {0, 1, 2, 4}
+
+
+def test_concurrent_replace_raises_commit_conflict(
+    spark, tmp_path, monkeypatch
+):
+    """A replace losing the race must NOT auto-rebase (rebasing would
+    wipe the concurrent commit's content) — it surfaces the conflict
+    and leaves the winner's state intact."""
+    from scrappy_spark.sources.snapshots import CommitConflict
+
+    path = str(tmp_path / "t")
+    t_a, t_b = SnapshotTable(spark, path), SnapshotTable(spark, path)
+    t_a.commit(_kv(spark, [(0, "base")]), "base")
+    _race_once(
+        monkeypatch,
+        lambda m: m == "A",
+        lambda: t_b.commit(_kv(spark, [(2, "b")]), "B", append=True),
+    )
+    with pytest.raises(CommitConflict):
+        t_a.commit(_kv(spark, [(1, "a")]), "A")
+    rows = {r.k: r.v for r in t_a.read().collect()}
+    assert rows == {0: "base", 2: "b"}  # winner untouched, loser orphaned
+    # the orphaned loser's data files are swept by expire
+    t_a.expire(keep_last=2)
+    assert {r.k for r in t_a.read().collect()} == {0, 2}
+
+
+def test_delete_vs_concurrent_append_conflicts_then_rerun(
+    spark, tmp_path, monkeypatch
+):
+    """delete_where raced by an append refuses loudly (its file scope
+    was computed against the old head); re-running it re-reads the
+    head, which IS the rebase — the delete then applies to the table
+    as of its actual commit time."""
+    from scrappy_spark.sources.snapshots import CommitConflict
+
+    path = str(tmp_path / "t")
+    t_a, t_b = SnapshotTable(spark, path), SnapshotTable(spark, path)
+    t_a.commit(_kv(spark, [(1, "a"), (2, "b")]), "base")
+    _race_once(
+        monkeypatch,
+        lambda m: m.startswith("delete where"),
+        lambda: t_b.commit(_kv(spark, [(2, "late")]), "B", append=True),
+    )
+    with pytest.raises(CommitConflict):
+        t_a.delete_where(("k", "=", 2))
+    # nothing deleted, nothing lost
+    assert sorted(r.v for r in t_a.read().collect()) == ["a", "b", "late"]
+    t_a.delete_where(("k", "=", 2))  # re-run = rebase onto the new head
+    assert sorted(r.v for r in t_a.read().collect()) == ["a"]
+
+
+def test_publish_is_exactly_once_per_version(spark, tmp_path):
+    """The low-level invariant everything rides on: version N can be
+    linked exactly once, whoever tries second gets the conflict."""
+    from scrappy_spark.sources.snapshots import CommitConflict
+
+    path = str(tmp_path / "t")
+    t = SnapshotTable(spark, path)
+    m0 = t.commit(_kv(spark, [(0, "x")]), "v0")
+    with pytest.raises(CommitConflict):
+        t._publish(0, None, m0["files"], "duplicate v0")
+    assert [v["message"] for v in t.versions()] == ["v0"]
