@@ -78,6 +78,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llmdata14,
         llmdata15,
         llmdata16,
+        llmdata17,
         audit,
         timeseries,
         sketches,

@@ -500,36 +500,14 @@ class SnapshotTable:
             deletes: list[dict] = []
             if append and parent is not None:
                 pm = self._manifest(parent)
-                # pending row-level deletes carry: their file scopes
-                # name only pre-existing files, so the appended rows
-                # are OUTSIDE every entry (a re-ingested key survives
-                # its old takedown)
-                deletes = list(pm.get("deletes", []))
-                pcols, schemas, file_schema, next_id = self._parent_identity(
-                    pm
-                )
-                cols, write_cols, next_id = _unify_cols(
-                    pcols, df.schema, next_id
-                )
-                files = pm["files"] + new_files
-                sid = self._intern_schema(schemas, write_cols)
-                for p in new_files:
-                    file_schema[p] = sid
-                stats = dict(pm.get("stats", {}))
-                stats_ids = list(pm.get("stats_ids", []))
-                for name in stats_cols or []:
-                    hit = [c["id"] for c in cols if c["name"] == name]
-                    if not hit:
-                        raise ValueError(
-                            f"stats_cols: no column {name!r} in the table"
-                        )
-                    if hit[0] not in stats_ids:
-                        stats_ids.append(hit[0])
-                by_id = {c["id"]: c["name"] for c in write_cols}
-                wanted = {
-                    by_id[i]: str(i) for i in stats_ids if i in by_id
-                }
-                stats.update(_footer_minmax(new_files, wanted))
+                (
+                    files,
+                    cols,
+                    identity,
+                    (stats, stats_ids),
+                    deletes,
+                ) = self._assemble_append(pm, df.schema, new_files, stats_cols)
+                cols, schemas, file_schema, next_id = identity
             else:
                 # replace: old files drop out, but column IDENTITY
                 # carries by (name, type) from the parent's columns so
@@ -598,6 +576,53 @@ class SnapshotTable:
                 conflict = exc  # rebase: re-assemble against the new head
         assert conflict is not None
         raise conflict
+
+    def _assemble_append(
+        self,
+        pm: dict,
+        new_schema: StructType,
+        new_files: list[str],
+        stats_cols: list[str] | None,
+    ) -> tuple[list[str], list[dict], tuple, tuple[dict, list[int]], list]:
+        """Manifest assembly for appending ``new_files`` (written under
+        ``new_schema``) onto parent manifest ``pm``: schema unification
+        by column id, write-schema registration, stats inheritance +
+        footer collection for the new files. Pending row-level deletes
+        carry unchanged — their file scopes name only pre-existing
+        files, so the appended rows are OUTSIDE every entry (a
+        re-ingested key survives its old takedown). Returns
+        ``(files, cols, identity, (stats, stats_ids), deletes)``.
+        Shared by ``commit(append=True)`` and ``merge_keys``."""
+        deletes = list(pm.get("deletes", []))
+        pcols, schemas, file_schema, next_id = self._parent_identity(pm)
+        cols, write_cols, next_id = _unify_cols(pcols, new_schema, next_id)
+        files = pm["files"] + new_files
+        sid = self._intern_schema(schemas, write_cols)
+        for p in new_files:
+            file_schema[p] = sid
+        stats = dict(pm.get("stats", {}))
+        stats_ids = list(pm.get("stats_ids", []))
+        for name in stats_cols or []:
+            hit = [c["id"] for c in cols if c["name"] == name]
+            if not hit:
+                raise ValueError(
+                    f"stats_cols: no column {name!r} in the table"
+                )
+            if hit[0] not in stats_ids:
+                stats_ids.append(hit[0])
+        by_id = {c["id"]: c["name"] for c in write_cols}
+        stats.update(
+            _footer_minmax(
+                new_files, {by_id[i]: str(i) for i in stats_ids if i in by_id}
+            )
+        )
+        return (
+            files,
+            cols,
+            (cols, schemas, file_schema, next_id),
+            (stats, stats_ids),
+            deletes,
+        )
 
     def commit_files(self, files: list[str], message: str = "") -> dict:
         """Publish a new version referencing an EXPLICIT file list —
@@ -992,6 +1017,140 @@ class SnapshotTable:
             stats=(pm.get("stats", {}), pm.get("stats_ids", [])),
             deletes=pm.get("deletes", []) + [entry],
         )
+
+    def merge_keys(
+        self,
+        batch: DataFrame,
+        key_cols: list[str],
+        message: str = "",
+        stats_cols: list[str] | None = None,
+        max_retries: int = 10,
+    ) -> dict:
+        """Keyed MERGE upsert in ONE commit (VERDICT r11 #4 — MERGE
+        WHEN MATCHED THEN DELETE+INSERT at the table layer): the
+        batch's keys become an equality-delete entry scoped to the
+        files present now, and the batch itself appends — BOTH in a
+        single manifest, so readers never observe the between-state
+        (a matched key is never absent, never doubled). O(request +
+        batch): no existing data is read or rewritten; the delete leg
+        is merge-on-read exactly like ``delete_keys``, key-range
+        scoped via manifest stats when single-keyed. Time travel shows
+        the pre-merge rows; replaying the same batch is idempotent at
+        the content level (the replay's delete retires the first
+        merge's rows and re-inserts identical ones — tested).
+
+        NULL-key batch rows never match the anti-join, so they are
+        pure inserts (SQL MERGE's NULL semantics). Keys must exist in
+        the table's schema (a key column old files lack cannot match
+        anything — refused loudly). Batches should carry each key once
+        (duplicate-key rows all insert, like a multi-row MERGE source).
+
+        Conflicts rebase like appends: the delete scope is recomputed
+        against the new head each attempt, so keep-new semantics hold
+        relative to the commit's ACTUAL position in the history."""
+        missing_batch = [c for c in key_cols if c not in batch.columns]
+        if missing_batch:
+            raise ValueError(
+                f"merge_keys: no column {missing_batch[0]!r} in the batch "
+                f"({batch.columns})"
+            )
+        head = self.current_version()
+        if head is None:
+            return self.commit(
+                batch,
+                message or f"merge upsert on {key_cols}",
+                stats_cols=stats_cols,
+            )
+        # validate against the table BEFORE landing any bytes (the
+        # in-loop check repeats this against whichever head we rebase to)
+        parent_names, _ = self._resolve_cols(self._manifest(head))
+        missing = [c for c in key_cols if c not in parent_names]
+        if missing:
+            raise ValueError(
+                f"merge_keys: no column {missing[0]!r} "
+                f"({sorted(parent_names)})"
+            )
+        snap_dir = os.path.join(self.path, "data", f"snap-{_token()}")
+        batch.write.mode("overwrite").parquet(snap_dir)
+        new_files = sorted(
+            os.path.join(snap_dir, f)
+            for f in os.listdir(snap_dir)
+            if f.endswith(".parquet")
+        )
+        del_dir = os.path.join(self.path, "data", f"deletes-{_token()}")
+        batch.select(*key_cols).distinct().write.mode("overwrite").parquet(
+            del_dir
+        )
+        delete_files = sorted(
+            os.path.join(del_dir, f)
+            for f in os.listdir(del_dir)
+            if f.endswith(".parquet")
+        )
+        bounds = None
+        if len(key_cols) == 1:
+            b = batch.selectExpr(
+                f"min({key_cols[0]}) AS lo", f"max({key_cols[0]}) AS hi"
+            ).collect()[0]
+            if b["lo"] is not None:
+                bounds = (b["lo"], b["hi"])
+        conflict: CommitConflict | None = None
+        for _ in range(max_retries + 1):
+            parent = self.current_version()
+            pm = self._manifest(parent)
+            parent_names, _ = self._resolve_cols(pm)
+            missing = [c for c in key_cols if c not in parent_names]
+            if missing:
+                raise ValueError(
+                    f"merge_keys: no column {missing[0]!r} "
+                    f"({sorted(parent_names)})"
+                )
+            (
+                files,
+                cols,
+                identity,
+                stats_t,
+                deletes,
+            ) = self._assemble_append(pm, batch.schema, new_files, stats_cols)
+            # key ids from the UNIFIED columns (a legacy parent gets
+            # numeric ids only through the assembly's identity upgrade,
+            # and the published manifest resolves deletes by those ids)
+            by_name = {c["name"]: str(c["id"]) for c in cols}
+            # the delete entry scopes the PARENT's files only — the
+            # batch's own files must never anti-join their rows away
+            scope = list(pm["files"])
+            if bounds is not None:
+                stats = pm.get("stats", {})
+                kkey = by_name[key_cols[0]]
+                scope = [
+                    p
+                    for p in scope
+                    if not _stats_prune(
+                        stats.get(p, {}), kkey, "between", bounds
+                    )
+                ]
+            entry = {
+                "kind": "keys",
+                "key_cols": [
+                    {"id": by_name[c], "name": c} for c in key_cols
+                ],
+                "delete_files": delete_files,
+                "files": scope,
+            }
+            try:
+                return self._publish(
+                    parent + 1,
+                    parent,
+                    files,
+                    message or f"merge upsert on {key_cols}",
+                    _struct_of(cols),
+                    identity=identity,
+                    stats=stats_t,
+                    deletes=deletes + [entry],
+                )
+            except CommitConflict as exc:
+                conflict = exc  # rebase: rescope against the new head
+        assert conflict is not None
+        raise conflict
 
     def _apply_delete(self, df: DataFrame, m: dict, entry: dict) -> DataFrame:
         from pyspark.sql import functions as F

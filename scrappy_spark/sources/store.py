@@ -246,3 +246,39 @@ class ArticleStore:
                 shutil.rmtree(backup)
         shutil.rmtree(staging)  # leftover _SUCCESS marker etc.
         return report
+
+
+def merge_articles_snapshot(table, new: DataFrame, keep: str = "first") -> DataFrame:
+    """The articles merge (M1, scrappy.py:339-348) over a versioned
+    ``SnapshotTable`` instead of the partitioned store — ONE atomic
+    commit either way, so the merged table is time-travelable,
+    CDC-diffable, and concurrent-writer safe (VERDICT r11 #4):
+
+    - ``keep='first'`` — the reference's semantics: existing wins per
+      title, so the commit is a plain APPEND of the batch rows whose
+      title the table lacks (keep-first-deduped within the batch);
+      appends rebase under concurrent writers.
+    - ``keep='new'`` — upsert: the batch REPLACES matched titles and
+      inserts the rest via ``SnapshotTable.merge_keys`` (equality
+      delete + append in one manifest; readers never see the
+      between-state).
+
+    Returns the rows that entered the table (the merge report)."""
+    if keep not in ("first", "new"):
+        raise ValueError(f"keep must be 'first' or 'new', got {keep!r}")
+    batch = dedup_keep_first(
+        new, keys=["title"], order_by=["date_added", "source"]
+    )
+    if table.current_version() is None:
+        table.commit(batch, "articles merge: first batch")
+        return batch
+    if keep == "new":
+        table.merge_keys(batch, ["title"], "articles merge upsert")
+        return batch
+    added = newly_added(table.read(), batch, keys=["title"]).localCheckpoint(
+        eager=True
+    )
+    if added.isEmpty():
+        return added
+    table.commit(added, "articles merge: keep-first append", append=True)
+    return added

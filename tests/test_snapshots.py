@@ -832,3 +832,74 @@ def test_publish_is_exactly_once_per_version(spark, tmp_path):
     with pytest.raises(CommitConflict):
         t._publish(0, None, m0["files"], "duplicate v0")
     assert [v["message"] for v in t.versions()] == ["v0"]
+
+
+# --------------------------------------------------------- MERGE upsert
+
+
+def test_merge_keys_single_commit_upsert(spark, tmp_path):
+    """VERDICT r11 #4: one-commit keyed upsert — matched keys replaced,
+    new keys inserted, BOTH in a single version (readers never see the
+    between-state), time travel shows the pre-merge rows, and replaying
+    the batch is content-idempotent."""
+    t = _range_table(spark, tmp_path)  # k 0..29, v = 'v{k}'
+    v_before = t.current_version()
+    batch = _kv(spark, [(5, "new5"), (12, "new12"), (100, "ins")])
+    m = t.merge_keys(batch, ["k"])
+    assert m["version"] == v_before + 1  # exactly ONE commit
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert len(rows) == 31
+    assert rows[5] == "new5" and rows[12] == "new12" and rows[100] == "ins"
+    assert rows[0] == "v0" and rows[29] == "v29"  # untouched keys intact
+    # time travel: the pre-merge version is unchanged
+    old = {r.k: r.v for r in t.read(v_before).collect()}
+    assert old[5] == "v5" and 100 not in old
+    # CDC sees the merge as changed/added
+    diff = {
+        (r.k, r.change)
+        for r in t.row_diff(v_before, m["version"], ["k"]).collect()
+    }
+    assert diff == {(5, "changed"), (12, "changed"), (100, "added")}
+    # replay: the second merge retires the first's rows and re-inserts
+    # identical ones — content unchanged
+    t.merge_keys(batch, ["k"])
+    assert {(r.k, r.v) for r in t.read().collect()} == set(rows.items())
+
+
+def test_merge_keys_scope_and_null_keys(spark, tmp_path):
+    """The delete leg scopes PARENT files only (never the batch's own
+    files), stats-pruned to the key range; NULL-key rows are pure
+    inserts (SQL MERGE NULL semantics)."""
+    t = _range_table(spark, tmp_path)
+    batch = _kv(spark, [(5, "new5"), (6, "new6"), (None, "nullkey")])
+    m = t.merge_keys(batch, ["k"])
+    entry = m["deletes"][-1]
+    # keys 5-6 live in the first file only — scope is stats-pruned to it
+    assert len(entry["files"]) == 1
+    assert not set(entry["files"]) & (set(m["files"]) - set(entry["files"]))
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[5] == "new5" and rows[6] == "new6"
+    assert rows[None] == "nullkey" and len(rows) == 31
+    # unknown key column refused loudly
+    with pytest.raises(ValueError, match="no column"):
+        t.merge_keys(_kv(spark, [(1, "x")]), ["nope"])
+
+
+def test_merge_keys_empty_table_and_raced_append(spark, tmp_path, monkeypatch):
+    """First merge on an empty table is a plain commit; a merge raced
+    by a concurrent append rebases — the late append's rows survive
+    unless the merge batch carries their key."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.merge_keys(_kv(spark, [(1, "a")]), ["k"])
+    assert {r.k for r in t.read().collect()} == {1}
+    t2 = SnapshotTable(spark, str(tmp_path / "t"))
+    _race_once(
+        monkeypatch,
+        lambda m: m.startswith("merge upsert"),
+        lambda: t2.commit(_kv(spark, [(2, "late"), (3, "gone")]), "B", append=True),
+    )
+    t.merge_keys(_kv(spark, [(1, "a2"), (3, "merged")]), ["k"])
+    rows = {r.k: r.v for r in t.read().collect()}
+    # rebase: late key 2 survives; key 3 upserted by the merge relative
+    # to its actual commit position (after the append)
+    assert rows == {1: "a2", 2: "late", 3: "merged"}

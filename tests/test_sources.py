@@ -391,3 +391,44 @@ def test_articles_datasource_streams_term_per_batch(spark, tmp_path):
     assert list(per_batch) == replay and nxt == {"term_idx": 1}
     drained, same = rdr.read({"term_idx": 2})
     assert list(drained) == [] and same == {"term_idx": 2}
+
+
+def test_merge_articles_snapshot_first_and_new(spark, articles, tmp_path):
+    """The snapshot-backed articles merge (VERDICT r11 #4 adoption):
+    keep='first' preserves the reference's existing-wins semantics as
+    one append commit; keep='new' upserts via merge_keys in one
+    commit — both time-travelable."""
+    from scrappy_spark.sources.snapshots import SnapshotTable
+    from scrappy_spark.sources.store import merge_articles_snapshot
+
+    t = SnapshotTable(spark, str(tmp_path / "snap_store"))
+    batch1 = articles.filter(F.col("source") == "IEEE")
+    merge_articles_snapshot(t, batch1)
+    n0 = t.read().count()
+    assert n0 == batch1.dropDuplicates(["title"]).count()
+
+    # keep-first: re-merging everything adds only unseen titles,
+    # existing rows win (the reference's semantics), one new version
+    added = merge_articles_snapshot(t, articles)
+    assert added.filter(F.col("title") == "Edge Computing Platforms").count() == 0
+    gnn = t.read().filter(F.col("title") == "Graph Neural Networks Survey").collect()
+    assert len(gnn) == 1 and gnn[0].source == "IEEE"
+    assert t.current_version() == 1
+    # idempotent: nothing new on replay, no commit
+    assert merge_articles_snapshot(t, articles).count() == 0
+    assert t.current_version() == 1
+
+    # keep='new': the batch replaces its matched titles in ONE commit
+    upd = batch1.limit(1).withColumn("abstract", F.lit("REVISED"))
+    title = upd.first().title
+    merge_articles_snapshot(t, upd, keep="new")
+    assert t.current_version() == 2
+    got = t.read().filter(F.col("title") == title).collect()
+    assert len(got) == 1 and got[0].abstract == "REVISED"
+    # time travel still shows the pre-upsert row
+    old = t.read(1).filter(F.col("title") == title).first()
+    assert old.abstract != "REVISED"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep must be"):
+        merge_articles_snapshot(t, upd, keep="both")
