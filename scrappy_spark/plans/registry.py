@@ -128,6 +128,7 @@ def _last_green_round(name: str) -> int:
     later ledgers override earlier ones, so membership is checked
     newest-first."""
     for rnd, ledger in (
+        (11, _R11_VERIFIED), (11, _R11_JUDGE_VERIFIED),
         (10, _R10_VERIFIED), (10, _R10_JUDGE_VERIFIED), (9, _R09_VERIFIED),
         (8, _R08_VERIFIED),
         (7, _R07_VERIFIED), (6, _R06_VERIFIED), (5, _R05_VERIFIED),
@@ -143,30 +144,32 @@ def _last_green_round(name: str) -> int:
 #: mechanism for any future late additions that miss the 50-slot cap.
 _NEVER_RUN_PIN: frozenset[str] = frozenset()
 
-#: Pin tier — driver verification VOIDED or UPGRADED by a round-11
+#: Pin tier — driver verification VOIDED or UPGRADED by a round-12
 #: change (the registry rule: a verification from before an
 #: implementation change is void). Front of the prefix so
-#: CORRECTNESS_r11 records the new forms. (All 9 round-10 pins came
-#: back hash-green in CORRECTNESS_r10 and rotated into _R10_VERIFIED.)
+#: CORRECTNESS_r12 records the new forms. (All 8 round-11 pins came
+#: back hash-green in CORRECTNESS_r11 and rotated into _R11_VERIFIED.)
 #: tools/repin_lint.py enforces membership mechanically: it diffs
 #: the tree against the last round-boundary commit and fails when a
 #: _DRIVER_VERIFIED query's plan depends on changed code without a pin.
 _RECHECK_PIN: frozenset[str] = frozenset({
-    # snapshot_file_stats now percent-decodes the path component of ANY
-    # input_file_name URI scheme and raises a clear error on non-local
-    # schemes instead of an unmatched-path ValueError (ADVICE r10 #3);
-    # both compaction queries ride it.
-    "q_compaction_plan", "q_compaction_execute",
-    # round 11 added manifest column stats + pruned reads to
-    # SnapshotTable (commit/commit_files/_publish/read signatures grew
-    # stats plumbing); every query riding the snapshot commit/read path
+    # round 12 rebuilt the SnapshotTable commit spine: optimistic
+    # concurrency (link-published manifests, listing-derived head,
+    # writer-unique data dirs, append rebase — VERDICT r11 #1), the
+    # null-count / NaN stats contracts and the empty-head read fix
+    # (ADVICE r11 #1/#2/#4), and the _assemble_append refactor shared
+    # with merge_keys. Every query riding snapshot commit/read/stats
     # re-checks against the new code.
+    "q_compaction_plan", "q_compaction_execute",
     "q_expectations_snapshot_log", "q_incremental_ingest",
     "q_snapshot_schema_evolution", "q_snapshot_schema_rename",
-    # round 11 factored pq_train's deterministic capped sample out
-    # into pq.train_sample (shared with the new OPQ rotation learner);
-    # the two pq-riding ANN audits re-check against the refactor.
-    "q_pq_ann_topk", "q_ivf_pq_ann_topk",
+    "q_snapshot_pruned_read", "q_snapshot_row_delete",
+    "q_stream_snapshot_ingest",
+    # the stored-index families gained build-param staging + corpus
+    # fingerprints (ADVICE r11 #3) and the gram id-type guard
+    # (ADVICE r11 #5); their lifecycle queries re-check.
+    "q_gram_index_takedown", "q_minhash_index_takedown",
+    "q_ivf_pq_search_stored", "q_lang_id_scored",
 })
 
 
@@ -443,10 +446,58 @@ _R10_JUDGE_VERIFIED = frozenset({
     "q_tfidf_topk",
 })
 
+# The 50 keys of CORRECTNESS_r11.json — all hash-green (the eleventh
+# consecutive zero-failure round). Includes all 8 round-11
+# _RECHECK_PIN entries (compaction file-stats URL decode, snapshot
+# stats plumbing, pq train_sample refactor) plus the 9 new round-11
+# queries and 33 stale-cohort refreshes. Round-12 re-checks (snapshot
+# concurrency + stats contracts + index build staging) are enforced
+# via _RECHECK_PIN, which outranks this tier in the sort key.
+_R11_VERIFIED = frozenset({
+    "q_compaction_execute", "q_compaction_plan", "q_containment_verified",
+    "q_dedup_corpus", "q_doc_perplexity", "q_domain_link_rank",
+    "q_domain_mixture_sample", "q_domain_reweight", "q_dup_clusters",
+    "q_entity_resolution", "q_epoch_shuffle", "q_expectations_snapshot_log",
+    "q_extract_links", "q_footer_stats", "q_fuzzy_name_pairs",
+    "q_gram_index_takedown", "q_hilbert_key", "q_hll_union_rollup",
+    "q_html_extract", "q_image_dhash", "q_image_near_dups",
+    "q_incremental_dedup_corpus", "q_incremental_dedup_pairs",
+    "q_incremental_ingest", "q_incremental_novelty", "q_ivf_pq_ann_topk",
+    "q_ivf_pq_search_stored", "q_jaccard_join_collapsed",
+    "q_jaccard_join_exact", "q_kll_quantiles", "q_lang_id_scored",
+    "q_leakage_safe_split", "q_license_filter", "q_minhash_index_takedown",
+    "q_minhash_pairs", "q_minhash_signatures", "q_opq_ann_topk",
+    "q_pq_ann_topk", "q_privacy_release_gate", "q_snapshot_pruned_read",
+    "q_snapshot_row_delete", "q_snapshot_schema_evolution",
+    "q_snapshot_schema_rename", "q_stream_snapshot_ingest",
+    "q_theta_sketch_overlap", "q_url_normalize", "q_view_click_attribution",
+    "q_view_click_attribution_full", "q_view_click_attribution_outer",
+    "q_web_ingest",
+})
+
+# The 23 queries the ROUND-11 JUDGE independently re-certified against
+# round-11 code (VERDICT r11: "tools/verify_oracle.py at sf0.01 over
+# the entire round-6-stale cohort ... 23/23 PASS" — the 21 queries
+# whose latest driver green was r6, plus q_bfs_hops and
+# q_bm25_retrieve). Counted as round-11-fresh for slot prioritization
+# only (not in a driver CORRECTNESS file), so the driver's leftover
+# slots refresh the genuinely stalest cohort — the r7 greens — per
+# VERDICT r11 #2.
+_R11_JUDGE_VERIFIED = frozenset({
+    "q_bfs_hops", "q_bm25_retrieve", "q_multimodal_curation",
+    "q_multimodal_decode", "q_ngram_novelty", "q_psl_domain",
+    "q_quality_floor", "q_random_projection", "q_remove_repeated_spans",
+    "q_robust_anomalies", "q_semantic_decontaminate",
+    "q_session_top_paths", "q_skew_report", "q_skew_salted_join",
+    "q_span_corrupt", "q_taxonomy_topics", "q_temperature_sample",
+    "q_token_drift", "q_url_normalize_psl", "q_url_recrawl_dedup",
+    "q_video_fingerprint", "q_video_near_dups", "q_webdataset_roundtrip",
+})
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R03_VERIFIED | _R04_VERIFIED | _R05_VERIFIED
     | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED | _R09_VERIFIED
-    | _R10_VERIFIED
+    | _R10_VERIFIED | _R11_VERIFIED
 )
 
 

@@ -195,7 +195,7 @@ def test_verified_ledgers_reference_live_queries():
             r._R01_VERIFIED, r._R03_VERIFIED, r._R04_VERIFIED,
             r._R05_VERIFIED, r._R06_VERIFIED, r._R07_VERIFIED,
             r._R08_VERIFIED, r._R09_VERIFIED, r._R10_VERIFIED,
-            r._R10_JUDGE_VERIFIED,
+            r._R10_JUDGE_VERIFIED, r._R11_VERIFIED, r._R11_JUDGE_VERIFIED,
             r._RECHECK_PIN, r._NEVER_RUN_PIN,
         )
         for name in ledger
