@@ -87,6 +87,66 @@ EXTENSIONS = [
 HEADLINE = CORE + EXTENSIONS
 
 
+def serve_timings(spark, sf_dir: str) -> dict[str, float]:
+    """Serve-path honesty split (VERDICT r11 #3): the two stored-
+    artifact HEADLINE entries are equality/plumbing AUDITS — the
+    q_ivf_pq_search_stored wall deliberately re-runs the fresh
+    in-query search (constant-cost train) every run, and
+    q_lang_id_scored recomputes the hashed feature stream a second
+    time for its checksum columns — so their bench numbers mix audit
+    cost into the product cost (measured: ~10-15x for the ANN entry;
+    roughly parity for lang-id, whose serve scan dominates either way
+    — see PLANS.md 'Audit vs serve'). This times the PRODUCT paths
+    alone:
+    ``IvfPqIndex.search`` over a warm stored index (no train, no
+    corpus-embedding read) and ``LangIdModel.score`` from the stored
+    broadcast tables (no fit), min-of-3 after a one-time build that is
+    charged to nothing. Round-over-round serve comparisons read these;
+    the audit entries keep guarding correctness."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from scrappy_spark.io import load_table
+    from scrappy_spark.ml.langid import LangIdModel
+    from scrappy_spark.operators import similarity as SIM
+    from scrappy_spark.operators.ann_index import IvfPqIndex
+
+    root = tempfile.mkdtemp(prefix="bench_serve_")
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        SIM.label_centroids(e)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+                lambda s: s.centroid_val,
+            ).alias("centroid")
+        )
+    )
+    idx = IvfPqIndex.build(spark, os.path.join(root, "idx"), e, cents)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    model = LangIdModel.train_and_store(spark, os.path.join(root, "model"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    legs = {
+        "ivf_pq_search_stored": lambda: idx.search(queries, k=10, n_probe=2),
+        "lang_id_scored": lambda: model.score(docs),
+    }
+    out: dict[str, float] = {}
+    for name, fn in legs.items():
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -138,6 +198,8 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    serve = serve_timings(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     core_total = round(sum(timings[n] for n in CORE), 3)
     ext_total = round(sum(timings[n] for n in EXTENSIONS), 3)
@@ -153,6 +215,11 @@ def main() -> None:
                 "core_sec": core_total,
                 "ext_sec": ext_total,
                 "queries": timings,
+                # PRODUCT-path timings for the stored-artifact entries
+                # whose headline walls are audit costs (VERDICT r11 #3
+                # — see serve_timings): compare THESE round-over-round
+                # for the serve story.
+                "serve": serve,
                 "sf": sf,
             }
         )
