@@ -624,6 +624,216 @@ class SnapshotTable:
             deletes,
         )
 
+    def commit_partitioned(
+        self,
+        df: DataFrame,
+        col: str,
+        transform: str,
+        message: str = "",
+        n: int | None = None,
+        width: int | None = None,
+        append: bool = False,
+        stats_cols: list[str] | None = None,
+        max_retries: int = 10,
+    ) -> dict:
+        """Commit ``df`` PARTITIONED by a transform of one column — the
+        second Iceberg pruning axis (VERDICT r11 #7), alongside the
+        min/max file stats: the manifest records a partition SPEC
+        (column id + transform) and each data file's single partition
+        VALUE, and ``read(where=...)`` prunes files whose value
+        disproves a conjunct BEFORE any scan. Transforms:
+
+        - ``identity`` — one file set per distinct value; any
+          comparison op prunes (the value is a [v, v] interval).
+        - ``bucket`` (``n`` buckets) — ``pmod(xxhash64(col), n)``;
+          EQUALITY conjuncts prune to one bucket. This is the axis
+          min/max stats cannot express: a point lookup on a
+          high-cardinality key touches 1/n of the files no matter how
+          values interleave.
+        - ``truncate`` (integral ``width``) — value ``v - v % width``;
+          rows lie in [v, v+width), so range ops prune.
+
+        The write shuffles once on the transform (each partition value
+        lands contiguously → one file per value per final task) and
+        uses Spark's ``partitionBy`` on a synthetic ``__p`` column, so
+        data files keep EVERY real column (the id-mapped read is
+        unchanged). Spec evolution is Iceberg's: appends must keep the
+        parent's spec (changing it raises); a spec set on a table with
+        unpartitioned history leaves old files value-less — they are
+        simply never partition-pruned; renames never break pruning
+        (the spec is keyed by column id); every other manifest op
+        carries spec + values through automatically. NULL column
+        values land in a value-less file (kept by every conjunct).
+        Conflicts rebase like appends."""
+        from urllib.parse import unquote
+
+        if transform not in ("identity", "bucket", "truncate"):
+            raise ValueError(
+                f"unknown partition transform {transform!r} "
+                "(identity | bucket | truncate)"
+            )
+        if col not in df.columns:
+            raise ValueError(
+                f"commit_partitioned: no column {col!r} in the frame"
+            )
+        src_type = dict(df.dtypes)[col]
+        if transform == "bucket":
+            if not n or n < 2:
+                raise ValueError("bucket transform needs n >= 2")
+        if transform == "truncate":
+            if not width or width < 1:
+                raise ValueError("truncate transform needs width >= 1")
+            if src_type not in ("tinyint", "smallint", "int", "bigint"):
+                raise ValueError(
+                    f"truncate partitioning needs an integral column, "
+                    f"got {col!r}: {src_type}"
+                )
+        from pyspark.sql import functions as F
+
+        if transform == "identity":
+            expr = F.col(col)
+        elif transform == "bucket":
+            expr = F.pmod(F.xxhash64(F.col(col)), F.lit(n))
+        else:
+            expr = F.col(col) - F.pmod(F.col(col), F.lit(width))
+        snap_dir = os.path.join(self.path, "data", f"snap-{_token()}")
+        (
+            df.withColumn("__p", expr)
+            .repartition("__p")
+            .write.partitionBy("__p")
+            .mode("overwrite")
+            .parquet(snap_dir)
+        )
+        new_files: list[str] = []
+        parts: dict[str, object] = {}
+        for d in sorted(os.listdir(snap_dir)):
+            pdir = os.path.join(snap_dir, d)
+            if not (d.startswith("__p=") and os.path.isdir(pdir)):
+                continue
+            raw = unquote(d[len("__p=") :])
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                val: object = None  # NULL partition: never pruned
+            elif transform in ("bucket", "truncate") or src_type in (
+                "tinyint",
+                "smallint",
+                "int",
+                "bigint",
+            ):
+                val = int(raw)
+            else:
+                val = raw
+            for f in sorted(os.listdir(pdir)):
+                if f.endswith(".parquet"):
+                    p = os.path.join(pdir, f)
+                    new_files.append(p)
+                    if val is not None:
+                        parts[p] = val
+        conflict: CommitConflict | None = None
+        for _ in range(max_retries + 1):
+            parent = self.current_version()
+            version = 0 if parent is None else parent + 1
+            if append and parent is not None:
+                pm = self._manifest(parent)
+                (
+                    files,
+                    cols,
+                    identity,
+                    stats_t,
+                    deletes,
+                ) = self._assemble_append(pm, df.schema, new_files, stats_cols)
+                all_parts = dict(pm.get("partitions", {}))
+            else:
+                # replace: same identity-carry rules as commit() — a
+                # column that keeps its (name, type) keeps its id, so
+                # rename history and stats designations survive
+                deletes = []
+                pm = self._manifest(parent) if parent is not None else {}
+                pcols = pm.get("columns", [])
+                next_id = int(pm.get("next_col_id", 1))
+                by_name = {c["name"]: c for c in pcols}
+                cols = []
+                for f in df.schema.fields:
+                    have = by_name.get(f.name)
+                    if (
+                        have is not None
+                        and _struct_of([have]).fields[0].dataType
+                        == f.dataType
+                    ):
+                        cols.append(dict(have))
+                    else:
+                        cols.append(
+                            {
+                                "id": next_id,
+                                "name": f.name,
+                                "type": f.dataType.jsonValue(),
+                            }
+                        )
+                        next_id += 1
+                schemas: dict = {}
+                sid = self._intern_schema(schemas, cols)
+                identity = (
+                    cols,
+                    schemas,
+                    {p: sid for p in new_files},
+                    next_id,
+                )
+                files = new_files
+                live_ids = {c["id"] for c in cols}
+                stats_ids = [
+                    i for i in pm.get("stats_ids", []) if i in live_ids
+                ]
+                by_id = {c["id"]: c["name"] for c in cols}
+                for name in stats_cols or []:
+                    hit = [c["id"] for c in cols if c["name"] == name]
+                    if not hit:
+                        raise ValueError(
+                            f"stats_cols: no column {name!r} in the table"
+                        )
+                    if hit[0] not in stats_ids:
+                        stats_ids.append(hit[0])
+                stats_t = (
+                    _footer_minmax(
+                        new_files, {by_id[i]: str(i) for i in stats_ids}
+                    ),
+                    stats_ids,
+                )
+                all_parts = {}
+                pm = {}  # a replace SETS the spec; no parent-spec check
+            col_id = next(c["id"] for c in cols if c["name"] == col)
+            spec = {
+                "id": col_id,
+                "transform": transform,
+                "n": n,
+                "width": width,
+                "source_type": src_type,
+            }
+            pspec = pm.get("partition_spec")
+            if pspec is not None and pspec != spec:
+                raise ValueError(
+                    f"commit_partitioned: the table's spec is {pspec!r} — "
+                    f"an append must keep it (got {spec!r}); change the "
+                    "spec with a replace commit"
+                )
+            all_parts.update(parts)
+            try:
+                return self._publish(
+                    version,
+                    parent,
+                    files,
+                    message or f"partitioned commit ({transform} on {col})",
+                    _struct_of(cols),
+                    identity=identity,
+                    stats=stats_t,
+                    deletes=deletes,
+                    partition=(spec, all_parts),
+                )
+            except CommitConflict as exc:
+                if not append:
+                    raise
+                conflict = exc
+        assert conflict is not None
+        raise conflict
+
     def commit_files(self, files: list[str], message: str = "") -> dict:
         """Publish a new version referencing an EXPLICIT file list —
         the compaction path (operators/layout.py::compact_snapshot):
@@ -710,6 +920,7 @@ class SnapshotTable:
         identity: tuple[list[dict], dict, dict, int] | None = None,
         stats: tuple[dict, list[int]] | None = None,
         deletes: list[dict] | None = None,
+        partition: tuple[dict | None, dict] | None = None,
     ) -> dict:
         manifest = {
             "version": version,
@@ -719,6 +930,30 @@ class SnapshotTable:
             "files": files,
             "n_files": len(files),
         }
+        if partition is not None:
+            spec, parts = partition
+            if spec is not None:
+                manifest["partition_spec"] = spec
+                manifest["partitions"] = {
+                    p: parts[p] for p in files if p in parts
+                }
+        elif parent is not None:
+            # spec + per-file values carry across every manifest-level
+            # op (append / delete / rename / compaction / merge) by
+            # default, filtered to the files still present — the spec
+            # is keyed by COLUMN ID, so renames are pruning-proof, and
+            # files committed without values (pre-spec history, plain
+            # appends) simply never partition-prune
+            try:
+                pm = self._manifest(parent)
+            except FileNotFoundError:
+                pm = {}
+            if "partition_spec" in pm:
+                manifest["partition_spec"] = pm["partition_spec"]
+                pparts = pm.get("partitions", {})
+                manifest["partitions"] = {
+                    p: pparts[p] for p in files if p in pparts
+                }
         if deletes:
             manifest["deletes"] = deletes
         if schema is not None:
@@ -1263,7 +1498,57 @@ class SnapshotTable:
                 for k, (_, op, val) in zip(keys, conjuncts)
             )
         ]
+        # second pruning axis (VERDICT r11 #7): the partition spec.
+        # Identity/truncate values are intervals (reuse the stats
+        # logic); bucket values prune equality conjuncts — the case
+        # min/max stats cannot express. Files without a recorded value
+        # (pre-spec history, plain appends) are never pruned.
+        spec = m.get("partition_spec")
+        if spec is not None and kept:
+            parts = m.get("partitions", {})
+            for k, (_, op, val) in zip(keys, conjuncts):
+                if k != str(spec["id"]):
+                    continue
+                kept = [
+                    p
+                    for p in kept
+                    if not self._part_prune(spec, parts.get(p), op, val)
+                ]
         return kept, conjuncts
+
+    def _part_prune(self, spec: dict, pv, op: str, val) -> bool:
+        """True when a file's partition VALUE proves no row matches."""
+        if pv is None:
+            return False
+        t = spec["transform"]
+        if t == "identity":
+            return _stats_prune({"p": [pv, pv, 0]}, "p", op, val)
+        if t == "truncate":
+            return _stats_prune(
+                {"p": [pv, pv + spec["width"] - 1, 0]}, "p", op, val
+            )
+        if t == "bucket" and op == "=":
+            return pv != self._bucket_value(val, spec)
+        return False
+
+    def _bucket_value(self, val, spec: dict) -> int:
+        """The bucket a literal hashes to — evaluated through Spark's
+        own xxhash64 (one driver-side one-row job per point-lookup
+        conjunct; the write and the probe must share the exact JVM
+        hash, so no Python reimplementation)."""
+        from pyspark.sql import functions as F
+
+        row = (
+            self.spark.range(1)
+            .select(
+                F.pmod(
+                    F.xxhash64(F.lit(val).cast(spec["source_type"])),
+                    F.lit(spec["n"]),
+                ).alias("b")
+            )
+            .first()
+        )
+        return int(row["b"])
 
     @staticmethod
     def _where_condition(conjuncts):
@@ -1518,15 +1803,24 @@ class SnapshotTable:
         deleted: list[str] = []
         data_dir = os.path.join(self.path, "data")
         if os.path.isdir(data_dir):
-            for snap in sorted(os.listdir(data_dir)):
-                sdir = os.path.join(data_dir, snap)
-                for f in sorted(os.listdir(sdir)):
-                    p = os.path.join(sdir, f)
+            # recursive walk: partitioned commits nest files under
+            # __p=<value> subdirs — a one-level listing would read a
+            # partitioned snap dir as "no parquet here" and rmtree
+            # LIVE nested files
+            for dirpath, _dirs, files in os.walk(data_dir, topdown=False):
+                for f in sorted(files):
+                    p = os.path.join(dirpath, f)
                     if f.endswith(".parquet") and p not in live:
                         os.remove(p)
                         deleted.append(p)
-                if not any(x.endswith(".parquet") for x in os.listdir(sdir)):
-                    shutil.rmtree(sdir)
+                if dirpath != data_dir and os.path.isdir(dirpath):
+                    empty_of_parquet = not any(
+                        fn.endswith(".parquet")
+                        for _, _, fns in os.walk(dirpath)
+                        for fn in fns
+                    )
+                    if empty_of_parquet:
+                        shutil.rmtree(dirpath)
         for m in drop:
             os.remove(os.path.join(self._mdir, f"v{m['version']}.json"))
         if os.path.isdir(self._mdir):
