@@ -234,7 +234,16 @@ def main(argv: list[str] | None = None) -> int:
         help="row-level takedown by key list read from PARQUET "
         "(requires --key-col)",
     )
-    p.add_argument("--key-col", help="key column for --table-delete-keys")
+    p.add_argument(
+        "--table-merge-keys",
+        metavar="PARQUET",
+        help="single-commit keyed upsert: the PARQUET batch replaces "
+        "matched keys and inserts the rest (requires --key-col)",
+    )
+    p.add_argument(
+        "--key-col",
+        help="key column for --table-delete-keys / --table-merge-keys",
+    )
     p.add_argument(
         "--table-apply-deletes",
         action="store_true",
@@ -353,6 +362,7 @@ def main(argv: list[str] | None = None) -> int:
         args.table_history
         or args.table_delete_where
         or args.table_delete_keys
+        or args.table_merge_keys
         or args.table_apply_deletes
     ):
         from .sources.snapshots import SnapshotTable
@@ -385,6 +395,17 @@ def main(argv: list[str] | None = None) -> int:
             m = table.delete_keys(keys, [args.key_col])
             print(
                 f"v{m['version']}: key takedown on {args.key_col} — "
+                f"{len(m.get('deletes', []))} pending entr(ies)"
+            )
+        if args.table_merge_keys:
+            if not args.key_col:
+                print("--table-merge-keys requires --key-col", file=sys.stderr)
+                return 2
+            batch = spark.read.parquet(args.table_merge_keys)
+            m = table.merge_keys(batch, [args.key_col])
+            print(
+                f"v{m['version']}: merge upsert on {args.key_col} — "
+                f"{m['n_files']} files, "
                 f"{len(m.get('deletes', []))} pending entr(ies)"
             )
         if args.table_apply_deletes:

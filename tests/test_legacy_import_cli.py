@@ -451,3 +451,34 @@ def test_cli_index_admin_requires_index_path(tmp_path, capsys):
     )
     assert rc == 2
     assert "no stored index" in capsys.readouterr().err
+
+
+def test_cli_table_merge_keys(spark, tmp_path, capsys):
+    """--table-merge-keys drives the single-commit upsert from the CLI
+    (VERDICT r11 #4 parity with --table-delete-keys)."""
+    from scrappy_spark.sources.snapshots import SnapshotTable
+
+    tpath = str(tmp_path / "t")
+    t = SnapshotTable(spark, tpath)
+    t.commit(
+        spark.range(0, 5).selectExpr("id AS k", "concat('v', id) AS v").coalesce(1)
+    )
+    batch = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(2, "upd"), (9, "ins")], "k long, v string"
+    ).coalesce(1).write.parquet(batch)
+
+    rc = cli.main(
+        ["--store", str(tmp_path / "s"), "--table", tpath,
+         "--table-merge-keys", batch, "--key-col", "k"]
+    )
+    assert rc == 0 and "merge upsert on k" in capsys.readouterr().out
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows == {0: "v0", 1: "v1", 2: "upd", 3: "v3", 4: "v4", 9: "ins"}
+    assert t.current_version() == 1  # one commit
+
+    rc = cli.main(
+        ["--store", str(tmp_path / "s"), "--table", tpath,
+         "--table-merge-keys", batch]
+    )
+    assert rc == 2 and "--key-col" in capsys.readouterr().err
