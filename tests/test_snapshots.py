@@ -1034,3 +1034,48 @@ def test_partitioned_append_spec_rules_and_nulls(spark, tmp_path):
     got = [r.k for r in tn.read(where=("lang", "=", "en")).collect()]
     want = [r.k for r in tn.read().filter("lang = 'en'").collect()]
     assert got == want == [1]
+
+
+def test_two_threads_racing_appends_all_survive(spark, tmp_path):
+    """Not an injected interleave — a REAL race: two threads each
+    append 6 batches to one table through one SparkSession. Every
+    conflict must rebase; afterwards all 12 batches' rows are present
+    and the version chain is a single linear history."""
+    import threading
+
+    path = str(tmp_path / "race")
+    SnapshotTable(spark, path).commit(_kv(spark, [(-1, "base")]), "base")
+    errors: list[Exception] = []
+
+    def writer(tag: str, lo: int):
+        t = SnapshotTable(spark, path)
+        try:
+            for i in range(6):
+                t.commit(
+                    _kv(spark, [(lo + i, f"{tag}{i}")]),
+                    f"{tag}{i}",
+                    append=True,
+                    max_retries=30,
+                )
+        except Exception as exc:  # surfaced after join
+            errors.append(exc)
+
+    ts = [
+        threading.Thread(target=writer, args=("a", 100)),
+        threading.Thread(target=writer, args=("b", 200)),
+    ]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errors, errors
+    t = SnapshotTable(spark, path)
+    rows = {r.k: r.v for r in t.read().collect()}
+    want = {-1: "base"}
+    want.update({100 + i: f"a{i}" for i in range(6)})
+    want.update({200 + i: f"b{i}" for i in range(6)})
+    assert rows == want  # no batch lost to the race
+    vs = t.versions()
+    assert [m["version"] for m in vs] == list(range(13))
+    # linear history: every commit's parent is its predecessor
+    assert all(m["parent"] == m["version"] - 1 for m in vs[1:])
