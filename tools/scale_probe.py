@@ -100,6 +100,8 @@ PROBES = [
     "q_ivf_pq_search_stored",
     "q_lang_id_scored",
     "q_stream_snapshot_ingest",
+    "q_snapshot_merge_upsert",
+    "q_snapshot_partitioned_read",
 ]
 
 
