@@ -1528,26 +1528,36 @@ class SnapshotTable:
                 {"p": [pv, pv + spec["width"] - 1, 0]}, "p", op, val
             )
         if t == "bucket" and op == "=":
-            return pv != self._bucket_value(val, spec)
+            want = self._bucket_value(val, spec)
+            return want is not None and pv != want
         return False
 
-    def _bucket_value(self, val, spec: dict) -> int:
+    def _bucket_value(self, val, spec: dict) -> int | None:
         """The bucket a literal hashes to — evaluated through Spark's
         own xxhash64 (one driver-side one-row job per point-lookup
         conjunct; the write and the probe must share the exact JVM
-        hash, so no Python reimplementation)."""
+        hash, so no Python reimplementation). ``None`` when the
+        literal does not cast to the partition column's type (the
+        probe value is then unprovable — no file pruned; the real
+        filter still applies)."""
         from pyspark.sql import functions as F
 
-        row = (
-            self.spark.range(1)
-            .select(
-                F.pmod(
-                    F.xxhash64(F.lit(val).cast(spec["source_type"])),
-                    F.lit(spec["n"]),
-                ).alias("b")
+        try:
+            cast = F.lit(val).try_cast(spec["source_type"])
+            row = (
+                self.spark.range(1)
+                .select(
+                    cast.alias("c"),
+                    F.pmod(F.xxhash64(cast), F.lit(spec["n"])).alias("b"),
+                )
+                .first()
             )
-            .first()
-        )
+        except Exception:
+            return None  # uncastable literal type: never prune
+        if row["c"] is None:
+            # failed cast (xxhash64 of NULL is the SEED, not NULL —
+            # checking "b" alone would prune to a phantom bucket)
+            return None
         return int(row["b"])
 
     @staticmethod

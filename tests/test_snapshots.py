@@ -1079,3 +1079,30 @@ def test_two_threads_racing_appends_all_survive(spark, tmp_path):
     assert [m["version"] for m in vs] == list(range(13))
     # linear history: every commit's parent is its predecessor
     assert all(m["parent"] == m["version"] - 1 for m in vs[1:])
+
+
+def test_bucket_probe_type_mismatch_never_prunes(spark, tmp_path):
+    """A point-lookup literal that does not cast to the partition
+    column's type must disable bucket pruning, not hash NULL to a
+    phantom bucket (xxhash64 of NULL is the SEED) — the result must
+    still equal unpruned read + filter."""
+    t = SnapshotTable(spark, str(tmp_path / "b"))
+    t.commit_partitioned(
+        spark.range(0, 100).selectExpr("id AS k", "concat('v', id) AS v"),
+        "k",
+        "bucket",
+        n=4,
+    )
+    # the probe must not prune (phantom bucket); the read then fails
+    # the same way the manual ANSI filter does — never silently empty
+    rep = t.prune_report(("k", "=", "not-a-number"))
+    assert rep["n_pruned"] == 0  # unprovable probe: conservative
+    import pyspark.errors as _err
+
+    with pytest.raises(_err.PySparkException):
+        t.read(where=("k", "=", "not-a-number")).count()
+    with pytest.raises(_err.PySparkException):
+        t.read().filter(t.read()["k"] == "not-a-number").count()
+    # a string literal that DOES cast still prunes exactly
+    assert t.prune_report(("k", "=", "17"))["n_read"] == 1
+    assert [r.v for r in t.read(where=("k", "=", "17")).collect()] == ["v17"]
