@@ -249,6 +249,10 @@ def _stats_full_cover(stats: dict, key: str, op: str, value) -> bool:
         if op == "between":
             vlo, vhi = value
             return vlo <= lo and hi <= vhi
+        if op == "in":
+            # provable only for a single-valued file whose value is
+            # listed (the common takedown shape after clustering)
+            return lo == hi and any(v == lo for v in value)
     except TypeError:
         return False
     raise ValueError(f"unknown delete op {op!r}")
@@ -279,6 +283,10 @@ def _stats_prune(stats: dict, key: str, op: str, value) -> bool:
         if op == "between":
             vlo, vhi = value
             return hi < vlo or lo > vhi
+        if op == "in":
+            # NULL list members match no row (SQL IN), so they are
+            # ignored; an all-NULL/empty list proves every file row-free
+            return all(v < lo or v > hi for v in value if v is not None)
     except TypeError:
         return False
     raise ValueError(f"unknown prune op {op!r}")
@@ -1131,12 +1139,12 @@ class SnapshotTable:
             # manifest would poison every later read/apply_deletes
             # (stats-less files skip the op dispatch in the prune
             # helpers, so they cannot catch it here)
-            if op not in ("=", "<", "<=", ">", ">=", "between"):
+            if op not in ("=", "<", "<=", ">", ">=", "between", "in"):
                 raise ValueError(
                     f"delete_where: unknown op {op!r} "
-                    "(= < <= > >= between)"
+                    "(= < <= > >= between in)"
                 )
-            if op == "between":
+            if op in ("between", "in"):
                 val = list(val)
             norm.append([by_name[col], op, val])
         stats = pm.get("stats", {})
@@ -1470,7 +1478,8 @@ class SnapshotTable:
         """Split a pruning spec against a version's manifest stats:
         returns (surviving files, normalized conjuncts). ``where`` is
         one ``(col, op, value)`` tuple or a list of them (ANDed); ops
-        ``= < <= > >= between`` (between takes a (lo, hi) pair).
+        ``= < <= > >= between in`` (between takes a (lo, hi) pair;
+        in takes an iterable of values).
         Column names resolve to COLUMN IDS through the manifest, so a
         predicate on a renamed column prunes against stats recorded
         under the old name. Files lacking stats for a conjunct's
@@ -1527,38 +1536,48 @@ class SnapshotTable:
             return _stats_prune(
                 {"p": [pv, pv + spec["width"] - 1, 0]}, "p", op, val
             )
-        if t == "bucket" and op == "=":
-            want = self._bucket_value(val, spec)
-            return want is not None and pv != want
+        if t == "bucket":
+            if op == "=":
+                want = self._bucket_value(val, spec)
+                return want is not None and pv != want
+            if op == "in":
+                vals = [v for v in val if v is not None]
+                if not vals:
+                    return True  # IN () / IN (NULL) matches no row
+                wants = self._bucket_values(vals, spec)
+                return all(w is not None and w != pv for w in wants)
         return False
 
     def _bucket_value(self, val, spec: dict) -> int | None:
-        """The bucket a literal hashes to — evaluated through Spark's
-        own xxhash64 (one driver-side one-row job per point-lookup
-        conjunct; the write and the probe must share the exact JVM
-        hash, so no Python reimplementation). ``None`` when the
-        literal does not cast to the partition column's type (the
-        probe value is then unprovable — no file pruned; the real
-        filter still applies)."""
+        return self._bucket_values([val], spec)[0]
+
+    def _bucket_values(self, vals: list, spec: dict) -> list[int | None]:
+        """The buckets a list of literals hash to — evaluated in ONE
+        driver-side one-row job through Spark's own xxhash64 (the
+        write and the probe must share the exact JVM hash, so no
+        Python reimplementation; the list is conjunct-sized). An entry
+        is ``None`` when that literal does not cast to the partition
+        column's type (the probe is then unprovable — no file pruned;
+        the real filter still applies). The cast result is checked
+        explicitly because xxhash64 of NULL is the SEED, not NULL —
+        reading the bucket alone would prune to a phantom bucket."""
         from pyspark.sql import functions as F
 
         try:
-            cast = F.lit(val).try_cast(spec["source_type"])
-            row = (
-                self.spark.range(1)
-                .select(
-                    cast.alias("c"),
-                    F.pmod(F.xxhash64(cast), F.lit(spec["n"])).alias("b"),
+            cols = []
+            for i, v in enumerate(vals):
+                cast = F.lit(v).try_cast(spec["source_type"])
+                cols.append(cast.alias(f"c{i}"))
+                cols.append(
+                    F.pmod(F.xxhash64(cast), F.lit(spec["n"])).alias(f"b{i}")
                 )
-                .first()
-            )
+            row = self.spark.range(1).select(*cols).first()
         except Exception:
-            return None  # uncastable literal type: never prune
-        if row["c"] is None:
-            # failed cast (xxhash64 of NULL is the SEED, not NULL —
-            # checking "b" alone would prune to a phantom bucket)
-            return None
-        return int(row["b"])
+            return [None] * len(vals)  # uncastable literal type
+        return [
+            None if row[f"c{i}"] is None else int(row[f"b{i}"])
+            for i in range(len(vals))
+        ]
 
     @staticmethod
     def _where_condition(conjuncts):
@@ -1571,6 +1590,7 @@ class SnapshotTable:
             ">": lambda c, v: c > v,
             ">=": lambda c, v: c >= v,
             "between": lambda c, v: c.between(v[0], v[1]),
+            "in": lambda c, v: c.isin(list(v)) if list(v) else F.lit(False),
         }
         cond = None
         for col, op, val in conjuncts:

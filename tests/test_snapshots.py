@@ -1106,3 +1106,62 @@ def test_bucket_probe_type_mismatch_never_prunes(spark, tmp_path):
     # a string literal that DOES cast still prunes exactly
     assert t.prune_report(("k", "=", "17"))["n_read"] == 1
     assert [r.v for r in t.read(where=("k", "=", "17")).collect()] == ["v17"]
+
+
+def test_in_op_prunes_stats_and_buckets(spark, tmp_path):
+    """The 'in' conjunct (the id-set takedown/lookup shape): stats
+    prune files whose [min, max] excludes every listed value, bucket
+    partitions prune files outside the listed values' buckets (one
+    driver job for the whole list), and the result always equals
+    unpruned read + filter — including NULL list members, which match
+    no row."""
+    t = _range_table(spark, tmp_path)  # 3 files: [0,10) [10,20) [20,30)
+    rep = t.prune_report(("k", "in", [2, 5, 25]))
+    assert rep == {"n_files": 3, "n_read": 2, "n_pruned": 1}
+    got = sorted(r.k for r in t.read(where=("k", "in", [2, 5, 25])).collect())
+    assert got == [2, 5, 25]
+    # NULL members are ignored for pruning AND match no row
+    got = sorted(
+        r.k for r in t.read(where=("k", "in", [2, None])).collect()
+    )
+    assert got == [2]
+    assert t.read(where=("k", "in", [])).count() == 0
+
+    b = SnapshotTable(spark, str(tmp_path / "b"))
+    b.commit_partitioned(
+        spark.range(0, 200).selectExpr("id AS k", "concat('v', id) AS v"),
+        "k",
+        "bucket",
+        n=8,
+    )
+    rep = b.prune_report(("k", "in", [3, 77]))
+    assert rep["n_read"] <= 2  # at most the two values' buckets
+    got = sorted(r.k for r in b.read(where=("k", "in", [3, 77])).collect())
+    assert got == [3, 77]
+    # identity partitions prune 'in' through the interval logic
+    i = SnapshotTable(spark, str(tmp_path / "i"))
+    i.commit_partitioned(
+        spark.createDataFrame(
+            [(1, "en"), (2, "de"), (3, "fr")], "k long, lang string"
+        ),
+        "lang",
+        "identity",
+    )
+    rep = i.prune_report(("lang", "in", ["de", "fr"]))
+    assert rep == {"n_files": 3, "n_read": 2, "n_pruned": 1}
+
+
+def test_delete_where_in_op(spark, tmp_path):
+    """delete_where(('k', 'in', ids)) — the inline id-set takedown:
+    residual merge-on-read on scoped files, single-valued files fully
+    covered, NULL rows kept."""
+    t = _range_table(spark, tmp_path)
+    t.delete_where(("k", "in", [5, 6, 25]))
+    assert sorted(r.k for r in t.read().collect()) == [
+        k for k in range(30) if k not in (5, 6, 25)
+    ]
+    m = t._manifest(t.current_version())
+    # files [0,10) and [20,30) carry the residual; [10,20) was pruned
+    assert len(m["deletes"]) == 1 and len(m["deletes"][0]["files"]) == 2
+    # time travel unaffected
+    assert len(t.read(t.current_version() - 1).collect()) == 30
