@@ -1598,6 +1598,27 @@ class SnapshotTable:
             cond = leg if cond is None else cond & leg
         return cond
 
+    def version_as_of(self, ts: float) -> int:
+        """Largest committed version whose ``committed_at`` is at or
+        before ``ts`` (epoch seconds) — Iceberg's TIMESTAMP AS OF.
+        ``committed_at`` is the publishing writer's wall clock, so
+        under multi-writer clock skew the mapping is advisory at the
+        skew's granularity; version numbers (the link-serialized
+        truth) remain the exact ordering. Raises when ``ts`` predates
+        the first commit."""
+        best = None
+        for m in self.versions():
+            if m["committed_at"] <= ts and (
+                best is None or m["version"] > best
+            ):
+                best = m["version"]
+        if best is None:
+            raise ValueError(
+                f"snapshot table {self.path!r}: no version committed at "
+                f"or before {ts}"
+            )
+        return best
+
     def prune_report(self, where, version: int | None = None) -> dict:
         """How selective a ``read(where=...)`` would be, at manifest
         grain: total vs surviving file counts — the number a plan
@@ -1613,9 +1634,15 @@ class SnapshotTable:
             "n_pruned": len(m["files"]) - len(kept),
         }
 
-    def read(self, version: int | None = None, where=None) -> DataFrame:
+    def read(
+        self, version: int | None = None, where=None, as_of: float | None = None
+    ) -> DataFrame:
         """The table at ``version`` (default: HEAD). Reads exactly the
         manifest's file list — concurrent commits are invisible.
+
+        ``as_of``: an epoch-seconds timestamp instead of a version
+        (``version_as_of`` semantics — TIMESTAMP AS OF); mutually
+        exclusive with ``version``.
 
         ``where``: optional ``(col, op, value)`` conjuncts. Files whose
         manifest [min, max] stats prove them row-free are NOT read at
@@ -1623,6 +1650,10 @@ class SnapshotTable:
         the predicate is then applied to the survivors, so the result
         equals an unpruned read + filter whether or not any file
         carries stats."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("read: pass version OR as_of, not both")
+            version = self.version_as_of(as_of)
         v = self.current_version() if version is None else version
         if v is None:
             raise ValueError(f"snapshot table {self.path!r} has no commits")

@@ -1165,3 +1165,27 @@ def test_delete_where_in_op(spark, tmp_path):
     assert len(m["deletes"]) == 1 and len(m["deletes"][0]["files"]) == 2
     # time travel unaffected
     assert len(t.read(t.current_version() - 1).collect()) == 30
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    """TIMESTAMP AS OF: read(as_of=ts) resolves the largest version
+    committed at or before ts; before the first commit raises; passing
+    both version and as_of refuses."""
+    import time as _time
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    before = _time.time() - 1
+    t.commit(_kv(spark, [(0, "v0")]), "v0")
+    _time.sleep(0.05)
+    t0 = _time.time()
+    _time.sleep(0.05)
+    t.commit(_kv(spark, [(1, "v1")]), "v1")
+    assert t.version_as_of(t0) == 0
+    assert [r.v for r in t.read(as_of=t0).collect()] == ["v0"]
+    assert [r.v for r in t.read(as_of=_time.time()).collect()] == ["v1"]
+    with pytest.raises(ValueError, match="no version committed"):
+        t.read(as_of=before)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=0, as_of=t0)
+    # composes with pruned reads
+    assert t.read(as_of=t0, where=("k", "=", 0)).count() == 1
