@@ -325,13 +325,18 @@ def stage_build_params(path: str, params: dict) -> None:
     verifies it is resuming the same build and refuses loudly on any
     mismatch (the remedy is a fresh path, or removing the crashed
     directory). Artifacts built before staging existed carry no
-    sidecar; their first rebuild stages one."""
+    sidecar; their first rebuild stages one.
+
+    Publication is the same ``os.link`` put-if-absent as ``_publish``
+    (ADVICE r12 #3): a check-then-rename would let two concurrent
+    builders both pass the isfile check and race the rename —
+    last-writer-wins would silently bypass the very mixed-parameter
+    guard this sidecar exists to enforce. With the link, the first
+    staging wins atomically and the loser re-reads and compares,
+    refusing loudly on a conflicting build."""
     import os as _os
 
-    sidecar = _os.path.join(path, ".build_params.json")
-    if _os.path.isfile(sidecar):
-        with open(sidecar) as f:
-            staged = json.load(f)
+    def _require_same(staged: dict) -> None:
         if staged != params:
             diff = sorted(
                 k
@@ -339,18 +344,32 @@ def stage_build_params(path: str, params: dict) -> None:
                 if staged.get(k) != params.get(k)
             )
             raise ValueError(
-                f"build at {path!r}: a prior (possibly crashed) build "
-                f"staged different parameters — mismatched keys {diff} "
+                f"build at {path!r}: a prior (possibly crashed or "
+                f"concurrent) build staged different parameters — "
+                f"mismatched keys {diff} "
                 f"(staged {staged!r}, requested {params!r}); reusing its "
                 "committed tables would corrupt the index. Build at a "
                 "fresh path or remove the directory to rebuild."
             )
+
+    sidecar = _os.path.join(path, ".build_params.json")
+    if _os.path.isfile(sidecar):
+        with open(sidecar) as f:
+            _require_same(json.load(f))
         return
     _os.makedirs(path, exist_ok=True)
-    tmp = sidecar + ".tmp"
+    tmp = f"{sidecar}.{_token()}.tmp"  # writer-unique: tmps never collide
     with open(tmp, "w") as f:
         json.dump(params, f, indent=1)
-    os.rename(tmp, sidecar)
+    try:
+        os.link(tmp, sidecar)
+    except FileExistsError:
+        # a concurrent builder staged first — honor ITS params
+        os.unlink(tmp)
+        with open(sidecar) as f:
+            _require_same(json.load(f))
+        return
+    os.unlink(tmp)
 
 
 class SnapshotTable:
@@ -358,6 +377,11 @@ class SnapshotTable:
         self.spark = spark
         self.path = path
         self._mdir = os.path.join(path, "_manifests")
+        # bucket-probe memo: (spec key, literal) -> bucket | None.
+        # Safe to cache per handle — a spec entry is immutable once
+        # written (evolution adds a NEW spec id) and the hash is a
+        # pure function of (literal, source_type, n).
+        self._bucket_probe_cache: dict = {}
 
     # ------------------------------------------------------------- state
 
@@ -1551,33 +1575,79 @@ class SnapshotTable:
     def _bucket_value(self, val, spec: dict) -> int | None:
         return self._bucket_values([val], spec)[0]
 
+    @staticmethod
+    def _probe_safe(val, source_type: str) -> bool:
+        """Is a bucket probe for literal ``val`` against a column of
+        ``source_type`` PROVABLY faithful to the filter's semantics?
+
+        The probe hashes ``cast(literal AS source_type)``. That equals
+        what matching rows store exactly when Spark's comparison casts
+        the LITERAL side — which it does whenever the column is
+        non-string (numeric/date/timestamp column vs string literal:
+        the string is cast). The unsafe direction is a STRING column
+        with a non-string literal: Spark casts the COLUMN to the
+        literal's type, so a row ``'05'`` satisfies ``col = 5`` yet
+        lives in ``bucket('05')`` — pruning by ``bucket('5')`` would
+        drop its file (ADVICE r12 #2). Decimals are conservative both
+        ways (cast rounding differs from comparison coercion), and
+        bools never probe a non-boolean column (``True`` is an
+        ``int`` subclass)."""
+        t = source_type.lower()
+        if t == "string":
+            return isinstance(val, str)
+        if t.startswith("decimal"):
+            import decimal
+
+            return isinstance(val, decimal.Decimal)
+        if t == "boolean":
+            return isinstance(val, bool)
+        return not isinstance(val, bool)
+
     def _bucket_values(self, vals: list, spec: dict) -> list[int | None]:
         """The buckets a list of literals hash to — evaluated in ONE
         driver-side one-row job through Spark's own xxhash64 (the
         write and the probe must share the exact JVM hash, so no
         Python reimplementation; the list is conjunct-sized). An entry
         is ``None`` when that literal does not cast to the partition
-        column's type (the probe is then unprovable — no file pruned;
-        the real filter still applies). The cast result is checked
-        explicitly because xxhash64 of NULL is the SEED, not NULL —
-        reading the bucket alone would prune to a phantom bucket."""
+        column's type, or when the cast could diverge from the
+        filter's own coercion (``_probe_safe`` — ADVICE r12 #2): the
+        probe is then unprovable — no file pruned; the real filter
+        still applies. The cast result is checked explicitly because
+        xxhash64 of NULL is the SEED, not NULL — reading the bucket
+        alone would prune to a phantom bucket. Probes memoize per
+        (spec, literal), so a multi-file manifest costs one job per
+        distinct conjunct value, not one per file."""
         from pyspark.sql import functions as F
 
+        skey = (spec["id"], spec.get("n"), spec["source_type"])
+        out: list[int | None] = [None] * len(vals)
+        todo: list[tuple[int, object]] = []
+        for i, v in enumerate(vals):
+            ck = (skey, type(v).__name__, repr(v))
+            if ck in self._bucket_probe_cache:
+                out[i] = self._bucket_probe_cache[ck]
+            elif not self._probe_safe(v, spec["source_type"]):
+                self._bucket_probe_cache[ck] = None
+            else:
+                todo.append((i, v))
+        if not todo:
+            return out
         try:
             cols = []
-            for i, v in enumerate(vals):
+            for j, (_, v) in enumerate(todo):
                 cast = F.lit(v).try_cast(spec["source_type"])
-                cols.append(cast.alias(f"c{i}"))
+                cols.append(cast.alias(f"c{j}"))
                 cols.append(
-                    F.pmod(F.xxhash64(cast), F.lit(spec["n"])).alias(f"b{i}")
+                    F.pmod(F.xxhash64(cast), F.lit(spec["n"])).alias(f"b{j}")
                 )
             row = self.spark.range(1).select(*cols).first()
         except Exception:
-            return [None] * len(vals)  # uncastable literal type
-        return [
-            None if row[f"c{i}"] is None else int(row[f"b{i}"])
-            for i in range(len(vals))
-        ]
+            return out  # uncastable literal type: nothing provable
+        for j, (i, v) in enumerate(todo):
+            got = None if row[f"c{j}"] is None else int(row[f"b{j}"])
+            out[i] = got
+            self._bucket_probe_cache[(skey, type(v).__name__, repr(v))] = got
+        return out
 
     @staticmethod
     def _where_condition(conjuncts):

@@ -1189,3 +1189,111 @@ def test_read_as_of_timestamp(spark, tmp_path):
         t.read(version=0, as_of=t0)
     # composes with pruned reads
     assert t.read(as_of=t0, where=("k", "=", 0)).count() == 1
+
+
+def test_bucket_probe_string_column_numeric_literal_never_prunes(
+    spark, tmp_path
+):
+    """ADVICE r12 #2: against a STRING bucket column, Spark's filter
+    casts the COLUMN to the numeric literal's type — so '05' satisfies
+    s = 5 yet lives in bucket('05'), and a probe that hashed
+    cast(5 AS string) = '5' would prune its file. Cross-type probes on
+    string columns must be unprovable (no prune); pruned read must
+    equal unpruned read + filter. Same-type probes keep pruning, and
+    numeric columns keep accepting castable string literals (there the
+    LITERAL side is cast, so the probe is faithful)."""
+    t = SnapshotTable(spark, str(tmp_path / "s"))
+    t.commit_partitioned(
+        spark.createDataFrame(
+            [("5", 1), ("05", 2), ("005", 3), ("7", 4)], "s string, k long"
+        ),
+        "s",
+        "bucket",
+        n=4,
+    )
+    # numeric literal on a string column: no prune, exact result
+    rep = t.prune_report(("s", "=", 5))
+    assert rep["n_pruned"] == 0
+    got = sorted(r.k for r in t.read(where=("s", "=", 5)).collect())
+    want = sorted(r.k for r in t.read().filter("s = 5").collect())
+    assert got == want == [1, 2, 3]
+    # string literal on the string column: prunes to one bucket's
+    # file(s), string-equality semantics
+    assert [r.k for r in t.read(where=("s", "=", "05")).collect()] == [2]
+    assert t.prune_report(("s", "=", "05"))["n_read"] < rep["n_files"]
+    # 'in' with mixed-type members: only unprovable members disable
+    # file-level certainty — result still exact
+    got = sorted(r.k for r in t.read(where=("s", "in", [5, "7"])).collect())
+    want = sorted(r.k for r in t.read().filter("s = 5 OR s = '7'").collect())
+    assert got == want
+
+
+def test_bucket_probe_memoized_one_job_per_literal(spark, tmp_path):
+    """Partition probes run ONE one-row job per distinct (spec,
+    literal), not one per file: _bucket_values memoizes, so a
+    many-file manifest costs O(conjunct) driver jobs."""
+    t = SnapshotTable(spark, str(tmp_path / "m"))
+    t.commit_partitioned(
+        spark.range(0, 400).selectExpr("id AS k", "concat('v', id) AS v"),
+        "k",
+        "bucket",
+        n=8,
+    )
+    calls = {"n": 0}
+    orig = SnapshotTable._bucket_values
+
+    def counting(self, vals, spec):
+        calls["n"] += 1
+        return orig(self, vals, spec)
+
+    import scrappy_spark.sources.snapshots as S
+
+    try:
+        S.SnapshotTable._bucket_values = counting
+        fresh = SnapshotTable(spark, str(tmp_path / "m"))
+        assert fresh.prune_report(("k", "=", 17))["n_read"] == 1
+        # 8 files probed for one literal: memo collapses to 1 real job
+        probes = calls["n"]
+        row = [r.v for r in fresh.read(where=("k", "=", 17)).collect()]
+        assert row == ["v17"]
+    finally:
+        S.SnapshotTable._bucket_values = orig
+    assert probes == 8  # called per file by _part_prune...
+    assert len(fresh._bucket_probe_cache) == 1  # ...but one cached probe
+
+
+def test_stage_build_params_concurrent_staging_first_wins(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12 #3: two builders racing the sidecar must not
+    last-write-wins past the mixed-parameter guard. The publish is an
+    os.link put-if-absent; a loser with the SAME params proceeds, a
+    loser with DIFFERENT params refuses loudly."""
+    import os as _os
+
+    from scrappy_spark.sources.snapshots import stage_build_params
+
+    path = str(tmp_path / "idx")
+    stage_build_params(path, {"bands": 16, "rows": 8})
+    # simulate the race window: the second builder's isfile check ran
+    # before the first builder's link landed
+    real_isfile = _os.path.isfile
+    monkeypatch.setattr(
+        _os.path,
+        "isfile",
+        lambda p: False if p.endswith(".build_params.json") else real_isfile(p),
+    )
+    # same params: loser verifies against the winner's sidecar and
+    # proceeds (idempotent resume)
+    stage_build_params(path, {"bands": 16, "rows": 8})
+    # different params: loser refuses loudly instead of clobbering
+    with pytest.raises(ValueError, match="different parameters"):
+        stage_build_params(path, {"bands": 32, "rows": 4})
+    monkeypatch.undo()
+    # the winner's params survived the race
+    with open(_os.path.join(path, ".build_params.json")) as f:
+        assert json.load(f) == {"bands": 16, "rows": 8}
+    # no leaked tmp files
+    assert [
+        n for n in _os.listdir(path) if n.endswith(".tmp")
+    ] == []
