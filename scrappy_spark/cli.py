@@ -251,6 +251,31 @@ def main(argv: list[str] | None = None) -> int:
         "scoped files)",
     )
     p.add_argument(
+        "--table-expire",
+        type=int,
+        metavar="KEEP_LAST",
+        help="drop all but the last N versions and GC unreferenced "
+        "data files (see --grace-sec for the orphan age gate)",
+    )
+    p.add_argument(
+        "--grace-sec",
+        type=float,
+        default=86400.0,
+        metavar="SEC",
+        help="orphan age gate for --table-expire: unreferenced files "
+        "younger than this survive (a concurrent writer's staged "
+        "commit is indistinguishable from a crash orphan); 0 sweeps "
+        "immediately (default 86400)",
+    )
+    p.add_argument(
+        "--table-compact",
+        type=int,
+        metavar="TARGET_MB",
+        help="rewrite the table's small files into ~TARGET_MB bins as "
+        "one atomic commit (single-file bins are reused, not "
+        "rewritten)",
+    )
+    p.add_argument(
         "--index",
         metavar="PATH",
         help="stored-index path for the --index-* admin commands "
@@ -364,6 +389,8 @@ def main(argv: list[str] | None = None) -> int:
         or args.table_delete_keys
         or args.table_merge_keys
         or args.table_apply_deletes
+        or args.table_expire is not None
+        or args.table_compact is not None
     ):
         from .sources.snapshots import SnapshotTable
 
@@ -413,6 +440,26 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"v{m['version']}: deletes materialized — "
                 f"{m['n_files']} files, 0 pending"
+            )
+        if args.table_compact is not None:
+            from .operators.layout import compact_snapshot
+
+            _, m = compact_snapshot(
+                table, args.table_compact * 1024 * 1024, unit="bytes"
+            )
+            print(
+                f"v{m['version']}: compacted to {m['n_files']} files "
+                f"(target {args.table_compact} MB)"
+            )
+        if args.table_expire is not None:
+            rep = table.expire(
+                keep_last=args.table_expire,
+                orphan_grace_sec=args.grace_sec,
+            )
+            print(
+                f"expired versions {rep['dropped_versions']} — "
+                f"{len(rep['deleted_files'])} data file(s) deleted "
+                f"(orphan grace {args.grace_sec:g}s)"
             )
         if args.table_history:
             for m in table.versions():

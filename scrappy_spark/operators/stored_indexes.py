@@ -507,25 +507,39 @@ class MinHashIndex:
         return m
 
 
-def _gc(tables: dict, keep_last: int) -> dict:
+def _gc(
+    tables: dict, keep_last: int, orphan_grace_sec: float = 86400.0
+) -> dict:
     """Shared version GC for index artifacts: ``vacuum`` reclaims
     ROWS inside the head version; this reclaims old VERSIONS — every
     mutation committed a snapshot, and a long-lived index otherwise
     retains one manifest (and its unshared files) per append/delete
-    forever. ``keep_last`` preserves the time-travel window."""
+    forever. ``keep_last`` preserves the time-travel window;
+    ``orphan_grace_sec`` is the unreferenced-file age gate a GC racing
+    a live index writer needs (see ``SnapshotTable.expire``)."""
     return {
-        name: t.expire(keep_last=keep_last) for name, t in tables.items()
+        name: t.expire(
+            keep_last=keep_last, orphan_grace_sec=orphan_grace_sec
+        )
+        for name, t in tables.items()
     }
 
 
-def gram_index_gc(idx: GramIndex, keep_last: int = 2) -> dict:
+def gram_index_gc(
+    idx: GramIndex, keep_last: int = 2, orphan_grace_sec: float = 86400.0
+) -> dict:
     """Expire old ledger versions of a :class:`GramIndex` (run after
     ``vacuum``: vacuum compacts the live state into the head version,
     expire then drops the superseded history)."""
-    return _gc({"ledger": idx.ledger}, keep_last)
+    return _gc({"ledger": idx.ledger}, keep_last, orphan_grace_sec)
 
 
-def minhash_index_gc(idx: MinHashIndex, keep_last: int = 2) -> dict:
+def minhash_index_gc(
+    idx: MinHashIndex, keep_last: int = 2, orphan_grace_sec: float = 86400.0
+) -> dict:
     """Expire old signature/tombstone versions of a
     :class:`MinHashIndex` (run after ``vacuum``)."""
-    return _gc({"sigs": idx.sigs, "tombs": idx.tombstones}, keep_last)
+    return _gc(
+        {"sigs": idx.sigs, "tombs": idx.tombstones}, keep_last,
+        orphan_grace_sec,
+    )

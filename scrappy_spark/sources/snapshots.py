@@ -1916,13 +1916,36 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ expire
 
-    def expire(self, keep_last: int = 1) -> dict:
+    def expire(
+        self, keep_last: int = 1, orphan_grace_sec: float = 86400.0
+    ) -> dict:
         """Drop manifests older than the last ``keep_last`` and delete
-        data files no retained manifest references (plus orphan dirs
-        from crashed commits and stale tmp manifests). Returns
-        {dropped_versions, deleted_files}."""
+        data files no retained manifest references — in two classes
+        (VERDICT r12 #1):
+
+        - files referenced by a DROPPED manifest (and by no retained
+          one) are provably garbage — their version is being expired —
+          and are deleted immediately, any age;
+        - files referenced by NOTHING are deleted only when older than
+          ``orphan_grace_sec`` (file mtime). A crash orphan and a LIVE
+          concurrent writer's staged-but-unpublished commit (files
+          landed in its writer-unique ``snap-{token}`` dir, manifest
+          not yet linked — including every rebase-retry in flight) are
+          byte-for-byte indistinguishable; an ungated sweep racing the
+          writer would delete files its manifest is about to
+          reference, publishing an unreadable version. This is
+          Iceberg's ``remove_orphan_files(older_than=...)`` rule.
+          Stale ``.tmp`` manifests age-gate the same way;
+          ``orphan_grace_sec=0`` restores the immediate sweep (tests,
+          single-writer offline maintenance).
+
+        Operationally: expire is a WRITER — schedule it like one, and
+        keep the grace comfortably above the longest plausible
+        stage-to-publish window (the default is 24 h). Returns
+        ``{dropped_versions, deleted_files}``."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        now = time.time()
         manifests = self.versions()
         keep = manifests[-keep_last:]
         drop = manifests[:-keep_last]
@@ -1931,7 +1954,28 @@ class SnapshotTable:
             live.update(m["files"])
             for e in m.get("deletes", []):
                 live.update(e.get("delete_files", []))
+        dropped_refs: set[str] = set()
+        for m in drop:
+            dropped_refs.update(m["files"])
+            for e in m.get("deletes", []):
+                dropped_refs.update(e.get("delete_files", []))
+        dropped_refs -= live
+
+        def _aged(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) >= orphan_grace_sec
+            except OSError:
+                return False  # vanished under us (concurrent expire)
+
         deleted: list[str] = []
+        # dirs we removed dropped-version parquet from (plus their
+        # ancestors): their residue (_SUCCESS, .crc) belonged to the
+        # expired version and may go even when young. Dirs we removed
+        # AGED orphans from get a weaker pass — the removal itself
+        # refreshed their mtime, so the dir's own age is excused, but
+        # any remaining young FILE still protects the dir.
+        dropped_dirs: set[str] = set()
+        orphan_dirs: set[str] = set()
         data_dir = os.path.join(self.path, "data")
         if os.path.isdir(data_dir):
             # recursive walk: partitioned commits nest files under
@@ -1941,23 +1985,62 @@ class SnapshotTable:
             for dirpath, _dirs, files in os.walk(data_dir, topdown=False):
                 for f in sorted(files):
                     p = os.path.join(dirpath, f)
-                    if f.endswith(".parquet") and p not in live:
+                    if not f.endswith(".parquet") or p in live:
+                        continue
+                    if p not in dropped_refs and not _aged(p):
+                        continue  # young true orphan: may be a live
+                        # writer's staged-but-unpublished commit
+                    try:
                         os.remove(p)
-                        deleted.append(p)
+                    except FileNotFoundError:
+                        pass  # concurrent expire got it first
+                    deleted.append(p)
+                    marks = (
+                        dropped_dirs if p in dropped_refs else orphan_dirs
+                    )
+                    d = dirpath
+                    while d != data_dir:
+                        marks.add(d)
+                        d = os.path.dirname(d)
                 if dirpath != data_dir and os.path.isdir(dirpath):
                     empty_of_parquet = not any(
                         fn.endswith(".parquet")
                         for _, _, fns in os.walk(dirpath)
                         for fn in fns
                     )
-                    if empty_of_parquet:
-                        shutil.rmtree(dirpath)
+                    if not empty_of_parquet:
+                        continue
+                    # a parquet-free dir is only removable when it
+                    # cannot be a live writer's staging area: it held
+                    # a dropped version's files, or everything left
+                    # under it has aged out (a freshly-created dir
+                    # whose writer has not landed parquet yet — or
+                    # holds young non-parquet task files — survives)
+                    files_aged = all(
+                        _aged(os.path.join(dp, fn))
+                        for dp, _dns, fns in os.walk(dirpath)
+                        for fn in fns
+                    )
+                    if dirpath in dropped_dirs or (
+                        files_aged
+                        and (_aged(dirpath) or dirpath in orphan_dirs)
+                    ):
+                        shutil.rmtree(dirpath, ignore_errors=True)
         for m in drop:
-            os.remove(os.path.join(self._mdir, f"v{m['version']}.json"))
+            try:
+                os.remove(os.path.join(self._mdir, f"v{m['version']}.json"))
+            except FileNotFoundError:
+                pass  # concurrent expire got it first
         if os.path.isdir(self._mdir):
             for name in os.listdir(self._mdir):
-                if name.endswith(".tmp"):
-                    os.remove(os.path.join(self._mdir, name))
+                p = os.path.join(self._mdir, name)
+                # a young tmp manifest may be a publishing writer's
+                # complete manifest between write and link
+                if name.endswith(".tmp") and _aged(p):
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
         return {
             "dropped_versions": [m["version"] for m in drop],
             "deleted_files": deleted,

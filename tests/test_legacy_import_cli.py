@@ -482,3 +482,48 @@ def test_cli_table_merge_keys(spark, tmp_path, capsys):
          "--table-merge-keys", batch]
     )
     assert rc == 2 and "--key-col" in capsys.readouterr().err
+
+
+def test_cli_table_expire_and_compact(spark, tmp_path, capsys):
+    """--table-expire (with --grace-sec) and --table-compact complete
+    the CLI lifecycle story (VERDICT r12 #6): GC + compaction were
+    API-only. The compact rewrites small files into one bin as one
+    atomic commit; the expire then drops superseded history, and the
+    young-orphan grace is surfaced."""
+    import os
+
+    from scrappy_spark.sources.snapshots import SnapshotTable
+
+    path = str(tmp_path / "t")
+    t = SnapshotTable(spark, path)
+    for i in range(3):
+        t.commit(
+            spark.range(i * 10, i * 10 + 10).selectExpr(
+                "id AS k", "concat('v', id) AS v"
+            ).coalesce(1),
+            append=i > 0,
+        )
+    # a young fake orphan: the default grace must protect it, an
+    # explicit --grace-sec 0 must sweep it
+    orphan = tmp_path / "t" / "data" / "snap-orphan" / "p.parquet"
+    os.makedirs(orphan.parent)
+    orphan.write_bytes(b"orphan")
+
+    assert cli.main(
+        ["--store", str(tmp_path / "s"), "--table", path,
+         "--table-compact", "64", "--table-expire", "1"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "compacted to 1 files" in out
+    assert "expired versions [0, 1, 2]" in out
+    assert "orphan grace 86400s" in out
+    assert orphan.exists()  # young orphan survived the default grace
+    assert sorted(r.k for r in t.read().collect()) == list(range(30))
+
+    assert cli.main(
+        ["--store", str(tmp_path / "s"), "--table", path,
+         "--table-expire", "1", "--grace-sec", "0"]
+    ) == 0
+    assert "grace 0s" in capsys.readouterr().out
+    assert not orphan.exists()
+    assert sorted(r.k for r in t.read().collect()) == list(range(30))
