@@ -87,6 +87,71 @@ EXTENSIONS = [
 HEADLINE = CORE + EXTENSIONS
 
 
+def calibration(spark) -> dict[str, float]:
+    """Fixed synthetic machine-speed probe (VERDICT r12 #4): the
+    round-11→12 bench moved a uniform ~1.4× with ZERO code change on
+    the core set — an ambient host shift that a raw-seconds comparison
+    cannot distinguish from a plan regression. This probe never
+    changes, so ALL of its round-over-round movement is ambient by
+    construction; read ``core_sec / calib_sec`` across rounds to see
+    plan-attributable drift with the host factored out. Two legs, each
+    min-of-3 after a warm-up run:
+
+    - ``calib_shuffle``: a 50M-row range → mod-key shuffle + agg
+      (exchange + partial/final agg — the engine-side cost shape);
+    - ``calib_scan``: parquet scan + agg over a 20M-row constant frame
+      written once per run (scan + codegen arithmetic — the IO shape).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    def shuffle_leg():
+        return (
+            spark.range(50_000_000)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                (F.col("id") * 31).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+        )
+
+    tmp = tempfile.mkdtemp(prefix="bench_calib_")
+    scan_path = os.path.join(tmp, "calib.parquet")
+    (
+        spark.range(20_000_000)
+        .select(
+            "id",
+            (F.col("id") % 1_000).alias("g"),
+            (F.col("id") % 7919).cast("double").alias("x"),
+        )
+        .write.mode("overwrite")
+        .parquet(scan_path)
+    )
+
+    def scan_leg():
+        return (
+            spark.read.parquet(scan_path)
+            .groupBy("g")
+            .agg(F.sum("x").alias("sx"), F.max("id").alias("m"))
+        )
+
+    out: dict[str, float] = {}
+    for name, fn in (("calib_shuffle", shuffle_leg), ("calib_scan", scan_leg)):
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+    shutil.rmtree(tmp, ignore_errors=True)
+    out["calib_sec"] = round(out["calib_shuffle"] + out["calib_scan"], 3)
+    return out
+
+
 def serve_timings(spark, sf_dir: str) -> dict[str, float]:
     """Serve-path honesty split (VERDICT r11 #3): the two stored-
     artifact HEADLINE entries are equality/plumbing AUDITS — the
@@ -199,6 +264,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     serve = serve_timings(spark, sf_dir)
+    calib = calibration(spark)
 
     total = round(sum(timings.values()), 3)
     core_total = round(sum(timings[n] for n in CORE), 3)
@@ -220,6 +286,17 @@ def main() -> None:
                 # — see serve_timings): compare THESE round-over-round
                 # for the serve story.
                 "serve": serve,
+                # fixed synthetic machine-speed probe (VERDICT r12
+                # #4): the probe's code never changes, so its movement
+                # is ambient by construction — read core_per_calib
+                # across rounds for host-normalized plan drift.
+                "calib_sec": calib["calib_sec"],
+                "calib": calib,
+                "core_per_calib": (
+                    round(core_total / calib["calib_sec"], 2)
+                    if calib["calib_sec"] > 0
+                    else None
+                ),
                 "sf": sf,
             }
         )
