@@ -211,6 +211,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--sf-dir", help="fixture-table dir to register for --sql")
     p.add_argument(
+        "--register-snapshot",
+        action="append",
+        metavar="NAME=PATH[@VERSION]",
+        help="register a snapshot table as a SQL view for --sql "
+        "(repeatable; @N pins a version for time travel, default HEAD)",
+    )
+    p.add_argument(
         "--table",
         metavar="PATH",
         help="snapshot-table path for the --table-* admin commands",
@@ -491,9 +498,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.sql:
         from .sqlapi import run_sql
 
-        run_sql(spark, args.sql, sf_dir=args.sf_dir, store_path=args.store).show(
-            args.limit, truncate=False
-        )
+        run_sql(
+            spark,
+            args.sql,
+            sf_dir=args.sf_dir,
+            store_path=args.store,
+            snapshots=args.register_snapshot,
+        ).show(args.limit, truncate=False)
         return 0
 
     if args.compact_store:

@@ -47,11 +47,53 @@ def register_tables(
     return names
 
 
+def register_snapshot(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> str:
+    """SQL face for a :class:`~scrappy_spark.sources.snapshots.
+    SnapshotTable` (VERDICT r12 #5): register the table at a pinned
+    version (or TIMESTAMP AS OF via ``as_of``; default HEAD) as a temp
+    view, so arbitrary Spark SQL — joins against fixtures, window
+    functions, aggregations — runs over exactly that version's file
+    list with the version's recorded (id-mapped) schema. The view is
+    a snapshot in both senses: concurrent commits never move it, and
+    re-registering is how you follow the head. Returns the view name.
+
+    CLI: ``--register-snapshot name=path[@version]`` (repeatable)
+    alongside ``--sql``."""
+    from .sources.snapshots import SnapshotTable
+
+    df = SnapshotTable(spark, path).read(version=version, as_of=as_of)
+    df.createOrReplaceTempView(name)
+    return name
+
+
 def run_sql(
     spark: SparkSession,
     query: str,
     sf_dir: str | None = None,
     store_path: str | None = None,
+    snapshots: list[str] | None = None,
 ) -> DataFrame:
+    """``snapshots``: CLI-shaped specs ``name=path[@version]`` — each
+    registers a snapshot-table view before the query runs (``@N``
+    pins a version; omitted = HEAD)."""
     register_tables(spark, sf_dir=sf_dir, store_path=store_path)
+    for spec in snapshots or []:
+        name, _, rest = spec.partition("=")
+        if not name or not rest:
+            raise ValueError(
+                f"--register-snapshot expects name=path[@version], "
+                f"got {spec!r}"
+            )
+        path, _, ver = rest.rpartition("@")
+        if not path:  # no '@': the whole rest is the path, read HEAD
+            path, ver = rest, ""
+        register_snapshot(
+            spark, path, name.strip(), version=int(ver) if ver else None
+        )
     return spark.sql(query)
