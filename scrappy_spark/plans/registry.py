@@ -128,6 +128,7 @@ def _last_green_round(name: str) -> int:
     later ledgers override earlier ones, so membership is checked
     newest-first."""
     for rnd, ledger in (
+        (12, _R12_VERIFIED), (12, _R12_JUDGE_VERIFIED),
         (11, _R11_VERIFIED), (11, _R11_JUDGE_VERIFIED),
         (10, _R10_VERIFIED), (10, _R10_JUDGE_VERIFIED), (9, _R09_VERIFIED),
         (8, _R08_VERIFIED),
@@ -144,30 +145,31 @@ def _last_green_round(name: str) -> int:
 #: mechanism for any future late additions that miss the 50-slot cap.
 _NEVER_RUN_PIN: frozenset[str] = frozenset()
 
-#: Pin tier — driver verification VOIDED or UPGRADED by a round-12
+#: Pin tier — driver verification VOIDED or UPGRADED by a round-13
 #: change (the registry rule: a verification from before an
 #: implementation change is void). Front of the prefix so
-#: CORRECTNESS_r12 records the new forms. (All 8 round-11 pins came
-#: back hash-green in CORRECTNESS_r11 and rotated into _R11_VERIFIED.)
+#: CORRECTNESS_r13 records the new forms. (All 13 round-12 pins came
+#: back hash-green in CORRECTNESS_r12 and rotated into _R12_VERIFIED.)
 #: tools/repin_lint.py enforces membership mechanically: it diffs
 #: the tree against the last round-boundary commit and fails when a
 #: _DRIVER_VERIFIED query's plan depends on changed code without a pin.
 _RECHECK_PIN: frozenset[str] = frozenset({
-    # round 12 rebuilt the SnapshotTable commit spine: optimistic
-    # concurrency (link-published manifests, listing-derived head,
-    # writer-unique data dirs, append rebase — VERDICT r11 #1), the
-    # null-count / NaN stats contracts and the empty-head read fix
-    # (ADVICE r11 #1/#2/#4), and the _assemble_append refactor shared
-    # with merge_keys. Every query riding snapshot commit/read/stats
-    # re-checks against the new code.
+    # round 13 changed the snapshot pruning + lifecycle paths:
+    # partition-spec EVOLUTION (multi-spec manifests, per-file spec
+    # resolution in _pruned_files — VERDICT r12 #3), the bucket-probe
+    # type-family guard + memoization (ADVICE r12 #2), the _publish
+    # partition-carry extension, and the age-gated expire orphan
+    # sweep (VERDICT r12 #1). Every query riding snapshot
+    # read/prune/publish re-checks against the new code.
     "q_compaction_plan", "q_compaction_execute",
     "q_expectations_snapshot_log", "q_incremental_ingest",
     "q_snapshot_schema_evolution", "q_snapshot_schema_rename",
     "q_snapshot_pruned_read", "q_snapshot_row_delete",
+    "q_snapshot_partitioned_read", "q_snapshot_merge_upsert",
     "q_stream_snapshot_ingest",
-    # the stored-index families gained build-param staging + corpus
-    # fingerprints (ADVICE r11 #3) and the gram id-type guard
-    # (ADVICE r11 #5); their lifecycle queries re-check.
+    # the stored-index families' build staging went atomic
+    # (ADVICE r12 #3) and their GC gained the orphan grace
+    # passthrough; their lifecycle queries re-check.
     "q_gram_index_takedown", "q_minhash_index_takedown",
     "q_ivf_pq_search_stored", "q_lang_id_scored",
 })
@@ -494,10 +496,63 @@ _R11_JUDGE_VERIFIED = frozenset({
     "q_video_fingerprint", "q_video_near_dups", "q_webdataset_roundtrip",
 })
 
+# The 50 keys of CORRECTNESS_r12.json — all hash-green (the twelfth
+# consecutive zero-failure round). Includes all 13 round-12
+# _RECHECK_PIN entries (snapshot concurrency spine, stats contracts,
+# index build staging) plus the 2 new round-12 queries and 35
+# r7-cohort refreshes. Round-13 re-checks (spec evolution, bucket
+# probe guard, expire grace) are enforced via _RECHECK_PIN, which
+# outranks this tier in the sort key.
+_R12_VERIFIED = frozenset({
+    "q_agg_increment", "q_anchor_text_profile", "q_ann_lsh_topk",
+    "q_anti_customer_without_orders", "q_anti_new_titles", "q_anti_terms",
+    "q_approx_count_distinct", "q_array_funcs", "q_arrow_udf_score",
+    "q_asof_join", "q_audio_fingerprint", "q_audio_near_dups",
+    "q_bloom_decontaminate", "q_bpe_merges_textbook",
+    "q_bpe_tokenize_textbook", "q_chunk_documents", "q_classifier_predict",
+    "q_cms_heavy_hitters", "q_cogroup_asof", "q_compaction_execute",
+    "q_compaction_plan", "q_containment_pairs", "q_dedup_fragments",
+    "q_dsir_resample", "q_dsir_weights", "q_embed_vectors",
+    "q_embedding_near_dups_ann", "q_expectations_report",
+    "q_expectations_snapshot_log", "q_gram_index_takedown",
+    "q_incremental_ingest", "q_ivf_pq_search_stored", "q_join_advisor",
+    "q_kcore_copurchase", "q_ks_drift", "q_lang_id_scored",
+    "q_minhash_bucket_hits", "q_minhash_index_takedown", "q_ngram_topk",
+    "q_rag_retrieve", "q_reconcile_tables", "q_retrieval_eval",
+    "q_semantic_decontaminate_ann", "q_snapshot_merge_upsert",
+    "q_snapshot_partitioned_read", "q_snapshot_pruned_read",
+    "q_snapshot_row_delete", "q_snapshot_schema_evolution",
+    "q_snapshot_schema_rename", "q_stream_snapshot_ingest",
+})
+
+# The 43 queries the ROUND-12 JUDGE independently re-certified against
+# round-12 code (VERDICT r12: "tools/verify_oracle.py at sf0.01 over
+# the ENTIRE r7/r8-stale cohort ... 43/43 PASS" — the 3 r7 stragglers
+# plus all 40 r8 greens not refreshed by the r12 driver). Counted as
+# round-12-fresh for slot prioritization only (not in a driver
+# CORRECTNESS file), so the driver's leftover slots refresh the
+# genuinely stalest cohort — the r9 greens — per VERDICT r12 #2.
+_R12_JUDGE_VERIFIED = frozenset({
+    "q_context_examples", "q_count_distinct", "q_cross_join_count",
+    "q_cube_rollup", "q_cusum_shift", "q_date_funcs", "q_dedup_keep_first",
+    "q_dedup_title", "q_doc_stats", "q_embedding_bucket_hits",
+    "q_except_titles", "q_filter_term", "q_filter_year",
+    "q_flatten_institutions", "q_frame_sample", "q_full_outer_join",
+    "q_groupby_sum_avg", "q_grouped_map_zscore", "q_grouping_sets",
+    "q_hybrid_retrieve", "q_intersect_langs", "q_join_lineitem_part_supp",
+    "q_join_orders_customer", "q_json_extract", "q_k_anonymity",
+    "q_levenshtein", "q_merge_simulation", "q_normalize", "q_percentiles",
+    "q_pivot", "q_project", "q_range_join", "q_regexp_extract",
+    "q_semdedup", "q_semi_orders_with_lineitem", "q_session_window_agg",
+    "q_simhash", "q_sliding_window_agg", "q_string_funcs",
+    "q_substring_provenance_sampled", "q_token_subset", "q_topic_lookup",
+    "q_xs_gram_hits",
+})
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R03_VERIFIED | _R04_VERIFIED | _R05_VERIFIED
     | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED | _R09_VERIFIED
-    | _R10_VERIFIED | _R11_VERIFIED
+    | _R10_VERIFIED | _R11_VERIFIED | _R12_VERIFIED
 )
 
 
