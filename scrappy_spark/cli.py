@@ -248,6 +248,19 @@ def main(argv: list[str] | None = None) -> int:
         "matched keys and inserts the rest (requires --key-col)",
     )
     p.add_argument(
+        "--merge-condition",
+        metavar="SQL",
+        help="WHEN MATCHED AND <cond> for --table-merge-keys — a SQL "
+        "boolean over the pair (table row as t, batch row as b), e.g. "
+        "\"b.score > t.score\"; failing matches keep current values",
+    )
+    p.add_argument(
+        "--update-cols",
+        metavar="COLS",
+        help="comma-separated column subset for --table-merge-keys: "
+        "matched rows update ONLY these columns, keeping the rest",
+    )
+    p.add_argument(
         "--key-col",
         help="key column for --table-delete-keys / --table-merge-keys",
     )
@@ -436,7 +449,16 @@ def main(argv: list[str] | None = None) -> int:
                 print("--table-merge-keys requires --key-col", file=sys.stderr)
                 return 2
             batch = spark.read.parquet(args.table_merge_keys)
-            m = table.merge_keys(batch, [args.key_col])
+            m = table.merge_keys(
+                batch,
+                [args.key_col],
+                matched_condition=args.merge_condition,
+                update_cols=(
+                    [c.strip() for c in args.update_cols.split(",") if c.strip()]
+                    if args.update_cols
+                    else None
+                ),
+            )
             print(
                 f"v{m['version']}: merge upsert on {args.key_col} — "
                 f"{m['n_files']} files, "

@@ -311,3 +311,123 @@ def q_snapshot_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return leg("pt75", 75, rep75).unionByName(leg("pt300", 300, rep300))
+
+
+# ---------------------------------------------------------------------------
+# Conditional MERGE (VERDICT r12 #7 — WHEN MATCHED AND cond, column subset)
+# ---------------------------------------------------------------------------
+
+_MC_SQL = """
+    WITH merged AS (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+        WHERE doc_id < 300
+          AND NOT (doc_id BETWEEN 150 AND 249 AND doc_id % 2 = 0)
+        UNION ALL
+        SELECT doc_id, lang, CAST(n_chars + 10000 AS BIGINT)
+        FROM documents
+        WHERE doc_id BETWEEN 150 AND 249 AND doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, 'nw', CAST(n_chars + 10000 AS BIGINT)
+        FROM documents WHERE doc_id BETWEEN 320 AND 329
+    )
+    SELECT doc_id, lang, n_chars,
+           CAST(4 AS BIGINT) AS n_versions,
+           CAST(2 AS BIGINT) AS merge_scope_files,
+           CAST(50 AS BIGINT) AS n_delete_keys
+    FROM merged
+"""
+
+
+@register(
+    "q_snapshot_merge_conditional",
+    sql=_MC_SQL,
+    doc="Conditional MERGE at the snapshot layer (VERDICT r12 #7): "
+    "merge_keys(matched_condition=..., update_cols=...) is WHEN "
+    "MATCHED AND <cond over t/b> THEN UPDATE SET <subset>, WHEN NOT "
+    "MATCHED THEN INSERT — still ONE commit. The delete leg is SPLIT "
+    "by the condition (only keys that matched AND passed retire); a "
+    "column-subset update composes the replacement row from the "
+    "EXISTING row with only the named columns overwritten, reading "
+    "only the stats-scoped candidate files, never the table. The "
+    "query builds a three-file table over docs <300 (doc_id stats), "
+    "then merges a batch covering 150-249 + 320-329 with "
+    "matched_condition='b.doc_id % 2 = 0' and update_cols=['n_chars'] "
+    "(+10000): EVEN docs 150-249 get the new n_chars but KEEP their "
+    "lang (a whole-row-replace implementation overwrites lang to "
+    "'nw' and fails the hash), ODD matched docs keep everything, "
+    "320-329 insert whole. Lifecycle literals recomputed from the "
+    "persisted manifests: n_versions=4 (one commit — a delete+append "
+    "pair fails), merge_scope_files=2 of 3 (the even-key [150,248] "
+    "interval proves the first file untouched), n_delete_keys=50 "
+    "(exactly the passing keys — an unsplit delete leg carries 110 "
+    "and fails loudly). Engine path sources/snapshots.py::"
+    "_merge_keys_conditional.",
+    tags=("storage", "snapshot", "merge"),
+)
+def q_snapshot_merge_conditional(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from ..sources.snapshots import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    root = _tmp_root(spark, sf_dir, "merge_conditional")
+    table = SnapshotTable(spark, os.path.join(root, "t"))
+
+    head = table.current_version()
+    bounds = [(0, 100), (100, 200), (200, 300)]
+    for i, (lo, hi) in enumerate(bounds):
+        if head is None or head < i:
+            table.commit(
+                docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ).coalesce(1),
+                append=i > 0,
+                stats_cols=["doc_id"] if i == 0 else None,
+            )
+            head = i
+    if head == 2:
+        batch = docs.filter(
+            F.col("doc_id").between(150, 249)
+            | F.col("doc_id").between(320, 329)
+        ).select(
+            "doc_id",
+            F.lit("nw").alias("lang"),
+            (F.col("n_chars") + 10000).alias("n_chars"),
+        )
+        table.merge_keys(
+            batch.coalesce(1),
+            ["doc_id"],
+            matched_condition="b.doc_id % 2 = 0",
+            update_cols=["n_chars"],
+        )
+
+    # audit literals recomputed from the PERSISTED manifests (the
+    # staged setup rerun-skips), loud-fail on regression
+    n_versions = len(table.versions())
+    m = table._manifest(3)
+    entries = m.get("deletes", [])
+    scopes = [len(e["files"]) for e in entries]
+    n_keys = (
+        spark.read.parquet(*entries[0]["delete_files"]).count()
+        if entries
+        else 0
+    )
+    if n_versions != 4 or scopes != [2] or n_keys != 50:
+        raise ValueError(
+            f"conditional merge lifecycle regressed: {n_versions} "
+            f"versions, delete scopes {scopes}, {n_keys} delete keys"
+        )
+
+    return table.read().select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.lit(n_versions).cast("long").alias("n_versions"),
+        F.lit(scopes[0]).cast("long").alias("merge_scope_files"),
+        F.lit(n_keys).cast("long").alias("n_delete_keys"),
+    )

@@ -1337,6 +1337,8 @@ class SnapshotTable:
         message: str = "",
         stats_cols: list[str] | None = None,
         max_retries: int = 10,
+        matched_condition: str | None = None,
+        update_cols: list[str] | None = None,
     ) -> dict:
         """Keyed MERGE upsert in ONE commit (VERDICT r11 #4 — MERGE
         WHEN MATCHED THEN DELETE+INSERT at the table layer): the
@@ -1357,6 +1359,25 @@ class SnapshotTable:
         anything — refused loudly). Batches should carry each key once
         (duplicate-key rows all insert, like a multi-row MERGE source).
 
+        ``matched_condition`` / ``update_cols`` (VERDICT r12 #7 — the
+        conditional MERGE verbs): ``matched_condition`` is a SQL
+        boolean over the matched pair with the table row as ``t`` and
+        the batch row as ``b`` (e.g. ``"b.quality > t.quality"``) —
+        WHEN MATCHED AND cond THEN UPDATE, matched rows failing it
+        keep their current values and their batch rows are dropped.
+        ``update_cols`` restricts the update to a column SUBSET: the
+        replacement row is the EXISTING row with only those columns
+        overwritten from the batch ("update quality_score, keep
+        text"); unmatched batch rows still insert whole. Either option
+        switches to the conditional path: the stats-scoped candidate
+        files are READ (merge-on-read, request-sized — never the
+        table) to evaluate the condition / compose replacements, the
+        delete leg is split to exactly the keys that matched AND
+        passed, and everything still publishes as ONE commit. A merge
+        where nothing matches the condition and nothing inserts is a
+        no-op: the PARENT manifest returns unchanged (no junk
+        versions).
+
         Conflicts rebase like appends: the delete scope is recomputed
         against the new head each attempt, so keep-new semantics hold
         relative to the commit's ACTUAL position in the history."""
@@ -1365,6 +1386,16 @@ class SnapshotTable:
             raise ValueError(
                 f"merge_keys: no column {missing_batch[0]!r} in the batch "
                 f"({batch.columns})"
+            )
+        if matched_condition is not None or update_cols is not None:
+            return self._merge_keys_conditional(
+                batch,
+                key_cols,
+                matched_condition,
+                update_cols,
+                message,
+                stats_cols,
+                max_retries,
             )
         head = self.current_version()
         if head is None:
@@ -1461,6 +1492,214 @@ class SnapshotTable:
                 )
             except CommitConflict as exc:
                 conflict = exc  # rebase: rescope against the new head
+        assert conflict is not None
+        raise conflict
+
+    def _merge_keys_conditional(
+        self,
+        batch: DataFrame,
+        key_cols: list[str],
+        matched_condition: str | None,
+        update_cols: list[str] | None,
+        message: str,
+        stats_cols: list[str] | None,
+        max_retries: int,
+    ) -> dict:
+        """The conditional MERGE path (see ``merge_keys``): WHEN
+        MATCHED AND <cond> THEN UPDATE [SET <update_cols only>], WHEN
+        NOT MATCHED THEN INSERT. Unlike the unconditional fast path
+        this must READ the matched rows — but only the stats-scoped
+        candidate files (single-key batch bounds), never the table —
+        to evaluate ``t``-vs-``b`` conditions and compose
+        column-subset replacement rows. The delete leg then names
+        exactly the keys that matched AND passed, so matched-but-kept
+        rows are untouched, and delete + append publish as ONE
+        manifest. Everything (scope, matches, replacements) recomputes
+        from the head on each conflict rebase; a fully-no-op merge
+        returns the parent manifest without committing."""
+        from pyspark.sql import functions as F
+
+        if update_cols is not None:
+            bad = [c for c in update_cols if c not in batch.columns]
+            if bad:
+                raise ValueError(
+                    f"merge_keys: update column {bad[0]!r} not in the "
+                    f"batch ({batch.columns})"
+                )
+            keyed = [c for c in update_cols if c in key_cols]
+            if keyed:
+                raise ValueError(
+                    f"merge_keys: {keyed[0]!r} is a key column — keys "
+                    "identify the row and cannot be updated"
+                )
+        head = self.current_version()
+        if head is None:
+            # empty table: nothing matches, everything inserts
+            return self.commit(
+                batch,
+                message or f"merge upsert on {key_cols}",
+                stats_cols=stats_cols,
+            )
+        bounds = None
+        if len(key_cols) == 1:
+            bb = batch.selectExpr(
+                f"min({key_cols[0]}) AS lo", f"max({key_cols[0]}) AS hi"
+            ).collect()[0]
+            if bb["lo"] is not None:
+                bounds = (bb["lo"], bb["hi"])
+        cond = (
+            F.expr(matched_condition)
+            if matched_condition is not None
+            else F.lit(True)
+        )
+        conflict: CommitConflict | None = None
+        for _ in range(max_retries + 1):
+            parent = self.current_version()
+            pm = self._manifest(parent)
+            by_name_parent, _ = self._resolve_cols(pm)
+            missing = [c for c in key_cols if c not in by_name_parent]
+            if missing:
+                raise ValueError(
+                    f"merge_keys: no column {missing[0]!r} "
+                    f"({sorted(by_name_parent)})"
+                )
+            # candidate files: the batch's key range can only match
+            # rows in files whose stats admit it
+            stats = pm.get("stats", {})
+            scope = list(pm["files"])
+            if bounds is not None:
+                kkey = str(by_name_parent[key_cols[0]])
+                scope = [
+                    p
+                    for p in scope
+                    if not _stats_prune(
+                        stats.get(p, {}), kkey, "between", bounds
+                    )
+                ]
+            existing = self._read_subset(pm, scope)
+            on = None
+            for k in key_cols:
+                leg = F.col(f"t.{k}") == F.col(f"b.{k}")
+                on = leg if on is None else on & leg
+            hits = (
+                existing.alias("t").join(batch.alias("b"), on, "inner")
+                .filter(cond)
+            )
+            replace_keys = hits.select(
+                *[F.col(f"t.{k}").alias(k) for k in key_cols]
+            ).distinct()
+            if update_cols is None:
+                # whole-row replace by the batch row (condition-only)
+                replacements = batch.join(
+                    replace_keys, on=key_cols, how="left_semi"
+                )
+            else:
+                # the EXISTING row with only update_cols overwritten;
+                # batch-only update columns widen the schema (old
+                # files read NULL, the append unification's contract)
+                sel = [
+                    F.col(
+                        f"b.{c}" if c in update_cols else f"t.{c}"
+                    ).alias(c)
+                    for c in existing.columns
+                ]
+                sel += [
+                    F.col(f"b.{c}").alias(c)
+                    for c in update_cols
+                    if c not in existing.columns
+                ]
+                replacements = hits.select(*sel)
+            inserts = batch.join(
+                existing.select(*key_cols), on=key_cols, how="left_anti"
+            )
+            append_df = replacements.unionByName(
+                inserts, allowMissingColumns=True
+            )
+            snap_dir = os.path.join(self.path, "data", f"snap-{_token()}")
+            append_df.write.mode("overwrite").parquet(snap_dir)
+            new_files = sorted(
+                os.path.join(snap_dir, f)
+                for f in os.listdir(snap_dir)
+                if f.endswith(".parquet")
+            )
+            del_dir = os.path.join(self.path, "data", f"deletes-{_token()}")
+            replace_keys.write.mode("overwrite").parquet(del_dir)
+            delete_files = sorted(
+                os.path.join(del_dir, f)
+                for f in os.listdir(del_dir)
+                if f.endswith(".parquet")
+            )
+            n_replace = (
+                self.spark.read.parquet(*delete_files).limit(1).count()
+                if delete_files
+                else 0
+            )
+            n_append = (
+                self.spark.read.parquet(*new_files).limit(1).count()
+                if new_files
+                else 0
+            )
+            if n_replace == 0 and n_append == 0:
+                # full no-op: nothing matched the condition, nothing
+                # inserts — publish no version, leave no garbage
+                shutil.rmtree(snap_dir, ignore_errors=True)
+                shutil.rmtree(del_dir, ignore_errors=True)
+                return pm
+            (
+                files,
+                cols,
+                identity,
+                stats_t,
+                deletes,
+            ) = self._assemble_append(
+                pm,
+                append_df.schema,
+                new_files if n_append else [],
+                stats_cols,
+            )
+            if n_replace:
+                by_name = {c["name"]: str(c["id"]) for c in cols}
+                entry_scope = list(pm["files"])
+                if len(key_cols) == 1:
+                    rb = self.spark.read.parquet(*delete_files).selectExpr(
+                        f"min({key_cols[0]}) AS lo",
+                        f"max({key_cols[0]}) AS hi",
+                    ).collect()[0]
+                    if rb["lo"] is not None:
+                        kkey = by_name[key_cols[0]]
+                        entry_scope = [
+                            p
+                            for p in entry_scope
+                            if not _stats_prune(
+                                stats.get(p, {}),
+                                kkey,
+                                "between",
+                                (rb["lo"], rb["hi"]),
+                            )
+                        ]
+                deletes = deletes + [
+                    {
+                        "kind": "keys",
+                        "key_cols": [
+                            {"id": by_name[c], "name": c} for c in key_cols
+                        ],
+                        "delete_files": delete_files,
+                        "files": entry_scope,
+                    }
+                ]
+            try:
+                return self._publish(
+                    parent + 1,
+                    parent,
+                    files,
+                    message or f"conditional merge upsert on {key_cols}",
+                    _struct_of(cols),
+                    identity=identity,
+                    stats=stats_t,
+                    deletes=deletes,
+                )
+            except CommitConflict as exc:
+                conflict = exc  # rebase: recompute against the new head
         assert conflict is not None
         raise conflict
 

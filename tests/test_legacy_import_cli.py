@@ -564,3 +564,31 @@ def test_cli_sql_over_snapshot_versions(spark, tmp_path, capsys):
         from scrappy_spark.sqlapi import run_sql
 
         run_sql(spark, "SELECT 1", snapshots=["nopath"])
+
+
+def test_cli_conditional_merge(spark, tmp_path, capsys):
+    """--table-merge-keys with --merge-condition / --update-cols
+    drives the conditional MERGE end-to-end."""
+    from scrappy_spark.sources.snapshots import SnapshotTable
+
+    path = str(tmp_path / "t")
+    t = SnapshotTable(spark, path)
+    t.commit(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, tag string, score long"
+        ).coalesce(1)
+    )
+    bpath = str(tmp_path / "batch.parquet")
+    spark.createDataFrame(
+        [(1, "X", 99), (2, "X", 5), (7, "X", 1)],
+        "k long, tag string, score long",
+    ).write.parquet(bpath)
+    assert cli.main(
+        ["--store", str(tmp_path / "s"), "--table", path,
+         "--table-merge-keys", bpath, "--key-col", "k",
+         "--merge-condition", "b.score > t.score",
+         "--update-cols", "score"]
+    ) == 0
+    assert "merge upsert on k" in capsys.readouterr().out
+    rows = {r.k: (r.tag, r.score) for r in t.read().collect()}
+    assert rows == {1: ("a", 99), 2: ("b", 20), 7: ("X", 1)}

@@ -1457,3 +1457,98 @@ def test_partition_spec_evolution_carries_and_reverts(spark, tmp_path):
     m = t._manifest(t.current_version())
     assert "partition_specs" not in m
     assert m["partition_spec"]["transform"] == "identity"
+
+
+def test_merge_keys_conditional_and_column_subset(spark, tmp_path):
+    """Conditional MERGE (VERDICT r12 #7): WHEN MATCHED AND <cond over
+    t/b> THEN UPDATE SET <update_cols only>; matched rows failing the
+    condition keep their current values; unmatched batch rows insert
+    whole; everything is ONE commit."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "k long, tag string, score long",
+        ).coalesce(1),
+        stats_cols=["k"],
+    )
+    batch = spark.createDataFrame(
+        [(2, "B", 15), (3, "C", 99), (9, "I", 1)],
+        "k long, tag string, score long",
+    )
+    # only improving scores update, and ONLY the score column; tag is
+    # kept; k=9 inserts whole
+    m = t.merge_keys(
+        batch,
+        ["k"],
+        matched_condition="b.score > t.score",
+        update_cols=["score"],
+    )
+    assert m["version"] == 1  # one commit
+    rows = {r.k: (r.tag, r.score) for r in t.read().collect()}
+    assert rows == {
+        1: ("a", 10),   # unmatched by batch: untouched
+        2: ("b", 20),   # matched, condition false (15 < 20): kept
+        3: ("c", 99),   # matched, condition true: score only updated
+        4: ("d", 40),
+        9: ("I", 1),    # not matched: inserted whole
+    }
+    # time travel shows the pre-merge state
+    assert {r.k: r.score for r in t.read(0).collect()}[3] == 30
+    # the delete leg named exactly the passing key
+    entry = t._manifest(1)["deletes"][-1]
+    got = spark.read.parquet(*entry["delete_files"]).collect()
+    assert [r.k for r in got] == [3]
+
+    # replay with a t-dependent condition is a NO-OP: nothing passes
+    # (scores equal), k=9 now matched — parent manifest returned, no
+    # new version, no garbage manifest
+    m2 = t.merge_keys(
+        batch, ["k"], matched_condition="b.score > t.score",
+        update_cols=["score"],
+    )
+    assert m2["version"] == 1 and t.current_version() == 1
+
+    # condition-only (whole-row replace for passing keys)
+    m3 = t.merge_keys(
+        spark.createDataFrame(
+            [(2, "Z", 1000), (4, "Z", 5)], "k long, tag string, score long"
+        ),
+        ["k"],
+        matched_condition="b.score > t.score",
+    )
+    assert m3["version"] == 2
+    rows = {r.k: (r.tag, r.score) for r in t.read().collect()}
+    assert rows[2] == ("Z", 1000) and rows[4] == ("d", 40)
+
+
+def test_merge_keys_conditional_validation_and_widening(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, "x")], "k long, tag string"
+        ).coalesce(1)
+    )
+    batch = spark.createDataFrame(
+        [(1, "y", 0.9)], "k long, tag string, quality double"
+    )
+    with pytest.raises(ValueError, match="key column"):
+        t.merge_keys(batch, ["k"], update_cols=["k"])
+    with pytest.raises(ValueError, match="not in the batch"):
+        t.merge_keys(batch, ["k"], update_cols=["nope"])
+    # widening subset update: quality is batch-only — the schema
+    # widens, tag is KEPT
+    t.merge_keys(batch, ["k"], update_cols=["quality"])
+    row = t.read().collect()[0]
+    assert (row.k, row.tag, row.quality) == (1, "x", 0.9)
+    # NULL-key batch rows are pure inserts (never match)
+    t.merge_keys(
+        spark.createDataFrame(
+            [(None, "n", 0.1)], "k long, tag string, quality double"
+        ),
+        ["k"],
+        update_cols=["quality"],
+    )
+    assert sorted(
+        (r.k if r.k is not None else -1) for r in t.read().collect()
+    ) == [-1, 1]
