@@ -32,6 +32,11 @@ def get_spark(app_name: str = "scrappy_spark", master: str | None = None) -> Spa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (Spark 4.1) — the
+        # scrappy_snapshot reader prunes files at the manifest via
+        # pushFilters; a RUNTIME conf, so non-engine sessions can
+        # opt in with spark.conf.set (snapshot_datasource docstring)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

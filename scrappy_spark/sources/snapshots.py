@@ -1901,20 +1901,26 @@ class SnapshotTable:
         return not isinstance(val, bool)
 
     def _bucket_values(self, vals: list, spec: dict) -> list[int | None]:
-        """The buckets a list of literals hash to — evaluated in ONE
-        driver-side one-row job through Spark's own xxhash64 (the
-        write and the probe must share the exact JVM hash, so no
-        Python reimplementation; the list is conjunct-sized). An entry
-        is ``None`` when that literal does not cast to the partition
+        """The buckets a list of literals hash to. The write and the
+        probe must share the exact hash Spark's ``xxhash64`` computes;
+        for the verified type families (integral / double / string)
+        that hash comes from the pure-Python ``functions.xxh64``
+        implementation (JVM-equality property-tested) — zero Spark
+        jobs, and it works where no session exists at all (the
+        ``scrappy_snapshot`` DataSource planning worker). Types
+        outside that scope fall back to a ONE-row driver job through
+        Spark's own xxhash64 (conjunct-sized, memoized). An entry is
+        ``None`` when the literal does not cast to the partition
         column's type, or when the cast could diverge from the
         filter's own coercion (``_probe_safe`` — ADVICE r12 #2): the
         probe is then unprovable — no file pruned; the real filter
-        still applies. The cast result is checked explicitly because
-        xxhash64 of NULL is the SEED, not NULL — reading the bucket
-        alone would prune to a phantom bucket. Probes memoize per
-        (spec, literal), so a multi-file manifest costs one job per
-        distinct conjunct value, not one per file."""
+        still applies. The JVM fallback checks the cast result
+        explicitly because xxhash64 of NULL is the SEED, not NULL —
+        reading the bucket alone would prune to a phantom bucket.
+        Probes memoize per (spec, literal)."""
         from pyspark.sql import functions as F
+
+        from ..functions.xxh64 import spark_xxhash64
 
         skey = (spec["id"], spec.get("n"), spec["source_type"])
         out: list[int | None] = [None] * len(vals)
@@ -1926,7 +1932,13 @@ class SnapshotTable:
             elif not self._probe_safe(v, spec["source_type"]):
                 self._bucket_probe_cache[ck] = None
             else:
-                todo.append((i, v))
+                h = spark_xxhash64(v, spec["source_type"])
+                if h is not None:
+                    got = int(h % spec["n"])  # pmod: non-negative
+                    out[i] = got
+                    self._bucket_probe_cache[ck] = got
+                else:
+                    todo.append((i, v))
         if not todo:
             return out
         try:

@@ -1,0 +1,248 @@
+"""scrappy_snapshot Python DataSource: manifest-pruned scans through
+spark.read.format (VERDICT r12 #5 — the DSv2-style face), with filter
+pushdown (Spark 4.1 pushFilters) riding the same _pruned_files
+machinery as read(where=...)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from scrappy_spark.sources.snapshot_datasource import (
+    SnapshotDataSource,
+    SnapshotReader,
+)
+from scrappy_spark.sources.snapshots import SnapshotTable
+
+
+@pytest.fixture()
+def ds_spark(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotDataSource)
+    return spark
+
+
+def _evolved_table(spark, tmp_path) -> SnapshotTable:
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_partitioned(
+        spark.range(0, 250).selectExpr("id AS k", "concat('v', id) AS txt"),
+        "k",
+        "truncate",
+        width=50,
+    )  # 5 files
+    t.commit_partitioned(
+        spark.range(250, 500).selectExpr(
+            "id AS k", "concat('v', id) AS txt"
+        ),
+        "k",
+        "bucket",
+        n=8,
+        append=True,
+    )  # +8, evolved spec
+    t.rename_column("txt", "text")
+    return t
+
+
+def test_datasource_roundtrip_and_time_travel(ds_spark, tmp_path):
+    t = _evolved_table(ds_spark, tmp_path)
+    df = (
+        ds_spark.read.format("scrappy_snapshot")
+        .option("path", t.path)
+        .load()
+    )
+    assert df.columns == ["k", "text"]  # current (renamed) names
+    want = sorted((r.k, r.text) for r in t.read().collect())
+    got = sorted((r.k, r.text) for r in df.collect())
+    assert got == want and len(got) == 500
+    # version pin shows the pre-rename name
+    df0 = (
+        ds_spark.read.format("scrappy_snapshot")
+        .option("path", t.path)
+        .option("version", 0)
+        .load()
+    )
+    assert df0.columns == ["k", "txt"] and df0.count() == 250
+
+
+def test_datasource_filter_pushdown_prunes_files(ds_spark, tmp_path):
+    t = _evolved_table(ds_spark, tmp_path)
+    df = (
+        ds_spark.read.format("scrappy_snapshot")
+        .option("path", t.path)
+        .load()
+    )
+    # results through the planned (pushed-down) path are exact
+    assert [r.text for r in df.filter("k = 75").collect()] == ["v75"]
+    assert [r.text for r in df.filter("k = 300").collect()] == ["v300"]
+    assert df.filter("k in (75, 300)").count() == 2
+    assert df.filter("k >= 450").count() == 50
+    # the reader's plan: each file pruned by ITS OWN spec (evolution)
+    import pyspark.sql.datasource as D
+
+    r = SnapshotReader({"path": t.path}, df.schema)
+    leftover = list(r.pushFilters([D.EqualTo(("k",), 75)]))
+    assert len(r.planned_files()) == 2  # 1-of-5 truncate + 1-of-8 bucket
+    assert len(leftover) == 1  # every filter returns to Spark
+    r2 = SnapshotReader({"path": t.path}, df.schema)
+    list(r2.pushFilters([D.EqualTo(("k",), 300)]))
+    assert len(r2.planned_files()) == 1  # all truncate intervals disprove
+    r3 = SnapshotReader({"path": t.path}, df.schema)
+    list(r3.pushFilters([D.In(("k",), (75, 300))]))
+    assert len(r3.planned_files()) <= 4
+    # unprunable filters keep every file, results still exact
+    r4 = SnapshotReader({"path": t.path}, df.schema)
+    list(r4.pushFilters([D.StringContains(("text",), "v7")]))
+    assert len(r4.planned_files()) == 13
+
+
+def test_datasource_widening_and_stats_pruning(ds_spark, tmp_path):
+    t = SnapshotTable(ds_spark, str(tmp_path / "w"))
+    t.commit(
+        ds_spark.range(0, 10).selectExpr("id AS k").coalesce(1),
+        stats_cols=["k"],
+    )
+    t.commit(
+        ds_spark.range(10, 20).selectExpr(
+            "id AS k", "id * 2 AS extra"
+        ).coalesce(1),
+        append=True,
+    )
+    df = (
+        ds_spark.read.format("scrappy_snapshot")
+        .option("path", t.path)
+        .load()
+    )
+    rows = {r.k: r.extra for r in df.collect()}
+    assert rows[3] is None and rows[15] == 30  # typed NULL fill
+    import pyspark.sql.datasource as D
+
+    r = SnapshotReader({"path": t.path}, df.schema)
+    list(r.pushFilters([D.LessThan(("k",), 5)]))
+    assert len(r.planned_files()) == 1  # min/max stats prune the 2nd
+
+
+def test_datasource_refuses_pending_deletes_and_empty(ds_spark, tmp_path):
+    t = SnapshotTable(ds_spark, str(tmp_path / "d"))
+    t.commit(
+        ds_spark.range(0, 10).selectExpr("id AS k", "id AS v").coalesce(1),
+        stats_cols=["k"],
+    )
+    t.delete_where(("k", "=", 3))
+    with pytest.raises(Exception, match="pending row-level deletes"):
+        (
+            ds_spark.read.format("scrappy_snapshot")
+            .option("path", t.path)
+            .load()
+            .count()
+        )
+    # after apply_deletes the read works and excludes the row
+    t.apply_deletes()
+    df = (
+        ds_spark.read.format("scrappy_snapshot")
+        .option("path", t.path)
+        .load()
+    )
+    assert sorted(r.k for r in df.collect()) == [
+        k for k in range(10) if k != 3
+    ]
+    with pytest.raises(Exception, match="no commits"):
+        (
+            ds_spark.read.format("scrappy_snapshot")
+            .option("path", str(tmp_path / "missing"))
+            .load()
+        )
+
+
+def test_pure_xxh64_matches_jvm_across_types(spark):
+    """Contract for functions/xxh64.py: the pure-Python hash must
+    equal Spark's xxhash64 EXACTLY for every verified type family —
+    bucket probes ride it, so drift would prune point lookups to
+    phantom buckets. Property-compared across integral widths,
+    doubles (incl. -0.0), and unicode strings."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from scrappy_spark.functions.xxh64 import spark_xxhash64
+
+    random.seed(13)
+    cases = {
+        "bigint": [0, 1, -1, 2**63 - 1, -(2**63), 10**12]
+        + [random.randint(-(2**63), 2**63 - 1) for _ in range(50)],
+        "int": [0, -1, 2**31 - 1, -(2**31)]
+        + [random.randint(-(2**31), 2**31 - 1) for _ in range(50)],
+        "smallint": [0, 7, -8, 32767, -32768],
+        "tinyint": [0, 1, -1, 127, -128],
+        "double": [0.0, -0.0, 1.5, -2.25, 1e300, -1e-300]
+        + [random.uniform(-1e9, 1e9) for _ in range(30)],
+        "string": ["", "a", "héllo wörld", "x" * 31, "y" * 32,
+                   "多语言文本", "\x00\x01", "z" * 100]
+        + ["s%d" % random.randint(0, 10**9) for _ in range(30)],
+    }
+    for t, vals in cases.items():
+        jvm = [
+            r.h
+            for r in spark.createDataFrame([(v,) for v in vals], f"v {t}")
+            .select(F.xxhash64("v").alias("h"))
+            .collect()
+        ]
+        pure = [spark_xxhash64(v, t) for v in vals]
+        assert jvm == pure, f"xxh64 drift on {t}"
+    # out-of-scope inputs refuse (caller falls back / prunes nothing)
+    assert spark_xxhash64("not-a-number", "bigint") is None
+    assert spark_xxhash64(True, "bigint") is None
+    assert spark_xxhash64(5, "decimal(10,2)") is None
+    assert spark_xxhash64(float("nan"), "double") is None
+
+
+def test_bucket_pruning_without_spark_session(ds_spark, tmp_path):
+    """The DataSource planning worker has NO SparkSession; bucket
+    probes must still prune there through the pure-Python xxh64 (a
+    JVM-job probe silently degrades to keep-everything). Simulated by
+    a session-less SnapshotTable handle."""
+    t = _evolved_table(ds_spark, tmp_path)
+    orphan = SnapshotTable(None, t.path)  # what the worker constructs
+    m = orphan._manifest(2)
+    kept, _ = orphan._pruned_files(m, ("k", "=", 300))
+    assert len(kept) == 1  # truncate intervals + BUCKET both pruned
+    kept, _ = orphan._pruned_files(m, ("k", "=", 75))
+    assert len(kept) == 2
+
+
+def test_datasource_where_option_and_branch_dedup_workarounds(
+    ds_spark, tmp_path
+):
+    """The Spark 4.1 branch-dedup sharp edge (module docstring): one
+    load() feeding two differently-filtered branches can execute one
+    branch's partitions for both. Both documented workarounds must
+    hold: (1) one load() per branch; (2) the `where` option pins
+    pruning at load time (distinct options = distinct relations)."""
+    import json as _json
+
+    t = _evolved_table(ds_spark, tmp_path)
+
+    def load(where=None):
+        r = ds_spark.read.format("scrappy_snapshot").option("path", t.path)
+        if where is not None:
+            r = r.option("where", _json.dumps(where))
+        return r.load()
+
+    # (1) one load() per branch
+    u = (
+        load().filter("k = 75").unionByName(load().filter("k = 300"))
+    )
+    assert sorted(r.k for r in u.collect()) == [75, 300]
+    # (2) `where`-option loads: file list pinned per relation; the
+    # filter still applies post-scan
+    a = load([["k", "=", 75]]).filter("k = 75")
+    b = load([["k", "=", 300]]).filter("k = 300")
+    assert sorted(r.k for r in a.unionByName(b).collect()) == [75, 300]
+    # where-option pruning is observable: an unfiltered read of the
+    # pruned relation only sees the surviving files' rows
+    pruned = load([["k", "between", [50, 99]]])
+    ks = sorted(r.k for r in pruned.collect())
+    assert set(range(50, 100)) <= set(ks)  # target rows all present
+    assert len(ks) < 500  # and provably fewer files were read
+    # composes with pushFilters on top of the floor
+    assert [r.k for r in pruned.filter("k = 75").collect()] == [75]
