@@ -213,9 +213,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--register-snapshot",
         action="append",
-        metavar="NAME=PATH[@VERSION]",
+        metavar="NAME=PATH[@VERSION|@ts:EPOCH]",
         help="register a snapshot table as a SQL view for --sql "
-        "(repeatable; @N pins a version for time travel, default HEAD)",
+        "(repeatable; @N pins a version, @ts:EPOCH pins a timestamp "
+        "— TIMESTAMP AS OF; default HEAD)",
     )
     p.add_argument(
         "--table",

@@ -81,7 +81,8 @@ def run_sql(
 ) -> DataFrame:
     """``snapshots``: CLI-shaped specs ``name=path[@version]`` — each
     registers a snapshot-table view before the query runs (``@N``
-    pins a version; omitted = HEAD)."""
+    pins a version, ``@ts:<epoch-seconds>`` pins a timestamp —
+    TIMESTAMP AS OF; omitted = HEAD)."""
     register_tables(spark, sf_dir=sf_dir, store_path=store_path)
     for spec in snapshots or []:
         name, _, rest = spec.partition("=")
@@ -93,7 +94,13 @@ def run_sql(
         path, _, ver = rest.rpartition("@")
         if not path:  # no '@': the whole rest is the path, read HEAD
             path, ver = rest, ""
+        as_of = None
+        version = None
+        if ver.startswith("ts:"):
+            as_of = float(ver[3:])
+        elif ver:
+            version = int(ver)
         register_snapshot(
-            spark, path, name.strip(), version=int(ver) if ver else None
+            spark, path, name.strip(), version=version, as_of=as_of
         )
     return spark.sql(query)

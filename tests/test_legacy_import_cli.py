@@ -557,6 +557,16 @@ def test_cli_sql_over_snapshot_versions(spark, tmp_path, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "12" in out and "5" in out
+    # @ts: pins a timestamp (TIMESTAMP AS OF through the SQL face)
+    import time as _time
+
+    ts_now = _time.time() + 1
+    assert cli.main(
+        ["--store", str(tmp_path / "s"),
+         "--register-snapshot", f"asof={path}@ts:{ts_now}",
+         "--sql", "SELECT count(*) AS n FROM asof"]
+    ) == 0
+    assert "12" in capsys.readouterr().out
     # malformed spec refuses loudly
     import pytest as _pytest
 
