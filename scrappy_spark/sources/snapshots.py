@@ -1699,7 +1699,12 @@ class SnapshotTable:
                     deletes=deletes,
                 )
             except CommitConflict as exc:
-                conflict = exc  # rebase: recompute against the new head
+                # rebase: recompute against the new head; this
+                # attempt's staging was never published — reclaim it
+                # now instead of leaving grace-aged orphans
+                shutil.rmtree(snap_dir, ignore_errors=True)
+                shutil.rmtree(del_dir, ignore_errors=True)
+                conflict = exc
         assert conflict is not None
         raise conflict
 

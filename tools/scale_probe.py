@@ -102,6 +102,9 @@ PROBES = [
     "q_stream_snapshot_ingest",
     "q_snapshot_merge_upsert",
     "q_snapshot_partitioned_read",
+    "q_snapshot_spec_evolution",
+    "q_snapshot_merge_conditional",
+    "q_snapshot_datasource_read",
 ]
 
 
