@@ -30,6 +30,17 @@ the version's logical Arrow schema, so renamed columns read under
 their current name and files predating a widening append yield typed
 NULL columns.
 
+The WRITE half completes the DSv2 story:
+
+    df.write.format("scrappy_snapshot").mode("append")
+      .option("path", ...).option("stats_cols", "doc_id").save()
+
+— tasks stream Arrow batches to parquet under one writer-unique
+staging dir; the job-level commit runs the session-free back half of
+``SnapshotTable.commit`` (schema unification by column id, footer
+stats, optimistic-concurrency append rebase), and an aborted job
+reclaims its staging dir (nothing ever referenced it).
+
 Honest bound: versions with PENDING row-level deletes are refused
 loudly (the merge-on-read anti-join belongs to the DataFrame path) —
 run ``apply_deletes`` first or use ``sqlapi.register_snapshot``,
@@ -62,6 +73,7 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -71,6 +83,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -269,3 +282,98 @@ class SnapshotDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SnapshotReader:
         return SnapshotReader(dict(self.options), schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return SnapshotArrowWriter(dict(self.options), schema, overwrite)
+
+
+# --------------------------------------------------------------- write path
+
+
+class _WrittenFile(WriterCommitMessage):
+    def __init__(self, path: str | None, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class SnapshotArrowWriter(DataSourceArrowWriter):
+    """The write half of the DSv2-style face:
+
+        df.write.format("scrappy_snapshot").mode("append") \\
+          .option("path", "/tables/docs") \\
+          .option("stats_cols", "doc_id") \\
+          .save()
+
+    Each task streams its Arrow batches into ONE parquet file under a
+    writer-unique ``data/snap-{token}`` staging dir (chosen once at
+    plan time, so the whole job shares a dir the expire grace
+    protects); the driver-side ``commit`` then runs the SAME manifest
+    assembly + os.link publication as ``SnapshotTable.commit``
+    (``_commit_new_files`` — session-free by design, because this
+    hook runs in a Python worker with no SparkSession): schema
+    unification by column id, footer min/max stats for
+    ``stats_cols``, optimistic-concurrency append rebase. ``mode``
+    maps exactly: ``append`` appends (parent files + new), any
+    overwrite mode replaces. A failed job aborts by deleting the
+    staging dir — nothing was ever referenced."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("scrappy_snapshot: path option is required")
+        self._path = path
+        self._append = not overwrite
+        self._schema = schema
+        self._message = options.get("message", "")
+        raw = options.get("stats_cols", "")
+        self._stats_cols = [c.strip() for c in raw.split(",") if c.strip()]
+        from .snapshots import _token
+
+        self._snap_dir = os.path.join(path, "data", f"snap-{_token()}")
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._snap_dir, exist_ok=True)
+        out = os.path.join(
+            self._snap_dir, f"part-{uuid.uuid4().hex[:12]}.parquet"
+        )
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(out, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return _WrittenFile(None, 0)  # empty partition: no file
+        return _WrittenFile(out, rows)
+
+    def commit(self, messages):
+        from .snapshots import SnapshotTable
+
+        files = sorted(
+            m.path for m in messages if m is not None and m.path
+        )
+        table = SnapshotTable(None, self._path)
+        table._commit_new_files(
+            files,
+            self._schema,
+            self._message
+            or f"datasource {'append' if self._append else 'replace'}",
+            append=self._append,
+            stats_cols=self._stats_cols or None,
+            max_retries=10,
+        )
+
+    def abort(self, messages):
+        import shutil
+
+        # nothing referenced the staging dir; reclaim it eagerly
+        shutil.rmtree(self._snap_dir, ignore_errors=True)

@@ -523,6 +523,26 @@ class SnapshotTable:
             for f in os.listdir(snap_dir)
             if f.endswith(".parquet")
         )
+        return self._commit_new_files(
+            new_files, df.schema, message, append, stats_cols, max_retries
+        )
+
+    def _commit_new_files(
+        self,
+        new_files: list[str],
+        df_schema: StructType,
+        message: str,
+        append: bool,
+        stats_cols: list[str] | None,
+        max_retries: int,
+    ) -> dict:
+        """Manifest assembly + publication for files ALREADY staged
+        under a writer-unique dir — the back half of :meth:`commit`,
+        split out because it is session-free (dict algebra + pyarrow
+        footer reads + the os.link publish): the ``scrappy_snapshot``
+        DataSource writer commits through this from the Python worker
+        where no SparkSession exists. Same append rebase-retry /
+        replace-raises conflict semantics as ``commit``."""
         conflict: CommitConflict | None = None
         for _ in range(max_retries + 1):
             parent = self.current_version()
@@ -538,7 +558,7 @@ class SnapshotTable:
                     identity,
                     (stats, stats_ids),
                     deletes,
-                ) = self._assemble_append(pm, df.schema, new_files, stats_cols)
+                ) = self._assemble_append(pm, df_schema, new_files, stats_cols)
                 cols, schemas, file_schema, next_id = identity
             else:
                 # replace: old files drop out, but column IDENTITY
@@ -552,7 +572,7 @@ class SnapshotTable:
                     next_id = int(pm["next_col_id"])
                 by_name = {c["name"]: c for c in pcols}
                 cols = []
-                for f in df.schema.fields:
+                for f in df_schema.fields:
                     have = by_name.get(f.name)
                     if (
                         have is not None

@@ -246,3 +246,85 @@ def test_datasource_where_option_and_branch_dedup_workarounds(
     assert len(ks) < 500  # and provably fewer files were read
     # composes with pushFilters on top of the floor
     assert [r.k for r in pruned.filter("k = 75").collect()] == [75]
+
+
+def test_datasource_write_append_and_replace(ds_spark, tmp_path):
+    """The write half of the DSv2 face: df.write.format(
+    "scrappy_snapshot").mode("append"/"overwrite") stages Arrow
+    batches as parquet under one writer-unique dir and commits through
+    the same manifest assembly as SnapshotTable.commit — schema
+    unification, footer stats via stats_cols, linear version
+    history."""
+    path = str(tmp_path / "w")
+    (
+        ds_spark.range(0, 100)
+        .selectExpr("id AS k", "concat('v', id) AS txt")
+        .write.format("scrappy_snapshot")
+        .mode("append")
+        .option("path", path)
+        .option("stats_cols", "k")
+        .save()
+    )
+    t = SnapshotTable(ds_spark, path)
+    assert t.current_version() == 0
+    assert sorted(r.k for r in t.read().collect()) == list(range(100))
+    # append a second batch with a WIDENING column
+    (
+        ds_spark.range(100, 150)
+        .selectExpr("id AS k", "concat('v', id) AS txt", "id * 2 AS extra")
+        .write.format("scrappy_snapshot")
+        .mode("append")
+        .option("path", path)
+        .save()
+    )
+    assert t.current_version() == 1
+    rows = {r.k: r.extra for r in t.read().collect()}
+    assert len(rows) == 150 and rows[5] is None and rows[120] == 240
+    # stats recorded at write time prune reads
+    assert t.prune_report(("k", "<", 10))["n_pruned"] >= 1
+    # round-trips through the READ half too
+    df = (
+        ds_spark.read.format("scrappy_snapshot")
+        .option("path", path)
+        .load()
+    )
+    assert df.count() == 150
+    # overwrite replaces content, history stays time-travelable
+    (
+        ds_spark.range(0, 7)
+        .selectExpr("id AS k", "concat('n', id) AS txt")
+        .write.format("scrappy_snapshot")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    assert t.current_version() == 2
+    assert t.read().count() == 7
+    assert t.read(1).count() == 150  # time travel across the replace
+
+
+def test_datasource_write_concurrent_append_rebases(ds_spark, tmp_path):
+    """A DataSource append hitting a concurrent commit must rebase
+    like any append (the writer commits through _commit_new_files,
+    which carries the optimistic-concurrency retry)."""
+    path = str(tmp_path / "c")
+    t = SnapshotTable(ds_spark, path)
+    t.commit(
+        ds_spark.range(0, 5).selectExpr("id AS k", "id AS v").coalesce(1)
+    )
+    # interleave: a concurrent writer lands v1 while the DS write is
+    # staged (the DS commit sees it and rebases to v2)
+    t.commit(
+        ds_spark.range(5, 10).selectExpr("id AS k", "id AS v").coalesce(1),
+        append=True,
+    )
+    (
+        ds_spark.range(10, 15)
+        .selectExpr("id AS k", "id AS v")
+        .write.format("scrappy_snapshot")
+        .mode("append")
+        .option("path", path)
+        .save()
+    )
+    assert t.current_version() == 2
+    assert sorted(r.k for r in t.read().collect()) == list(range(15))
