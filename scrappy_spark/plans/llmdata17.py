@@ -548,3 +548,103 @@ def q_snapshot_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return leg("pt75", 75).unionByName(leg("pt300", 300))
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom pruning (the point-lookup axis stats cannot express)
+# ---------------------------------------------------------------------------
+
+_BL_SQL = """
+    SELECT 'even' AS leg, doc_id, lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(2 AS BIGINT) AS n_files_total,
+           CAST(1 AS BIGINT) AS n_files_read
+    FROM documents WHERE doc_id = 76
+    UNION ALL
+    SELECT 'odd', doc_id, lang, CAST(n_chars AS BIGINT),
+           CAST(2 AS BIGINT), CAST(1 AS BIGINT)
+    FROM documents WHERE doc_id = 77
+    UNION ALL
+    SELECT 'absent', doc_id, lang, CAST(n_chars AS BIGINT),
+           CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+    FROM documents WHERE FALSE
+"""
+
+
+@register(
+    "q_snapshot_bloom_pruned_read",
+    sql=_BL_SQL,
+    doc="Per-file BLOOM filters in the snapshot manifest — the THIRD "
+    "pruning axis, for the case neither of the other two covers: "
+    "point lookups on columns whose values INTERLEAVE across files "
+    "as they naturally landed (two files both spanning [0, 500) are "
+    "never min/max-pruned, and bucket partitioning only helps by "
+    "REWRITING the layout). commit(bloom_cols=['doc_id']) scans the "
+    "new files' column once (the collected volume is the ~1 KB/file "
+    "manifest payload, not the data), appends inherit the "
+    "designation, and '='/'in' reads hash the literal with the "
+    "JVM-equal pure xxh64 (same type-family guard as bucket probes) "
+    "to drop files whose bloom proves the key definitely absent — "
+    "'maybe present' keeps the file, so false positives cost "
+    "selectivity, never correctness. The query commits even doc_ids "
+    "<500 (bloom-designated) and appends odd doc_ids: both files "
+    "span the SAME range, so a stats-only implementation reads 2-of-2 "
+    "and fails the pinned literals — doc 76 reads 1-of-2, doc 77 "
+    "reads the OTHER 1-of-2, and an absent key (doc_id=9999) reads "
+    "0-of-2 (pinned via prune_report, recomputed from the persisted "
+    "manifest). Engine path sources/snapshots.py::_collect_blooms/"
+    "_bloom_excludes/_pruned_files.",
+    tags=("storage", "snapshot", "pruning", "bloom"),
+)
+def q_snapshot_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.snapshots import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    ).filter(F.col("doc_id") < 500)
+    root = _tmp_root(spark, sf_dir, "bloom_pruned")
+    table = SnapshotTable(spark, os.path.join(root, "t"))
+
+    head = table.current_version()
+    if head is None:
+        table.commit(
+            docs.filter(F.col("doc_id") % 2 == 0).coalesce(1),
+            bloom_cols=["doc_id"],
+        )
+        head = 0
+    if head == 0:
+        table.commit(
+            docs.filter(F.col("doc_id") % 2 == 1).coalesce(1),
+            append=True,
+        )
+
+    # pruning literals recomputed from the PERSISTED manifest
+    reps = {
+        76: table.prune_report(("doc_id", "=", 76)),
+        77: table.prune_report(("doc_id", "=", 77)),
+        9999: table.prune_report(("doc_id", "=", 9999)),
+    }
+    if (
+        reps[76] != {"n_files": 2, "n_read": 1, "n_pruned": 1}
+        or reps[77] != {"n_files": 2, "n_read": 1, "n_pruned": 1}
+        or reps[9999]["n_read"] != 0
+    ):
+        raise ValueError(f"bloom pruning regressed: {reps}")
+
+    def leg(tag: str, key: int) -> DataFrame:
+        return table.read(where=("doc_id", "=", key)).select(
+            F.lit(tag).alias("leg"),
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.lit(2).cast("long").alias("n_files_total"),
+            F.lit(reps[key]["n_read"]).cast("long").alias("n_files_read"),
+        )
+
+    return (
+        leg("even", 76)
+        .unionByName(leg("odd", 77))
+        .unionByName(leg("absent", 9999))
+    )

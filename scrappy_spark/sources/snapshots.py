@@ -292,6 +292,116 @@ def _stats_prune(stats: dict, key: str, op: str, value) -> bool:
     raise ValueError(f"unknown prune op {op!r}")
 
 
+_BLOOM_K = 6
+
+
+def _bloom_positions(h_signed: int, m: int, k: int) -> list[int]:
+    """The ``k`` bit positions a value's xxhash64 sets in an ``m``-bit
+    Bloom filter — Kirsch-Mitzenmacher double hashing (h1 + i*h2) over
+    the hash's two 32-bit halves, h2 forced odd. The WRITE side
+    computes the same arithmetic in Spark SQL expressions and the
+    PROBE side here in Python, so the formula must stay in the
+    integer ranges both share (h1, h2 < 2^32, i < k → no overflow)."""
+    u = h_signed & ((1 << 64) - 1)
+    h1 = u & 0xFFFFFFFF
+    h2 = (u >> 32) | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_excludes(bloom: dict, hashes: list[int]) -> bool:
+    """True when the file's Bloom filter PROVES none of ``hashes`` is
+    present (every probe value definitely absent) — the only direction
+    a Bloom can prune; 'maybe present' always keeps the file."""
+    import base64
+
+    bits = base64.b64decode(bloom["b"])
+    m, k = bloom["m"], bloom["k"]
+    for h in hashes:
+        if all(
+            (bits[p >> 3] >> (p & 7)) & 1 for p in _bloom_positions(h, m, k)
+        ):
+            return False  # maybe present: cannot prune
+    return True
+
+
+def _collect_blooms(
+    spark: SparkSession, files: list[str], cols: list[str], m: int, k: int
+) -> dict:
+    """Per-file ``m``-bit Bloom filters over each column in ``cols``,
+    built in ONE distributed pass: hash every non-null value with
+    Spark's own xxhash64 (JVM-side), expand to its k bit positions
+    (pure SQL arithmetic mirroring ``_bloom_positions``), and fold
+    each (file, column) group's distinct positions into a bitset via
+    ``applyInPandas`` — the collected volume is exactly the manifest
+    payload (~m/8 bytes per file per column), never the data. Returns
+    ``{file: {col_name: {"m", "k", "b"(base64)}}}``; columns absent
+    from a file contribute nothing (absent = never pruned)."""
+    import base64
+    from urllib.parse import unquote, urlparse
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*files)
+    legs = []
+    for c in cols:
+        if c not in df.columns:
+            continue
+        u = F.xxhash64(F.col(c))
+        h1 = u.bitwiseAND(F.lit(0xFFFFFFFF))
+        h2 = F.shiftrightunsigned(u, 32).bitwiseOR(F.lit(1))
+        arr = F.when(
+            F.col(c).isNotNull(),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.pmod(h1 + F.lit(i) * h2, F.lit(m)).alias("bit"),
+                    )
+                    for i in range(k)
+                ]
+            ),
+        ).otherwise(F.array())
+        legs.append(arr)
+    if not legs:
+        return {}
+    pos = (
+        df.select(
+            F.input_file_name().alias("f"),
+            F.explode(F.concat(*legs)).alias("p"),
+        )
+        .select("f", F.col("p.c").alias("c"), F.col("p.bit").alias("bit"))
+        .distinct()
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = bytearray(m // 8)
+        for p in pdf["bit"]:
+            p = int(p)
+            bits[p >> 3] |= 1 << (p & 7)
+        return pd.DataFrame(
+            {
+                "f": [pdf["f"].iloc[0]],
+                "c": [pdf["c"].iloc[0]],
+                "b": [base64.b64encode(bytes(bits)).decode()],
+            }
+        )
+
+    rows = (
+        pos.groupBy("f", "c")
+        .applyInPandas(fold, "f string, c string, b string")
+        .collect()
+    )
+    # input_file_name() returns a percent-encoded URI (ADVICE r9 #2)
+    by_real = {os.path.abspath(p): p for p in files}
+    out: dict = {}
+    for r in rows:
+        real = by_real.get(os.path.abspath(unquote(urlparse(r["f"]).path)))
+        if real is not None:
+            out.setdefault(real, {})[r["c"]] = {"m": m, "k": k, "b": r["b"]}
+    return out
+
+
 def corpus_fingerprint(docs: DataFrame, id_col: str) -> list[int]:
     """``[row_count, order-insensitive id-hash XOR]`` — the cheap
     corpus identity a multi-commit artifact build stages alongside its
@@ -474,8 +584,27 @@ class SnapshotTable:
         append: bool = False,
         stats_cols: list[str] | None = None,
         max_retries: int = 10,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 8192,
     ) -> dict:
         """Publish ``df`` as the next version; returns its manifest.
+
+        ``bloom_cols`` designates columns that get a PER-FILE Bloom
+        filter in the manifest (``bloom_bits`` bits ≈ bits/8 bytes per
+        file per column) — the point-lookup pruning axis min/max stats
+        cannot express when values INTERLEAVE across files (two files
+        both spanning [0, N] are never range-pruned, but a Bloom
+        proves 'this exact key is definitely absent here'), and bucket
+        partitioning expresses only by rewriting the layout. Building
+        scans the new files' designated columns once (one distributed
+        pass; the collected volume is the manifest payload, not the
+        data); probing hashes the literal with the JVM-equal pure
+        xxh64, so '=' and 'in' conjuncts drop bloom-excluded files
+        before any scan. Appends inherit the parent's designations
+        (new files get blooms, retained files keep theirs); files
+        without a bloom are simply never bloom-pruned, and a 'maybe
+        present' answer always keeps the file — false positives cost
+        selectivity, never correctness.
 
         ``append=False``: the new version's content is exactly ``df``.
         ``append=True``: content is parent's files + ``df``'s new files
@@ -523,8 +652,40 @@ class SnapshotTable:
             for f in os.listdir(snap_dir)
             if f.endswith(".parquet")
         )
+        # bloom designations: requested names + (on append) the head's
+        # existing designations, so appended files stay prunable. A
+        # designation a CONCURRENT writer adds mid-rebase is simply
+        # absent on these files (never pruned — conservative).
+        want = list(bloom_cols or [])
+        head = self.current_version()
+        if head is not None:
+            pm0 = self._manifest(head)
+            by_id = {c["id"]: c["name"] for c in pm0.get("columns", [])}
+            for i in pm0.get("bloom_ids", []):
+                name = by_id.get(i)
+                if name is not None and name not in want:
+                    want.append(name)
+        new_blooms = None
+        if want:
+            missing = [c for c in want if c not in df.columns]
+            if missing and bloom_cols and missing[0] in bloom_cols:
+                raise ValueError(
+                    f"bloom_cols: no column {missing[0]!r} in the frame"
+                )
+            new_blooms = (
+                _collect_blooms(
+                    self.spark, new_files, want, bloom_bits, _BLOOM_K
+                ),
+                want,
+            )
         return self._commit_new_files(
-            new_files, df.schema, message, append, stats_cols, max_retries
+            new_files,
+            df.schema,
+            message,
+            append,
+            stats_cols,
+            max_retries,
+            new_blooms=new_blooms,
         )
 
     def _commit_new_files(
@@ -535,6 +696,7 @@ class SnapshotTable:
         append: bool,
         stats_cols: list[str] | None,
         max_retries: int,
+        new_blooms: tuple[dict, list[str]] | None = None,
     ) -> dict:
         """Manifest assembly + publication for files ALREADY staged
         under a writer-unique dir — the back half of :meth:`commit`,
@@ -611,6 +773,36 @@ class SnapshotTable:
                 stats = _footer_minmax(
                     new_files, {by_id[i]: str(i) for i in stats_ids}
                 )
+            # per-file Bloom filters: the designation carries for
+            # columns that keep their identity (like stats_ids);
+            # appended files' blooms join the parent's, a replace
+            # starts from only the fresh ones (old files are gone)
+            blooms_t = None
+            if new_blooms is not None or pm.get("bloom_ids"):
+                id_by_name = {c["name"]: c["id"] for c in cols}
+                live_ids = {c["id"] for c in cols}
+                bloom_ids = [
+                    i for i in pm.get("bloom_ids", []) if i in live_ids
+                ]
+                file_blooms = (
+                    dict(pm.get("blooms", {})) if append else {}
+                )
+                if new_blooms is not None:
+                    by_name_blooms, want = new_blooms
+                    for name in want:
+                        cid = id_by_name.get(name)
+                        if cid is not None and cid not in bloom_ids:
+                            bloom_ids.append(cid)
+                    for p, per in by_name_blooms.items():
+                        slot = dict(file_blooms.get(p, {}))
+                        for name, bloom in per.items():
+                            cid = id_by_name.get(name)
+                            if cid is not None:
+                                slot[str(cid)] = bloom
+                        if slot:
+                            file_blooms[p] = slot
+                if bloom_ids:
+                    blooms_t = (file_blooms, bloom_ids)
             try:
                 return self._publish(
                     version,
@@ -621,6 +813,7 @@ class SnapshotTable:
                     identity=(cols, schemas, file_schema, next_id),
                     stats=(stats, stats_ids),
                     deletes=deletes,
+                    blooms=blooms_t,
                 )
             except CommitConflict as exc:
                 if not append:
@@ -999,6 +1192,7 @@ class SnapshotTable:
         stats: tuple[dict, list[int]] | None = None,
         deletes: list[dict] | None = None,
         partition: tuple | None = None,
+        blooms: tuple[dict, list[int]] | None = None,
     ) -> dict:
         manifest = {
             "version": version,
@@ -1067,6 +1261,27 @@ class SnapshotTable:
                 p: file_stats[p] for p in files if p in file_stats
             }
             manifest["stats_ids"] = stats_ids
+        if blooms is not None and blooms[1]:
+            file_blooms, bloom_ids = blooms
+            manifest["blooms"] = {
+                p: file_blooms[p] for p in files if p in file_blooms
+            }
+            manifest["bloom_ids"] = bloom_ids
+        elif parent is not None and blooms is None:
+            # blooms carry across manifest-level ops (delete / rename /
+            # compaction / merge) like the partition spec: filtered to
+            # surviving files, keyed by column id so renames are safe;
+            # rewritten files simply lack an entry (never bloom-pruned)
+            try:
+                _pm = self._manifest(parent)
+            except FileNotFoundError:
+                _pm = {}
+            if _pm.get("bloom_ids"):
+                pb = _pm.get("blooms", {})
+                manifest["blooms"] = {
+                    p: pb[p] for p in files if p in pb
+                }
+                manifest["bloom_ids"] = _pm["bloom_ids"]
         os.makedirs(self._mdir, exist_ok=True)
         # write COMPLETE under a writer-unique tmp name, then LINK into
         # place: os.link is POSIX-atomic and fails when the name exists,
@@ -1840,6 +2055,48 @@ class SnapshotTable:
                 for k, (_, op, val) in zip(keys, conjuncts)
             )
         ]
+        # third pruning axis: per-file Bloom filters — '=' / 'in'
+        # conjuncts on designated columns drop files whose bloom
+        # proves every probed key definitely absent. Probes hash the
+        # literal with the JVM-equal pure xxh64 under the same
+        # type-family guard as bucket probes (a cross-type literal
+        # against a string column is unprovable); 'maybe present'
+        # always keeps the file.
+        blooms = m.get("blooms")
+        if blooms and kept:
+            type_of = {
+                str(c["id"]): _struct_of([c]).fields[0].dataType.simpleString()
+                for c in m.get("columns", [])
+            }
+            from ..functions.xxh64 import spark_xxhash64
+
+            for k, (_, op, val) in zip(keys, conjuncts):
+                if op not in ("=", "in") or k not in type_of:
+                    continue
+                vals = (
+                    [val]
+                    if op == "="
+                    else [v for v in val if v is not None]
+                )
+                hashes: list[int] = []
+                provable = True
+                for v in vals:
+                    if not self._probe_safe(v, type_of[k]):
+                        provable = False
+                        break
+                    h = spark_xxhash64(v, type_of[k])
+                    if h is None:
+                        provable = False
+                        break
+                    hashes.append(h)
+                if not provable:
+                    continue
+                kept = [
+                    p
+                    for p in kept
+                    if k not in blooms.get(p, {})
+                    or not _bloom_excludes(blooms[p][k], hashes)
+                ]
         # second pruning axis (VERDICT r11 #7): the partition spec.
         # Identity/truncate values are intervals (reuse the stats
         # logic); bucket values prune equality conjuncts — the case

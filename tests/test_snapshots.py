@@ -1552,3 +1552,86 @@ def test_merge_keys_conditional_validation_and_widening(spark, tmp_path):
     assert sorted(
         (r.k if r.k is not None else -1) for r in t.read().collect()
     ) == [-1, 1]
+
+
+def test_bloom_file_stats_prune_interleaved_keys(spark, tmp_path):
+    """Per-file Bloom filters: the point-lookup pruning axis min/max
+    stats cannot express when key ranges INTERLEAVE across files (two
+    files both spanning [0, 1000) never range-prune), and bucket
+    partitioning buys only by rewriting the layout. '=' and 'in'
+    conjuncts drop bloom-excluded files; 'maybe present' keeps;
+    designation inherits on append; ids are rename-proof; cross-type
+    probes on string columns stay unprovable."""
+    t = SnapshotTable(spark, str(tmp_path / "b"))
+    even = spark.range(0, 1000, 2).selectExpr(
+        "id AS k", "concat('v', id) AS v"
+    ).coalesce(1)
+    odd = spark.range(1, 1000, 2).selectExpr(
+        "id AS k", "concat('v', id) AS v"
+    ).coalesce(1)
+    t.commit(even, stats_cols=["k"], bloom_cols=["k"])
+    t.commit(odd, append=True)  # designation inherited: file gets bloom
+    m = t._manifest(t.current_version())
+    assert len(m["blooms"]) == 2 and m["bloom_ids"] == [1]
+    # stats CANNOT prune these (ranges interleave); blooms can
+    assert t.prune_report(("k", "=", 76)) == {
+        "n_files": 2, "n_read": 1, "n_pruned": 1,
+    }
+    assert [r.v for r in t.read(where=("k", "=", 76)).collect()] == ["v76"]
+    assert [r.v for r in t.read(where=("k", "=", 77)).collect()] == ["v77"]
+    # 'in' spanning both parities keeps both files, result exact
+    assert t.prune_report(("k", "in", [76, 77]))["n_read"] == 2
+    got = sorted(r.k for r in t.read(where=("k", "in", [76, 77])).collect())
+    assert got == [76, 77]
+    # an absent key is definitely-absent EVERYWHERE: zero files read
+    assert t.prune_report(("k", "=", 5555))["n_read"] == 0
+    assert t.read(where=("k", "=", 5555)).count() == 0
+    # rename-proof (column-id keyed) and carries through deletes
+    t.rename_column("k", "key")
+    assert t.prune_report(("key", "=", 76))["n_read"] == 1
+    t.delete_where(("key", "=", 2))
+    assert t.prune_report(("key", "=", 76))["n_read"] == 1
+    assert t.read(where=("key", "=", 76)).count() == 1
+    # unknown bloom col refused loudly
+    with pytest.raises(ValueError, match="bloom_cols"):
+        t2 = SnapshotTable(spark, str(tmp_path / "x"))
+        t2.commit(even, bloom_cols=["nope"])
+
+
+def test_bloom_string_column_and_type_guard(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "s"))
+    a = spark.createDataFrame(
+        [("alpha", 1), ("gamma", 3)], "s string, k long"
+    ).coalesce(1)
+    b = spark.createDataFrame(
+        [("beta", 2), ("05", 5)], "s string, k long"
+    ).coalesce(1)
+    t.commit(a, bloom_cols=["s"])
+    t.commit(b, append=True)
+    assert t.prune_report(("s", "=", "beta")) == {
+        "n_files": 2, "n_read": 1, "n_pruned": 1,
+    }
+    assert [r.k for r in t.read(where=("s", "=", "beta")).collect()] == [2]
+    # cross-type literal on a string column: unprovable — Spark casts
+    # the COLUMN, so '05' = 5 matches a row the bloom of '5' would
+    # miss. No file may be pruned, and the read then fails the same
+    # ANSI way the manual filter does (never silently empty).
+    assert t.prune_report(("s", "=", 5))["n_pruned"] == 0
+    import pyspark.errors as _err
+
+    with pytest.raises(_err.PySparkException):
+        t.read(where=("s", "=", 5)).count()
+    # all-numeric strings: the cast comparison succeeds, the bloom
+    # still must not have pruned the '05' file
+    n = SnapshotTable(spark, str(tmp_path / "n"))
+    n.commit(
+        spark.createDataFrame([("5", 1)], "s string, k long").coalesce(1),
+        bloom_cols=["s"],
+    )
+    n.commit(
+        spark.createDataFrame([("05", 2)], "s string, k long").coalesce(1),
+        append=True,
+    )
+    assert n.prune_report(("s", "=", 5))["n_pruned"] == 0
+    got = sorted(r.k for r in n.read(where=("s", "=", 5)).collect())
+    assert got == [1, 2]  # both representations match numerically
