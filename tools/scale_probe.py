@@ -105,6 +105,7 @@ PROBES = [
     "q_snapshot_spec_evolution",
     "q_snapshot_merge_conditional",
     "q_snapshot_datasource_read",
+    "q_snapshot_bloom_pruned_read",
 ]
 
 
