@@ -272,6 +272,13 @@ def main(argv: list[str] | None = None) -> int:
         "scoped files)",
     )
     p.add_argument(
+        "--table-describe",
+        action="store_true",
+        help="print the table's head-version metadata: schema with "
+        "column ids, partition spec(s), stats/bloom designations, "
+        "pending deletes, file count",
+    )
+    p.add_argument(
         "--table-expire",
         type=int,
         metavar="KEEP_LAST",
@@ -412,6 +419,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.table_apply_deletes
         or args.table_expire is not None
         or args.table_compact is not None
+        or args.table_describe
     ):
         from .sources.snapshots import SnapshotTable
 
@@ -491,6 +499,49 @@ def main(argv: list[str] | None = None) -> int:
                 f"{len(rep['deleted_files'])} data file(s) deleted "
                 f"(orphan grace {args.grace_sec:g}s)"
             )
+        if args.table_describe:
+            v = table.current_version()
+            if v is None:
+                print("table has no commits")
+            else:
+                m = table._manifest(v)
+                print(f"version {v} — {m['n_files']} file(s)")
+                by_id = {c["id"]: c for c in m.get("columns", [])}
+                stats_ids = set(m.get("stats_ids", []))
+                bloom_ids = set(m.get("bloom_ids", []))
+                for c in m.get("columns", []):
+                    from .sources.snapshots import _struct_of
+
+                    t = _struct_of([c]).fields[0].dataType.simpleString()
+                    marks = []
+                    if c["id"] in stats_ids:
+                        marks.append("stats")
+                    if c["id"] in bloom_ids:
+                        marks.append("bloom")
+                    tail = f" [{', '.join(marks)}]" if marks else ""
+                    print(f"  col {c['id']}: {c['name']} {t}{tail}")
+                specs = m.get("partition_specs") or (
+                    {"-": m["partition_spec"]}
+                    if "partition_spec" in m
+                    else {}
+                )
+                cur = m.get("partition_spec_id", "-")
+                for sid, sp in specs.items():
+                    name = by_id.get(sp["id"], {}).get("name", sp["id"])
+                    detail = (
+                        f"bucket({sp['n']})"
+                        if sp["transform"] == "bucket"
+                        else (
+                            f"truncate({sp['width']})"
+                            if sp["transform"] == "truncate"
+                            else "identity"
+                        )
+                    )
+                    star = " (current)" if sid == cur or sid == "-" else ""
+                    print(f"  spec {sid}: {detail} on {name}{star}")
+                pend = m.get("deletes", [])
+                if pend:
+                    print(f"  {len(pend)} pending row-level delete(s)")
         if args.table_history:
             for m in table.versions():
                 pend = len(m.get("deletes", []))

@@ -602,3 +602,37 @@ def test_cli_conditional_merge(spark, tmp_path, capsys):
     assert "merge upsert on k" in capsys.readouterr().out
     rows = {r.k: (r.tag, r.score) for r in t.read().collect()}
     assert rows == {1: ("a", 99), 2: ("b", 20), 7: ("X", 1)}
+
+
+def test_cli_table_describe(spark, tmp_path, capsys):
+    """--table-describe: the operator's one-look summary — schema with
+    ids and stats/bloom designations, the spec list under evolution,
+    pending deletes."""
+    from scrappy_spark.sources.snapshots import SnapshotTable
+
+    path = str(tmp_path / "t")
+    t = SnapshotTable(spark, path)
+    t.commit_partitioned(
+        spark.range(0, 100).selectExpr("id AS k", "concat('v', id) AS v"),
+        "k",
+        "truncate",
+        width=50,
+        stats_cols=["k"],
+    )
+    t.commit_partitioned(
+        spark.range(100, 200).selectExpr("id AS k", "concat('v', id) AS v"),
+        "k",
+        "bucket",
+        n=4,
+        append=True,
+    )
+    t.delete_where(("k", "=", 5))
+    assert cli.main(
+        ["--store", str(tmp_path / "s"), "--table", path,
+         "--table-describe"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "col 1: k bigint [stats]" in out
+    assert "spec 0: truncate(50) on k" in out
+    assert "spec 1: bucket(4) on k (current)" in out
+    assert "1 pending row-level delete(s)" in out

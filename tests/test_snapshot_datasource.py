@@ -328,3 +328,29 @@ def test_datasource_write_concurrent_append_rebases(ds_spark, tmp_path):
     )
     assert t.current_version() == 2
     assert sorted(r.k for r in t.read().collect()) == list(range(15))
+
+
+def test_datasource_bloom_pruning_without_session(ds_spark, tmp_path):
+    """Bloom pruning composes with the DataSource planning worker:
+    the probe is pure-Python xxh64 bit tests, so a session-less
+    handle still drops bloom-excluded files."""
+    t = SnapshotTable(ds_spark, str(tmp_path / "b"))
+    even = ds_spark.range(0, 400, 2).selectExpr(
+        "id AS k", "concat('v', id) AS v"
+    ).coalesce(1)
+    odd = ds_spark.range(1, 400, 2).selectExpr(
+        "id AS k", "concat('v', id) AS v"
+    ).coalesce(1)
+    t.commit(even, bloom_cols=["k"])
+    t.commit(odd, append=True)
+    orphan = SnapshotTable(None, t.path)
+    m = orphan._manifest(1)
+    kept, _ = orphan._pruned_files(m, ("k", "=", 76))
+    assert len(kept) == 1
+    # and through the actual planned read
+    df = (
+        ds_spark.read.format("scrappy_snapshot")
+        .option("path", t.path)
+        .load()
+    )
+    assert [r.v for r in df.filter("k = 76").collect()] == ["v76"]
