@@ -315,7 +315,15 @@ class SnapshotArrowWriter(DataSourceArrowWriter):
     ``stats_cols``, optimistic-concurrency append rebase. ``mode``
     maps exactly: ``append`` appends (parent files + new), any
     overwrite mode replaces. A failed job aborts by deleting the
-    staging dir — nothing was ever referenced."""
+    staging dir — nothing was ever referenced.
+
+    Not supported here: ``bloom_cols`` — building Bloom filters needs
+    a distributed pass over the new data, and this commit hook runs
+    where no SparkSession exists; commit through
+    ``SnapshotTable.commit(bloom_cols=...)`` when you need the
+    point-lookup axis (the designation then INHERITS onto later
+    DataSource appends' metadata — but their files carry no blooms,
+    so they are simply never bloom-pruned)."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         path = options.get("path")
