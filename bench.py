@@ -196,9 +196,20 @@ def serve_timings(spark, sf_dir: str) -> dict[str, float]:
     model = LangIdModel.train_and_store(spark, os.path.join(root, "model"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
+    # snapshot point-read serve: the storage layer's product path —
+    # a stats+bloom-pruned single-key read against a committed table
+    # (build charged to nothing, like the other stored artifacts)
+    from scrappy_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, os.path.join(root, "snap"))
+    snap.commit(docs, stats_cols=["doc_id"], bloom_cols=["doc_id"])
+
     legs = {
         "ivf_pq_search_stored": lambda: idx.search(queries, k=10, n_probe=2),
         "lang_id_scored": lambda: model.score(docs),
+        "snapshot_point_read": lambda: snap.read(
+            where=("doc_id", "=", 42)
+        ),
     }
     out: dict[str, float] = {}
     for name, fn in legs.items():
