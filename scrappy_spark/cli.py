@@ -526,19 +526,27 @@ def main(argv: list[str] | None = None) -> int:
                     else {}
                 )
                 cur = m.get("partition_spec_id", "-")
-                for sid, sp in specs.items():
-                    name = by_id.get(sp["id"], {}).get("name", sp["id"])
+                def _fmt(f):
+                    name = by_id.get(f["id"], {}).get("name", f["id"])
                     detail = (
-                        f"bucket({sp['n']})"
-                        if sp["transform"] == "bucket"
+                        f"bucket({f['n']})"
+                        if f["transform"] == "bucket"
                         else (
-                            f"truncate({sp['width']})"
-                            if sp["transform"] == "truncate"
+                            f"truncate({f['width']})"
+                            if f["transform"] == "truncate"
                             else "identity"
                         )
                     )
+                    return f"{detail} on {name}"
+
+                for sid, sp in specs.items():
+                    flds = sp["fields"] if "fields" in sp else [sp]
                     star = " (current)" if sid == cur or sid == "-" else ""
-                    print(f"  spec {sid}: {detail} on {name}{star}")
+                    print(
+                        f"  spec {sid}: "
+                        + ", ".join(_fmt(f) for f in flds)
+                        + star
+                    )
                 pend = m.get("deletes", [])
                 if pend:
                     print(f"  {len(pend)} pending row-level delete(s)")

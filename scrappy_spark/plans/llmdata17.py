@@ -648,3 +648,82 @@ def q_snapshot_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg("odd", 77))
         .unionByName(leg("absent", 9999))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-field partition specs (the full Iceberg spec shape)
+# ---------------------------------------------------------------------------
+
+_MF_SQL = """
+    SELECT 'pt77' AS leg, doc_id, lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(1 AS BIGINT) AS n_files_read
+    FROM documents WHERE doc_id = 77
+    UNION ALL
+    SELECT 'pt300', doc_id, lang, CAST(n_chars AS BIGINT),
+           CAST(1 AS BIGINT)
+    FROM documents WHERE doc_id = 300
+"""
+
+
+@register(
+    "q_snapshot_multifield_partition",
+    sql=_MF_SQL,
+    doc="MULTI-FIELD partition specs — the full Iceberg shape: "
+    "commit_partitioned_multi(docs, [('lang', 'identity', None), "
+    "('doc_id', 'bucket', 5)]) records the spec as a FIELD LIST and "
+    "each file's partition-value VECTOR; a read prunes a file when "
+    "ANY field's component disproves a conjunct on that field's "
+    "column. The oracle pins the composed economics: a point lookup "
+    "carrying BOTH conjuncts (the row's own lang + its doc_id) reads "
+    "EXACTLY 1 file — identity pruning drops every other lang's "
+    "files, bucket pruning drops the same lang's other buckets — for "
+    "two different rows (docs 77 and 300), recomputed from the "
+    "persisted manifest via prune_report (a single-field or "
+    "keep-everything implementation reads more and fails loudly); "
+    "the row payload pins no matching row is ever dropped. "
+    "Single-field commit_partitioned is the same code path with a "
+    "one-field list and the unchanged flat manifest format. Engine "
+    "path sources/snapshots.py::commit_partitioned_multi/"
+    "_pruned_files.",
+    tags=("storage", "snapshot", "pruning", "partitioning"),
+)
+def q_snapshot_multifield_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from ..sources.snapshots import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    ).filter(F.col("doc_id") < 500)
+    root = _tmp_root(spark, sf_dir, "multifield_partition")
+    table = SnapshotTable(spark, os.path.join(root, "t"))
+    if table.current_version() is None:
+        table.commit_partitioned_multi(
+            docs, [("lang", "identity", None), ("doc_id", "bucket", 5)]
+        )
+
+    m = table._manifest(table.current_version())
+    if len(m["partition_spec"].get("fields", [])) != 2:
+        raise ValueError("multi-field spec missing from the manifest")
+
+    def leg(tag: str, key: int) -> DataFrame:
+        # the row's own lang: a one-row driver probe (request-sized)
+        lang = docs.filter(F.col("doc_id") == key).first()["lang"]
+        where = [("lang", "=", lang), ("doc_id", "=", key)]
+        rep = table.prune_report(where)
+        if rep["n_read"] != 1:
+            raise ValueError(
+                f"multi-field pruning regressed for doc {key}: {rep}"
+            )
+        return table.read(where=where).select(
+            F.lit(tag).alias("leg"),
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.lit(rep["n_read"]).cast("long").alias("n_files_read"),
+        )
+
+    return leg("pt77", 77).unionByName(leg("pt300", 300))

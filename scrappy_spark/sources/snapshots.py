@@ -915,69 +915,153 @@ class SnapshotTable:
         through automatically; a REPLACE resets the table to its
         single new spec. NULL column values land in a value-less file
         (kept by every conjunct). Conflicts rebase like appends."""
+        return self._commit_partitioned_impl(
+            df,
+            [(col, transform, n if transform == "bucket" else width)],
+            message or f"partitioned commit ({transform} on {col})",
+            append,
+            stats_cols,
+            max_retries,
+        )
+
+    def commit_partitioned_multi(
+        self,
+        df: DataFrame,
+        fields: list[tuple],
+        message: str = "",
+        append: bool = False,
+        stats_cols: list[str] | None = None,
+        max_retries: int = 10,
+    ) -> dict:
+        """MULTI-FIELD partition spec — the full Iceberg shape (real
+        tables partition by e.g. ``(lang, bucket(doc_id))``):
+
+            t.commit_partitioned_multi(df, [
+                ("lang", "identity", None),
+                ("doc_id", "bucket", 8),
+            ])
+
+        Each field is ``(column, transform, param)`` — ``param`` is
+        ``n`` for bucket, ``width`` for truncate, ignored for
+        identity. The write shuffles once on the field tuple (one file
+        per value combination per final task, nested Hive-style dirs);
+        the manifest records the spec as a FIELD LIST and each file's
+        value VECTOR, and a read prunes a file when ANY field's
+        component disproves a conjunct on that field's column — a
+        point lookup on both fields touches one file. Everything else
+        (evolution, carry, NULL components landing value-less for
+        that field, rename-proof column ids) matches the
+        single-field ``commit_partitioned``, which is the same code
+        path with a one-field list (and the unchanged single-field
+        manifest format)."""
+        if not fields:
+            raise ValueError("commit_partitioned_multi: no fields")
+        return self._commit_partitioned_impl(
+            df,
+            list(fields),
+            message
+            or "partitioned commit ("
+            + ", ".join(f"{t} on {c}" for c, t, *_ in fields)
+            + ")",
+            append,
+            stats_cols,
+            max_retries,
+        )
+
+    def _commit_partitioned_impl(
+        self,
+        df: DataFrame,
+        fields: list[tuple],
+        message: str,
+        append: bool,
+        stats_cols: list[str] | None,
+        max_retries: int,
+    ) -> dict:
         from urllib.parse import unquote
 
-        if transform not in ("identity", "bucket", "truncate"):
-            raise ValueError(
-                f"unknown partition transform {transform!r} "
-                "(identity | bucket | truncate)"
-            )
-        if col not in df.columns:
-            raise ValueError(
-                f"commit_partitioned: no column {col!r} in the frame"
-            )
-        src_type = dict(df.dtypes)[col]
-        if transform == "bucket":
-            if not n or n < 2:
-                raise ValueError("bucket transform needs n >= 2")
-        if transform == "truncate":
-            if not width or width < 1:
-                raise ValueError("truncate transform needs width >= 1")
-            if src_type not in ("tinyint", "smallint", "int", "bigint"):
-                raise ValueError(
-                    f"truncate partitioning needs an integral column, "
-                    f"got {col!r}: {src_type}"
-                )
         from pyspark.sql import functions as F
 
-        if transform == "identity":
-            expr = F.col(col)
-        elif transform == "bucket":
-            expr = F.pmod(F.xxhash64(F.col(col)), F.lit(n))
-        else:
-            expr = F.col(col) - F.pmod(F.col(col), F.lit(width))
+        dtypes = dict(df.dtypes)
+        norm: list[tuple] = []  # (col, transform, n, width, src_type)
+        for fld in fields:
+            col, transform = fld[0], fld[1]
+            param = fld[2] if len(fld) > 2 else None
+            if transform not in ("identity", "bucket", "truncate"):
+                raise ValueError(
+                    f"unknown partition transform {transform!r} "
+                    "(identity | bucket | truncate)"
+                )
+            if col not in df.columns:
+                raise ValueError(
+                    f"commit_partitioned: no column {col!r} in the frame"
+                )
+            src_type = dtypes[col]
+            n = param if transform == "bucket" else None
+            width = param if transform == "truncate" else None
+            if transform == "bucket" and (not n or n < 2):
+                raise ValueError("bucket transform needs n >= 2")
+            if transform == "truncate":
+                if not width or width < 1:
+                    raise ValueError("truncate transform needs width >= 1")
+                if src_type not in ("tinyint", "smallint", "int", "bigint"):
+                    raise ValueError(
+                        f"truncate partitioning needs an integral column, "
+                        f"got {col!r}: {src_type}"
+                    )
+            norm.append((col, transform, n, width, src_type))
+        out = df
+        pnames: list[str] = []
+        for i, (col, transform, n, width, _st) in enumerate(norm):
+            if transform == "identity":
+                expr = F.col(col)
+            elif transform == "bucket":
+                expr = F.pmod(F.xxhash64(F.col(col)), F.lit(n))
+            else:
+                expr = F.col(col) - F.pmod(F.col(col), F.lit(width))
+            name = "__p" if len(norm) == 1 else f"__p{i}"
+            out = out.withColumn(name, expr)
+            pnames.append(name)
         snap_dir = os.path.join(self.path, "data", f"snap-{_token()}")
         (
-            df.withColumn("__p", expr)
-            .repartition("__p")
-            .write.partitionBy("__p")
+            out.repartition(*pnames)
+            .write.partitionBy(*pnames)
             .mode("overwrite")
             .parquet(snap_dir)
         )
+        depth = len(norm)
         new_files: list[str] = []
         parts: dict[str, object] = {}
-        for d in sorted(os.listdir(snap_dir)):
-            pdir = os.path.join(snap_dir, d)
-            if not (d.startswith("__p=") and os.path.isdir(pdir)):
-                continue
-            raw = unquote(d[len("__p=") :])
-            if raw == "__HIVE_DEFAULT_PARTITION__":
-                val: object = None  # NULL partition: never pruned
-            elif transform in ("bucket", "truncate") or src_type in (
-                "tinyint",
-                "smallint",
-                "int",
-                "bigint",
+        for dirpath, _dns, fns in os.walk(snap_dir):
+            rel = os.path.relpath(dirpath, snap_dir)
+            comps = [] if rel == "." else rel.split(os.sep)
+            if len(comps) != depth or not all(
+                c.startswith(f"{pnames[i]}=") for i, c in enumerate(comps)
             ):
-                val = int(raw)
-            else:
-                val = raw
-            for f in sorted(os.listdir(pdir)):
+                continue
+            vals: list = []
+            for i, comp in enumerate(comps):
+                raw = unquote(comp.split("=", 1)[1])
+                _col, transform, _n, _w, st = norm[i]
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    vals.append(None)  # NULL component: never pruned
+                elif transform in ("bucket", "truncate") or st in (
+                    "tinyint",
+                    "smallint",
+                    "int",
+                    "bigint",
+                ):
+                    vals.append(int(raw))
+                else:
+                    vals.append(raw)
+            val: object = vals[0] if depth == 1 else vals
+            has_val = any(v is not None for v in vals)
+            for f in sorted(fns):
                 if f.endswith(".parquet"):
-                    p = os.path.join(pdir, f)
+                    p = os.path.join(dirpath, f)
                     new_files.append(p)
-                    if val is not None:
+                    if has_val:
                         parts[p] = val
+        new_files.sort()
         conflict: CommitConflict | None = None
         for _ in range(max_retries + 1):
             parent = self.current_version()
@@ -1049,14 +1133,24 @@ class SnapshotTable:
                 )
                 all_parts = {}
                 pm = {}  # a replace SETS the spec; no parent-spec check
-            col_id = next(c["id"] for c in cols if c["name"] == col)
-            spec = {
-                "id": col_id,
-                "transform": transform,
-                "n": n,
-                "width": width,
-                "source_type": src_type,
-            }
+            id_by_name = {c["name"]: c["id"] for c in cols}
+            field_dicts = [
+                {
+                    "id": id_by_name[c0],
+                    "transform": t0,
+                    "n": n0,
+                    "width": w0,
+                    "source_type": st0,
+                }
+                for (c0, t0, n0, w0, st0) in norm
+            ]
+            # single-field specs keep the original flat format (no
+            # manifest churn); multi-field specs carry a field list
+            spec = (
+                field_dicts[0]
+                if len(field_dicts) == 1
+                else {"fields": field_dicts}
+            )
             pspec = pm.get("partition_spec")
             specs = spec_id = file_specs = None
             if "partition_specs" in pm or (
@@ -1091,7 +1185,7 @@ class SnapshotTable:
                     version,
                     parent,
                     files,
-                    message or f"partitioned commit ({transform} on {col})",
+                    message,
                     _struct_of(cols),
                     identity=identity,
                     stats=stats_t,
@@ -2118,13 +2212,28 @@ class SnapshotTable:
                 sid = fspecs.get(p)
                 return specs.get(sid) if sid is not None else None
 
+            def _disproves(sp, pv, k: str, op: str, val) -> bool:
+                if sp is None or pv is None:
+                    return False
+                if "fields" in sp:  # multi-field spec: value VECTOR —
+                    # ANY field whose component disproves its own
+                    # column's conjunct proves the file row-free
+                    if not isinstance(pv, list):
+                        return False
+                    return any(
+                        str(f["id"]) == k
+                        and self._part_prune(f, comp, op, val)
+                        for f, comp in zip(sp["fields"], pv)
+                    )
+                return str(sp["id"]) == k and self._part_prune(
+                    sp, pv, op, val
+                )
+
             for k, (_, op, val) in zip(keys, conjuncts):
                 kept = [
                     p
                     for p in kept
-                    if (sp := _spec_for(p)) is None
-                    or str(sp["id"]) != k
-                    or not self._part_prune(sp, parts.get(p), op, val)
+                    if not _disproves(_spec_for(p), parts.get(p), k, op, val)
                 ]
         return kept, conjuncts
 

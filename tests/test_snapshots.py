@@ -1635,3 +1635,82 @@ def test_bloom_string_column_and_type_guard(spark, tmp_path):
     assert n.prune_report(("s", "=", 5))["n_pruned"] == 0
     got = sorted(r.k for r in n.read(where=("s", "=", 5)).collect())
     assert got == [1, 2]  # both representations match numerically
+
+
+def test_multi_field_partition_spec(spark, tmp_path):
+    """The full Iceberg spec shape: partition by (identity(lang),
+    bucket(k, 4)). Each file carries a value VECTOR; a conjunct on
+    EITHER column prunes by its own field; a point lookup on both
+    prunes to one file; NULL components never prune their field;
+    evolution from a single-field spec composes."""
+    t = SnapshotTable(spark, str(tmp_path / "m"))
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], f"v{i}") for i in range(300)]
+        + [(1000, None, "vnull")],
+        "k long, lang string, v string",
+    )
+    t.commit_partitioned_multi(
+        df, [("lang", "identity", None), ("k", "bucket", 4)]
+    )
+    m = t._manifest(0)
+    assert "fields" in m["partition_spec"]
+    assert len(m["partition_spec"]["fields"]) == 2
+    n_files = len(m["files"])
+    assert n_files >= 12  # 3 langs x 4 buckets (+ NULL-lang dirs)
+
+    # identity field prunes to one lang's files
+    rep = t.prune_report(("lang", "=", "de"))
+    assert rep["n_read"] <= 5  # de's <=4 buckets + the NULL-lang file
+    got = sorted(
+        r.k for r in t.read(where=("lang", "=", "de")).collect()
+    )
+    assert got == [k for k in range(300) if k % 3 == 1]
+    # bucket field prunes to ~1/4 of files
+    rep_k = t.prune_report(("k", "=", 77))
+    assert rep_k["n_read"] <= n_files // 3
+    assert [r.v for r in t.read(where=("k", "=", 77)).collect()] == ["v77"]
+    # BOTH conjuncts: one lang x one bucket (+ NULL-lang never pruned
+    # on lang... it IS pruned by its bucket component when provable)
+    kept, _ = t._pruned_files(
+        m, [("lang", "=", "de"), ("k", "=", 77)]
+    )
+    assert len(kept) <= 2
+    rows = t.read(
+        where=[("lang", "=", "de"), ("k", "=", 77)]
+    ).collect()
+    assert [r.v for r in rows] == (["v77"] if 77 % 3 == 1 else [])
+    # the NULL-lang row is reachable (its lang component never prunes
+    # wrongly; its bucket component still prunes on k)
+    assert [
+        r.v for r in t.read(where=("k", "=", 1000)).collect()
+    ] == ["vnull"]
+
+    # evolution: single-field append on a multi-field table registers
+    # a second spec; each file prunes under its own
+    t.commit_partitioned(
+        spark.createDataFrame(
+            [(2000 + i, "pt", f"n{i}") for i in range(40)],
+            "k long, lang string, v string",
+        ),
+        "k",
+        "truncate",
+        width=20,
+        append=True,
+    )
+    m2 = t._manifest(1)
+    assert len(m2["partition_specs"]) == 2
+    # old-data point: multi spec prunes old files, truncate prunes ALL
+    # new files (2000+ intervals disprove 77)
+    kept, _ = t._pruned_files(m2, ("k", "=", 77))
+    assert len(kept) <= n_files // 3
+    assert [r.v for r in t.read(where=("k", "=", 77)).collect()] == ["v77"]
+    # new-data point: all old bucket files keep (bucket(2010) maybe) —
+    # but the truncate files prune to 1
+    assert [
+        r.v for r in t.read(where=("k", "=", 2010)).collect()
+    ] == ["n10"]
+    # validation
+    with pytest.raises(ValueError, match="no fields"):
+        t.commit_partitioned_multi(df, [])
+    with pytest.raises(ValueError, match="needs n >= 2"):
+        t.commit_partitioned_multi(df, [("k", "bucket", 1)])
