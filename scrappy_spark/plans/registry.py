@@ -128,6 +128,7 @@ def _last_green_round(name: str) -> int:
     later ledgers override earlier ones, so membership is checked
     newest-first."""
     for rnd, ledger in (
+        (13, _R13_VERIFIED),
         (12, _R12_VERIFIED), (12, _R12_JUDGE_VERIFIED),
         (11, _R11_VERIFIED), (11, _R11_JUDGE_VERIFIED),
         (10, _R10_VERIFIED), (10, _R10_JUDGE_VERIFIED), (9, _R09_VERIFIED),
@@ -145,34 +146,15 @@ def _last_green_round(name: str) -> int:
 #: mechanism for any future late additions that miss the 50-slot cap.
 _NEVER_RUN_PIN: frozenset[str] = frozenset()
 
-#: Pin tier — driver verification VOIDED or UPGRADED by a round-13
+#: Pin tier — driver verification VOIDED or UPGRADED by a round-14
 #: change (the registry rule: a verification from before an
 #: implementation change is void). Front of the prefix so
-#: CORRECTNESS_r13 records the new forms. (All 13 round-12 pins came
-#: back hash-green in CORRECTNESS_r12 and rotated into _R12_VERIFIED.)
+#: CORRECTNESS_r14 records the new forms. (All 15 round-13 pins came
+#: back hash-green in CORRECTNESS_r13 and rotated into _R13_VERIFIED.)
 #: tools/repin_lint.py enforces membership mechanically: it diffs
 #: the tree against the last round-boundary commit and fails when a
 #: _DRIVER_VERIFIED query's plan depends on changed code without a pin.
-_RECHECK_PIN: frozenset[str] = frozenset({
-    # round 13 changed the snapshot pruning + lifecycle paths:
-    # partition-spec EVOLUTION (multi-spec manifests, per-file spec
-    # resolution in _pruned_files — VERDICT r12 #3), the bucket-probe
-    # type-family guard + memoization (ADVICE r12 #2), the _publish
-    # partition-carry extension, and the age-gated expire orphan
-    # sweep (VERDICT r12 #1). Every query riding snapshot
-    # read/prune/publish re-checks against the new code.
-    "q_compaction_plan", "q_compaction_execute",
-    "q_expectations_snapshot_log", "q_incremental_ingest",
-    "q_snapshot_schema_evolution", "q_snapshot_schema_rename",
-    "q_snapshot_pruned_read", "q_snapshot_row_delete",
-    "q_snapshot_partitioned_read", "q_snapshot_merge_upsert",
-    "q_stream_snapshot_ingest",
-    # the stored-index families' build staging went atomic
-    # (ADVICE r12 #3) and their GC gained the orphan grace
-    # passthrough; their lifecycle queries re-check.
-    "q_gram_index_takedown", "q_minhash_index_takedown",
-    "q_ivf_pq_search_stored", "q_lang_id_scored",
-})
+_RECHECK_PIN: frozenset[str] = frozenset()
 
 
 # Queries already driver-verified (green in CORRECTNESS_r01.json); kept
@@ -549,10 +531,40 @@ _R12_JUDGE_VERIFIED = frozenset({
     "q_xs_gram_hits",
 })
 
+# The 50 queries hash-green in CORRECTNESS_r13.json (thirteenth
+# consecutive zero-failure round). Includes all 15 round-13
+# _RECHECK_PIN entries (spec evolution, bucket-probe guard, expire
+# grace, index build staging) plus the 4 new round-13 queries
+# (spec evolution, conditional merge, DataSource read, bloom /
+# multi-field partition reads) and the r9-cohort refreshes.
+_R13_VERIFIED = frozenset({
+    "q_compaction_execute", "q_compaction_plan", "q_config_pipeline",
+    "q_corpus_mix", "q_correlated_avg", "q_decontaminate",
+    "q_dedup_exact_hash", "q_domain_stats", "q_dup_corpus_profile",
+    "q_embedding_cosine_topk", "q_embedding_near_dups",
+    "q_embedding_quantize", "q_event_transitions",
+    "q_exact_substring_dedup", "q_exact_substring_incremental",
+    "q_exact_substring_longdoc", "q_expect_audit",
+    "q_expectations_snapshot_log", "q_filter_institution",
+    "q_fingerprint", "q_funnel_stages", "q_gapfill_locf",
+    "q_generalization_advice", "q_gram_index_takedown", "q_hash_sample",
+    "q_incremental_ingest", "q_ivf_ann_topk", "q_ivf_pq_search_stored",
+    "q_jaccard_pairs", "q_l_diversity", "q_label_centroids",
+    "q_lang_id", "q_lang_id_learned", "q_lang_id_scored",
+    "q_length_batches", "q_map_funcs", "q_minhash_index_takedown",
+    "q_mixture_plan", "q_snapshot_bloom_pruned_read",
+    "q_snapshot_datasource_read", "q_snapshot_merge_conditional",
+    "q_snapshot_merge_upsert", "q_snapshot_multifield_partition",
+    "q_snapshot_partitioned_read", "q_snapshot_pruned_read",
+    "q_snapshot_row_delete", "q_snapshot_schema_evolution",
+    "q_snapshot_schema_rename", "q_snapshot_spec_evolution",
+    "q_stream_snapshot_ingest",
+})
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R03_VERIFIED | _R04_VERIFIED | _R05_VERIFIED
     | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED | _R09_VERIFIED
-    | _R10_VERIFIED | _R11_VERIFIED | _R12_VERIFIED
+    | _R10_VERIFIED | _R11_VERIFIED | _R12_VERIFIED | _R13_VERIFIED
 )
 
 
