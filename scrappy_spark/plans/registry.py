@@ -79,6 +79,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llmdata15,
         llmdata16,
         llmdata17,
+        llmdata18,
         audit,
         timeseries,
         sketches,
@@ -154,7 +155,25 @@ _NEVER_RUN_PIN: frozenset[str] = frozenset()
 #: tools/repin_lint.py enforces membership mechanically: it diffs
 #: the tree against the last round-boundary commit and fails when a
 #: _DRIVER_VERIFIED query's plan depends on changed code without a pin.
-_RECHECK_PIN: frozenset[str] = frozenset()
+_RECHECK_PIN: frozenset[str] = frozenset({
+    # round 14 added branches/tags to the snapshot layer: __init__ is
+    # branch-scoped, _publish's advisory-HEAD leg is factored out, and
+    # expire's retention/reachability is ref-aware (tag-pinned
+    # manifests kept, cross-branch file references live). Every query
+    # riding snapshot read/publish/expire — and the stored-index
+    # lifecycles whose GC passes through expire — re-checks against
+    # the new code.
+    "q_compaction_plan", "q_compaction_execute",
+    "q_expectations_snapshot_log", "q_incremental_ingest",
+    "q_gram_index_takedown", "q_minhash_index_takedown",
+    "q_ivf_pq_search_stored", "q_lang_id_scored",
+    "q_snapshot_bloom_pruned_read", "q_snapshot_datasource_read",
+    "q_snapshot_merge_conditional", "q_snapshot_merge_upsert",
+    "q_snapshot_multifield_partition", "q_snapshot_partitioned_read",
+    "q_snapshot_pruned_read", "q_snapshot_row_delete",
+    "q_snapshot_schema_evolution", "q_snapshot_schema_rename",
+    "q_snapshot_spec_evolution", "q_stream_snapshot_ingest",
+})
 
 
 # Queries already driver-verified (green in CORRECTNESS_r01.json); kept

@@ -63,6 +63,28 @@ class CommitConflict(RuntimeError):
     at entry, so a re-run IS the rebase."""
 
 
+def _branch_mdir(path: str, branch: str) -> str:
+    if branch == "main":
+        return os.path.join(path, "_manifests")
+    return os.path.join(path, "_manifests", "branches", branch)
+
+
+def _check_ref_name(name: str) -> None:
+    """Refuse ref names that would escape the refs directory or
+    collide with the manifest-listing grammar (``v*.json``, ``HEAD``,
+    ``*.tmp``)."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name) or name in (
+        "main",
+        "HEAD",
+    ):
+        raise ValueError(
+            f"invalid ref name {name!r}: use letters/digits/._- "
+            f"(not starting with a dot, not 'main'/'HEAD')"
+        )
+
+
 def _token() -> str:
     """Unique per-attempt suffix for staging paths: two concurrent
     writers must never share a data directory or tmp manifest (a
@@ -483,10 +505,20 @@ def stage_build_params(path: str, params: dict) -> None:
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, branch: str = "main"):
         self.spark = spark
         self.path = path
-        self._mdir = os.path.join(path, "_manifests")
+        self.branch = branch
+        if branch != "main":
+            _check_ref_name(branch)
+        # "main" lives at the legacy location (_manifests/vN.json) so
+        # every pre-branch table IS a main branch; named branches get
+        # their own manifest dir and therefore their own linear version
+        # sequence, optimistic-concurrency gate, HEAD and time travel.
+        # DATA files are shared: every branch's commits land under
+        # <path>/data and manifests reference across branch lines
+        # (a fork copies the manifest, never a byte of data).
+        self._mdir = _branch_mdir(path, branch)
         # bucket-probe memo: (spec key, literal) -> bucket | None.
         # Safe to cache per handle — a spec entry is immutable once
         # written (evolution adds a NEW spec id) and the hash is a
@@ -1396,8 +1428,12 @@ class SnapshotTable:
                 f"and retry (appends rebase automatically)"
             ) from None
         os.unlink(tmp)
-        # advisory HEAD (external tools): monotonic best-effort — the
-        # manifest listing, not this file, is the source of truth
+        self._advise_head(version)
+        return manifest
+
+    def _advise_head(self, version: int) -> None:
+        """Advisory HEAD (external tools): monotonic best-effort — the
+        manifest listing, not this file, is the source of truth."""
         head_tmp = os.path.join(self._mdir, f".HEAD.{_token()}.tmp")
         with open(head_tmp, "w") as f:
             f.write(str(version))
@@ -1410,7 +1446,6 @@ class SnapshotTable:
             os.rename(head_tmp, self._head_path())
         else:
             os.unlink(head_tmp)
-        return manifest
 
     # ----------------------------------------------------- rename / drop
 
@@ -2616,6 +2651,245 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ expire
 
+    # ------------------------------------------------- refs: branches/tags
+
+    def _tags_dir(self) -> str:
+        return os.path.join(self.path, "_manifests", "tags")
+
+    def _link_json(self, target: str, payload: dict, conflict: str) -> None:
+        """Write ``payload`` complete under a writer-unique tmp name in
+        ``target``'s directory, then ``os.link`` it into place — the
+        same exactly-once publication gate as ``_publish`` (POSIX link
+        fails if the name exists), reused for branch forks, tags and
+        fast-forwards so every ref mutation is atomic and loses races
+        loudly."""
+        d = os.path.dirname(target)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{os.path.basename(target)}.{_token()}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflict(conflict) from None
+        os.unlink(tmp)
+
+    @staticmethod
+    def _derived_manifest(
+        src: dict, version: int, parent: int | None, message: str
+    ) -> dict:
+        """A new manifest with ``src``'s CONTENT (file list, column
+        identity, stats, blooms, partition specs, pending deletes) and
+        fresh lineage fields — the metadata-only commit behind forks
+        and fast-forwards: no byte of data moves."""
+        out = {
+            "version": version,
+            "parent": parent,
+            "message": message,
+            "committed_at": time.time(),
+        }
+        for k in (
+            "files", "n_files", "schema",
+            "columns", "schemas", "file_schema", "next_col_id",
+            "stats", "stats_ids", "blooms", "bloom_ids",
+            "partition_spec", "partitions", "partition_specs",
+            "partition_spec_id", "partition_file_specs", "deletes",
+        ):
+            if k in src:
+                out[k] = src[k]
+        return out
+
+    def for_branch(self, name: str) -> "SnapshotTable":
+        """A handle on the same table scoped to branch ``name`` —
+        every method (commit / read / delete / merge / expire) then
+        operates on that branch's manifest line."""
+        return SnapshotTable(self.spark, self.path, branch=name)
+
+    def branches(self) -> list[str]:
+        """All branch names, ``main`` first (present iff the table has
+        any commit)."""
+        out = []
+        if os.path.isdir(os.path.join(self.path, "_manifests")):
+            out.append("main")
+        bdir = os.path.join(self.path, "_manifests", "branches")
+        if os.path.isdir(bdir):
+            out.extend(sorted(os.listdir(bdir)))
+        return out
+
+    def create_branch(
+        self, name: str, version: int | None = None, message: str = ""
+    ) -> "SnapshotTable":
+        """Fork branch ``name`` from THIS handle's branch at
+        ``version`` (default: its head) — the Iceberg branch model:
+        the fork is one metadata commit (the source manifest's content
+        republished as the new branch's v0, recording ``forked_from``
+        lineage); data files are shared, writers on each branch then
+        advance independent heads under independent conflict gates,
+        and ``expire`` on any branch protects files any OTHER branch
+        still references. Creation is exactly-once (the v0 link):
+        two racers get one branch and one loud :class:`CommitConflict`.
+
+        Why this matters at 100 TB: an experiment ("re-clean the
+        corpus with different filters, compare, maybe promote") must
+        not copy the table or block the ingest writers — a fork is
+        O(manifest), both lines append safely, and promotion is
+        :meth:`fast_forward` — again metadata-grain."""
+        _check_ref_name(name)
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(
+                f"snapshot table {self.path!r}: cannot branch an "
+                f"empty table"
+            )
+        src = self._manifest(v)
+        m = self._derived_manifest(
+            src, 0, None, message or f"fork of {self.branch}@{v}"
+        )
+        m["forked_from"] = {"branch": self.branch, "version": v}
+        self._link_json(
+            os.path.join(_branch_mdir(self.path, name), "v0.json"),
+            m,
+            f"snapshot table {self.path!r}: branch {name!r} already "
+            f"exists",
+        )
+        return self.for_branch(name)
+
+    def drop_branch(self, name: str) -> None:
+        """Delete branch ``name``'s manifest line (``main`` refuses).
+        Data files the branch alone referenced become unreferenced and
+        are reclaimed by the next aged ``expire`` sweep — dropping a
+        ref is metadata-only, GC stays expire's job (the Iceberg
+        split)."""
+        _check_ref_name(name)
+        d = _branch_mdir(self.path, name)
+        if not os.path.isdir(d):
+            raise ValueError(
+                f"snapshot table {self.path!r}: no branch {name!r}"
+            )
+        shutil.rmtree(d)
+
+    def tag(self, name: str, version: int | None = None) -> dict:
+        """Pin ``(this branch, version)`` under an immutable name —
+        Iceberg's tag: ``read(tag=...)`` resolves it from any handle,
+        and ``expire`` on the tagged branch keeps the pinned manifest
+        (and therefore its files) alive regardless of ``keep_last`` —
+        the reproducibility contract for "the exact table train-run
+        2026-08 read". Exactly-once via the link gate; retargeting is
+        ``delete_tag`` + ``tag`` (loud, never silent)."""
+        _check_ref_name(name)
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(
+                f"snapshot table {self.path!r}: cannot tag an empty "
+                f"table"
+            )
+        self._manifest(v)  # loud if the version does not exist
+        payload = {
+            "name": name,
+            "branch": self.branch,
+            "version": v,
+            "created_at": time.time(),
+        }
+        self._link_json(
+            os.path.join(self._tags_dir(), f"{name}.json"),
+            payload,
+            f"snapshot table {self.path!r}: tag {name!r} already "
+            f"exists (delete_tag first to retarget)",
+        )
+        return payload
+
+    def tags(self) -> dict[str, dict]:
+        """All tags, name → ``{branch, version, created_at}``."""
+        d = self._tags_dir()
+        out: dict[str, dict] = {}
+        if os.path.isdir(d):
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".json"):
+                    with open(os.path.join(d, fn)) as f:
+                        t = json.load(f)
+                    out[t["name"]] = t
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self._tags_dir(), f"{name}.json"))
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot table {self.path!r}: no tag {name!r}"
+            ) from None
+
+    def read_tag(self, name: str, where=None) -> DataFrame:
+        """The table exactly as tagged — resolves the tag's (branch,
+        version) and reads there, from any handle."""
+        t = self.tags().get(name)
+        if t is None:
+            raise ValueError(
+                f"snapshot table {self.path!r}: no tag {name!r}"
+            )
+        return self.for_branch(t["branch"]).read(
+            version=t["version"], where=where
+        )
+
+    def fast_forward(
+        self, branch: str, force: bool = False, message: str = ""
+    ) -> dict:
+        """Advance THIS branch to branch ``branch``'s head state — one
+        metadata commit whose content is the source head's manifest
+        (files, identity, stats, blooms, specs, pending deletes),
+        recording ``merged_from`` lineage. Promotion of an experiment
+        branch is therefore O(manifest) at any table size.
+
+        Clean fast-forward requires the source to have been forked
+        FROM this branch and this branch not to have advanced since
+        the fork point (true ancestry — nothing is discarded). If this
+        branch moved, the replace would silently drop its commits, so
+        it raises unless ``force=True`` (an explicit snapshot-level
+        replace; the overwritten versions stay time-travelable until
+        ``expire``). Publication rides the version link gate, so a
+        concurrent commit to this branch turns into a loud
+        :class:`CommitConflict` — safe to re-run."""
+        src = self.for_branch(branch)
+        sv = src.current_version()
+        if sv is None:
+            raise ValueError(
+                f"snapshot table {self.path!r}: branch {branch!r} has "
+                f"no commits"
+            )
+        if not force:
+            fork = src._manifest(0).get("forked_from")
+            head = self.current_version()
+            if (
+                fork is None
+                or fork.get("branch") != self.branch
+                or head != fork.get("version")
+            ):
+                raise ValueError(
+                    f"fast_forward: branch {branch!r} was forked from "
+                    f"{fork and fork.get('branch')!r}@"
+                    f"{fork and fork.get('version')} but {self.branch!r} "
+                    f"is at {head} — not a clean fast-forward; pass "
+                    f"force=True for an explicit snapshot-level replace"
+                )
+        head = self.current_version()
+        version = 0 if head is None else head + 1
+        m = self._derived_manifest(
+            src._manifest(sv),
+            version,
+            head,
+            message or f"fast-forward from {branch}@{sv}",
+        )
+        m["merged_from"] = {"branch": branch, "version": sv}
+        self._link_json(
+            os.path.join(self._mdir, f"v{version}.json"),
+            m,
+            f"snapshot table {self.path!r}: version {version} was "
+            f"committed by a concurrent writer — re-read the head and "
+            f"retry the fast-forward",
+        )
+        self._advise_head(version)
+        return m
+
     def expire(
         self, keep_last: int = 1, orphan_grace_sec: float = 86400.0
     ) -> dict:
@@ -2639,6 +2913,13 @@ class SnapshotTable:
           ``orphan_grace_sec=0`` restores the immediate sweep (tests,
           single-writer offline maintenance).
 
+        Refs narrow the sweep (the Iceberg retention rules): a TAG on
+        this branch keeps its pinned manifest alive regardless of
+        ``keep_last``, and data files referenced by ANY other branch's
+        manifests are live — expire is branch-scoped for retention but
+        table-global for reachability, because branches share data
+        files.
+
         Operationally: expire is a WRITER — schedule it like one, and
         keep the grace comfortably above the longest plausible
         stage-to-publish window (the default is 24 h). Returns
@@ -2647,13 +2928,40 @@ class SnapshotTable:
             raise ValueError("keep_last must be >= 1")
         now = time.time()
         manifests = self.versions()
-        keep = manifests[-keep_last:]
-        drop = manifests[:-keep_last]
+        # refs protect retention two ways (the Iceberg rules):
+        # - a TAG on this branch keeps its pinned manifest (and so its
+        #   files) regardless of keep_last — tags are the
+        #   reproducibility contract, expire must not age them out;
+        # - every OTHER branch's manifests are out of this expire's
+        #   scope entirely, but the data files they reference are
+        #   still live (data is shared across branches — a fork copies
+        #   manifests, not bytes), so they join the live set.
+        tagged = {
+            t["version"]
+            for t in self.tags().values()
+            if t.get("branch", "main") == self.branch
+        }
+        cut = manifests[-keep_last:]
+        cut_versions = {m["version"] for m in cut}
+        keep = [
+            m
+            for m in manifests
+            if m["version"] in cut_versions or m["version"] in tagged
+        ]
+        drop = [m for m in manifests if m not in keep]
         live: set[str] = set()
         for m in keep:
             live.update(m["files"])
             for e in m.get("deletes", []):
                 live.update(e.get("delete_files", []))
+        for other in self.branches():
+            if other == self.branch:
+                continue
+            peer = self.for_branch(other)
+            for m in peer.versions():
+                live.update(m["files"])
+                for e in m.get("deletes", []):
+                    live.update(e.get("delete_files", []))
         dropped_refs: set[str] = set()
         for m in drop:
             dropped_refs.update(m["files"])
@@ -2731,11 +3039,13 @@ class SnapshotTable:
                 os.remove(os.path.join(self._mdir, f"v{m['version']}.json"))
             except FileNotFoundError:
                 pass  # concurrent expire got it first
-        if os.path.isdir(self._mdir):
-            for name in os.listdir(self._mdir):
-                p = os.path.join(self._mdir, name)
-                # a young tmp manifest may be a publishing writer's
-                # complete manifest between write and link
+        for d in (self._mdir, self._tags_dir()):
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                p = os.path.join(d, name)
+                # a young tmp manifest/ref may be a publishing
+                # writer's complete payload between write and link
                 if name.endswith(".tmp") and _aged(p):
                     try:
                         os.remove(p)

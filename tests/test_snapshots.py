@@ -1714,3 +1714,181 @@ def test_multi_field_partition_spec(spark, tmp_path):
         t.commit_partitioned_multi(df, [])
     with pytest.raises(ValueError, match="needs n >= 2"):
         t.commit_partitioned_multi(df, [("k", "bucket", 1)])
+
+
+# ---------------------------------------------------------------------------
+# Branches & tags (Iceberg refs): forked heads, pinned versions, ref-aware GC
+# ---------------------------------------------------------------------------
+
+
+def test_branch_fork_isolated_heads(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), "v0")
+    dev = t.create_branch("dev")
+    # fork is metadata-only: same file paths, no data copied
+    assert dev._manifest(0)["files"] == t._manifest(0)["files"]
+    assert dev._manifest(0)["forked_from"] == {"branch": "main", "version": 0}
+    dev.commit(spark.range(10, 15), "dev append", append=True)
+    t.commit(spark.range(20, 25), "main append", append=True)
+    assert _ids(t.read()) == list(range(5)) + list(range(20, 25))
+    assert _ids(dev.read()) == list(range(5)) + list(range(10, 15))
+    # independent time travel per branch
+    assert _ids(dev.read(version=0)) == list(range(5))
+    assert t.branches() == ["main", "dev"] or t.branches() == ["main", "dev"]
+
+
+def test_branch_create_exactly_once_and_validation(spark, tmp_path):
+    from scrappy_spark.sources.snapshots import CommitConflict
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="empty table"):
+        t.create_branch("dev")
+    t.commit(spark.range(3), "v0")
+    t.create_branch("dev")
+    with pytest.raises(CommitConflict, match="already exists"):
+        t.create_branch("dev")
+    for bad in ("main", "HEAD", ".hidden", "a/b", ""):
+        with pytest.raises(ValueError, match="invalid ref name"):
+            t.create_branch(bad)
+    with pytest.raises(ValueError, match="invalid ref name"):
+        t.drop_branch("main")
+    with pytest.raises(ValueError, match="no branch"):
+        t.drop_branch("nope")
+
+
+def test_tag_pin_protects_expire(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), "v0")
+    t.tag("baseline")
+    t.commit(spark.range(10, 15), "v1 replace")
+    t.commit(spark.range(20, 25), "v2 replace")
+    r = t.expire(keep_last=1, orphan_grace_sec=0)
+    # v1 dropped; v0 survives via the tag, v2 is the head
+    assert r["dropped_versions"] == [1]
+    assert _ids(t.read_tag("baseline")) == list(range(5))
+    assert _ids(t.read(version=0)) == list(range(5))
+    # retarget is delete + recreate, never silent
+    from scrappy_spark.sources.snapshots import CommitConflict
+
+    with pytest.raises(CommitConflict, match="already exists"):
+        t.tag("baseline", 2)
+    t.delete_tag("baseline")
+    with pytest.raises(ValueError, match="no tag"):
+        t.delete_tag("baseline")
+    t.tag("baseline", 2)
+    assert t.tags()["baseline"]["version"] == 2
+    # untagged now: the old pinned version expires normally
+    r = t.expire(keep_last=1, orphan_grace_sec=0)
+    assert 0 in r["dropped_versions"]
+    with pytest.raises(FileNotFoundError):
+        t._manifest(0)
+
+
+def test_tag_missing_version_raises(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="empty"):
+        t.tag("x")
+    t.commit(spark.range(3), "v0")
+    with pytest.raises(FileNotFoundError):
+        t.tag("x", 7)
+    with pytest.raises(ValueError, match="no tag"):
+        t.read_tag("ghost")
+
+
+def test_expire_protects_other_branch_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), "v0")
+    v0_files = t._manifest(0)["files"]
+    dev = t.create_branch("dev")
+    t.commit(spark.range(10, 15), "v1 replace")
+    # main's expire drops v0's manifest but NOT its files: dev's fork
+    # still references them (data is shared across branches)
+    r = t.expire(keep_last=1, orphan_grace_sec=0)
+    assert r["dropped_versions"] == [0] and r["deleted_files"] == []
+    assert all(os.path.exists(p) for p in v0_files)
+    assert _ids(dev.read()) == list(range(5))
+    # dropping the branch releases them to the next aged sweep
+    t.drop_branch("dev")
+    r = t.expire(keep_last=1, orphan_grace_sec=0)
+    assert sorted(r["deleted_files"]) == sorted(v0_files)
+    assert not any(os.path.exists(p) for p in v0_files)
+
+
+def test_fast_forward_clean_diverged_force(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), "v0")
+    dev = t.create_branch("dev")
+    dev.commit(spark.range(10, 15), "dev work", append=True)
+    m = t.fast_forward("dev")
+    assert m["version"] == 1 and m["parent"] == 0
+    assert m["merged_from"] == {"branch": "dev", "version": 1}
+    assert _ids(t.read()) == list(range(5)) + list(range(10, 15))
+    # promotion shares the branch's files — no data copied
+    assert m["files"] == dev._manifest(1)["files"]
+    # diverged: main advanced past the fork point
+    dev2 = t.create_branch("dev2")
+    dev2.commit(spark.range(30, 32), "w", append=True)
+    t.commit(spark.range(20, 25), "main moved on", append=True)
+    with pytest.raises(ValueError, match="not a clean fast-forward"):
+        t.fast_forward("dev2")
+    m3 = t.fast_forward("dev2", force=True, message="explicit replace")
+    # dev2 forked from main@1 (which already had 10..14), then added
+    # 30..31; the force-replace drops main's later 20..24 append
+    assert _ids(t.read()) == (
+        list(range(5)) + list(range(10, 15)) + list(range(30, 32))
+    )
+    # the overwritten main commits stay time-travelable until expire
+    assert _ids(t.read(version=m3["parent"])) == (
+        list(range(5)) + list(range(10, 15)) + list(range(20, 25))
+    )
+
+
+def test_fast_forward_concurrent_commit_conflicts(spark, tmp_path, monkeypatch):
+    from scrappy_spark.sources.snapshots import CommitConflict
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), "v0")
+    dev = t.create_branch("dev")
+    dev.commit(spark.range(10, 12), "w", append=True)
+    # interleave: a concurrent writer lands v1 on main after this
+    # handle read its head — the link gate must surface it loudly
+    real = SnapshotTable.current_version
+
+    def stale(self):
+        v = real(self)
+        return 0 if self.branch == "main" and v is not None else v
+
+    monkeypatch.setattr(SnapshotTable, "current_version", stale)
+    t2 = SnapshotTable(spark, str(tmp_path / "t"))
+    monkeypatch.undo()
+    t.commit(spark.range(20, 22), "concurrent", append=True)  # main v1
+    monkeypatch.setattr(SnapshotTable, "current_version", stale)
+    with pytest.raises(CommitConflict, match="concurrent writer"):
+        t2.fast_forward("dev")
+    monkeypatch.undo()
+    # re-run against the true head succeeds (force: main advanced)
+    t2.fast_forward("dev", force=True)
+    assert _ids(t.read()) == list(range(5)) + list(range(10, 12))
+
+
+def test_branch_carries_stats_deletes_and_specs(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).alias("g")
+    )
+    t.commit(df.repartitionByRange(4, "id"), "v0", stats_cols=["id"])
+    t.delete_where(("id", "=", 7))
+    dev = t.create_branch("dev")
+    # pending delete applies on the branch read too
+    assert 7 not in [r["id"] for r in dev.read().collect()]
+    # stats designation carried: pruning works on the fork
+    rep = dev.prune_report(("id", "=", 3))
+    assert rep["n_read"] < rep["n_files"]
+    # read_tag honours where-pruning as well
+    dev.tag("pinned")
+    got = sorted(
+        r["id"] for r in t.read_tag("pinned", where=("id", "<", 5)).collect()
+    )
+    assert got == [0, 1, 2, 3, 4]
