@@ -145,3 +145,123 @@ def q_snapshot_branch_lifecycle(
         .unionByName(leg("dev_head", dev.read()))
         .unionByName(leg("main_pre_merge", table.read(version=1)))
     )
+
+
+# ---------------------------------------------------------------------------
+# DataSource merge-on-read: pending deletes applied inside the Arrow scan
+# ---------------------------------------------------------------------------
+
+_MOR_SQL = """
+    WITH visible AS (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+        WHERE doc_id < 300
+          AND doc_id NOT BETWEEN 50 AND 69
+          AND doc_id NOT BETWEEN 200 AND 219
+    )
+    SELECT 'full' AS leg, doc_id, lang, n_chars,
+           CAST(3 AS BIGINT) AS n_files,
+           CAST(2 AS BIGINT) AS n_pending_entries,
+           CAST(1 AS BIGINT) AS pred_scope_files,
+           CAST(1 AS BIGINT) AS keys_scope_files
+    FROM visible
+    UNION ALL
+    SELECT 'point', doc_id, lang, n_chars,
+           CAST(3 AS BIGINT), CAST(2 AS BIGINT),
+           CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    FROM visible WHERE doc_id = 123
+"""
+
+
+@register(
+    "q_snapshot_datasource_mor",
+    sql=_MOR_SQL,
+    doc="Merge-on-read through the scrappy_snapshot DataSource: a "
+    "version with PENDING row-level deletes (one predicate entry, "
+    "one takedown key list) reads correctly via spark.read.format — "
+    "each file's InputPartition carries the delete entries scoping "
+    "it and the executor applies them with pyarrow compute "
+    "(vectorized predicate masks, anti-join against the delete-key "
+    "parquet), no apply_deletes rewrite first. Oracle literals pin "
+    "the REQUEST-GRAIN economics from the persisted manifest: both "
+    "entries were stats-scoped to 1 of 3 files at delete time (an "
+    "implementation that scopes table-wide carries 3 and fails), "
+    "and a pushed point lookup composes with the delete program. "
+    "Engine path sources/snapshot_datasource.py::_apply_delete_arrow "
+    "+ snapshots.py::delete_where/delete_keys.",
+    tags=("storage", "snapshot", "datasource", "delete", "mor"),
+)
+def q_snapshot_datasource_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.snapshot_datasource import SnapshotDataSource
+    from ..sources.snapshots import SnapshotTable
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotDataSource)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+        )
+        .filter(F.col("doc_id") < 300)
+    )
+    root = _tmp_root(spark, sf_dir, "datasource_mor")
+    table = SnapshotTable(spark, os.path.join(root, "t"))
+
+    head = table.current_version()
+    if head is None:
+        # truncate(width=100) → exactly 3 files: [0,100), [100,200),
+        # [200,300) — a deterministic layout the scope literals pin
+        table.commit_partitioned(
+            docs, "doc_id", "truncate", width=100, stats_cols=["doc_id"]
+        )
+        head = 0
+    if head == 0:
+        table.delete_where(("doc_id", "between", (50, 69)))
+        head = 1
+    if head == 1:
+        table.delete_keys(
+            docs.filter(F.col("doc_id").between(200, 219)).select("doc_id"),
+            ["doc_id"],
+        )
+
+    # audit literals recomputed from the PERSISTED manifest
+    m = table._manifest(table.current_version())
+    entries = m.get("deletes", [])
+    by_kind = {e["kind"]: e for e in entries}
+    pred_scope = len(by_kind.get("pred", {}).get("files", []))
+    keys_scope = len(by_kind.get("keys", {}).get("files", []))
+    if len(entries) != 2 or pred_scope != 1 or keys_scope != 1:
+        raise ValueError(
+            f"datasource MOR regressed: entries={len(entries)}, "
+            f"pred_scope={pred_scope}, keys_scope={keys_scope}"
+        )
+
+    lits = [
+        F.lit(len(m["files"])).cast("long").alias("n_files"),
+        F.lit(len(entries)).cast("long").alias("n_pending_entries"),
+        F.lit(pred_scope).cast("long").alias("pred_scope_files"),
+        F.lit(keys_scope).cast("long").alias("keys_scope_files"),
+    ]
+
+    def ds_load() -> DataFrame:
+        # one load() per leg: the Spark 4.1 BatchScan-dedup sharp edge
+        return (
+            spark.read.format("scrappy_snapshot")
+            .option("path", table.path)
+            .load()
+        )
+
+    full = ds_load().select(
+        F.lit("full").alias("leg"), "doc_id", "lang", "n_chars", *lits
+    )
+    point = (
+        ds_load()
+        .filter(F.col("doc_id") == 123)
+        .select(
+            F.lit("point").alias("leg"), "doc_id", "lang", "n_chars", *lits
+        )
+    )
+    return full.unionByName(point)

@@ -41,10 +41,20 @@ staging dir; the job-level commit runs the session-free back half of
 stats, optimistic-concurrency append rebase), and an aborted job
 reclaims its staging dir (nothing ever referenced it).
 
-Honest bound: versions with PENDING row-level deletes are refused
-loudly (the merge-on-read anti-join belongs to the DataFrame path) —
-run ``apply_deletes`` first or use ``sqlapi.register_snapshot``,
-which applies them.
+Pending row-level deletes are applied MERGE-ON-READ inside the scan
+(round 14): each file's partition carries the delete entries scoping
+it (columns resolved to current names at planning time), and the
+executor applies them with pyarrow compute — predicates as vectorized
+masks (NULL never matches → row kept), key lists as an anti-join
+against the entry's delete-key parquet (request-grain: the scope was
+stats-narrowed at delete time). Same results as ``read()`` /
+``apply_deletes``, no rewrite required first.
+
+Branch reads: ``.option("branch", "dev")`` scopes version resolution
+(head / ``version`` / ``as_of``) to that branch's manifest line —
+the DataSource face of ``SnapshotTable.for_branch``. The writer
+accepts the option too, committing to the branch's head under its
+own conflict gate.
 
 SHARP EDGE (upstream, measured): when ONE ``load()`` feeds two
 branches with DIFFERENT filters (e.g. a self-union of two point
@@ -89,9 +99,14 @@ from pyspark.sql.types import StructType
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, rename: dict[str, str]):
+    def __init__(
+        self, path: str, rename: dict[str, str], deletes: tuple = ()
+    ):
         self.path = path
         self.rename = rename  # write-schema name -> current name
+        # merge-on-read program: the delete entries scoping this file,
+        # names already resolved to CURRENT columns at planning time
+        self.deletes = deletes
 
 
 def _conjunct(f: Filter):
@@ -112,6 +127,67 @@ def _conjunct(f: Filter):
     return (f.attribute[0], op, val)
 
 
+def _apply_delete_arrow(out, entry: dict):
+    """One merge-on-read delete entry against one file's Arrow table —
+    the executor-side twin of SnapshotTable._apply_delete, same NULL
+    semantics: a NULL in a predicate or key column never matches, so
+    the row is KEPT (SQL DELETE / anti-join behavior).
+
+    Cost shape: predicate entries are pure vectorized compute; a keys
+    entry re-reads its delete-key parquet per scoped file — delete
+    lists are O(takedown request) and the entry's scope is
+    stats-narrowed at delete time, so this stays request-grain, not
+    table-grain."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if entry["kind"] == "pred":
+        mask = None
+        for name, op, val in entry["conjuncts"]:
+            col = out[name]
+
+            def lit(v):
+                try:
+                    return pa.scalar(v, type=col.type)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    return v
+
+            if op == "=":
+                m = pc.equal(col, lit(val))
+            elif op == "<":
+                m = pc.less(col, lit(val))
+            elif op == "<=":
+                m = pc.less_equal(col, lit(val))
+            elif op == ">":
+                m = pc.greater(col, lit(val))
+            elif op == ">=":
+                m = pc.greater_equal(col, lit(val))
+            elif op == "between":
+                lo, hi = val
+                m = pc.and_kleene(
+                    pc.greater_equal(col, lit(lo)),
+                    pc.less_equal(col, lit(hi)),
+                )
+            elif op == "in":
+                vals = [v for v in val if v is not None]
+                m = pc.is_in(col, value_set=pa.array(vals, type=col.type))
+            else:  # pragma: no cover — delete_where validates ops
+                raise ValueError(f"unknown delete op {op!r}")
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        if mask is None:
+            return out
+        return out.filter(pc.invert(pc.fill_null(mask, False)))
+    names = entry["names"]
+    kt = pq.read_table(entry["delete_files"]).rename_columns(names)
+    if len(names) == 1:
+        col = out[names[0]]
+        keys = kt[names[0]].cast(col.type)
+        mask = pc.is_in(col, value_set=keys.combine_chunks())
+        return out.filter(pc.invert(pc.fill_null(mask, False)))
+    return out.join(kt, keys=names, join_type="left anti")
+
+
 class SnapshotReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType):
         from .snapshots import SnapshotTable
@@ -125,7 +201,9 @@ class SnapshotReader(DataSourceReader):
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
-        self._table = SnapshotTable(spark, path)
+        self._table = SnapshotTable(
+            spark, path, branch=options.get("branch", "main")
+        )
         version = options.get("version")
         as_of = options.get("as_of")
         v = (
@@ -137,13 +215,33 @@ class SnapshotReader(DataSourceReader):
         if v is None:
             raise ValueError(f"snapshot table {path!r} has no commits")
         self._m = self._table._manifest(v)
+        # merge-on-read: resolve each pending delete entry's columns
+        # to CURRENT names at planning time (ids are rename-proof);
+        # executors apply them per file with pyarrow compute — the
+        # same semantics as the DataFrame path's _apply_delete
+        # (predicate: NULL never matches, row kept; keys: anti-join).
+        self._delete_prog: list[dict] = []
         if self._m.get("deletes"):
-            raise ValueError(
-                f"scrappy_snapshot: version {v} has pending row-level "
-                "deletes — run apply_deletes() first, or use "
-                "sqlapi.register_snapshot (the DataFrame path applies "
-                "them merge-on-read)"
-            )
+            _, by_key = self._table._resolve_cols(self._m)
+            for e in self._m["deletes"]:
+                if e["kind"] == "pred":
+                    prog = {
+                        "kind": "pred",
+                        "conjuncts": [
+                            [by_key[str(k)], op, v2]
+                            for k, op, v2 in e["conjuncts"]
+                        ],
+                    }
+                else:
+                    prog = {
+                        "kind": "keys",
+                        "names": [
+                            by_key[str(kc["id"])] for kc in e["key_cols"]
+                        ],
+                        "delete_files": list(e["delete_files"]),
+                    }
+                prog["files"] = set(e["files"])
+                self._delete_prog.append(prog)
         self._schema = schema
         self._files = list(self._m["files"])
         # load-time pruning: .option("where", '[["col","op",value],...]')
@@ -215,7 +313,12 @@ class SnapshotReader(DataSourceReader):
                 for c in schemas[file_schema[p]]:
                     if c["id"] in cur_by_id:
                         rename[c["name"]] = cur_by_id[c["id"]]
-            parts.append(_FilePartition(p, rename))
+            dels = tuple(
+                {k: v for k, v in e.items() if k != "files"}
+                for e in self._delete_prog
+                if p in e["files"]
+            )
+            parts.append(_FilePartition(p, rename, dels))
         return parts
 
     def read(self, partition: _FilePartition):
@@ -240,6 +343,10 @@ class SnapshotReader(DataSourceReader):
                 arr = pa.nulls(len(tbl), type=field.type)
             cols.append(arr)
         out = pa.table(cols, schema=target)
+        for entry in partition.deletes:
+            out = _apply_delete_arrow(out, entry)
+            if out.schema != target:  # anti-join may drop metadata
+                out = out.select(target.names).cast(target)
         yield from out.to_batches()
 
     # planned-files introspection for tests / prune pinning
@@ -260,7 +367,11 @@ class SnapshotDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("scrappy_snapshot: path option is required")
-        t = SnapshotTable(SparkSession.getActiveSession(), path)
+        t = SnapshotTable(
+            SparkSession.getActiveSession(),
+            path,
+            branch=self.options.get("branch", "main"),
+        )
         version = self.options.get("version")
         as_of = self.options.get("as_of")
         v = (
@@ -330,6 +441,7 @@ class SnapshotArrowWriter(DataSourceArrowWriter):
         if not path:
             raise ValueError("scrappy_snapshot: path option is required")
         self._path = path
+        self._branch = options.get("branch", "main")
         self._append = not overwrite
         self._schema = schema
         self._message = options.get("message", "")
@@ -369,7 +481,7 @@ class SnapshotArrowWriter(DataSourceArrowWriter):
         files = sorted(
             m.path for m in messages if m is not None and m.path
         )
-        table = SnapshotTable(None, self._path)
+        table = SnapshotTable(None, self._path, branch=self._branch)
         table._commit_new_files(
             files,
             self._schema,

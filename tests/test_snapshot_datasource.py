@@ -122,22 +122,15 @@ def test_datasource_widening_and_stats_pruning(ds_spark, tmp_path):
     assert len(r.planned_files()) == 1  # min/max stats prune the 2nd
 
 
-def test_datasource_refuses_pending_deletes_and_empty(ds_spark, tmp_path):
+def test_datasource_merge_on_read_deletes_and_empty(ds_spark, tmp_path):
     t = SnapshotTable(ds_spark, str(tmp_path / "d"))
     t.commit(
         ds_spark.range(0, 10).selectExpr("id AS k", "id AS v").coalesce(1),
         stats_cols=["k"],
     )
     t.delete_where(("k", "=", 3))
-    with pytest.raises(Exception, match="pending row-level deletes"):
-        (
-            ds_spark.read.format("scrappy_snapshot")
-            .option("path", t.path)
-            .load()
-            .count()
-        )
-    # after apply_deletes the read works and excludes the row
-    t.apply_deletes()
+    # pending deletes apply merge-on-read inside the scan — no
+    # apply_deletes rewrite needed, same result as read()
     df = (
         ds_spark.read.format("scrappy_snapshot")
         .option("path", t.path)
@@ -146,12 +139,129 @@ def test_datasource_refuses_pending_deletes_and_empty(ds_spark, tmp_path):
     assert sorted(r.k for r in df.collect()) == [
         k for k in range(10) if k != 3
     ]
+    # the parent version still shows the row (time travel)
+    df0 = (
+        ds_spark.read.format("scrappy_snapshot")
+        .option("path", t.path)
+        .option("version", 0)
+        .load()
+    )
+    assert sorted(r.k for r in df0.collect()) == list(range(10))
     with pytest.raises(Exception, match="no commits"):
         (
             ds_spark.read.format("scrappy_snapshot")
             .option("path", str(tmp_path / "missing"))
             .load()
         )
+
+
+def test_datasource_mor_matches_dataframe_path(ds_spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(ds_spark, str(tmp_path / "m"))
+    df = ds_spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("txt"),
+    )
+    t.commit(df.repartitionByRange(4, "k"), stats_cols=["k"])
+    # a predicate delete, a single-key delete and a MULTI-key delete
+    t.delete_where(("k", "between", (20, 29)))
+    t.delete_keys(
+        ds_spark.range(100, 110).select(F.col("id").alias("k")), ["k"]
+    )
+    t.delete_keys(
+        ds_spark.range(150, 160).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        ),
+        ["k", "g"],
+    )
+    t.rename_column("k", "key")  # delete entries are id-based
+    expect = sorted(r.key for r in t.read().collect())
+    got_df = (
+        ds_spark.read.format("scrappy_snapshot")
+        .option("path", t.path)
+        .load()
+    )
+    assert sorted(r.key for r in got_df.collect()) == expect
+    # pushdown composes with merge-on-read: a pruned point read in a
+    # deleted range returns nothing, outside it returns the row
+    one = (
+        ds_spark.read.format("scrappy_snapshot")
+        .option("path", t.path)
+        .load()
+        .filter("key = 25")
+    )
+    assert one.collect() == []
+    two = (
+        ds_spark.read.format("scrappy_snapshot")
+        .option("path", t.path)
+        .load()
+        .filter("key = 42")
+    )
+    assert [r.txt for r in two.collect()] == ["v42"]
+
+
+def test_datasource_mor_null_keys_kept(ds_spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(ds_spark, str(tmp_path / "n"))
+    df = ds_spark.range(0, 6).select(
+        F.when(F.col("id") < 5, F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    t.commit(df.coalesce(1), stats_cols=["v"])
+    t.delete_keys(ds_spark.range(0, 3).select(F.col("id").alias("k")), ["k"])
+    t.delete_where(("k", ">=", 4))
+    got = (
+        ds_spark.read.format("scrappy_snapshot")
+        .option("path", t.path)
+        .load()
+    )
+    # NULL key never matches either delete form: the k=NULL row stays
+    assert sorted(r.v for r in got.collect()) == [3, 5]
+    assert sorted(
+        r.v for r in t.read().collect()
+    ) == [3, 5]  # DataFrame path agrees
+
+
+def test_datasource_branch_option(ds_spark, tmp_path):
+    t = SnapshotTable(ds_spark, str(tmp_path / "b"))
+    t.commit(ds_spark.range(0, 5).selectExpr("id AS k"), stats_cols=["k"])
+    dev = t.create_branch("dev")
+    dev.commit(
+        ds_spark.range(10, 15).selectExpr("id AS k"), append=True
+    )
+    main_rows = (
+        ds_spark.read.format("scrappy_snapshot")
+        .option("path", t.path)
+        .load()
+    )
+    dev_rows = (
+        ds_spark.read.format("scrappy_snapshot")
+        .option("path", t.path)
+        .option("branch", "dev")
+        .load()
+    )
+    assert sorted(r.k for r in main_rows.collect()) == list(range(5))
+    assert sorted(r.k for r in dev_rows.collect()) == list(range(5)) + list(
+        range(10, 15)
+    )
+    # DS write to a branch commits under the branch's gate
+    (
+        ds_spark.range(20, 22)
+        .selectExpr("id AS k")
+        .write.format("scrappy_snapshot")
+        .mode("append")
+        .option("path", t.path)
+        .option("branch", "dev")
+        .save()
+    )
+    assert dev.current_version() == 2
+    assert t.current_version() == 0  # main untouched
+    assert sorted(r.k for r in dev.read().collect()) == (
+        list(range(5)) + list(range(10, 15)) + [20, 21]
+    )
 
 
 def test_pure_xxh64_matches_jvm_across_types(spark):
