@@ -304,6 +304,63 @@ def main(argv: list[str] | None = None) -> int:
         "rewritten)",
     )
     p.add_argument(
+        "--branch",
+        default="main",
+        metavar="NAME",
+        help="scope every --table-* command to this branch's manifest "
+        "line (default main)",
+    )
+    p.add_argument(
+        "--table-create-branch",
+        metavar="NAME[@VERSION]",
+        help="fork a branch from --branch at VERSION (default its "
+        "head) — one metadata commit, data files shared",
+    )
+    p.add_argument(
+        "--table-drop-branch",
+        metavar="NAME",
+        help="delete a branch's manifest line (its exclusive data "
+        "files are reclaimed by the next aged --table-expire)",
+    )
+    p.add_argument(
+        "--table-tag",
+        metavar="NAME[@VERSION]",
+        help="pin (--branch, VERSION) under an immutable tag name "
+        "(default: the branch head); protects the version from "
+        "--table-expire",
+    )
+    p.add_argument(
+        "--table-delete-tag",
+        metavar="NAME",
+        help="remove a tag (retarget = delete + re-tag, never silent)",
+    )
+    p.add_argument(
+        "--table-refs",
+        action="store_true",
+        help="list the table's branches (with heads) and tags",
+    )
+    p.add_argument(
+        "--table-fast-forward",
+        metavar="NAME",
+        help="advance --branch to branch NAME's head state (one "
+        "metadata commit; refuses unless NAME forked from --branch "
+        "and it has not advanced since — see --force)",
+    )
+    p.add_argument(
+        "--force",
+        action="store_true",
+        help="allow --table-fast-forward as an explicit snapshot-level "
+        "replace when histories diverged",
+    )
+    p.add_argument(
+        "--table-add-blooms",
+        metavar="COLS",
+        help="backfill per-file Bloom filters on the comma-separated "
+        "columns (scans only files missing one; metadata-only "
+        "commit) — how a DataSource-written table gains the "
+        "point-lookup pruning axis",
+    )
+    p.add_argument(
         "--index",
         metavar="PATH",
         help="stored-index path for the --index-* admin commands "
@@ -420,13 +477,66 @@ def main(argv: list[str] | None = None) -> int:
         or args.table_expire is not None
         or args.table_compact is not None
         or args.table_describe
+        or args.table_create_branch
+        or args.table_drop_branch
+        or args.table_tag
+        or args.table_delete_tag
+        or args.table_refs
+        or args.table_fast_forward
+        or args.table_add_blooms
     ):
         from .sources.snapshots import SnapshotTable
 
         if not args.table:
             print("--table PATH is required for table admin", file=sys.stderr)
             return 2
-        table = SnapshotTable(spark, args.table)
+        table = SnapshotTable(spark, args.table, branch=args.branch)
+
+        def _name_at(spec: str) -> tuple[str, int | None]:
+            name, _, raw = spec.partition("@")
+            return name, (int(raw) if raw else None)
+
+        if args.table_create_branch:
+            name, at = _name_at(args.table_create_branch)
+            b = table.create_branch(name, version=at)
+            print(
+                f"branch {name} forked from {table.branch}@"
+                f"{b._manifest(0)['forked_from']['version']}"
+            )
+        if args.table_drop_branch:
+            table.drop_branch(args.table_drop_branch)
+            print(f"branch {args.table_drop_branch} dropped")
+        if args.table_tag:
+            name, at = _name_at(args.table_tag)
+            t = table.tag(name, version=at)
+            print(f"tag {name} -> {t['branch']}@{t['version']}")
+        if args.table_delete_tag:
+            table.delete_tag(args.table_delete_tag)
+            print(f"tag {args.table_delete_tag} deleted")
+        if args.table_fast_forward:
+            m = table.fast_forward(args.table_fast_forward, force=args.force)
+            print(
+                f"{table.branch} fast-forwarded to "
+                f"{args.table_fast_forward}@"
+                f"{m['merged_from']['version']} as v{m['version']}"
+            )
+        if args.table_add_blooms:
+            cols = [
+                c.strip()
+                for c in args.table_add_blooms.split(",")
+                if c.strip()
+            ]
+            m = table.add_blooms(cols)
+            print(
+                f"blooms on {cols} backfilled across "
+                f"{len(m.get('blooms', {}))} file(s) as v{m['version']}"
+            )
+        if args.table_refs:
+            for b in table.branches():
+                head = table.for_branch(b).current_version()
+                print(f"branch {b} @ v{head}")
+            for name, t in table.tags().items():
+                print(f"tag {name} -> {t['branch']}@{t['version']}")
         if args.table_delete_where:
             col, op, raw = args.table_delete_where
             val: object = raw

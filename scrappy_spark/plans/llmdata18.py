@@ -265,3 +265,93 @@ def q_snapshot_datasource_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return full.unionByName(point)
+
+
+# ---------------------------------------------------------------------------
+# Bloom backfill: the metadata-only pruning-axis commit (add_blooms)
+# ---------------------------------------------------------------------------
+
+_BB_SQL = """
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(2 AS BIGINT) AS n_files,
+           CAST(1 AS BIGINT) AS point_files_read,
+           CAST(0 AS BIGINT) AS absent_files_read,
+           CAST(1 AS BIGINT) AS bloom_version
+    FROM documents WHERE doc_id = 123
+"""
+
+
+@register(
+    "q_snapshot_bloom_backfill",
+    sql=_BB_SQL,
+    doc="add_blooms: per-file Bloom filters designated AFTER the "
+    "fact as one metadata-only commit — the table here is written "
+    "through the scrappy_snapshot DataSource writer (whose "
+    "session-free commit hook cannot build blooms), then gains the "
+    "point-lookup pruning axis via a single distributed backfill "
+    "pass that scans only files missing a designated bloom. Oracle "
+    "literals pin the axis from the persisted manifest: both files "
+    "span the full doc_id range (no stats recorded, min/max could "
+    "never prune), yet the point read opens 1 of 2 files and an "
+    "absent key opens ZERO — only the bloom can prove that. "
+    "bloom_version=1 pins that the backfill was one new version over "
+    "the same file list. Engine path sources/snapshots.py::"
+    "add_blooms + _collect_blooms.",
+    tags=("storage", "snapshot", "bloom", "pruning", "datasource"),
+)
+def q_snapshot_bloom_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.snapshot_datasource import SnapshotDataSource
+    from ..sources.snapshots import SnapshotTable
+
+    spark.dataSource.register(SnapshotDataSource)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+        )
+        .filter(F.col("doc_id") < 240)
+    )
+    root = _tmp_root(spark, sf_dir, "bloom_backfill")
+    path = os.path.join(root, "t")
+    table = SnapshotTable(spark, path)
+
+    head = table.current_version()
+    if head is None:
+        (
+            docs.repartition(2)
+            .write.format("scrappy_snapshot")
+            .mode("overwrite")
+            .option("path", path)
+            .save()
+        )
+        head = 0
+    if head == 0:
+        table.add_blooms(["doc_id"])
+
+    m = table._manifest(table.current_version())
+    rep_point = table.prune_report(("doc_id", "=", 123))
+    rep_absent = table.prune_report(("doc_id", "=", 987654))
+    if (
+        table.current_version() != 1
+        or len(m["files"]) != 2
+        or m["files"] != table._manifest(0)["files"]
+        or rep_point["n_read"] != 1
+        or rep_absent["n_read"] != 0
+    ):
+        raise ValueError(
+            f"bloom backfill regressed: head={table.current_version()}, "
+            f"files={len(m['files'])}, point={rep_point}, "
+            f"absent={rep_absent}"
+        )
+
+    return table.read(where=("doc_id", "=", 123)).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.lit(len(m["files"])).cast("long").alias("n_files"),
+        F.lit(rep_point["n_read"]).cast("long").alias("point_files_read"),
+        F.lit(rep_absent["n_read"]).cast("long").alias("absent_files_read"),
+        F.lit(table.current_version()).cast("long").alias("bloom_version"),
+    )

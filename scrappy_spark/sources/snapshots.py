@@ -2651,6 +2651,92 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ expire
 
+    def add_blooms(
+        self,
+        cols: list[str],
+        bloom_bits: int = 8192,
+        message: str = "",
+    ) -> dict:
+        """Designate per-file Bloom filters on ``cols`` AFTER the fact:
+        one distributed pass over only the files MISSING a designated
+        bloom, then a metadata-only commit (same file list, blooms
+        merged into the manifest). This is how a table written through
+        the ``scrappy_snapshot`` DataSource writer — whose commit hook
+        runs session-free and cannot build blooms — gains the
+        point-lookup pruning axis later, and how an operator backfills
+        blooms over appended files incrementally: files that already
+        carry every requested bloom are never rescanned, so repeated
+        calls are O(new files), not O(table).
+
+        Files are scanned per WRITE SCHEMA under the name the column
+        had when the file was written (ids are rename-proof), so the
+        backfill is correct across renames. Publication rides the
+        version link gate — a concurrent commit surfaces as
+        :class:`CommitConflict`, safe to re-run."""
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"snapshot table {self.path!r} has no commits")
+        m = self._manifest(head)
+        if "columns" not in m:
+            raise ValueError(
+                "add_blooms: legacy schema-less manifest — commit once "
+                "through SnapshotTable.commit first"
+            )
+        by_name = {c["name"]: c["id"] for c in m["columns"]}
+        missing = [c for c in cols if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"add_blooms: no column {missing[0]!r} ({sorted(by_name)})"
+            )
+        want_ids = {c: by_name[c] for c in cols}
+        blooms = {p: dict(v) for p, v in m.get("blooms", {}).items()}
+        todo = [
+            p
+            for p in m["files"]
+            if any(
+                str(i) not in blooms.get(p, {}) for i in want_ids.values()
+            )
+        ]
+        schemas = m.get("schemas", {})
+        file_schema = m.get("file_schema", {})
+        by_sid: dict[str, list[str]] = {}
+        for p in todo:
+            by_sid.setdefault(file_schema.get(p, ""), []).append(p)
+        for sid, group in by_sid.items():
+            # the column's WRITE-TIME name in this group's files
+            write_name = {
+                c["id"]: c["name"] for c in schemas.get(sid, m["columns"])
+            }
+            names = [
+                write_name[i] for i in want_ids.values() if i in write_name
+            ]
+            if not names:
+                continue  # files predate every designated column
+            got = _collect_blooms(
+                self.spark, group, names, bloom_bits, _BLOOM_K
+            )
+            id_of = {v: k for k, v in write_name.items()}
+            for p, per in got.items():
+                slot = blooms.setdefault(p, {})
+                for name, bloom in per.items():
+                    slot[str(id_of[name])] = bloom
+        manifest = self._derived_manifest(
+            m, head + 1, head, message or f"add blooms on {cols}"
+        )
+        manifest["blooms"] = {p: v for p, v in blooms.items() if v}
+        manifest["bloom_ids"] = sorted(
+            set(m.get("bloom_ids", [])) | set(want_ids.values())
+        )
+        self._link_json(
+            os.path.join(self._mdir, f"v{head + 1}.json"),
+            manifest,
+            f"snapshot table {self.path!r}: version {head + 1} was "
+            f"committed by a concurrent writer — re-run add_blooms "
+            f"against the new head",
+        )
+        self._advise_head(head + 1)
+        return manifest
+
     # ------------------------------------------------- refs: branches/tags
 
     def _tags_dir(self) -> str:

@@ -636,3 +636,60 @@ def test_cli_table_describe(spark, tmp_path, capsys):
     assert "spec 0: truncate(50) on k" in out
     assert "spec 1: bucket(4) on k (current)" in out
     assert "1 pending row-level delete(s)" in out
+
+
+def test_cli_table_refs_lifecycle(spark, tmp_path, capsys):
+    """--table-create-branch / --table-tag / --table-refs /
+    --table-fast-forward / --table-drop-branch: the round-14 refs
+    story is CLI-drivable end to end."""
+    from scrappy_spark.sources.snapshots import SnapshotTable
+
+    path = str(tmp_path / "t")
+    t = SnapshotTable(spark, path)
+    t.commit(
+        spark.range(0, 10).selectExpr("id AS k").coalesce(1),
+        stats_cols=["k"],
+    )
+    store = ["--store", str(tmp_path / "s"), "--table", path]
+    assert cli.main(store + ["--table-tag", "baseline@0"]) == 0
+    assert "tag baseline -> main@0" in capsys.readouterr().out
+    assert cli.main(store + ["--table-create-branch", "dev"]) == 0
+    assert "branch dev forked from main@0" in capsys.readouterr().out
+    # commit to the branch through the API, then promote via CLI
+    t.for_branch("dev").commit(
+        spark.range(10, 15).selectExpr("id AS k").coalesce(1), append=True
+    )
+    assert cli.main(store + ["--table-refs"]) == 0
+    out = capsys.readouterr().out
+    assert "branch main @ v0" in out and "branch dev @ v1" in out
+    assert "tag baseline -> main@0" in out
+    assert cli.main(store + ["--table-fast-forward", "dev"]) == 0
+    assert "main fast-forwarded to dev@1 as v1" in capsys.readouterr().out
+    assert sorted(r.k for r in t.read().collect()) == list(range(15))
+    assert cli.main(store + ["--table-drop-branch", "dev"]) == 0
+    assert "branch dev dropped" in capsys.readouterr().out
+    assert t.branches() == ["main"]
+    # branch-scoped admin: --branch routes table commands
+    assert cli.main(store + ["--table-create-branch", "exp@0"]) == 0
+    capsys.readouterr()
+    assert (
+        cli.main(store + ["--branch", "exp", "--table-history"]) == 0
+    )
+    assert "v0" in capsys.readouterr().out
+
+
+def test_cli_table_add_blooms(spark, tmp_path, capsys):
+    from scrappy_spark.sources.snapshots import SnapshotTable
+
+    path = str(tmp_path / "t")
+    t = SnapshotTable(spark, path)
+    t.commit(
+        spark.range(0, 30).selectExpr("id * 3 AS k").coalesce(1)
+    )
+    assert cli.main(
+        ["--store", str(tmp_path / "s"), "--table", path,
+         "--table-add-blooms", "k"]
+    ) == 0
+    assert "blooms on ['k'] backfilled" in capsys.readouterr().out
+    assert t.prune_report(("k", "=", 1))["n_read"] == 0
+    assert t.prune_report(("k", "=", 9))["n_read"] == 1

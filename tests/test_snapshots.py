@@ -1892,3 +1892,54 @@ def test_branch_carries_stats_deletes_and_specs(spark, tmp_path):
         r["id"] for r in t.read_tag("pinned", where=("id", "<", 5)).collect()
     )
     assert got == [0, 1, 2, 3, 4]
+
+
+def test_add_blooms_backfill_and_incremental(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 50).select((F.col("id") * 3).alias("k")).coalesce(1),
+        "v0",
+    )
+    # no blooms yet: an absent key cannot prune
+    assert t.prune_report(("k", "=", 1))["n_read"] == 1
+    t.add_blooms(["k"])
+    assert t.current_version() == 1
+    m1 = t._manifest(1)
+    assert m1["files"] == t._manifest(0)["files"]  # metadata-only
+    # absent key (1 is not a multiple of 3): bloom proves it, 0 files
+    assert t.prune_report(("k", "=", 1))["n_read"] == 0
+    assert t.prune_report(("k", "=", 42))["n_read"] == 1
+    assert [r.k for r in t.read(where=("k", "=", 42)).collect()] == [42]
+    # incremental: append a file, re-run — the old file's bloom is
+    # reused byte-for-byte, only the new file is scanned
+    t.commit(
+        spark.range(50, 60).select((F.col("id") * 3).alias("k")).coalesce(1),
+        "v2",
+        append=True,
+    )
+    t.add_blooms(["k"])
+    m3 = t._manifest(t.current_version())
+    old_file = t._manifest(0)["files"][0]
+    assert m3["blooms"][old_file] == m1["blooms"][old_file]
+    assert all(p in m3["blooms"] for p in m3["files"])
+    assert t.prune_report(("k", "=", 1))["n_read"] == 0
+    with pytest.raises(ValueError, match="no column"):
+        t.add_blooms(["ghost"])
+
+
+def test_add_blooms_rename_proof(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 20).select((F.col("id") * 2).alias("old")).coalesce(1),
+        "v0",
+    )
+    t.rename_column("old", "new")
+    # backfill under the CURRENT name scans the file under its
+    # write-time name and keys the bloom by column id
+    t.add_blooms(["new"])
+    assert t.prune_report(("new", "=", 5))["n_read"] == 0
+    assert t.prune_report(("new", "=", 6))["n_read"] == 1
