@@ -355,3 +355,98 @@ def q_snapshot_bloom_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(rep_absent["n_read"]).cast("long").alias("absent_files_read"),
         F.lit(table.current_version()).cast("long").alias("bloom_version"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Metadata tables: the table's own operational state as SQL
+# ---------------------------------------------------------------------------
+
+_MT_SQL = """
+    SELECT * FROM (VALUES
+        ('history', 'v0', CAST(-1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        ('history', 'v1', CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+        ('history', 'v2', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+        ('files', 'agg', CAST(3 AS BIGINT), CAST(150 AS BIGINT), CAST(3 AS BIGINT)),
+        ('refs', 'branch:aux', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        ('refs', 'branch:main', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        ('refs', 'tag:stable', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+    ) AS t(leg, name, a, b, c)
+"""
+
+
+@register(
+    "q_snapshot_metadata_tables",
+    sql=_MT_SQL,
+    doc="Metadata tables (Iceberg's table.files / table.history / "
+    "table.refs): the snapshot table's own operational state as "
+    "DataFrames — per-file size and row count read DISTRIBUTED from "
+    "parquet footers (mapInPandas over the file list, no data bytes, "
+    "no driver loop), commit history with lineage and pending-delete "
+    "counts, and every branch/tag ref. Oracle literals pin a 3-commit "
+    "lifecycle (2-file base, append to 3 files, a pending predicate "
+    "delete), the footer-summed row inventory (150 rows across 3 "
+    "stats-covered files — row_count counts PHYSICAL rows, the "
+    "pending delete does not shrink it until apply_deletes), and the "
+    "ref table after a tag and a fork. These views are how 'how many "
+    "small files need compaction' becomes one SQL query at 100 TB. "
+    "Engine path sources/snapshots.py::files_df/history_df/refs_df + "
+    "sqlapi.register_snapshot(metadata=True).",
+    tags=("storage", "snapshot", "metadata", "introspection"),
+)
+def q_snapshot_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.snapshots import SnapshotTable
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .filter(F.col("doc_id") < 150)
+    )
+    root = _tmp_root(spark, sf_dir, "metadata_tables")
+    table = SnapshotTable(spark, os.path.join(root, "t"))
+
+    head = table.current_version()
+    if head is None:
+        table.commit(
+            docs.filter(F.col("doc_id") < 100).repartition(2),
+            "v0",
+            stats_cols=["doc_id"],
+        )
+        head = 0
+    if head == 0:
+        table.commit(
+            docs.filter(F.col("doc_id") >= 100).repartition(1),
+            "v1 append",
+            append=True,
+        )
+        head = 1
+    if head == 1:
+        table.delete_where(("doc_id", "between", (10, 19)))
+    if "stable" not in table.tags():
+        table.tag("stable", 1)
+    if "aux" not in table.branches():
+        table.create_branch("aux", version=1)
+
+    history = table.history_df().select(
+        F.lit("history").alias("leg"),
+        F.concat(F.lit("v"), F.col("version")).alias("name"),
+        F.coalesce(F.col("parent"), F.lit(-1)).cast("long").alias("a"),
+        F.col("n_files").cast("long").alias("b"),
+        F.col("n_pending_deletes").cast("long").alias("c"),
+    )
+    files = table.files_df().agg(
+        F.lit("files").alias("leg"),
+        F.lit("agg").alias("name"),
+        F.count("*").cast("long").alias("a"),
+        F.sum("row_count").cast("long").alias("b"),
+        F.sum(F.col("has_stats").cast("long")).cast("long").alias("c"),
+    )
+    refs = table.refs_df().select(
+        F.lit("refs").alias("leg"),
+        F.concat_ws(":", "kind", "name").alias("name"),
+        F.col("version").cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(0).cast("long").alias("c"),
+    )
+    return history.unionByName(files).unionByName(refs)

@@ -2651,6 +2651,170 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ expire
 
+    # ------------------------------------------------ metadata tables
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The version's FILE inventory as a DataFrame — Iceberg's
+        ``table.files`` metadata table: one row per data file with
+        size / row count (parquet FOOTER metadata, read DISTRIBUTED
+        via ``mapInPandas`` — no data bytes move, and the driver never
+        loops over files), plus the manifest-side facts: schema id,
+        partition spec id and value, stats/bloom coverage. The
+        operational queries ride on top as plain SQL: small-file
+        skew ("how many files under 16 MB" → compaction planning),
+        partition balance, pruning-axis coverage."""
+        import pandas as pd
+
+        from pyspark.sql.types import (
+            BooleanType,
+            LongType,
+            StringType,
+        )
+
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"snapshot table {self.path!r} has no commits")
+        m = self._manifest(v)
+        file_schema = m.get("file_schema", {})
+        parts = m.get("partitions", {})
+        file_specs = m.get("partition_file_specs", {})
+        cur_spec = m.get("partition_spec_id")
+        stats = m.get("stats", {})
+        blooms = m.get("blooms", {})
+        rows = [
+            {
+                "file": p,
+                "schema_id": file_schema.get(p),
+                "partition_spec_id": (
+                    str(file_specs.get(p, cur_spec))
+                    if "partition_spec" in m and p in parts
+                    else None
+                ),
+                "partition": (
+                    json.dumps(parts[p]) if p in parts else None
+                ),
+                "has_stats": p in stats,
+                "has_bloom": p in blooms,
+            }
+            for p in m["files"]
+        ]
+        schema = StructType(
+            [
+                StructField("file", StringType()),
+                StructField("schema_id", StringType()),
+                StructField("partition_spec_id", StringType()),
+                StructField("partition", StringType()),
+                StructField("has_stats", BooleanType()),
+                StructField("has_bloom", BooleanType()),
+            ]
+        )
+        base = self.spark.createDataFrame(rows, schema)
+        out_schema = StructType(
+            schema.fields
+            + [
+                StructField("size_bytes", LongType()),
+                StructField("row_count", LongType()),
+            ]
+        )
+
+        def _footer(batches):
+            import pyarrow.parquet as _pq
+
+            for pdf in batches:
+                sizes, counts = [], []
+                for p in pdf["file"]:
+                    try:
+                        sizes.append(os.path.getsize(p))
+                        counts.append(_pq.ParquetFile(p).metadata.num_rows)
+                    except OSError:
+                        sizes.append(None)
+                        counts.append(None)
+                pdf = pdf.assign(size_bytes=sizes, row_count=counts)
+                yield pd.DataFrame(pdf, columns=[f.name for f in out_schema])
+
+        return base.mapInPandas(_footer, out_schema)
+
+    def history_df(self) -> DataFrame:
+        """This branch's commit history as a DataFrame — Iceberg's
+        ``table.history``/``table.snapshots``: version, parent,
+        commit timestamp, message, file count, pending-delete count,
+        and the ref lineage fields (fork / merge provenance)."""
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+        )
+
+        rows = [
+            {
+                "version": m["version"],
+                "parent": m.get("parent"),
+                "committed_at": float(m["committed_at"]),
+                "message": m.get("message", ""),
+                "n_files": len(m["files"]),
+                "n_pending_deletes": len(m.get("deletes", [])),
+                "forked_from": (
+                    json.dumps(m["forked_from"])
+                    if "forked_from" in m
+                    else None
+                ),
+                "merged_from": (
+                    json.dumps(m["merged_from"])
+                    if "merged_from" in m
+                    else None
+                ),
+            }
+            for m in self.versions()
+        ]
+        schema = StructType(
+            [
+                StructField("version", LongType()),
+                StructField("parent", LongType()),
+                StructField("committed_at", DoubleType()),
+                StructField("message", StringType()),
+                StructField("n_files", LongType()),
+                StructField("n_pending_deletes", LongType()),
+                StructField("forked_from", StringType()),
+                StructField("merged_from", StringType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def refs_df(self) -> DataFrame:
+        """Every ref as a DataFrame — Iceberg's ``table.refs``: one
+        row per branch (with its head version) and per tag (with its
+        pinned branch + version)."""
+        from pyspark.sql.types import LongType, StringType
+
+        rows = []
+        for b in self.branches():
+            rows.append(
+                {
+                    "kind": "branch",
+                    "name": b,
+                    "branch": b,
+                    "version": self.for_branch(b).current_version(),
+                }
+            )
+        for name, t in self.tags().items():
+            rows.append(
+                {
+                    "kind": "tag",
+                    "name": name,
+                    "branch": t["branch"],
+                    "version": t["version"],
+                }
+            )
+        schema = StructType(
+            [
+                StructField("kind", StringType()),
+                StructField("name", StringType()),
+                StructField("branch", StringType()),
+                StructField("version", LongType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def add_blooms(
         self,
         cols: list[str],

@@ -53,6 +53,8 @@ def register_snapshot(
     name: str,
     version: int | None = None,
     as_of: float | None = None,
+    branch: str = "main",
+    metadata: bool = False,
 ) -> str:
     """SQL face for a :class:`~scrappy_spark.sources.snapshots.
     SnapshotTable` (VERDICT r12 #5): register the table at a pinned
@@ -63,12 +65,23 @@ def register_snapshot(
     a snapshot in both senses: concurrent commits never move it, and
     re-registering is how you follow the head. Returns the view name.
 
+    ``branch`` scopes version resolution to a branch's manifest line;
+    ``metadata=True`` additionally registers the Iceberg-style
+    metadata tables as ``<name>_files`` / ``<name>_history`` /
+    ``<name>_refs`` views, so operational questions (small-file skew,
+    growth over versions, which refs pin what) are plain SQL too.
+
     CLI: ``--register-snapshot name=path[@version]`` (repeatable)
     alongside ``--sql``."""
     from .sources.snapshots import SnapshotTable
 
-    df = SnapshotTable(spark, path).read(version=version, as_of=as_of)
+    t = SnapshotTable(spark, path, branch=branch)
+    df = t.read(version=version, as_of=as_of)
     df.createOrReplaceTempView(name)
+    if metadata:
+        t.files_df(version=version).createOrReplaceTempView(f"{name}_files")
+        t.history_df().createOrReplaceTempView(f"{name}_history")
+        t.refs_df().createOrReplaceTempView(f"{name}_refs")
     return name
 
 

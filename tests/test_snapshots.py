@@ -1943,3 +1943,81 @@ def test_add_blooms_rename_proof(spark, tmp_path):
     t.add_blooms(["new"])
     assert t.prune_report(("new", "=", 5))["n_read"] == 0
     assert t.prune_report(("new", "=", 6))["n_read"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Metadata tables: files_df / history_df / refs_df (Iceberg introspection)
+# ---------------------------------------------------------------------------
+
+
+def test_files_df_inventory(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 100).selectExpr("id AS k").repartition(2),
+        stats_cols=["k"],
+    )
+    t.add_blooms(["k"])
+    fdf = t.files_df()
+    rows = fdf.collect()
+    assert len(rows) == 2
+    assert sum(r.row_count for r in rows) == 100
+    assert all(r.size_bytes > 0 for r in rows)
+    assert all(r.has_stats and r.has_bloom for r in rows)
+    # a version BEFORE the bloom backfill shows no blooms
+    assert all(not r.has_bloom for r in t.files_df(version=0).collect())
+    # partitioned commits expose spec id + value
+    p = SnapshotTable(spark, str(tmp_path / "p"))
+    p.commit_partitioned(
+        spark.range(0, 40).selectExpr("id AS k"), "k", "truncate", width=20
+    )
+    prow = p.files_df().collect()
+    assert len(prow) == 2
+    assert sorted(r.partition for r in prow) == ["0", "20"]
+    assert all(r.partition_spec_id is not None for r in prow)
+
+
+def test_history_and_refs_df(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 10).selectExpr("id AS k").coalesce(1))
+    t.commit(
+        spark.range(10, 20).selectExpr("id AS k").coalesce(1), append=True
+    )
+    t.delete_where(("k", "=", 3))
+    t.tag("stable", 1)
+    dev = t.create_branch("dev")
+    t.fast_forward("dev", force=True)
+    h = {r.version: r for r in t.history_df().collect()}
+    assert [h[v].n_files for v in sorted(h)] == [1, 2, 2, 2]
+    assert h[2].n_pending_deletes == 1 and h[0].parent is None
+    assert h[3].merged_from is not None and "dev" in h[3].merged_from
+    assert dev.history_df().collect()[0].forked_from is not None
+    refs = {(r.kind, r.name): r for r in t.refs_df().collect()}
+    assert refs[("branch", "main")].version == 3
+    assert refs[("branch", "dev")].version == 0
+    assert refs[("tag", "stable")].version == 1
+    assert refs[("tag", "stable")].branch == "main"
+
+
+def test_sqlapi_snapshot_metadata_views(spark, tmp_path):
+    from scrappy_spark.sqlapi import register_snapshot
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 30).selectExpr("id AS k").repartition(3))
+    register_snapshot(spark, t.path, "snap", metadata=True)
+    assert spark.sql("SELECT count(*) c FROM snap").collect()[0].c == 30
+    got = spark.sql(
+        "SELECT count(*) AS files, sum(row_count) AS rows FROM snap_files"
+    ).collect()[0]
+    assert got.files == 3 and got.rows == 30
+    assert (
+        spark.sql("SELECT max(version) v FROM snap_history").collect()[0].v
+        == 0
+    )
+    assert (
+        spark.sql(
+            "SELECT version FROM snap_refs WHERE kind='branch'"
+        ).collect()[0].version
+        == 0
+    )
