@@ -361,6 +361,39 @@ def main(argv: list[str] | None = None) -> int:
         "point-lookup pruning axis",
     )
     p.add_argument(
+        "--table-commit",
+        metavar="PARQUET",
+        help="commit the PARQUET file/dir as the table's next version "
+        "on --branch (replace; see --append, --partition-spec, "
+        "--stats-cols, --bloom-cols)",
+    )
+    p.add_argument(
+        "--append",
+        action="store_true",
+        help="make --table-commit an append (parent files + new) "
+        "instead of a replace",
+    )
+    p.add_argument(
+        "--partition-spec",
+        metavar="SPEC",
+        help="partition --table-commit by comma-separated fields "
+        "'col', 'col:bucket:N' or 'col:truncate:W' (e.g. "
+        "'lang,doc_id:bucket:8'); an append under a new spec EVOLVES "
+        "the table's spec, old files keep pruning under theirs",
+    )
+    p.add_argument(
+        "--stats-cols",
+        metavar="COLS",
+        help="record per-file [min,max] stats for these comma-"
+        "separated columns with --table-commit",
+    )
+    p.add_argument(
+        "--bloom-cols",
+        metavar="COLS",
+        help="build per-file Bloom filters for these comma-separated "
+        "columns with --table-commit (unpartitioned commits only)",
+    )
+    p.add_argument(
         "--index",
         metavar="PATH",
         help="stored-index path for the --index-* admin commands "
@@ -484,6 +517,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.table_refs
         or args.table_fast_forward
         or args.table_add_blooms
+        or args.table_commit
     ):
         from .sources.snapshots import SnapshotTable
 
@@ -495,6 +529,52 @@ def main(argv: list[str] | None = None) -> int:
         def _name_at(spec: str) -> tuple[str, int | None]:
             name, _, raw = spec.partition("@")
             return name, (int(raw) if raw else None)
+
+        def _cols(raw: str | None) -> list[str] | None:
+            out = [c.strip() for c in (raw or "").split(",") if c.strip()]
+            return out or None
+
+        if args.table_commit:
+            df = spark.read.parquet(args.table_commit)
+            if args.partition_spec:
+                fields = []
+                for raw in args.partition_spec.split(","):
+                    bits = raw.strip().split(":")
+                    if len(bits) == 1:
+                        fields.append((bits[0], "identity", None))
+                    elif len(bits) == 3 and bits[1] in ("bucket", "truncate"):
+                        fields.append((bits[0], bits[1], int(bits[2])))
+                    else:
+                        print(
+                            f"bad --partition-spec field {raw!r} (use "
+                            "'col', 'col:bucket:N' or 'col:truncate:W')",
+                            file=sys.stderr,
+                        )
+                        return 2
+                if args.bloom_cols:
+                    print(
+                        "--bloom-cols is not supported with "
+                        "--partition-spec; run --table-add-blooms after",
+                        file=sys.stderr,
+                    )
+                    return 2
+                m = table.commit_partitioned_multi(
+                    df,
+                    fields,
+                    append=args.append,
+                    stats_cols=_cols(args.stats_cols),
+                )
+            else:
+                m = table.commit(
+                    df,
+                    append=args.append,
+                    stats_cols=_cols(args.stats_cols),
+                    bloom_cols=_cols(args.bloom_cols),
+                )
+            print(
+                f"committed v{m['version']} on {table.branch} — "
+                f"{m['n_files']} file(s)"
+            )
 
         if args.table_create_branch:
             name, at = _name_at(args.table_create_branch)

@@ -693,3 +693,66 @@ def test_cli_table_add_blooms(spark, tmp_path, capsys):
     assert "blooms on ['k'] backfilled" in capsys.readouterr().out
     assert t.prune_report(("k", "=", 1))["n_read"] == 0
     assert t.prune_report(("k", "=", 9))["n_read"] == 1
+
+
+def test_cli_table_commit_partitioned(spark, tmp_path, capsys):
+    """--table-commit drives the whole write story from the CLI:
+    plain commit with stats + blooms, multi-field partitioned commit,
+    append with spec evolution, branch-scoped commit."""
+    from scrappy_spark.sources.snapshots import SnapshotTable
+
+    src = str(tmp_path / "in")
+    spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(id % 4 AS STRING) AS g"
+    ).write.parquet(src)
+    path = str(tmp_path / "t")
+    store = ["--store", str(tmp_path / "s"), "--table", path]
+
+    assert cli.main(
+        store + ["--table-commit", src, "--stats-cols", "k",
+                 "--bloom-cols", "k"]
+    ) == 0
+    assert "committed v0 on main" in capsys.readouterr().out
+    t = SnapshotTable(spark, path)
+    assert t.read().count() == 100
+    assert t.prune_report(("k", "=", 500))["n_read"] == 0  # bloom
+
+    # multi-field partitioned replace, then an append that EVOLVES
+    # the spec (single bucket field)
+    assert cli.main(
+        store + ["--table-commit", src,
+                 "--partition-spec", "g,k:bucket:4"]
+    ) == 0
+    assert "committed v1" in capsys.readouterr().out
+    m = t._manifest(1)
+    assert len(m["partition_spec"]["fields"]) == 2
+    src2 = str(tmp_path / "in2")
+    spark.range(100, 120).selectExpr(
+        "id AS k", "CAST(id % 4 AS STRING) AS g"
+    ).write.parquet(src2)
+    assert cli.main(
+        store + ["--table-commit", src2, "--append",
+                 "--partition-spec", "k:truncate:10"]
+    ) == 0
+    assert "committed v2" in capsys.readouterr().out
+    assert len(t._manifest(2)["partition_specs"]) == 2
+    assert t.read().count() == 120
+
+    # branch-scoped commit leaves main untouched
+    assert cli.main(store + ["--table-create-branch", "dev"]) == 0
+    capsys.readouterr()
+    assert cli.main(
+        store + ["--branch", "dev", "--table-commit", src2, "--append"]
+    ) == 0
+    assert "on dev" in capsys.readouterr().out
+    assert t.current_version() == 2
+    assert t.for_branch("dev").read().count() == 140
+
+    # validation: bad spec field and bloom+partition refusal
+    assert cli.main(
+        store + ["--table-commit", src, "--partition-spec", "k:bogus:3"]
+    ) == 2
+    assert cli.main(
+        store + ["--table-commit", src, "--partition-spec", "g",
+                 "--bloom-cols", "k"]
+    ) == 2
