@@ -361,6 +361,20 @@ def main(argv: list[str] | None = None) -> int:
         "point-lookup pruning axis",
     )
     p.add_argument(
+        "--table-rollback",
+        type=int,
+        metavar="VERSION",
+        help="make VERSION's state the new head as one metadata "
+        "commit (the bad commits stay in history until "
+        "--table-expire)",
+    )
+    p.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="with --table-expire: report what would be dropped and "
+        "deleted without touching anything",
+    )
+    p.add_argument(
         "--table-commit",
         metavar="PARQUET",
         help="commit the PARQUET file/dir as the table's next version "
@@ -518,6 +532,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.table_fast_forward
         or args.table_add_blooms
         or args.table_commit
+        or args.table_rollback is not None
     ):
         from .sources.snapshots import SnapshotTable
 
@@ -679,14 +694,23 @@ def main(argv: list[str] | None = None) -> int:
                 f"v{m['version']}: compacted to {m['n_files']} files "
                 f"(target {args.table_compact} MB)"
             )
+        if args.table_rollback is not None:
+            m = table.rollback(args.table_rollback)
+            print(
+                f"{table.branch} rolled back to v{args.table_rollback} "
+                f"as v{m['version']}"
+            )
         if args.table_expire is not None:
             rep = table.expire(
                 keep_last=args.table_expire,
                 orphan_grace_sec=args.grace_sec,
+                dry_run=args.dry_run,
             )
+            verb = "would expire" if args.dry_run else "expired"
             print(
-                f"expired versions {rep['dropped_versions']} — "
-                f"{len(rep['deleted_files'])} data file(s) deleted "
+                f"{verb} versions {rep['dropped_versions']} — "
+                f"{len(rep['deleted_files'])} data file(s) "
+                f"{'would be ' if args.dry_run else ''}deleted "
                 f"(orphan grace {args.grace_sec:g}s)"
             )
         if args.table_describe:

@@ -2651,6 +2651,32 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ expire
 
+    def rollback(self, version: int, message: str = "") -> dict:
+        """Make ``version``'s state the NEW head — one metadata commit
+        republishing its manifest content (Iceberg's rollback): the
+        bad commits stay in history (auditable, expirable later),
+        readers atomically cut over, and nothing is rewritten. The
+        undo story for a botched merge/compaction at any table size."""
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"snapshot table {self.path!r} has no commits")
+        if version == head:
+            return self._manifest(head)
+        src = self._manifest(version)  # loud if expired/unknown
+        m = self._derived_manifest(
+            src, head + 1, head, message or f"rollback to v{version}"
+        )
+        m["rolled_back_to"] = version
+        self._link_json(
+            os.path.join(self._mdir, f"v{head + 1}.json"),
+            m,
+            f"snapshot table {self.path!r}: version {head + 1} was "
+            f"committed by a concurrent writer — re-read the head and "
+            f"retry the rollback",
+        )
+        self._advise_head(head + 1)
+        return m
+
     # ------------------------------------------------ metadata tables
 
     def files_df(self, version: int | None = None) -> DataFrame:
@@ -3141,7 +3167,10 @@ class SnapshotTable:
         return m
 
     def expire(
-        self, keep_last: int = 1, orphan_grace_sec: float = 86400.0
+        self,
+        keep_last: int = 1,
+        orphan_grace_sec: float = 86400.0,
+        dry_run: bool = False,
     ) -> dict:
         """Drop manifests older than the last ``keep_last`` and delete
         data files no retained manifest references — in two classes
@@ -3172,7 +3201,10 @@ class SnapshotTable:
 
         Operationally: expire is a WRITER — schedule it like one, and
         keep the grace comfortably above the longest plausible
-        stage-to-publish window (the default is 24 h). Returns
+        stage-to-publish window (the default is 24 h).
+        ``dry_run=True`` reports what WOULD be dropped and deleted
+        without touching anything — run it before the first scheduled
+        expire on a production table. Returns
         ``{dropped_versions, deleted_files}``."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
@@ -3248,10 +3280,11 @@ class SnapshotTable:
                     if p not in dropped_refs and not _aged(p):
                         continue  # young true orphan: may be a live
                         # writer's staged-but-unpublished commit
-                    try:
-                        os.remove(p)
-                    except FileNotFoundError:
-                        pass  # concurrent expire got it first
+                    if not dry_run:
+                        try:
+                            os.remove(p)
+                        except FileNotFoundError:
+                            pass  # concurrent expire got it first
                     deleted.append(p)
                     marks = (
                         dropped_dirs if p in dropped_refs else orphan_dirs
@@ -3260,6 +3293,8 @@ class SnapshotTable:
                     while d != data_dir:
                         marks.add(d)
                         d = os.path.dirname(d)
+                if dry_run:
+                    continue
                 if dirpath != data_dir and os.path.isdir(dirpath):
                     empty_of_parquet = not any(
                         fn.endswith(".parquet")
@@ -3284,23 +3319,26 @@ class SnapshotTable:
                         and (_aged(dirpath) or dirpath in orphan_dirs)
                     ):
                         shutil.rmtree(dirpath, ignore_errors=True)
-        for m in drop:
-            try:
-                os.remove(os.path.join(self._mdir, f"v{m['version']}.json"))
-            except FileNotFoundError:
-                pass  # concurrent expire got it first
-        for d in (self._mdir, self._tags_dir()):
-            if not os.path.isdir(d):
-                continue
-            for name in os.listdir(d):
-                p = os.path.join(d, name)
-                # a young tmp manifest/ref may be a publishing
-                # writer's complete payload between write and link
-                if name.endswith(".tmp") and _aged(p):
-                    try:
-                        os.remove(p)
-                    except FileNotFoundError:
-                        pass
+        if not dry_run:
+            for m in drop:
+                try:
+                    os.remove(
+                        os.path.join(self._mdir, f"v{m['version']}.json")
+                    )
+                except FileNotFoundError:
+                    pass  # concurrent expire got it first
+            for d in (self._mdir, self._tags_dir()):
+                if not os.path.isdir(d):
+                    continue
+                for name in os.listdir(d):
+                    p = os.path.join(d, name)
+                    # a young tmp manifest/ref may be a publishing
+                    # writer's complete payload between write and link
+                    if name.endswith(".tmp") and _aged(p):
+                        try:
+                            os.remove(p)
+                        except FileNotFoundError:
+                            pass
         return {
             "dropped_versions": [m["version"] for m in drop],
             "deleted_files": deleted,

@@ -756,3 +756,22 @@ def test_cli_table_commit_partitioned(spark, tmp_path, capsys):
         store + ["--table-commit", src, "--partition-spec", "g",
                  "--bloom-cols", "k"]
     ) == 2
+
+
+def test_cli_table_rollback_and_expire_dry_run(spark, tmp_path, capsys):
+    from scrappy_spark.sources.snapshots import SnapshotTable
+
+    path = str(tmp_path / "t")
+    t = SnapshotTable(spark, path)
+    t.commit(spark.range(0, 5).selectExpr("id AS k").coalesce(1))
+    t.commit(spark.range(9, 12).selectExpr("id AS k").coalesce(1))
+    store = ["--store", str(tmp_path / "s"), "--table", path]
+    assert cli.main(store + ["--table-rollback", "0"]) == 0
+    assert "main rolled back to v0 as v2" in capsys.readouterr().out
+    assert sorted(r.k for r in t.read().collect()) == list(range(5))
+    assert cli.main(
+        store + ["--table-expire", "1", "--grace-sec", "0", "--dry-run"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "would expire versions [0, 1]" in out and "would be deleted" in out
+    assert [m["version"] for m in t.versions()] == [0, 1, 2]

@@ -2021,3 +2021,30 @@ def test_sqlapi_snapshot_metadata_views(spark, tmp_path):
         ).collect()[0].version
         == 0
     )
+
+
+def test_rollback_and_expire_dry_run(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), "v0")
+    t.commit(spark.range(10, 15), "v1 bad replace")
+    m = t.rollback(0)
+    assert m["version"] == 2 and m["rolled_back_to"] == 0
+    assert _ids(t.read()) == list(range(5))
+    # the bad commit stays time-travelable until expire
+    assert _ids(t.read(version=1)) == list(range(10, 15))
+    # rollback to head is a no-op (no junk version)
+    assert t.rollback(2)["version"] == 2 and t.current_version() == 2
+    with pytest.raises(FileNotFoundError):
+        t.rollback(9)
+    # dry-run reports without touching: v1's files would go (v0's are
+    # the head content again)
+    rep = t.expire(keep_last=1, orphan_grace_sec=0, dry_run=True)
+    assert rep["dropped_versions"] == [0, 1]
+    assert len(rep["deleted_files"]) >= 1
+    assert all(os.path.exists(p) for p in rep["deleted_files"])
+    assert [m["version"] for m in t.versions()] == [0, 1, 2]
+    # the real run then deletes exactly what the dry run predicted
+    real = t.expire(keep_last=1, orphan_grace_sec=0)
+    assert real == rep
+    assert not any(os.path.exists(p) for p in rep["deleted_files"])
+    assert _ids(t.read()) == list(range(5))
