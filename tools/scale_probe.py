@@ -106,6 +106,11 @@ PROBES = [
     "q_snapshot_merge_conditional",
     "q_snapshot_datasource_read",
     "q_snapshot_bloom_pruned_read",
+    "q_snapshot_multifield_partition",
+    "q_snapshot_branch_lifecycle",
+    "q_snapshot_datasource_mor",
+    "q_snapshot_bloom_backfill",
+    "q_snapshot_metadata_tables",
 ]
 
 
