@@ -450,3 +450,92 @@ def q_snapshot_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("c"),
     )
     return history.unionByName(files).unionByName(refs)
+
+
+# ---------------------------------------------------------------------------
+# Incremental append scan: changes-since at file grain
+# ---------------------------------------------------------------------------
+
+_IR_SQL = """
+    SELECT 'since_v0' AS leg, doc_id, lang,
+           CAST(3 AS BIGINT) AS n_files_head
+    FROM documents
+    WHERE doc_id BETWEEN 100 AND 299 AND doc_id <> 250
+    UNION ALL
+    SELECT 'since_v1', doc_id, lang, CAST(3 AS BIGINT)
+    FROM documents
+    WHERE doc_id BETWEEN 200 AND 299 AND doc_id <> 250
+"""
+
+
+@register(
+    "q_snapshot_incremental_read",
+    sql=_IR_SQL,
+    doc="Incremental append scan (Iceberg's changes-since): "
+    "read_incremental(since) returns the rows ADDED after a version "
+    "at FILE grain — the manifest set difference scanned, no "
+    "row-level compare, no join — so an ingest consumer processes "
+    "each landed batch exactly once by remembering its last version. "
+    "The table stages three append commits plus a PENDING row-level "
+    "delete (which keeps files, so the range stays append-only, and "
+    "applies to the new files it scopes: doc 250 is absent from both "
+    "legs). A rewrite inside the range raises loudly instead of "
+    "re-surfacing rewritten rows as phantom adds (tested; row_diff "
+    "is the CDC path across rewrites). Engine path "
+    "sources/snapshots.py::read_incremental.",
+    tags=("storage", "snapshot", "incremental", "cdc"),
+)
+def q_snapshot_incremental_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from ..sources.snapshots import SnapshotTable
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .filter(F.col("doc_id") < 300)
+    )
+    root = _tmp_root(spark, sf_dir, "incremental_read")
+    table = SnapshotTable(spark, os.path.join(root, "t"))
+
+    head = table.current_version()
+    if head is None:
+        table.commit(
+            docs.filter(F.col("doc_id") < 100).repartition(1),
+            "v0",
+            stats_cols=["doc_id"],
+        )
+        head = 0
+    if head == 0:
+        table.commit(
+            docs.filter(F.col("doc_id").between(100, 199)).repartition(1),
+            "v1 append",
+            append=True,
+        )
+        head = 1
+    if head == 1:
+        table.commit(
+            docs.filter(F.col("doc_id").between(200, 299)).repartition(1),
+            "v2 append",
+            append=True,
+        )
+        head = 2
+    if head == 2:
+        table.delete_where(("doc_id", "=", 250))
+
+    m = table._manifest(table.current_version())
+    if table.current_version() != 3 or len(m["files"]) != 3:
+        raise ValueError(
+            f"incremental read regressed: head={table.current_version()}, "
+            f"files={len(m['files'])}"
+        )
+    lit = F.lit(len(m["files"])).cast("long").alias("n_files_head")
+
+    def leg(tag: str, since: int) -> DataFrame:
+        return table.read_incremental(since).select(
+            F.lit(tag).alias("leg"), "doc_id", "lang", lit
+        )
+
+    return leg("since_v0", 0).unionByName(leg("since_v1", 1))

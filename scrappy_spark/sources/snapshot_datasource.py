@@ -201,11 +201,22 @@ class SnapshotReader(DataSourceReader):
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
-        self._table = SnapshotTable(
-            spark, path, branch=options.get("branch", "main")
-        )
+        branch = options.get("branch", "main")
         version = options.get("version")
         as_of = options.get("as_of")
+        tag = options.get("tag")
+        if tag is not None:
+            if version is not None or as_of is not None:
+                raise ValueError(
+                    "scrappy_snapshot: pass tag OR version/as_of, not both"
+                )
+            t = SnapshotTable(spark, path).tags().get(tag)
+            if t is None:
+                raise ValueError(
+                    f"snapshot table {path!r}: no tag {tag!r}"
+                )
+            branch, version = t["branch"], t["version"]
+        self._table = SnapshotTable(spark, path, branch=branch)
         v = (
             self._table.version_as_of(float(as_of))
             if as_of is not None
@@ -367,13 +378,17 @@ class SnapshotDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("scrappy_snapshot: path option is required")
-        t = SnapshotTable(
-            SparkSession.getActiveSession(),
-            path,
-            branch=self.options.get("branch", "main"),
-        )
+        branch = self.options.get("branch", "main")
         version = self.options.get("version")
         as_of = self.options.get("as_of")
+        tag = self.options.get("tag")
+        spark = SparkSession.getActiveSession()
+        if tag is not None:
+            ti = SnapshotTable(spark, path).tags().get(tag)
+            if ti is None:
+                raise ValueError(f"snapshot table {path!r}: no tag {tag!r}")
+            branch, version = ti["branch"], ti["version"]
+        t = SnapshotTable(spark, path, branch=branch)
         v = (
             t.version_as_of(float(as_of))
             if as_of is not None

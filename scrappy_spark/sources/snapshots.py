@@ -85,6 +85,17 @@ def _check_ref_name(name: str) -> None:
         )
 
 
+def _footer_rows(files: list[str]) -> int:
+    """Summed parquet-footer row counts — metadata reads only, used
+    for the per-commit summary (Iceberg's snapshot summary)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for p in files:
+        total += pq.ParquetFile(p).metadata.num_rows
+    return total
+
+
 def _token() -> str:
     """Unique per-attempt suffix for staging paths: two concurrent
     writers must never share a data directory or tmp manifest (a
@@ -846,6 +857,10 @@ class SnapshotTable:
                     stats=(stats, stats_ids),
                     deletes=deletes,
                     blooms=blooms_t,
+                    summary={
+                        "added_files": len(new_files),
+                        "added_rows": _footer_rows(new_files),
+                    },
                 )
             except CommitConflict as exc:
                 if not append:
@@ -1223,6 +1238,10 @@ class SnapshotTable:
                     stats=stats_t,
                     deletes=deletes,
                     partition=(spec, all_parts, specs, spec_id, file_specs),
+                    summary={
+                        "added_files": len(new_files),
+                        "added_rows": _footer_rows(new_files),
+                    },
                 )
             except CommitConflict as exc:
                 if not append:
@@ -1319,6 +1338,7 @@ class SnapshotTable:
         deletes: list[dict] | None = None,
         partition: tuple | None = None,
         blooms: tuple[dict, list[int]] | None = None,
+        summary: dict | None = None,
     ) -> dict:
         manifest = {
             "version": version,
@@ -1371,6 +1391,8 @@ class SnapshotTable:
                     manifest["partition_file_specs"] = {
                         p: fs[p] for p in files if p in fs
                     }
+        if summary:
+            manifest["summary"] = summary
         if deletes:
             manifest["deletes"] = deletes
         if schema is not None:
@@ -2651,6 +2673,51 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ expire
 
+    def read_incremental(
+        self, since_version: int, version: int | None = None
+    ) -> DataFrame:
+        """Rows ADDED between ``since_version`` (exclusive) and
+        ``version`` (inclusive, default head) — the incremental append
+        scan (Iceberg's changes-since): the consumer of an ingest
+        table reads each new batch exactly once by remembering the
+        last version it processed, at FILE grain — no row-level
+        compare, no join, just the manifest set difference scanned.
+
+        Only valid over an append-only range: a commit in the range
+        that DROPPED or rewrote files (replace, compaction,
+        apply_deletes, a full-cover delete) raises loudly — rewritten
+        rows would re-surface as phantom "new" rows; use
+        :meth:`row_diff` for true row-level CDC across rewrites.
+        Row-level deletes pending at ``version`` apply to the new
+        files they scope, exactly as in ``read``."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"snapshot table {self.path!r} has no commits")
+        if since_version > v:
+            raise ValueError(
+                f"read_incremental: since_version {since_version} is "
+                f"ahead of version {v}"
+            )
+        base = self._manifest(since_version)
+        m = self._manifest(v)
+        # append-only guard: every file present at a version must
+        # still be present at the next (deletes that keep files and
+        # metadata-only commits pass; rewrites fail)
+        prev = set(base["files"])
+        for i in range(since_version + 1, v + 1):
+            cur = self._manifest(i)
+            missing = prev - set(cur["files"])
+            if missing:
+                raise ValueError(
+                    f"read_incremental: version {i} dropped or rewrote "
+                    f"{len(missing)} file(s) ({sorted(missing)[0]!r} "
+                    f"...) — not an append-only range; use row_diff "
+                    f"for row-level CDC across rewrites"
+                )
+            prev = set(cur["files"])
+        new_files = [p for p in m["files"] if p not in set(base["files"])]
+        return self._read_subset(m, new_files)
+
     def rollback(self, version: int, message: str = "") -> dict:
         """Make ``version``'s state the NEW head — one metadata commit
         republishing its manifest content (Iceberg's rollback): the
@@ -2789,6 +2856,8 @@ class SnapshotTable:
                     if "merged_from" in m
                     else None
                 ),
+                "added_files": m.get("summary", {}).get("added_files"),
+                "added_rows": m.get("summary", {}).get("added_rows"),
             }
             for m in self.versions()
         ]
@@ -2802,6 +2871,8 @@ class SnapshotTable:
                 StructField("n_pending_deletes", LongType()),
                 StructField("forked_from", StringType()),
                 StructField("merged_from", StringType()),
+                StructField("added_files", LongType()),
+                StructField("added_rows", LongType()),
             ]
         )
         return self.spark.createDataFrame(rows, schema)

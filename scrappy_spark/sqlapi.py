@@ -54,6 +54,7 @@ def register_snapshot(
     version: int | None = None,
     as_of: float | None = None,
     branch: str = "main",
+    tag: str | None = None,
     metadata: bool = False,
 ) -> str:
     """SQL face for a :class:`~scrappy_spark.sources.snapshots.
@@ -66,6 +67,7 @@ def register_snapshot(
     re-registering is how you follow the head. Returns the view name.
 
     ``branch`` scopes version resolution to a branch's manifest line;
+    ``tag`` pins a tagged (branch, version) pair from any handle;
     ``metadata=True`` additionally registers the Iceberg-style
     metadata tables as ``<name>_files`` / ``<name>_history`` /
     ``<name>_refs`` views, so operational questions (small-file skew,
@@ -75,6 +77,15 @@ def register_snapshot(
     alongside ``--sql``."""
     from .sources.snapshots import SnapshotTable
 
+    if tag is not None:
+        if version is not None or as_of is not None:
+            raise ValueError(
+                "register_snapshot: pass tag OR version/as_of, not both"
+            )
+        ti = SnapshotTable(spark, path).tags().get(tag)
+        if ti is None:
+            raise ValueError(f"snapshot table {path!r}: no tag {tag!r}")
+        branch, version = ti["branch"], ti["version"]
     t = SnapshotTable(spark, path, branch=branch)
     df = t.read(version=version, as_of=as_of)
     df.createOrReplaceTempView(name)

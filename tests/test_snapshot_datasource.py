@@ -464,3 +464,35 @@ def test_datasource_bloom_pruning_without_session(ds_spark, tmp_path):
         .load()
     )
     assert [r.v for r in df.filter("k = 76").collect()] == ["v76"]
+
+
+def test_datasource_tag_option_and_sql_tag(ds_spark, tmp_path):
+    from scrappy_spark.sqlapi import register_snapshot
+
+    t = SnapshotTable(ds_spark, str(tmp_path / "g"))
+    t.commit(ds_spark.range(0, 5).selectExpr("id AS k"))
+    dev = t.create_branch("dev")
+    dev.commit(ds_spark.range(10, 13).selectExpr("id AS k"), append=True)
+    dev.tag("release")  # pins dev@1
+    t.commit(ds_spark.range(50, 55).selectExpr("id AS k"))  # main moves on
+    got = (
+        ds_spark.read.format("scrappy_snapshot")
+        .option("path", t.path)
+        .option("tag", "release")
+        .load()
+    )
+    assert sorted(r.k for r in got.collect()) == list(range(5)) + list(
+        range(10, 13)
+    )
+    with pytest.raises(Exception, match="no tag"):
+        (
+            ds_spark.read.format("scrappy_snapshot")
+            .option("path", t.path)
+            .option("tag", "ghost")
+            .load()
+            .count()
+        )
+    register_snapshot(ds_spark, t.path, "tagged", tag="release")
+    assert ds_spark.sql("SELECT count(*) c FROM tagged").collect()[0].c == 8
+    with pytest.raises(ValueError, match="not both"):
+        register_snapshot(ds_spark, t.path, "x", tag="release", version=0)

@@ -2048,3 +2048,46 @@ def test_rollback_and_expire_dry_run(spark, tmp_path):
     assert real == rep
     assert not any(os.path.exists(p) for p in rep["deleted_files"])
     assert _ids(t.read()) == list(range(5))
+
+
+def test_read_incremental_changes_since(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), "v0")
+    t.commit(spark.range(10, 15), "v1", append=True)
+    t.commit(spark.range(20, 25), "v2", append=True)
+    assert _ids(t.read_incremental(0)) == list(range(10, 15)) + list(
+        range(20, 25)
+    )
+    assert _ids(t.read_incremental(1, 2)) == list(range(20, 25))
+    assert _ids(t.read_incremental(2)) == []
+    with pytest.raises(ValueError, match="ahead of"):
+        t.read_incremental(5)
+    # a row-level delete keeps files: still an append-only range, and
+    # the delete applies to the new files it scopes
+    t.delete_where(("id", "=", 22))
+    assert _ids(t.read_incremental(1)) == [20, 21, 23, 24]
+    # a rewrite in the range raises loudly
+    t.apply_deletes()
+    with pytest.raises(ValueError, match="not an append-only range"):
+        t.read_incremental(0)
+    # ranges after the rewrite work again
+    v = t.current_version()
+    t.commit(spark.range(30, 32), "v5", append=True)
+    assert _ids(t.read_incremental(v)) == [30, 31]
+
+
+def test_commit_summary_in_history(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 7).coalesce(1), "v0")
+    t.commit(spark.range(10, 13).coalesce(1), "v1", append=True)
+    t.rename_column("id", "k")  # metadata-only: no summary
+    t.commit_partitioned_multi(
+        spark.range(0, 20).selectExpr("id AS k"),
+        [("k", "truncate", 10)],
+        "v3 partitioned replace",
+    )
+    h = {r.version: r for r in t.history_df().collect()}
+    assert (h[0].added_files, h[0].added_rows) == (1, 7)
+    assert (h[1].added_files, h[1].added_rows) == (1, 3)
+    assert h[2].added_rows is None
+    assert h[3].added_rows == 20 and h[3].added_files == 2

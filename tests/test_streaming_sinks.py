@@ -832,3 +832,40 @@ def test_stream_ingest_and_takedown_compose_with_conflict_retry(
     got = sorted(r.doc_id for r in table.read().collect())
     want = [i for i in range(20) if i not in (3, 15)] + [90, 91, 92]
     assert got == want  # takedown applied AND the late append survived
+
+
+def test_stream_append_into_snapshot_branch(spark, tmp_path):
+    """The streaming ingest sink composes with refs: pass a
+    branch-scoped handle and micro-batches land as BRANCH versions —
+    main never moves, and the consumer pattern (read_incremental on
+    the branch) sees each batch exactly once."""
+    from scrappy_spark.sources.snapshots import SnapshotTable
+    from scrappy_spark.streaming.sinks import stream_append_into_snapshot
+
+    src = str(tmp_path / "in")
+    for lo, hi in [(0, 10), (10, 20)]:
+        spark.range(lo, hi).selectExpr("id AS k").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    table = SnapshotTable(spark, str(tmp_path / "t"))
+    table.commit(spark.range(100, 105).selectExpr("id AS k"), "main v0")
+    dev = table.create_branch("ingest")
+    q = stream_append_into_snapshot(
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        dev,
+        str(tmp_path / "ckpt"),
+        stats_cols=["k"],
+    )
+    q.awaitTermination(180)
+    assert table.current_version() == 0  # main untouched
+    assert dev.current_version() == 2  # fork + 2 micro-batches
+    assert sorted(r.k for r in dev.read().collect()) == (
+        list(range(20)) + list(range(100, 105))
+    )
+    # changes since the fork = exactly the streamed rows
+    assert sorted(r.k for r in dev.read_incremental(0).collect()) == list(
+        range(20)
+    )
