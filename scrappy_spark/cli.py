@@ -543,6 +543,13 @@ def main(argv: list[str] | None = None) -> int:
 
         def _name_at(spec: str) -> tuple[str, int | None]:
             name, _, raw = spec.partition("@")
+            if raw and not raw.lstrip("-").isdigit():
+                print(
+                    f"bad ref spec {spec!r}: the @suffix must be an "
+                    "integer version",
+                    file=sys.stderr,
+                )
+                raise SystemExit(2)
             return name, (int(raw) if raw else None)
 
         def _cols(raw: str | None) -> list[str] | None:
@@ -616,11 +623,7 @@ def main(argv: list[str] | None = None) -> int:
                 f"{m['merged_from']['version']} as v{m['version']}"
             )
         if args.table_add_blooms:
-            cols = [
-                c.strip()
-                for c in args.table_add_blooms.split(",")
-                if c.strip()
-            ]
+            cols = _cols(args.table_add_blooms) or []
             m = table.add_blooms(cols)
             print(
                 f"blooms on {cols} backfilled across "

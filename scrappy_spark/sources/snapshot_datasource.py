@@ -182,9 +182,13 @@ def _apply_delete_arrow(out, entry: dict):
     kt = pq.read_table(entry["delete_files"]).rename_columns(names)
     if len(names) == 1:
         col = out[names[0]]
-        keys = kt[names[0]].cast(col.type)
+        # drop NULLs from the probe set: pc.is_in matches null-vs-null
+        # (measured), but anti-join semantics — and the DataFrame
+        # path — keep NULL-keyed rows (a NULL key matches nothing)
+        keys = pc.drop_null(kt[names[0]].cast(col.type))
         mask = pc.is_in(col, value_set=keys.combine_chunks())
         return out.filter(pc.invert(pc.fill_null(mask, False)))
+    # acero's hash join already treats NULL keys as non-matching
     return out.join(kt, keys=names, join_type="left anti")
 
 

@@ -748,6 +748,12 @@ class SnapshotTable:
         DataSource writer commits through this from the Python worker
         where no SparkSession exists. Same append rebase-retry /
         replace-raises conflict semantics as ``commit``."""
+        # per-commit summary, computed ONCE outside the rebase-retry
+        # loop (new_files never changes across rebases)
+        summary = {
+            "added_files": len(new_files),
+            "added_rows": _footer_rows(new_files),
+        }
         conflict: CommitConflict | None = None
         for _ in range(max_retries + 1):
             parent = self.current_version()
@@ -857,10 +863,7 @@ class SnapshotTable:
                     stats=(stats, stats_ids),
                     deletes=deletes,
                     blooms=blooms_t,
-                    summary={
-                        "added_files": len(new_files),
-                        "added_rows": _footer_rows(new_files),
-                    },
+                    summary=summary,
                 )
             except CommitConflict as exc:
                 if not append:
@@ -1109,6 +1112,12 @@ class SnapshotTable:
                     if has_val:
                         parts[p] = val
         new_files.sort()
+        # per-commit summary, computed once outside the rebase-retry
+        # loop (new_files never changes across rebases)
+        summary = {
+            "added_files": len(new_files),
+            "added_rows": _footer_rows(new_files),
+        }
         conflict: CommitConflict | None = None
         for _ in range(max_retries + 1):
             parent = self.current_version()
@@ -1238,10 +1247,7 @@ class SnapshotTable:
                     stats=stats_t,
                     deletes=deletes,
                     partition=(spec, all_parts, specs, spec_id, file_specs),
-                    summary={
-                        "added_files": len(new_files),
-                        "added_rows": _footer_rows(new_files),
-                    },
+                    summary=summary,
                 )
             except CommitConflict as exc:
                 if not append:
@@ -2778,10 +2784,15 @@ class SnapshotTable:
             {
                 "file": p,
                 "schema_id": file_schema.get(p),
+                # "-" = the implicit single spec of a never-evolved
+                # table (matches --table-describe); a real id once
+                # the spec list exists
                 "partition_spec_id": (
                     str(file_specs.get(p, cur_spec))
-                    if "partition_spec" in m and p in parts
-                    else None
+                    if "partition_spec" in m
+                    and p in parts
+                    and file_specs.get(p, cur_spec) is not None
+                    else ("-" if "partition_spec" in m and p in parts else None)
                 ),
                 "partition": (
                     json.dumps(parts[p]) if p in parts else None
@@ -2958,6 +2969,10 @@ class SnapshotTable:
                 str(i) not in blooms.get(p, {}) for i in want_ids.values()
             )
         ]
+        if not todo and set(want_ids.values()) <= set(
+            m.get("bloom_ids", [])
+        ):
+            return m  # fully covered already: no junk version
         schemas = m.get("schemas", {})
         file_schema = m.get("file_schema", {})
         by_sid: dict[str, list[str]] = {}
@@ -3100,6 +3115,22 @@ class SnapshotTable:
             f"snapshot table {self.path!r}: branch {name!r} already "
             f"exists",
         )
+        # ref-vs-expire race detection: expire drops manifests BEFORE
+        # sweeping files, so if the source manifest still exists after
+        # our link landed, no expire run can delete its files without
+        # first enumerating refs — and it would now see this branch.
+        # If it is gone, a concurrent expire is processing the source
+        # version: roll the fork back and fail loudly instead of
+        # publishing a branch whose files are being deleted.
+        try:
+            self._manifest(v)
+        except FileNotFoundError:
+            shutil.rmtree(_branch_mdir(self.path, name), ignore_errors=True)
+            raise CommitConflict(
+                f"create_branch: version {v} of branch "
+                f"{self.branch!r} was expired concurrently — fork from "
+                f"a version inside the retention window"
+            ) from None
         return self.for_branch(name)
 
     def drop_branch(self, name: str) -> None:
@@ -3107,12 +3138,26 @@ class SnapshotTable:
         Data files the branch alone referenced become unreferenced and
         are reclaimed by the next aged ``expire`` sweep — dropping a
         ref is metadata-only, GC stays expire's job (the Iceberg
-        split)."""
+        split). Refuses while a TAG pins a version on the branch: the
+        tag is a reproducibility promise, and letting the branch name
+        be dropped and recreated would silently retarget it to
+        unrelated data — delete the tags first, explicitly."""
         _check_ref_name(name)
         d = _branch_mdir(self.path, name)
         if not os.path.isdir(d):
             raise ValueError(
                 f"snapshot table {self.path!r}: no branch {name!r}"
+            )
+        pinning = sorted(
+            t["name"]
+            for t in self.tags().values()
+            if t.get("branch") == name
+        )
+        if pinning:
+            raise ValueError(
+                f"drop_branch: tag(s) {pinning} pin branch {name!r} — "
+                f"delete_tag first (a recreated branch would silently "
+                f"retarget them)"
             )
         shutil.rmtree(d)
 
@@ -3144,6 +3189,22 @@ class SnapshotTable:
             f"snapshot table {self.path!r}: tag {name!r} already "
             f"exists (delete_tag first to retarget)",
         )
+        # same ref-vs-expire detection as create_branch: manifests
+        # drop before files sweep, so post-link manifest presence
+        # proves a concurrent expire will see this tag before
+        # touching the pinned version's files
+        try:
+            self._manifest(v)
+        except FileNotFoundError:
+            try:
+                os.remove(os.path.join(self._tags_dir(), f"{name}.json"))
+            except FileNotFoundError:
+                pass
+            raise CommitConflict(
+                f"tag: version {v} of branch {self.branch!r} was "
+                f"expired concurrently — tag a version inside the "
+                f"retention window"
+            ) from None
         return payload
 
     def tags(self) -> dict[str, dict]:
@@ -3302,11 +3363,60 @@ class SnapshotTable:
             if m["version"] in cut_versions or m["version"] in tagged
         ]
         drop = [m for m in manifests if m not in keep]
+
+        # drop manifests BEFORE sweeping files — the ref-vs-expire
+        # handshake: create_branch/tag re-validate their SOURCE
+        # manifest after linking their ref and abort loudly when it is
+        # gone, so a ref that survives its own validation either (a)
+        # linked before this drop and is seen by the post-drop re-read
+        # below, or (b) pinned a version this expire kept. Files-first
+        # ordering would leave a silent window where a fresh ref
+        # references already-deleted parquet.
+        if not dry_run:
+            for m in drop:
+                try:
+                    os.remove(
+                        os.path.join(self._mdir, f"v{m['version']}.json")
+                    )
+                except FileNotFoundError:
+                    pass  # concurrent expire got it first
+        # post-drop ref re-read: a tag that linked between our first
+        # tags() read and the drop above pins a version we just
+        # dropped — RESTORE its manifest (we hold the full dict; the
+        # link gate tolerates racers) and keep its files. The tag's
+        # own post-link validation may or may not have seen the gap;
+        # every interleaving ends kept-or-loud, never silently broken.
+        retagged = {
+            t["version"]
+            for t in self.tags().values()
+            if t.get("branch", "main") == self.branch
+        } - {m["version"] for m in keep}
+        if retagged:
+            restored = [m for m in drop if m["version"] in retagged]
+            for m in restored:
+                if not dry_run:
+                    try:
+                        self._link_json(
+                            os.path.join(
+                                self._mdir, f"v{m['version']}.json"
+                            ),
+                            m,
+                            "concurrent restore",
+                        )
+                    except CommitConflict:
+                        pass  # someone re-published it: fine
+            keep = keep + restored
+            drop = [m for m in drop if m["version"] not in retagged]
+
         live: set[str] = set()
         for m in keep:
             live.update(m["files"])
             for e in m.get("deletes", []):
                 live.update(e.get("delete_files", []))
+        # other branches are enumerated AFTER the manifest drops: a
+        # fork that linked its v0 before this point joins the live
+        # set; one that links later will fail its own post-link
+        # source-manifest validation if its source was dropped.
         for other in self.branches():
             if other == self.branch:
                 continue
@@ -3391,13 +3501,6 @@ class SnapshotTable:
                     ):
                         shutil.rmtree(dirpath, ignore_errors=True)
         if not dry_run:
-            for m in drop:
-                try:
-                    os.remove(
-                        os.path.join(self._mdir, f"v{m['version']}.json")
-                    )
-                except FileNotFoundError:
-                    pass  # concurrent expire got it first
             for d in (self._mdir, self._tags_dir()):
                 if not os.path.isdir(d):
                     continue

@@ -87,7 +87,13 @@ def register_snapshot(
             raise ValueError(f"snapshot table {path!r}: no tag {tag!r}")
         branch, version = ti["branch"], ti["version"]
     t = SnapshotTable(spark, path, branch=branch)
-    df = t.read(version=version, as_of=as_of)
+    if as_of is not None:
+        # resolve ONCE so the data view and the metadata views pin
+        # the same version
+        if version is not None:
+            raise ValueError("register_snapshot: pass version OR as_of")
+        version = t.version_as_of(as_of)
+    df = t.read(version=version)
     df.createOrReplaceTempView(name)
     if metadata:
         t.files_df(version=version).createOrReplaceTempView(f"{name}_files")

@@ -496,3 +496,26 @@ def test_datasource_tag_option_and_sql_tag(ds_spark, tmp_path):
     assert ds_spark.sql("SELECT count(*) c FROM tagged").collect()[0].c == 8
     with pytest.raises(ValueError, match="not both"):
         register_snapshot(ds_spark, t.path, "x", tag="release", version=0)
+
+
+def test_datasource_mor_null_in_delete_key_list(ds_spark, tmp_path):
+    """A NULL inside the delete-key LIST must not delete NULL-keyed
+    rows: anti-join semantics (and the DataFrame path) treat a NULL
+    key as matching nothing; pc.is_in would match null-vs-null."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(ds_spark, str(tmp_path / "nk"))
+    df = ds_spark.range(0, 5).select(
+        F.when(F.col("id") < 4, F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    t.commit(df.coalesce(1))
+    keys = ds_spark.createDataFrame([(1,), (None,)], "k long")
+    t.delete_keys(keys, ["k"])
+    expect = sorted(r.v for r in t.read().collect())
+    got = (
+        ds_spark.read.format("scrappy_snapshot")
+        .option("path", t.path)
+        .load()
+    )
+    assert sorted(r.v for r in got.collect()) == expect == [0, 2, 3, 4]
