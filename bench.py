@@ -220,6 +220,17 @@ def serve_timings(spark, sf_dir: str) -> dict[str, float]:
             fn().write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
+    # ref serve: fork + promote are metadata-grain commits — the wall
+    # for create_branch plus a fast_forward back, min-of-3 (fresh
+    # branch name per iteration; force because main advances). The
+    # number that proves promotion stays O(manifest) at any size.
+    best = float("inf")
+    for i in range(3):
+        t0 = time.time()
+        snap.create_branch(f"bench{i}")
+        snap.fast_forward(f"bench{i}", force=True)
+        best = min(best, time.time() - t0)
+    out["snapshot_branch_promote"] = round(best, 3)
     return out
 
 

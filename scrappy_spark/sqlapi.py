@@ -109,16 +109,17 @@ def run_sql(
     store_path: str | None = None,
     snapshots: list[str] | None = None,
 ) -> DataFrame:
-    """``snapshots``: CLI-shaped specs ``name=path[@version]`` — each
-    registers a snapshot-table view before the query runs (``@N``
-    pins a version, ``@ts:<epoch-seconds>`` pins a timestamp —
-    TIMESTAMP AS OF; omitted = HEAD)."""
+    """``snapshots``: CLI-shaped specs ``name=path[@pin]`` — each
+    registers a snapshot-table view before the query runs. ``@N``
+    pins a version, ``@ts:<epoch-seconds>`` a timestamp (TIMESTAMP
+    AS OF), ``@tag:<name>`` a tag, ``@branch:<name>`` a branch's
+    head; omitted = main HEAD."""
     register_tables(spark, sf_dir=sf_dir, store_path=store_path)
     for spec in snapshots or []:
         name, _, rest = spec.partition("=")
         if not name or not rest:
             raise ValueError(
-                f"--register-snapshot expects name=path[@version], "
+                f"--register-snapshot expects name=path[@pin], "
                 f"got {spec!r}"
             )
         path, _, ver = rest.rpartition("@")
@@ -126,11 +127,23 @@ def run_sql(
             path, ver = rest, ""
         as_of = None
         version = None
+        branch = "main"
+        tag = None
         if ver.startswith("ts:"):
             as_of = float(ver[3:])
+        elif ver.startswith("tag:"):
+            tag = ver[4:]
+        elif ver.startswith("branch:"):
+            branch = ver[7:]
         elif ver:
             version = int(ver)
         register_snapshot(
-            spark, path, name.strip(), version=version, as_of=as_of
+            spark,
+            path,
+            name.strip(),
+            version=version,
+            as_of=as_of,
+            branch=branch,
+            tag=tag,
         )
     return spark.sql(query)

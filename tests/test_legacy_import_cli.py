@@ -775,3 +775,27 @@ def test_cli_table_rollback_and_expire_dry_run(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "would expire versions [0, 1]" in out and "would be deleted" in out
     assert [m["version"] for m in t.versions()] == [0, 1, 2]
+
+
+def test_cli_register_snapshot_branch_and_tag_specs(spark, tmp_path, capsys):
+    """--register-snapshot name=path@branch:B / @tag:T pin refs for
+    --sql, alongside the existing @N and @ts: forms."""
+    from scrappy_spark.sources.snapshots import SnapshotTable
+
+    path = str(tmp_path / "t")
+    t = SnapshotTable(spark, path)
+    t.commit(spark.range(0, 5).selectExpr("id AS k"))
+    dev = t.create_branch("dev")
+    dev.commit(spark.range(10, 13).selectExpr("id AS k"), append=True)
+    dev.tag("rel")
+    assert cli.main(
+        ["--store", str(tmp_path / "s"),
+         "--register-snapshot", f"d={path}@branch:dev",
+         "--register-snapshot", f"r={path}@tag:rel",
+         "--register-snapshot", f"m={path}",
+         "--sql",
+         "SELECT (SELECT count(*) FROM d) AS d, "
+         "(SELECT count(*) FROM r) AS r, (SELECT count(*) FROM m) AS m"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "8" in out and "5" in out
