@@ -543,10 +543,10 @@ def main(argv: list[str] | None = None) -> int:
 
         def _name_at(spec: str) -> tuple[str, int | None]:
             name, _, raw = spec.partition("@")
-            if raw and not raw.lstrip("-").isdigit():
+            if raw and not raw.isdigit():
                 print(
-                    f"bad ref spec {spec!r}: the @suffix must be an "
-                    "integer version",
+                    f"bad ref spec {spec!r}: the @suffix must be a "
+                    "non-negative integer version",
                     file=sys.stderr,
                 )
                 raise SystemExit(2)

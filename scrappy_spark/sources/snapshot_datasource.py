@@ -204,22 +204,17 @@ class SnapshotReader(DataSourceReader):
         # the one-row bucket probes, which need the session
         from pyspark.sql import SparkSession
 
+        from .snapshots import resolve_pin
+
         spark = SparkSession.getActiveSession()
-        branch = options.get("branch", "main")
-        version = options.get("version")
-        as_of = options.get("as_of")
-        tag = options.get("tag")
-        if tag is not None:
-            if version is not None or as_of is not None:
-                raise ValueError(
-                    "scrappy_snapshot: pass tag OR version/as_of, not both"
-                )
-            t = SnapshotTable(spark, path).tags().get(tag)
-            if t is None:
-                raise ValueError(
-                    f"snapshot table {path!r}: no tag {tag!r}"
-                )
-            branch, version = t["branch"], t["version"]
+        branch, version, as_of = resolve_pin(
+            spark,
+            path,
+            branch=options.get("branch", "main"),
+            version=options.get("version"),
+            as_of=options.get("as_of"),
+            tag=options.get("tag"),
+        )
         self._table = SnapshotTable(spark, path, branch=branch)
         v = (
             self._table.version_as_of(float(as_of))
@@ -382,16 +377,17 @@ class SnapshotDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("scrappy_snapshot: path option is required")
-        branch = self.options.get("branch", "main")
-        version = self.options.get("version")
-        as_of = self.options.get("as_of")
-        tag = self.options.get("tag")
+        from .snapshots import resolve_pin
+
         spark = SparkSession.getActiveSession()
-        if tag is not None:
-            ti = SnapshotTable(spark, path).tags().get(tag)
-            if ti is None:
-                raise ValueError(f"snapshot table {path!r}: no tag {tag!r}")
-            branch, version = ti["branch"], ti["version"]
+        branch, version, as_of = resolve_pin(
+            spark,
+            path,
+            branch=self.options.get("branch", "main"),
+            version=self.options.get("version"),
+            as_of=self.options.get("as_of"),
+            tag=self.options.get("tag"),
+        )
         t = SnapshotTable(spark, path, branch=branch)
         v = (
             t.version_as_of(float(as_of))
@@ -461,6 +457,14 @@ class SnapshotArrowWriter(DataSourceArrowWriter):
             raise ValueError("scrappy_snapshot: path option is required")
         self._path = path
         self._branch = options.get("branch", "main")
+        if self._branch != "main" and not os.path.isdir(
+            os.path.join(path, "_manifests", "branches", self._branch)
+        ):
+            raise ValueError(
+                f"scrappy_snapshot: no branch {self._branch!r} at "
+                f"{path!r} — create_branch first (a typo'd branch "
+                f"name must not silently land data on a stray line)"
+            )
         self._append = not overwrite
         self._schema = schema
         self._message = options.get("message", "")

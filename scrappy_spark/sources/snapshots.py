@@ -85,6 +85,29 @@ def _check_ref_name(name: str) -> None:
         )
 
 
+def resolve_pin(
+    spark,
+    path: str,
+    branch: str = "main",
+    version: int | None = None,
+    as_of: float | None = None,
+    tag: str | None = None,
+) -> tuple[str, int | None, float | None]:
+    """The ONE place a (branch, version, as_of, tag) pin resolves to
+    ``(branch, version, as_of)`` — shared by the DataFrame SQL face
+    and both DataSource hooks so the mutual-exclusion and
+    unknown-tag rules cannot drift between them. A ``tag`` overrides
+    ``branch`` and is exclusive with ``version``/``as_of``."""
+    if tag is None:
+        return branch, version, as_of
+    if version is not None or as_of is not None:
+        raise ValueError("snapshot pin: pass tag OR version/as_of, not both")
+    t = SnapshotTable(spark, path).tags().get(tag)
+    if t is None:
+        raise ValueError(f"snapshot table {path!r}: no tag {tag!r}")
+    return t["branch"], t["version"], None
+
+
 def _footer_rows(files: list[str]) -> int:
     """Summed parquet-footer row counts — metadata reads only, used
     for the per-commit summary (Iceberg's snapshot summary)."""
@@ -344,9 +367,14 @@ def _bloom_positions(h_signed: int, m: int, k: int) -> list[int]:
 def _bloom_excludes(bloom: dict, hashes: list[int]) -> bool:
     """True when the file's Bloom filter PROVES none of ``hashes`` is
     present (every probe value definitely absent) — the only direction
-    a Bloom can prune; 'maybe present' always keeps the file."""
+    a Bloom can prune; 'maybe present' always keeps the file. A
+    payload-less marker entry (``add_blooms`` records one for files
+    whose column is absent or all-NULL, so backfills stay no-op-able)
+    never prunes."""
     import base64
 
+    if "b" not in bloom:
+        return False  # marker: no filter recorded, keep the file
     bits = base64.b64decode(bloom["b"])
     m, k = bloom["m"], bloom["k"]
     for h in hashes:
@@ -2721,7 +2749,8 @@ class SnapshotTable:
                     f"for row-level CDC across rewrites"
                 )
             prev = set(cur["files"])
-        new_files = [p for p in m["files"] if p not in set(base["files"])]
+        base_files = set(base["files"])
+        new_files = [p for p in m["files"] if p not in base_files]
         return self._read_subset(m, new_files)
 
     def rollback(self, version: int, message: str = "") -> dict:
@@ -2747,6 +2776,22 @@ class SnapshotTable:
             f"committed by a concurrent writer — re-read the head and "
             f"retry the rollback",
         )
+        # same ref-vs-expire handshake as create_branch/tag: the new
+        # head references an OLD version's files, so re-validate that
+        # version's manifest after linking — expire drops manifests
+        # before sweeping files, so presence here proves the sweep
+        # will see this new head (it IS the head) before deleting
+        try:
+            self._manifest(version)
+        except FileNotFoundError:
+            try:
+                os.remove(os.path.join(self._mdir, f"v{head + 1}.json"))
+            except FileNotFoundError:
+                pass
+            raise CommitConflict(
+                f"rollback: version {version} was expired concurrently "
+                f"— roll back to a version inside the retention window"
+            ) from None
         self._advise_head(head + 1)
         return m
 
@@ -2986,16 +3031,37 @@ class SnapshotTable:
             names = [
                 write_name[i] for i in want_ids.values() if i in write_name
             ]
-            if not names:
-                continue  # files predate every designated column
-            got = _collect_blooms(
-                self.spark, group, names, bloom_bits, _BLOOM_K
+            got = (
+                _collect_blooms(
+                    self.spark, group, names, bloom_bits, _BLOOM_K
+                )
+                if names
+                else {}
             )
             id_of = {v: k for k, v in write_name.items()}
             for p, per in got.items():
                 slot = blooms.setdefault(p, {})
                 for name, bloom in per.items():
                     slot[str(id_of[name])] = bloom
+            # files the pass could not bloom — column absent from the
+            # write schema or all-NULL (nothing collected) — get a
+            # payload-less MARKER so the next backfill call sees them
+            # covered and stays a no-op; markers never prune (a probe
+            # on an absent/NULL column keeps the file, conservative)
+            for p in group:
+                slot = blooms.setdefault(p, {})
+                for cid in want_ids.values():
+                    slot.setdefault(str(cid), {"none": True})
+        if (
+            all(
+                str(i) in blooms.get(p, {})
+                for p in m["files"]
+                for i in want_ids.values()
+            )
+            and blooms == m.get("blooms", {})
+            and set(want_ids.values()) <= set(m.get("bloom_ids", []))
+        ):
+            return m  # nothing changed: no junk version
         manifest = self._derived_manifest(
             m, head + 1, head, message or f"add blooms on {cols}"
         )
@@ -3125,7 +3191,17 @@ class SnapshotTable:
         try:
             self._manifest(v)
         except FileNotFoundError:
-            shutil.rmtree(_branch_mdir(self.path, name), ignore_errors=True)
+            # roll back ONLY the v0 this writer linked — a concurrent
+            # writer may have already committed v1+ on the new branch,
+            # and destroying another writer's published manifest is
+            # never this writer's call (their reads will fail loudly
+            # against the expired files regardless)
+            bdir = _branch_mdir(self.path, name)
+            try:
+                os.remove(os.path.join(bdir, "v0.json"))
+                os.rmdir(bdir)  # only if nothing else landed
+            except OSError:
+                pass
             raise CommitConflict(
                 f"create_branch: version {v} of branch "
                 f"{self.branch!r} was expired concurrently — fork from "
@@ -3265,7 +3341,15 @@ class SnapshotTable:
                 f"no commits"
             )
         if not force:
-            fork = src._manifest(0).get("forked_from")
+            try:
+                fork = src._manifest(0).get("forked_from")
+            except FileNotFoundError:
+                raise ValueError(
+                    f"fast_forward: branch {branch!r}'s fork record "
+                    f"(its v0) was expired, so clean ancestry cannot "
+                    f"be verified — pass force=True for an explicit "
+                    f"snapshot-level replace"
+                ) from None
             head = self.current_version()
             if (
                 fork is None

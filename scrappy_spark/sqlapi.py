@@ -75,24 +75,21 @@ def register_snapshot(
 
     CLI: ``--register-snapshot name=path[@version]`` (repeatable)
     alongside ``--sql``."""
-    from .sources.snapshots import SnapshotTable
+    from .sources.snapshots import SnapshotTable, resolve_pin
 
-    if tag is not None:
-        if version is not None or as_of is not None:
-            raise ValueError(
-                "register_snapshot: pass tag OR version/as_of, not both"
-            )
-        ti = SnapshotTable(spark, path).tags().get(tag)
-        if ti is None:
-            raise ValueError(f"snapshot table {path!r}: no tag {tag!r}")
-        branch, version = ti["branch"], ti["version"]
+    branch, version, as_of = resolve_pin(
+        spark, path, branch=branch, version=version, as_of=as_of, tag=tag
+    )
     t = SnapshotTable(spark, path, branch=branch)
+    # resolve to a CONCRETE version once, so the data view and the
+    # metadata views pin the same snapshot even against a concurrent
+    # writer (head would re-resolve per view otherwise)
     if as_of is not None:
-        # resolve ONCE so the data view and the metadata views pin
-        # the same version
         if version is not None:
             raise ValueError("register_snapshot: pass version OR as_of")
         version = t.version_as_of(as_of)
+    elif version is None:
+        version = t.current_version()
     df = t.read(version=version)
     df.createOrReplaceTempView(name)
     if metadata:

@@ -799,3 +799,17 @@ def test_cli_register_snapshot_branch_and_tag_specs(spark, tmp_path, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "8" in out and "5" in out
+
+
+def test_cli_bad_ref_spec_exits_2(spark, tmp_path, capsys):
+    from scrappy_spark.sources.snapshots import SnapshotTable
+
+    path = str(tmp_path / "t")
+    SnapshotTable(spark, path).commit(spark.range(3).selectExpr("id AS k"))
+    with pytest.raises(SystemExit) as e:
+        cli.main(
+            ["--store", str(tmp_path / "s"), "--table", path,
+             "--table-tag", "x@--5"]
+        )
+    assert e.value.code == 2
+    assert "bad ref spec" in capsys.readouterr().err

@@ -519,3 +519,33 @@ def test_datasource_mor_null_in_delete_key_list(ds_spark, tmp_path):
         .load()
     )
     assert sorted(r.v for r in got.collect()) == expect == [0, 2, 3, 4]
+
+
+def test_datasource_writer_unknown_branch_fails(ds_spark, tmp_path):
+    t = SnapshotTable(ds_spark, str(tmp_path / "wb"))
+    t.commit(ds_spark.range(3).selectExpr("id AS k"))
+    with pytest.raises(Exception, match="no branch 'dev-typo'"):
+        (
+            ds_spark.range(5)
+            .selectExpr("id AS k")
+            .write.format("scrappy_snapshot")
+            .mode("append")
+            .option("path", t.path)
+            .option("branch", "dev-typo")
+            .save()
+        )
+    assert t.branches() == ["main"]  # nothing silently created
+
+
+def test_datasource_tag_version_mutual_exclusion(ds_spark, tmp_path):
+    t = SnapshotTable(ds_spark, str(tmp_path / "mx"))
+    t.commit(ds_spark.range(3).selectExpr("id AS k"))
+    t.tag("p")
+    with pytest.raises(Exception, match="not both"):
+        (
+            ds_spark.read.format("scrappy_snapshot")
+            .option("path", t.path)
+            .option("tag", "p")
+            .option("version", 0)
+            .load()
+        )

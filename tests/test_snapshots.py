@@ -2239,3 +2239,82 @@ def test_register_snapshot_as_of_metadata_consistent(spark, tmp_path):
     ).collect()[0]
     # the files view pins the SAME historical version as the data view
     assert got.f == 1 and got.r == 5
+
+
+def test_rollback_to_expired_version_fails_loud(spark, tmp_path):
+    from unittest import mock
+
+    from scrappy_spark.sources.snapshots import CommitConflict
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 3).coalesce(1), "v0")
+    t.commit(spark.range(5, 8).coalesce(1), "v1 replace")
+    real = SnapshotTable._link_json
+
+    def dropping(self, target, payload, conflict):
+        real(self, target, payload, conflict)
+        os.remove(os.path.join(t._mdir, "v0.json"))  # racing expire
+
+    with mock.patch.object(SnapshotTable, "_link_json", dropping):
+        with pytest.raises(CommitConflict, match="expired concurrently"):
+            t.rollback(0)
+    # the aborted rollback left no junk head
+    assert t.current_version() == 1
+    assert _ids(t.read()) == [5, 6, 7]
+
+
+def test_fast_forward_after_fork_record_expired(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 3).coalesce(1), "v0")
+    dev = t.create_branch("dev")
+    dev.commit(spark.range(5, 8).coalesce(1), "w", append=True)
+    dev.commit(spark.range(8, 11).coalesce(1), "w2", append=True)
+    dev.expire(keep_last=1, orphan_grace_sec=0)  # drops dev v0+v1
+    with pytest.raises(ValueError, match="fork record .* was expired"):
+        t.fast_forward("dev")
+    t.fast_forward("dev", force=True)
+    assert _ids(t.read()) == list(range(3)) + list(range(5, 11))
+
+
+def test_add_blooms_marks_unbloomable_files_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # file 1 predates column x; file 2 has x all NULL; file 3 has data
+    t.commit(spark.range(0, 5).selectExpr("id AS k").coalesce(1), "v0")
+    t.commit(
+        spark.range(5, 10).select(
+            F.col("id").alias("k"), F.lit(None).cast("long").alias("x")
+        ).coalesce(1),
+        "v1",
+        append=True,
+    )
+    t.commit(
+        spark.range(10, 15).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("x")
+        ).coalesce(1),
+        "v2",
+        append=True,
+    )
+    t.add_blooms(["x"])
+    v = t.current_version()
+    # the no-x and all-NULL files carry payload-less markers: the
+    # next call is a true no-op (no junk version, no rescans)
+    assert t.add_blooms(["x"])["version"] == v
+    assert t.current_version() == v
+    # markers never prune; the real bloom still does
+    rep_absent = t.prune_report(("x", "=", 21))
+    assert rep_absent["n_read"] == 2  # marker files kept, real bloom prunes
+    assert [r.k for r in t.read(where=("x", "=", 20)).collect()] == [10]
+
+
+def test_expire_keeps_rollback_target_files(spark, tmp_path):
+    """rollback re-references old files as the head — the next expire
+    must keep them (head manifest references them)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 3).coalesce(1), "v0")
+    t.commit(spark.range(5, 8).coalesce(1), "v1 replace")
+    t.rollback(0)
+    rep = t.expire(keep_last=1, orphan_grace_sec=0)
+    assert sorted(rep["dropped_versions"]) == [0, 1]
+    assert _ids(t.read()) == [0, 1, 2]

@@ -111,6 +111,7 @@ PROBES = [
     "q_snapshot_datasource_mor",
     "q_snapshot_bloom_backfill",
     "q_snapshot_metadata_tables",
+    "q_snapshot_incremental_read",
 ]
 
 
