@@ -443,13 +443,27 @@ class SnapshotArrowWriter(DataSourceArrowWriter):
     overwrite mode replaces. A failed job aborts by deleting the
     staging dir — nothing was ever referenced.
 
+    ``.option("partition_by", "lang,doc_id:bucket:8")`` (round 14)
+    partitions the write: each task splits its Arrow batches by the
+    transform components — identity / truncate vectorially, bucket
+    through the JVM-equality pure xxh64 (NULL hashes to the seed,
+    exactly like Spark's xxhash64) — into one file per value
+    combination under the same Hive-style staging layout
+    ``commit_partitioned_multi`` uses, and the commit hook publishes
+    through the session-free ``_commit_partitioned_staged``: the
+    manifest records the spec + per-file value vectors, appends under
+    a different spec EVOLVE it, and reads prune identically to the
+    DataFrame write path (bucket-dir parity JVM-vs-pure is pinned by
+    test). Scope: int/string partition columns (the types whose
+    values round-trip the staging encoding and whose hash the pure
+    xxh64 provably matches); pre-shuffle the frame by the partition
+    columns to avoid one file per combination per task.
+
     Not supported here: ``bloom_cols`` — building Bloom filters needs
     a distributed pass over the new data, and this commit hook runs
-    where no SparkSession exists; commit through
-    ``SnapshotTable.commit(bloom_cols=...)`` when you need the
-    point-lookup axis (the designation then INHERITS onto later
-    DataSource appends' metadata — but their files carry no blooms,
-    so they are simply never bloom-pruned)."""
+    where no SparkSession exists; run ``add_blooms`` afterwards (one
+    metadata-only commit) or commit through
+    ``SnapshotTable.commit(bloom_cols=...)``."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         path = options.get("path")
@@ -470,8 +484,52 @@ class SnapshotArrowWriter(DataSourceArrowWriter):
         self._message = options.get("message", "")
         raw = options.get("stats_cols", "")
         self._stats_cols = [c.strip() for c in raw.split(",") if c.strip()]
-        from .snapshots import _token
+        from .snapshots import _norm_part_fields, _token
 
+        # .option("partition_by", "lang,doc_id:bucket:8") — the CLI
+        # grammar; commits through _commit_partitioned_staged so the
+        # manifest carries the spec + per-file values and reads prune
+        self._norm: list[tuple] = []
+        self._pnames: list[str] = []
+        spec_raw = options.get("partition_by", "")
+        if spec_raw:
+            fields = []
+            for f in spec_raw.split(","):
+                bits = f.strip().split(":")
+                if len(bits) == 1:
+                    fields.append((bits[0], "identity", None))
+                elif len(bits) == 3 and bits[1] in ("bucket", "truncate"):
+                    fields.append((bits[0], bits[1], int(bits[2])))
+                else:
+                    raise ValueError(
+                        f"scrappy_snapshot: bad partition_by field "
+                        f"{f!r} (use 'col', 'col:bucket:N' or "
+                        f"'col:truncate:W')"
+                    )
+            dtypes = {
+                fld.name: fld.dataType.simpleString()
+                for fld in schema.fields
+            }
+            self._norm = _norm_part_fields(fields, dtypes)
+            for col, transform, _n, _w, st in self._norm:
+                # the writer computes components in Python (no JVM):
+                # restrict to the types whose values round-trip the
+                # staged-dir encoding and — for bucket — whose hash
+                # the pure xxh64 provably matches Spark's
+                if st not in (
+                    "tinyint", "smallint", "int", "bigint", "string",
+                ):
+                    raise ValueError(
+                        f"scrappy_snapshot: partition_by {transform} "
+                        f"on {col!r}: {st} is outside the writer's "
+                        f"verified scope (int/string) — use "
+                        f"SnapshotTable.commit_partitioned_multi"
+                    )
+            self._pnames = (
+                ["__p"]
+                if len(self._norm) == 1
+                else [f"__p{i}" for i in range(len(self._norm))]
+            )
         self._snap_dir = os.path.join(path, "data", f"snap-{_token()}")
 
     def write(self, iterator):
@@ -479,6 +537,8 @@ class SnapshotArrowWriter(DataSourceArrowWriter):
 
         import pyarrow.parquet as pq
 
+        if self._norm:
+            return self._write_partitioned(iterator)
         os.makedirs(self._snap_dir, exist_ok=True)
         out = os.path.join(
             self._snap_dir, f"part-{uuid.uuid4().hex[:12]}.parquet"
@@ -498,18 +558,120 @@ class SnapshotArrowWriter(DataSourceArrowWriter):
             return _WrittenFile(None, 0)  # empty partition: no file
         return _WrittenFile(out, rows)
 
+    def _components(self, batch):
+        """Per-row partition component tuple for one Arrow batch —
+        the Python twin of the expressions commit_partitioned_multi
+        computes JVM-side: identity = the value, truncate =
+        v - v % w, bucket = pmod(xxhash64(v), n) through the
+        JVM-equality pure xxh64 (NULL hashes to the seed, exactly as
+        Spark's xxhash64 does; identity/truncate NULLs land in the
+        Hive default dir)."""
+        from ..functions.xxh64 import SPARK_SEED, spark_xxhash64
+
+        cols = []
+        for col, transform, n, width, st in self._norm:
+            vals = batch.column(batch.schema.get_field_index(col)).to_pylist()
+            if transform == "identity":
+                cols.append(vals)
+            elif transform == "truncate":
+                cols.append(
+                    [None if v is None else v - v % width for v in vals]
+                )
+            else:  # bucket
+                out = []
+                memo: dict = {}
+                for v in vals:
+                    k = (type(v).__name__, v)
+                    if k not in memo:
+                        h = (
+                            SPARK_SEED
+                            if v is None
+                            else spark_xxhash64(v, st)
+                        )
+                        memo[k] = None if h is None else int(h % n)
+                    out.append(memo[k])
+                if any(b is None for b in out):
+                    raise ValueError(
+                        f"scrappy_snapshot: partition_by bucket on "
+                        f"{col!r}: a value fell outside the pure "
+                        f"hash's verified scope"
+                    )
+                cols.append(out)
+        return list(zip(*cols)) if cols else []
+
+    def _write_partitioned(self, iterator):
+        """One parquet file per distinct partition-value combination
+        per task, under the same Hive-style ``__p=<value>`` layout
+        ``commit_partitioned_multi`` stages — so the session-free
+        commit half (``_commit_partitioned_staged``) recovers each
+        file's value vector identically for both write paths."""
+        import uuid
+
+        import pyarrow.parquet as pq
+        from urllib.parse import quote
+
+        task = uuid.uuid4().hex[:12]
+        writers: dict = {}
+        rows = 0
+        try:
+            for batch in iterator:
+                keys = self._components(batch)
+                if not keys:
+                    continue
+                by_key: dict = {}
+                for i, k in enumerate(keys):
+                    by_key.setdefault(k, []).append(i)
+                for k, idx in by_key.items():
+                    w = writers.get(k)
+                    if w is None:
+                        comps = [
+                            f"{self._pnames[j]}="
+                            + (
+                                "__HIVE_DEFAULT_PARTITION__"
+                                if v is None
+                                else quote(str(v), safe="")
+                            )
+                            for j, v in enumerate(k)
+                        ]
+                        d = os.path.join(self._snap_dir, *comps)
+                        os.makedirs(d, exist_ok=True)
+                        out = os.path.join(d, f"part-{task}.parquet")
+                        w = pq.ParquetWriter(out, batch.schema)
+                        writers[k] = w
+                    w.write_batch(batch.take(idx))
+                    rows += len(idx)
+        finally:
+            for w in writers.values():
+                w.close()
+        # files are recovered by the staged-dir walk at commit time
+        return _WrittenFile(None, rows)
+
     def commit(self, messages):
         from .snapshots import SnapshotTable
 
+        table = SnapshotTable(None, self._path, branch=self._branch)
+        message = self._message or (
+            f"datasource {'append' if self._append else 'replace'}"
+        )
+        if self._norm:
+            table._commit_partitioned_staged(
+                self._snap_dir,
+                self._norm,
+                self._pnames,
+                self._schema,
+                message,
+                self._append,
+                self._stats_cols or None,
+                10,
+            )
+            return
         files = sorted(
             m.path for m in messages if m is not None and m.path
         )
-        table = SnapshotTable(None, self._path, branch=self._branch)
         table._commit_new_files(
             files,
             self._schema,
-            self._message
-            or f"datasource {'append' if self._append else 'replace'}",
+            message,
             append=self._append,
             stats_cols=self._stats_cols or None,
             max_retries=10,

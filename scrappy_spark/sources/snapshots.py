@@ -108,6 +108,43 @@ def resolve_pin(
     return t["branch"], t["version"], None
 
 
+def _norm_part_fields(
+    fields: list[tuple], dtypes: dict[str, str]
+) -> list[tuple]:
+    """Validate and normalize partition-spec fields to
+    ``(col, transform, n, width, src_type)`` — shared by
+    ``commit_partitioned_multi`` and the DataSource writer's
+    ``partition_by`` option (pure dict algebra, session-free)."""
+    norm: list[tuple] = []
+    for fld in fields:
+        col, transform = fld[0], fld[1]
+        param = fld[2] if len(fld) > 2 else None
+        if transform not in ("identity", "bucket", "truncate"):
+            raise ValueError(
+                f"unknown partition transform {transform!r} "
+                "(identity | bucket | truncate)"
+            )
+        if col not in dtypes:
+            raise ValueError(
+                f"commit_partitioned: no column {col!r} in the frame"
+            )
+        src_type = dtypes[col]
+        n = param if transform == "bucket" else None
+        width = param if transform == "truncate" else None
+        if transform == "bucket" and (not n or n < 2):
+            raise ValueError("bucket transform needs n >= 2")
+        if transform == "truncate":
+            if not width or width < 1:
+                raise ValueError("truncate transform needs width >= 1")
+            if src_type not in ("tinyint", "smallint", "int", "bigint"):
+                raise ValueError(
+                    f"truncate partitioning needs an integral column, "
+                    f"got {col!r}: {src_type}"
+                )
+        norm.append((col, transform, n, width, src_type))
+    return norm
+
+
 def _footer_rows(files: list[str]) -> int:
     """Summed parquet-footer row counts — metadata reads only, used
     for the per-commit summary (Iceberg's snapshot summary)."""
@@ -1055,38 +1092,9 @@ class SnapshotTable:
         stats_cols: list[str] | None,
         max_retries: int,
     ) -> dict:
-        from urllib.parse import unquote
-
         from pyspark.sql import functions as F
 
-        dtypes = dict(df.dtypes)
-        norm: list[tuple] = []  # (col, transform, n, width, src_type)
-        for fld in fields:
-            col, transform = fld[0], fld[1]
-            param = fld[2] if len(fld) > 2 else None
-            if transform not in ("identity", "bucket", "truncate"):
-                raise ValueError(
-                    f"unknown partition transform {transform!r} "
-                    "(identity | bucket | truncate)"
-                )
-            if col not in df.columns:
-                raise ValueError(
-                    f"commit_partitioned: no column {col!r} in the frame"
-                )
-            src_type = dtypes[col]
-            n = param if transform == "bucket" else None
-            width = param if transform == "truncate" else None
-            if transform == "bucket" and (not n or n < 2):
-                raise ValueError("bucket transform needs n >= 2")
-            if transform == "truncate":
-                if not width or width < 1:
-                    raise ValueError("truncate transform needs width >= 1")
-                if src_type not in ("tinyint", "smallint", "int", "bigint"):
-                    raise ValueError(
-                        f"truncate partitioning needs an integral column, "
-                        f"got {col!r}: {src_type}"
-                    )
-            norm.append((col, transform, n, width, src_type))
+        norm = _norm_part_fields(fields, dict(df.dtypes))
         out = df
         pnames: list[str] = []
         for i, (col, transform, n, width, _st) in enumerate(norm):
@@ -1106,6 +1114,32 @@ class SnapshotTable:
             .mode("overwrite")
             .parquet(snap_dir)
         )
+        return self._commit_partitioned_staged(
+            snap_dir, norm, pnames, df.schema, message, append,
+            stats_cols, max_retries,
+        )
+
+    def _commit_partitioned_staged(
+        self,
+        snap_dir: str,
+        norm: list[tuple],
+        pnames: list[str],
+        df_schema: StructType,
+        message: str,
+        append: bool,
+        stats_cols: list[str] | None,
+        max_retries: int,
+    ) -> dict:
+        """The session-free back half of a partitioned commit: walk a
+        staged Hive-style ``__p=<value>`` dir tree, recover each
+        file's partition-value vector, and publish under the
+        rebase-retry gate. Split out (round 14) so the
+        ``scrappy_snapshot`` DataSource writer's ``partition_by``
+        option can commit from the Python worker where no
+        SparkSession exists — the same move as
+        :meth:`_commit_new_files` for plain commits."""
+        from urllib.parse import unquote
+
         depth = len(norm)
         new_files: list[str] = []
         parts: dict[str, object] = {}
@@ -1158,7 +1192,7 @@ class SnapshotTable:
                     identity,
                     stats_t,
                     deletes,
-                ) = self._assemble_append(pm, df.schema, new_files, stats_cols)
+                ) = self._assemble_append(pm, df_schema, new_files, stats_cols)
                 all_parts = dict(pm.get("partitions", {}))
             else:
                 # replace: same identity-carry rules as commit() — a
@@ -1170,7 +1204,7 @@ class SnapshotTable:
                 next_id = int(pm.get("next_col_id", 1))
                 by_name = {c["name"]: c for c in pcols}
                 cols = []
-                for f in df.schema.fields:
+                for f in df_schema.fields:
                     have = by_name.get(f.name)
                     if (
                         have is not None

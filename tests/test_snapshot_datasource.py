@@ -549,3 +549,93 @@ def test_datasource_tag_version_mutual_exclusion(ds_spark, tmp_path):
             .option("version", 0)
             .load()
         )
+
+
+def test_datasource_write_partitioned(ds_spark, tmp_path):
+    """.option('partition_by', ...) on the DS writer: tasks stage the
+    same Hive-style layout commit_partitioned_multi does, the
+    session-free commit records spec + per-file values, and reads
+    prune identically to the DataFrame write path."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "pw")
+    df = ds_spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("L"), (F.col("id") % 2)).alias("lang"),
+    )
+    (
+        df.coalesce(1)
+        .write.format("scrappy_snapshot")
+        .mode("overwrite")
+        .option("path", path)
+        .option("partition_by", "lang,k:bucket:4")
+        .save()
+    )
+    t = SnapshotTable(ds_spark, path)
+    m = t._manifest(0)
+    assert len(m["partition_spec"]["fields"]) == 2
+    assert len(m["files"]) == 8  # 2 langs x 4 buckets, one task
+    assert sorted((r.k, r.lang) for r in t.read().collect()) == [
+        (i, f"L{i % 2}") for i in range(200)
+    ]
+    # both-conjunct point read prunes to exactly one file combination
+    rep = t.prune_report([("lang", "=", "L1"), ("k", "=", 7)])
+    assert rep["n_read"] == 1
+    assert [r.k for r in t.read(
+        where=[("lang", "=", "L1"), ("k", "=", 7)]
+    ).collect()] == [7]
+    # bucket parity with the JVM write path: the same data committed
+    # via commit_partitioned_multi puts every key in the same bucket
+    t2 = SnapshotTable(ds_spark, str(tmp_path / "jvm"))
+    t2.commit_partitioned_multi(
+        df, [("lang", "identity", None), ("k", "bucket", 4)]
+    )
+    def dirs(table):
+        return sorted(
+            {os.path.basename(os.path.dirname(os.path.dirname(p)))
+             + "/" + os.path.basename(os.path.dirname(p))
+             for p in table._manifest(table.current_version())["files"]}
+        )
+    assert dirs(t) == dirs(t2)
+    # truncate + NULL identity components
+    path3 = str(tmp_path / "pn")
+    df3 = ds_spark.range(0, 40).select(
+        F.when(F.col("id") < 30, F.concat(F.lit("g"), F.col("id") % 2))
+        .alias("g"),
+        F.col("id").alias("k"),
+    )
+    (
+        df3.coalesce(2)
+        .write.format("scrappy_snapshot")
+        .mode("overwrite")
+        .option("path", path3)
+        .option("partition_by", "g")
+        .save()
+    )
+    t3 = SnapshotTable(ds_spark, path3)
+    assert t3.read().count() == 40
+    got = t3.read(where=("g", "=", "g1")).collect()
+    assert sorted(r.k for r in got) == [i for i in range(30) if i % 2 == 1]
+    # appends evolve: a DS append under a new spec registers it
+    (
+        ds_spark.range(200, 240)
+        .select(F.col("id").alias("k"), F.lit("L9").alias("lang"))
+        .coalesce(1)
+        .write.format("scrappy_snapshot")
+        .mode("append")
+        .option("path", path)
+        .option("partition_by", "k:truncate:100")
+        .save()
+    )
+    m1 = t._manifest(1)
+    assert len(m1.get("partition_specs", {})) == 2
+    assert t.read().count() == 240
+    # validation: bad grammar and unsupported type fail loudly
+    with pytest.raises(Exception, match="bad partition_by"):
+        (
+            df.write.format("scrappy_snapshot")
+            .mode("overwrite")
+            .option("path", str(tmp_path / "bad"))
+            .option("partition_by", "k:bogus:3")
+            .save()
+        )
