@@ -56,6 +56,7 @@ def register_snapshot(
     branch: str = "main",
     tag: str | None = None,
     metadata: bool = False,
+    since: int | None = None,
 ) -> str:
     """SQL face for a :class:`~scrappy_spark.sources.snapshots.
     SnapshotTable` (VERDICT r12 #5): register the table at a pinned
@@ -90,7 +91,15 @@ def register_snapshot(
         version = t.version_as_of(as_of)
     elif version is None:
         version = t.current_version()
-    df = t.read(version=version)
+    # since=N: the view is the INCREMENTAL append scan — rows added
+    # after version N up to the pinned version (read_incremental's
+    # file-grain changes-since, with its append-only-range guard) —
+    # so an ingest consumer's "process the new batches" is plain SQL
+    df = (
+        t.read_incremental(since, version)
+        if since is not None
+        else t.read(version=version)
+    )
     df.createOrReplaceTempView(name)
     if metadata:
         t.files_df(version=version).createOrReplaceTempView(f"{name}_files")

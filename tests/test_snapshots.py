@@ -2318,3 +2318,19 @@ def test_expire_keeps_rollback_target_files(spark, tmp_path):
     rep = t.expire(keep_last=1, orphan_grace_sec=0)
     assert sorted(rep["dropped_versions"]) == [0, 1]
     assert _ids(t.read()) == [0, 1, 2]
+
+
+def test_register_snapshot_since_incremental_view(spark, tmp_path):
+    from scrappy_spark.sqlapi import register_snapshot
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 5).coalesce(1), "v0")
+    t.commit(spark.range(10, 15).coalesce(1), "v1", append=True)
+    t.commit(spark.range(20, 25).coalesce(1), "v2", append=True)
+    register_snapshot(spark, t.path, "delta", since=0)
+    got = sorted(
+        r.id for r in spark.sql("SELECT id FROM delta").collect()
+    )
+    assert got == list(range(10, 15)) + list(range(20, 25))
+    register_snapshot(spark, t.path, "delta01", since=0, version=1)
+    assert spark.sql("SELECT count(*) c FROM delta01").collect()[0].c == 5
