@@ -59,7 +59,9 @@ TRAINING_PAIRS: list[tuple[str, str]] = [
 
 
 def training_frame(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(TRAINING_PAIRS, "text string, label string")
+    from ..functions.localrel import local_relation
+
+    return local_relation(spark, TRAINING_PAIRS, "text string, label string")
 
 
 def build_pipeline(vocab_size: int = 4096) -> Pipeline:

@@ -35,8 +35,10 @@ def contextualize_terms(
     """
     themes = themes or DEFAULT_THEMES
     theme_rows = [(cls, t) for cls, ts in themes.items() for t in ts]
+    from ..functions.localrel import local_relation
+
     themes_df = F.broadcast(
-        spark.createDataFrame(theme_rows, f"{class_col} string, theme string")
+        local_relation(spark, theme_rows, f"{class_col} string, theme string")
     )
     combined = classified.join(themes_df, on=class_col, how="inner")
     base = F.concat_ws(" ", F.col(term_col), F.col("theme"))

@@ -169,6 +169,45 @@ def char_gram_buckets(
     return out
 
 
+def _raw_char_grams(
+    text: Column, ns: tuple[int, ...] = LANGID_NS
+) -> Column:
+    """Array of raw char-n-gram SLICES of ``text`` (already lowered by
+    the caller), all widths in ``ns`` concatenated — the un-hashed half
+    of :func:`char_gram_buckets`. Hashing happens on the exploded
+    column instead of inside this transform lambda: lambda bodies are
+    evaluated per element without whole-stage codegen, so moving the
+    md5→conv chain out of the lambda measured ~2× on the gram stage
+    (and keeping ``lower()`` OUT of the lambda avoids re-lowering the
+    full document once per gram — O(len²) per doc)."""
+    m = F.length(text)
+
+    def leg(n: int) -> Column:
+        # single-arg lambda via a closure (see char_gram_buckets).
+        return F.when(
+            m >= n,
+            F.transform(
+                F.sequence(F.lit(1), m - n + 1),
+                lambda q: text.substr(q, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    out = leg(ns[0])
+    for n in ns[1:]:
+        out = F.concat(out, leg(n))
+    return out
+
+
+def _bucket_of(gram: Column, buckets: int = LANGID_BUCKETS) -> Column:
+    """bucket = first-8-hex of md5(gram) mod ``buckets`` — the same
+    value :func:`char_gram_buckets` computes (shared with the DuckDB
+    oracle), applied to an already-sliced gram column."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+
+
 def doc_features(
     df: DataFrame,
     text_col: str = "text",
@@ -178,15 +217,31 @@ def doc_features(
 ) -> DataFrame:
     """(id, bucket, cnt) hashed char-n-gram counts, scan-side. The
     explode follows the generate-pushdown rule (outer + null filter on
-    the generated column)."""
+    the generated column).
+
+    Plan shape (optimization r14): ``ensure_parallelism`` spreads the
+    single-row-group fixture scan across cores BEFORE the CPU-heavy
+    gram stage (the _lgram_stage precedent — AQE cannot split a
+    one-task scan, and this stage is ~L× the scan bytes in CPU);
+    ``lower(text)`` is projected ONCE per row instead of re-evaluating
+    inside the per-gram transform lambda; and the md5→conv bucket hash
+    runs on the exploded flat column (codegen) rather than inside the
+    lambda (interpreted). Same (id, bucket, cnt) multiset, measured
+    9.4 s → 0.4 s on the sf0.1 gram stage."""
+    from ..operators.mining import ensure_parallelism
+
+    lowered = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(id_col, F.lower(F.col(text_col)).alias("__lt"))
     return (
-        df.select(
+        lowered.select(
             id_col,
-            F.explode_outer(
-                char_gram_buckets(F.col(text_col), ns=ns, buckets=buckets)
-            ).alias("bucket"),
+            F.explode_outer(_raw_char_grams(F.col("__lt"), ns=ns)).alias(
+                "__g"
+            ),
         )
-        .filter(F.col("bucket").isNotNull())
+        .filter(F.col("__g").isNotNull())
+        .select(id_col, _bucket_of(F.col("__g"), buckets=buckets).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
@@ -247,10 +302,16 @@ def train_lang_id(
     i_rows = [
         (lg, int(round(model.pi[c] * micro))) for c, lg in enumerate(labels)
     ]
-    weights = spark.createDataFrame(
-        w_rows, "lang string, bucket long, w_micro long"
+    # JVM local relations (functions/localrel.py): both tables are
+    # broadcast into the scan-side scoring join — as Python-RDD
+    # relations every evaluation paid per-slice Python-worker
+    # round-trips (guide §4); as LocalTableScans they are free.
+    from ..functions.localrel import local_relation
+
+    weights = local_relation(
+        spark, w_rows, "lang string, bucket long, w_micro long"
     )
-    intercepts = spark.createDataFrame(i_rows, "lang string, b_micro long")
+    intercepts = local_relation(spark, i_rows, "lang string, b_micro long")
     return weights, intercepts
 
 
@@ -271,67 +332,80 @@ def lang_id_learned(
     Output: ``(id, pred_lang, top_micro, margin_micro, n_grams)`` —
     margin is top1 − top2 in exact integer micro units.
     """
-    from ..operators.joins import topk_per_group
-
+    # Optimization r14: the per-(doc, lang) shape — broadcast join
+    # fanning every (doc, bucket) row ×|langs|, a (doc, lang) groupBy,
+    # a crossJoin with the intercepts, a left join, and TWO window
+    # passes for the top-2 — collapsed into ONE pass: the weight table
+    # pivots to a per-bucket lang→w_micro map (broadcast,
+    # model-sized), each (doc, bucket, cnt) row joins it once, and a
+    # single groupBy(id) computes n_grams plus one integer dot per
+    # lang as parallel aggregate columns (guide §2.3 "aggregate before
+    # you shuffle": the shuffle carries |langs| longs per doc instead
+    # of |langs| rows per (doc, bucket)). The argmax/margin come from
+    # array_sort over the |langs| scores — no window, no second
+    # consumption of the gram stage (the old `scored`/`base` split
+    # evaluated doc_features twice). Same deterministic tie-break
+    # (score desc, lang asc), same integer arithmetic, same output.
+    #
+    # The intercepts collect is a bounded one-action probe (|labels|
+    # rows — the bucket-probe precedent): the label list is part of
+    # the model geometry, not data.
+    lang_rows = sorted(
+        (r["lang"], int(r["b_micro"])) for r in intercepts.collect()
+    )
+    labels = [lg for lg, _ in lang_rows]
     feats = doc_features(
         df, text_col=text_col, id_col=id_col, ns=ns, buckets=buckets
     )
-    langs = F.broadcast(intercepts)
-    scored = (
-        feats.join(F.broadcast(weights), "bucket")
-        .groupBy(id_col, "lang")
-        .agg(F.sum(F.col("cnt") * F.col("w_micro")).alias("__dot"))
-    )
-    # every (doc, lang) pair gets a score (the NB log-posterior in
-    # integer micro units): prior-only when the doc hit no bucket for
-    # that lang — which cannot happen with Laplace-dense weights, but
-    # the left join keeps the contract shape.
-    base = feats.groupBy(id_col).agg(F.sum("cnt").cast("long").alias("n_grams"))
-    full = (
-        base.crossJoin(langs)
-        .join(scored, [id_col, "lang"], "left")
-        .select(
-            id_col,
-            "lang",
-            "n_grams",
-            (F.coalesce(F.col("__dot"), F.lit(0)) + F.col("b_micro"))
-            .cast("long")
-            .alias("score_micro"),
+    wmap = F.broadcast(
+        weights.groupBy("bucket").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("lang", "w_micro"))
+            ).alias("__wm")
         )
     )
-    import pyspark.sql.functions as _F
-
-    top2 = topk_per_group(
-        full, [id_col], [_F.desc("score_micro"), _F.asc("lang")], 2
+    dots = [
+        F.sum(
+            F.col("cnt") * F.coalesce(F.col("__wm")[F.lit(lg)], F.lit(0))
+        ).alias(f"__d{i}")
+        for i, lg in enumerate(labels)
+    ]
+    per_doc = (
+        feats.join(wmap, "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("cnt").cast("long").alias("n_grams"), *dots)
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("score_micro"), F.asc("lang")
+    # (score desc, lang asc) as one lexicographic struct sort: negated
+    # score first, lang second — identical ordering to the old window.
+    scored_arr = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-(F.col(f"__d{i}") + F.lit(b))).cast("long").alias("negs"),
+                    F.lit(lg).alias("lang"),
+                )
+                for i, (lg, b) in enumerate(lang_rows)
+            ]
+        )
     )
-    ranked = top2.withColumn("__rk", F.row_number().over(w))
-    best = (
-        ranked.groupBy(id_col)
-        .agg(
-            F.max(F.when(F.col("__rk") == 1, F.col("lang"))).alias("pred_lang"),
-            F.max(F.when(F.col("__rk") == 1, F.col("score_micro"))).alias(
-                "top_micro"
-            ),
-            F.coalesce(
-                F.max(F.when(F.col("__rk") == 2, F.col("score_micro"))),
+    best = per_doc.select(
+        id_col,
+        scored_arr.alias("__a"),
+        "n_grams",
+    ).select(
+        id_col,
+        F.col("__a")[0]["lang"].alias("pred_lang"),
+        (-F.col("__a")[0]["negs"]).cast("long").alias("top_micro"),
+        (
+            -F.col("__a")[0]["negs"]
+            - F.coalesce(
+                -F.col("__a")[1]["negs"],
                 F.lit(0),
-            ).alias("__second"),
-            F.max("n_grams").alias("n_grams"),
+            )
         )
-        .select(
-            id_col,
-            "pred_lang",
-            F.col("top_micro").cast("long").alias("top_micro"),
-            (F.col("top_micro") - F.col("__second"))
-            .cast("long")
-            .alias("margin_micro"),
-            "n_grams",
-        )
+        .cast("long")
+        .alias("margin_micro"),
+        "n_grams",
     )
     # gram-free docs never enter `feats`; surface them as 'und'
     missing = df.select(id_col).join(best.select(id_col), id_col, "left_anti")

@@ -42,6 +42,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.localrel import local_relation as _local_relation
+
 from ..sources.snapshots import SnapshotTable
 from . import pq as PQ
 
@@ -299,8 +301,8 @@ class IvfPqIndex:
         on; ``vacuum`` reclaims the bytes later."""
         id_col = self.meta["id_col"]
         return self.tombstones.commit(
-            self.spark.createDataFrame(
-                [(int(i),) for i in ids], f"{id_col} long"
+            _local_relation(
+                self.spark, [(int(i),) for i in ids], f"{id_col} long"
             ).coalesce(1),
             f"tombstone {len(ids)} ids",
             append=True,

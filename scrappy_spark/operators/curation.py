@@ -225,9 +225,12 @@ def mixture_plan(
         raise ValueError(
             f"budget_tokens must fit BIGINT, got {budget_tokens}"
         )
-    declared = df.sparkSession.createDataFrame(
+    from ..functions.localrel import local_relation
+
+    declared = local_relation(
+        df.sparkSession,
         [(d, int(round(w * 1_000_000))) for d, w in weights.items()],
-        schema=f"{domain_col} string, target_weight_ppm long",
+        f"{domain_col} string, target_weight_ppm long",
     )
     avail = (
         df.groupBy(domain_col)

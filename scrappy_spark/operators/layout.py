@@ -338,7 +338,10 @@ def snapshot_file_stats(table, version: int | None = None) -> DataFrame:
                 f"{p!r}) matches no manifest path of version {v}"
             )
         by_path[p] = by_path.get(p, 0) + int(r["rows"])
-    return spark.createDataFrame(
+    from ..functions.localrel import local_relation
+
+    return local_relation(
+        spark,
         [
             (
                 f"{i:09d}",

@@ -101,8 +101,15 @@ def pq_train(
                 if mask.any():  # empty cluster keeps its centroid
                     cents[c] = sub[mask].mean(axis=0)
         prev.extend((j, c, [float(v) for v in cents[c]]) for c in range(ksub))
-    return spark.createDataFrame(
-        prev, "subspace int, code int, centroid array<double>"
+    # JVM LocalTableScan, not a Python-RDD relation: the codebook is
+    # broadcast into BOTH the encode join and the per-query ADC table,
+    # so the plan evaluates this subtree repeatedly — as a pickled RDD
+    # each evaluation paid ~4.4 s of Python-worker round-trips
+    # (guide §4, the Python boundary); as a local relation it is free.
+    from ..functions.localrel import local_relation
+
+    return local_relation(
+        spark, prev, "subspace int, code int, centroid array<double>"
     ).coalesce(1)
 
 
@@ -320,19 +327,25 @@ def ivf_pq_build(
     resid = ivf_assign_residual(
         corpus, centroids, id_col=id_col, vec_col=vec_col, label_col=label_col
     )
+    # One residual pass, consumed five times (train's count + collect,
+    # encode's subvector explode, the cell re-join, search's code
+    # stream): materialize it once instead of re-running the
+    # broadcast-centroid assignment + window per consumer
+    # (guide §5 — reuse beats recompute when the frame is cheap to
+    # hold; the residuals are corpus-sized, i.e. the same bytes one
+    # extra scan would read). Lazy: the first action (pq_train's
+    # count) materializes it.
+    resid = resid.localCheckpoint(eager=False)
     book = pq_train(
         resid, m=m, ksub=ksub, dim=dim, vec_col="__r", id_col=id_col, seed=seed
     )
-    codes = ivf_pq_encode_against(
-        corpus,
-        centroids,
-        book,
-        m=m,
-        dim=dim,
-        id_col=id_col,
-        vec_col=vec_col,
-        label_col=label_col,
-    )
+    # encode directly against the SHARED residual frame — identical to
+    # ivf_pq_encode_against(corpus, ...), which would recompute the
+    # assignment from scratch (it stays the append path, where no
+    # residual frame exists yet).
+    codes = pq_encode(
+        resid, book, m=m, dim=dim, id_col=id_col, vec_col="__r"
+    ).join(resid.select(id_col, "__cell"), id_col)
     return codes, book
 
 

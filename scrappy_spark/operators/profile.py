@@ -172,7 +172,9 @@ def footer_stats(
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
-    out = spark.createDataFrame(rows, agg.schema)
+    from ..functions.localrel import local_relation
+
+    out = local_relation(spark, rows, agg.schema)
     out.pushed_aggregation = "PushedAggregation" in plan
     return out
 

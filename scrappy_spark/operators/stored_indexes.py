@@ -48,6 +48,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.localrel import local_relation as _local_relation
+
 from ..sources.snapshots import SnapshotTable
 from . import curation as CUR
 from . import dedup_approx as DA
@@ -486,8 +488,8 @@ class MinHashIndex:
         ``signatures()`` excludes the ids from this commit on."""
         id_col = self.meta["id_col"]
         return self.tombstones.commit(
-            self.spark.createDataFrame(
-                [(int(i),) for i in ids], f"{id_col} long"
+            _local_relation(
+                self.spark, [(int(i),) for i in ids], f"{id_col} long"
             ).coalesce(1),
             f"tombstone {len(ids)} ids",
             append=True,

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.localrel import local_relation
 from ..io import load_table
 from .llmdata import _sig_sql_for
 from .llmdata11 import (
@@ -96,7 +97,8 @@ def q_gram_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stored_indexes import GramIndex
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    synth_base = spark.createDataFrame(
+    synth_base = local_relation(
+        spark,
         [(900001, _TD_ALPHA), (900002, _TD_ALPHA), (900003, _TD_BRAVO)],
         "doc_id long, text string",
     )
@@ -113,7 +115,8 @@ def q_gram_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     if idx.ledger.current_version() == 0:
         idx.delete(deleted)
 
-    synth_batch = spark.createDataFrame(
+    synth_batch = local_relation(
+        spark,
         [(900101, _TD_ALPHA), (900102, _TD_BRAVO)],
         "doc_id long, text string",
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.localrel import local_relation
 from ..io import load_table
 from ..operators import bloom as BL, dedup_approx as DA
 from ..operators.curation import temperature_sample
@@ -415,7 +416,8 @@ _BPE_MERGES_ORACLE = (
 def q_bpe_merges_textbook(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges, _ = learn_bpe(docs, n_merges=_BPE_MERGES, batch=1)
-    return spark.createDataFrame(
+    return local_relation(
+        spark,
         [
             (m["merge_idx"], m["left"], m["right"], m["merged"], m["pair_count"])
             for m in merges

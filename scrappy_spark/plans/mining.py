@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.localrel import local_relation
 from ..io import load_table
 from ..operators import joins as J
 from ..operators.mining import STOPWORDS, TOKEN_SPLIT_RE, drop_subset_terms, top_terms
@@ -70,7 +71,9 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_anti_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cands = top_terms(docs, text_col="text", ngram_range=(1, 1), k=20)
-    saved = spark.createDataFrame([("spark",), ("table",), ("data",)], ["term"])
+    saved = local_relation(
+        spark, [("spark",), ("table",), ("data",)], "term string"
+    )
     # mined terms are already lowercased by tokenization; lower() the saved
     # side to mirror the reference's case-insensitive membership check
     return cands.join(
@@ -94,7 +97,9 @@ def q_anti_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_context_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    terms = spark.createDataFrame([("join",), ("window",), ("vector",)], ["term"])
+    terms = local_relation(
+        spark, [("join",), ("window",), ("vector",)], "term string"
+    )
     out = J.context_examples(
         terms, docs, term_col="term", text_col="text", n_examples=2, example_order=["doc_id"]
     )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.localrel import local_relation
 from ..io import load_table
 from ..operators import dedup as D, joins as J
 from ..operators.filters import normalize_term, truncate_col
@@ -404,9 +405,10 @@ def q_anti_customer_without_orders(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def q_topic_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    m = spark.createDataFrame(
+    m = local_relation(
+        spark,
         [("en", "english"), ("de", "german"), ("es", "spanish"), ("fr", "french")],
-        ["lang", "topic_name"],
+        "lang string, topic_name string",
     )
     return J.lookup_with_default(
         d.select("doc_id", "lang"), m, on="lang", value_col="topic_name", default="No topic"

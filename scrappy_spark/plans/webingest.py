@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.localrel import local_relation
 from ..io import load_table
 from ..operators.web import (
     extract_html_text,
@@ -291,8 +292,8 @@ def q_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ext = extract_html_text(pages, html_col="html")
     urls = normalize_urls(ext, url_col="url")
-    blocklist = spark.createDataFrame(
-        [(d,) for d in BLOCKED_DOMAINS], ["domain"]
+    blocklist = local_relation(
+        spark, [(d,) for d in BLOCKED_DOMAINS], "domain string"
     )
     kept = blocklist_filter(urls, blocklist)
     scanned = license_scan(kept, text_col="clean_text")
@@ -371,7 +372,7 @@ def q_psl_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     hosts = docs.select("doc_id", _host_col().alias("host"))
-    psl = spark.createDataFrame([(s,) for s in PSL_SUFFIXES], ["suffix"])
+    psl = local_relation(spark, [(s,) for s in PSL_SUFFIXES], "suffix string")
     return registered_domain_psl(hosts, psl).select(
         "doc_id", "host", "registered_domain"
     )
@@ -404,7 +405,7 @@ def q_psl_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_url_normalize_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     urls = docs.select("doc_id", _url_col().alias("url"))
-    psl = spark.createDataFrame([(s,) for s in PSL_SUFFIXES], ["suffix"])
+    psl = local_relation(spark, [(s,) for s in PSL_SUFFIXES], "suffix string")
     out = normalize_urls(urls, url_col="url", psl=psl)
     return out.select("doc_id", "url_norm", "host", "registered_domain")
 

@@ -83,8 +83,10 @@ def fetch_articles(
     sources = sources or list(NORMALIZERS)
     intervals = {**DEFAULT_MIN_INTERVAL, **(min_interval or {})}
 
-    tasks = spark.createDataFrame(
-        [(s, t) for s in sources for t in terms], "source string, term string"
+    from ..functions.localrel import local_relation
+
+    tasks = local_relation(
+        spark, [(s, t) for s in sources for t in terms], "source string, term string"
     ).repartition(len(sources), "source")
 
     def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
