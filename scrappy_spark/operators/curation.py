@@ -1136,9 +1136,16 @@ def _lgram_stage(docs, L, id_col, text_col):
         .select(
             id_col,
             "q",
-            F.md5(F.col(text_col).substr(F.col("q"), F.lit(L))).alias(
-                "gram"
-            ),
+            # 16-byte BINARY gram, not the 32-char hex string: the gram
+            # column is the widest thing the keep-first shuffle and the
+            # g ⋈ firsts join carry, so unhex halves its shuffle bytes
+            # and sort-key traffic (guide §2.3 “narrower types”) — an
+            # exact bijection of the md5 hex, so keep-first semantics
+            # and every declared output are unchanged (surfaces that
+            # expose grams re-hex on emit: xs_gram_hits).
+            F.unhex(
+                F.md5(F.col(text_col).substr(F.col("q"), F.lit(L)))
+            ).alias("gram"),
             (F.col(id_col) * XS_POS_BASE + F.col("q")).alias("__key"),
         )
     )
@@ -1263,9 +1270,10 @@ def _lgram_stage_chunked(docs, L, id_col, text_col,
             # global position; fits INT (JVM strings are < 2^31 chars),
             # and _covered_output's fold accumulator is typed on it
             (F.col("__ci") * stride + F.col("__ql")).cast("int").alias("q"),
-            F.md5(F.col("__ctext").substr(F.col("__ql"), F.lit(L))).alias(
-                "gram"
-            ),
+            # binary gram — same unhex narrowing as _lgram_stage
+            F.unhex(
+                F.md5(F.col("__ctext").substr(F.col("__ql"), F.lit(L)))
+            ).alias("gram"),
             (
                 (F.col(id_col) * int(max_chunks) + F.col("__ci"))
                 * (stride + 1)
@@ -1879,7 +1887,9 @@ def xs_gram_hits(
         .select(
             id_col,
             F.col("q").cast("long").alias("q"),
-            "gram",
+            # the gram stage carries 16-byte binary grams; this face
+            # EXPOSES the gram, so re-hex to the declared md5 string
+            F.lower(F.hex("gram")).alias("gram"),
             F.expr(f"__prior div {XS_POS_BASE}")
             .cast("long")
             .alias("first_source_doc"),

@@ -203,7 +203,7 @@ class GramIndex:
         )
         member_rows = docs.select(
             F.lit("member").alias("kind"),
-            F.lit(None).cast("string").alias("gram"),
+            F.lit(None).cast("binary").alias("gram"),
             F.col(id_col).cast("long").alias("doc_id"),
             F.lit(sign).cast("long").alias("delta"),
         )
@@ -309,7 +309,7 @@ class GramIndex:
             .filter(F.col("__refs") > 0)
             .select(
                 F.lit("member").alias("kind"),
-                F.lit(None).cast("string").alias("gram"),
+                F.lit(None).cast("binary").alias("gram"),
                 "doc_id",
                 F.lit(1).cast("long").alias("delta"),
             )

@@ -271,6 +271,11 @@ def _update_gram(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (gram,) = key
+    # the gram stage carries 16-byte binary grams (curation._lgram_stage);
+    # this face exposes the gram, so re-hex to the declared md5 string —
+    # matching the batch twin xs_gram_hits
+    if isinstance(gram, (bytes, bytearray)):
+        gram = bytes(gram).hex()
     first_key, n = state.get if state.exists else (None, 0)
     occ: list[tuple[int, int]] = []
     for pdf in pdfs:
