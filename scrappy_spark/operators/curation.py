@@ -1354,7 +1354,14 @@ def exact_substring_dedup(
     L = int(min_len)
     n = F.length(F.col(text_col))
 
-    # collapse identical texts; representative = lowest doc_id
+    # collapse identical texts; representative = lowest doc_id.
+    # NOT checkpointed although four sub-plans consume it: each
+    # consumer starts from the identical Exchange(md5(text)) and
+    # Spark's runtime exchange reuse already computes it once — a
+    # lazy localCheckpoint here measured ~1 s SLOWER at sf0.1
+    # (cache serialization + broken codegen fusion for zero saved
+    # work). The static explain shows 4 scans; the executed plan has
+    # ReusedExchange. (r14 measurement log.)
     keyed = docs.select(
         id_col,
         text_col,
@@ -1661,14 +1668,27 @@ def exact_substring_provenance(
         src.cast("long").alias("source_doc"),
         (F.col("__key") > F.col("__first")).alias("__dup"),
     )
-    rep_rows = (
-        att.filter(F.col("__dup"))
-        .groupBy("__rep", "source_doc")
-        .agg(F.count("*").cast("long").alias("n_windows"))
-        .select(F.col("__rep").alias(id_col), "source_doc", "n_windows")
+    # ONE aggregation pass over the per-window attribution stream —
+    # rep_rows (dup windows only) and all_rows (every window) used to
+    # be two independent groupBys over ``att`` whose pre-exchange
+    # subtrees DIFFERED (one had the dup filter below the agg), so
+    # runtime exchange reuse could not kick in and the whole gram
+    # stage ran twice (guide §2.4 — share one exchange). Folding the
+    # dup count into the same partial agg makes the two consumers
+    # share one identical exchange; no materialization needed.
+    both = att.groupBy("__rep", "source_doc").agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum(F.when(F.col("__dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup"),
     )
-    all_rows = att.groupBy("__rep", "source_doc").agg(
-        F.count("*").cast("long").alias("n_windows")
+    rep_rows = both.filter(F.col("n_dup") > 0).select(
+        F.col("__rep").alias(id_col),
+        "source_doc",
+        F.col("n_dup").alias("n_windows"),
+    )
+    all_rows = both.select(
+        "__rep", "source_doc", F.col("n_all").alias("n_windows")
     )
     copy_rows = copies.join(all_rows, "__rep").select(
         id_col, "source_doc", "n_windows"
@@ -1735,13 +1755,19 @@ def exact_substring_provenance_sampled(
     """
     L = int(min_len)
     n = F.length(F.col(text_col))
+    # materialized once (lazy localCheckpoint): unlike the dedup path,
+    # this ``keyed`` window feeds MANY consumers whose downstream
+    # subtrees differ (totals, gram stage, copy join), so runtime
+    # exchange reuse cannot collapse them all — A/B at sf0.1 measured
+    # min-of-3 2.84 s with the checkpoint vs 5.10 s without (12 Window
+    # evaluations in the executed plan vs 1).
     keyed = docs.select(
         id_col,
         text_col,
         F.min(id_col)
         .over(Window.partitionBy(F.md5(F.col(text_col))))
         .alias("__rep"),
-    )
+    ).localCheckpoint(eager=False)
     reps = keyed.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
     copies = keyed.filter(F.col(id_col) != F.col("__rep")).select(
         id_col, "__rep", n.alias("__n")
@@ -1803,14 +1829,23 @@ def exact_substring_provenance_sampled(
             (F.col("__key") > F.col("__first")).alias("__dup"),
         )
     )
-    rep_rows = (
-        katt.filter(F.col("__dup"))
-        .groupBy("__rep", "source_doc")
-        .agg(F.count("*").cast("long").alias("n_windows"))
-        .select(F.col("__rep").alias(id_col), "source_doc", "n_windows")
+    # one aggregation pass over the sampled attribution stream (same
+    # fold as exact_substring_provenance): dup-only and all-window
+    # counts come out of a single partial agg, so the two consumers
+    # share one exchange instead of re-running the gram stage each.
+    kboth = katt.groupBy("__rep", "source_doc").agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum(F.when(F.col("__dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup"),
     )
-    all_rows = katt.groupBy("__rep", "source_doc").agg(
-        F.count("*").cast("long").alias("n_windows")
+    rep_rows = kboth.filter(F.col("n_dup") > 0).select(
+        F.col("__rep").alias(id_col),
+        "source_doc",
+        F.col("n_dup").alias("n_windows"),
+    )
+    all_rows = kboth.select(
+        "__rep", "source_doc", F.col("n_all").alias("n_windows")
     )
     copy_rows = copies.join(all_rows, "__rep").select(
         id_col, "source_doc", "n_windows"
