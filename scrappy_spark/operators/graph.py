@@ -63,15 +63,23 @@ def pagerank(
         F.col(dst_col).alias("dst"),
         (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w"),
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # Co-partition the (edge, out-degree) join once; every iteration
     # reuses this frame so only the rank side moves per round.
     weighted = e.join(out_w, "src").localCheckpoint(eager=True)
+    # Derive the node set from the MATERIALIZED edge frame, not from
+    # ``e``: nodes is consumed every round (the dangling left join) plus
+    # the init, and building it on ``e`` re-ran the whole upstream edge
+    # pipeline (link extraction + URL normalization in the web capstone)
+    # once per round. The inner join keeps every edge, so the node set
+    # is identical; its own checkpoint makes each round read a tiny
+    # cached table instead of re-shuffling the union+distinct.
+    nodes = (
+        weighted.select(F.col("src").alias("node"))
+        .union(weighted.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
     base = (15 * unit) // 100
     ranks = nodes.select("node", F.lit(unit).cast("long").alias("rank_units"))
