@@ -136,23 +136,59 @@ def dsir_weights(
     Returns (id, n_feats, weight). One explode + one broadcast join +
     one shuffle keyed by ``id_col``.
     """
-    feats = doc_features(df, text_col, id_col)
-    # is_target is an expression over df's columns; resolve it once on
-    # the id level and rebroadcast — ids carrying a boolean are small
-    # relative to the feature explosion, and this keeps doc_features
-    # reusable for scoring corpora that lack the target column.
-    flags = df.select(F.col(id_col), is_target.alias("__is_t"))
-    ratios = log_ratio_table(
-        feats.join(flags, id_col).withColumnRenamed("__is_t", "is_t"),
-        F.col("is_t"),
-        n_buckets,
+    # Carry the target flag THROUGH the explode (one boolean per row)
+    # instead of joining a per-doc flag frame onto the occurrence
+    # stream, and partial-aggregate the occurrences to (id, flag,
+    # bucket) counts immediately. Both consumers below — the ≤n_buckets
+    # histogram and the per-doc scoring join — branch off this ONE
+    # identical aggregate, so the expensive tokenize+explode+md5 pass
+    # runs once (runtime exchange reuse; the old shape evaluated it
+    # twice because the histogram side carried a flag join the scoring
+    # side lacked). The scoring shuffle now moves distinct (id, bucket)
+    # counts, not every occurrence.
+    toks = tokens_col(F.col(text_col))
+    counts = (
+        ensure_parallelism(
+            df.select(F.col(id_col), F.col(text_col), is_target.alias("__is_t"))
+        )
+        .select(F.col(id_col), "__is_t", toks.alias("toks"))
+        # explode_outer + null filter: see doc_features
+        .select(
+            id_col,
+            "__is_t",
+            F.explode_outer(
+                F.concat(F.expr(ngrams_expr("toks", 1)), F.expr(ngrams_expr("toks", 2)))
+            ).alias("feature"),
+        )
+        .filter(F.col("feature").isNotNull())
+        .select(id_col, "__is_t", feature_bucket(F.col("feature")).alias("bucket"))
+        .groupBy(id_col, "__is_t", "bucket")
+        .agg(F.count("*").cast("long").alias("__cnt"))
+    )
+    hist = counts.groupBy("bucket").agg(
+        F.sum("__cnt").cast("long").alias("r_cnt"),
+        F.sum(F.when(F.col("__is_t"), F.col("__cnt")).otherwise(0))
+        .cast("long")
+        .alias("t_cnt"),
+    )
+    totals = hist.agg(
+        F.sum("r_cnt").cast("long").alias("r_tot"),
+        F.sum("t_cnt").cast("long").alias("t_tot"),
+    )
+    b = F.lit(float(n_buckets))
+    ratios = hist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("t_cnt") + 1.0) / (F.col("t_tot") + b))
+            - F.log((F.col("r_cnt") + 1.0) / (F.col("r_tot") + b))
+        ).alias("log_ratio"),
     )
     return (
-        feats.join(F.broadcast(ratios), "bucket")
+        counts.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_feats"),
-            F.sum("log_ratio").alias("weight"),
+            F.sum("__cnt").cast("long").alias("n_feats"),
+            F.sum(F.col("__cnt") * F.col("log_ratio")).alias("weight"),
         )
     )
 
