@@ -357,17 +357,32 @@ def lang_id_learned(
     feats = doc_features(
         df, text_col=text_col, id_col=id_col, ns=ns, buckets=buckets
     )
+    # Pivot to a LABEL-INDEXED ARRAY on the (tiny) broadcast side: a
+    # per-lang map lookup in the scan-side aggregate costs O(|langs|)
+    # string comparisons per lookup, i.e. O(|langs|²) per (doc, bucket)
+    # row across the |langs| dots; __wa[i] is O(1). Measured at sf0.1
+    # (5-run min, noop sink): serve leg 1.56 s → 1.35 s. The map→array
+    # conversion runs once per bucket row (≤ buckets rows), keeping
+    # the map's missing-entry semantics via the same coalesce.
     wmap = F.broadcast(
-        weights.groupBy("bucket").agg(
+        weights.groupBy("bucket")
+        .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("lang", "w_micro"))
             ).alias("__wm")
         )
+        .select(
+            "bucket",
+            F.array(
+                *[
+                    F.coalesce(F.col("__wm")[F.lit(lg)], F.lit(0))
+                    for lg in labels
+                ]
+            ).alias("__wa"),
+        )
     )
     dots = [
-        F.sum(
-            F.col("cnt") * F.coalesce(F.col("__wm")[F.lit(lg)], F.lit(0))
-        ).alias(f"__d{i}")
+        F.sum(F.col("cnt") * F.col("__wa")[i]).alias(f"__d{i}")
         for i, lg in enumerate(labels)
     ]
     per_doc = (
