@@ -79,7 +79,13 @@ def bm25_retrieve(
     postings = toks.groupBy(id_col, "term").agg(
         F.count("*").cast("long").alias("tf")
     )
-    dlen = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
+    # document length = Σ tf, derived from POSTINGS (not a second
+    # groupBy over the raw token stream): the tokenize+explode pass
+    # feeds exactly one exchange, and the per-doc shuffle carries
+    # distinct (doc, term) counts instead of every occurrence
+    # (guide §2.3). Docs with zero tokens drop out of postings and
+    # dlen identically, preserving the oracle's convention.
+    dlen = postings.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     df_t = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     # one pass for N and L (total corpus tokens); docs with zero
     # tokens drop out of dlen AND out of every score denominator,
@@ -110,16 +116,24 @@ def bm25_retrieve(
         )
         .select("term", "idf_micro", "n_docs", "total_len")
     )
-    matched = (
-        postings.join(F.broadcast(qterms.join(idf, "term")), "term")
-        .join(dlen, id_col)
-        .withColumn(
-            "contrib_micro",
-            F.expr(
-                "(idf_micro * 22 * tf * total_len) div "
-                "(10 * tf * total_len + 3 * total_len + 9 * dl * n_docs)"
-            ),
-        )
+    # dl attached with a window over the postings stream instead of a
+    # dlen self-join: the join sorted/shuffled BOTH sides by doc id,
+    # while the window is one exchange + per-group sum on the same
+    # stream (guide §2.4 — one exchange, one sort; A/B at sf0.1
+    # min-of-4: 1.09–1.21 s vs 1.35–1.44 s join, Generate 5→4).
+    # The window must sit BELOW the query-term filter — dl sums ALL of
+    # a doc's terms, not just the matched ones.
+    pw = postings.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy(id_col))
+    )
+    matched = pw.join(
+        F.broadcast(qterms.join(idf, "term")), "term"
+    ).withColumn(
+        "contrib_micro",
+        F.expr(
+            "(idf_micro * 22 * tf * total_len) div "
+            "(10 * tf * total_len + 3 * total_len + 9 * dl * n_docs)"
+        ),
     )
     scored = matched.groupBy(query_id_col, id_col).agg(
         F.count("*").cast("long").alias("n_matched"),
