@@ -26,16 +26,39 @@ def test_components_raise_on_exhausted_iterations(spark):
 
     import pytest
 
-    n = 12  # diameter 11 > max_iter 3
+    # each round fuses TWO propagate+compress steps (r14), and a step
+    # reaches exponentially far under pointer jumping — a 12-node path
+    # (diameter 11) needs more steps than max_iter=1 covers (2 steps
+    # reach distance ~4), so exhaustion still triggers deterministically
+    n = 12
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(nodes, edges, max_iter=3)
+        connected_components(nodes, edges, max_iter=1)
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        cc = connected_components(nodes, edges, max_iter=3, on_exhaust="warn")
+        cc = connected_components(nodes, edges, max_iter=1, on_exhaust="warn")
         assert cc.count() == n  # partial labels returned
     assert any("did not converge" in str(w.message) for w in caught)
+
+
+def test_components_batched_rounds_exact_on_long_chain(spark):
+    """r14: each round fuses two propagate+compress steps. The labels
+    must stay EXACTLY min-reachable-id — pin a 40-node path plus a
+    disjoint clique-ish blob, the shapes where a miscounted step or a
+    wrong convergence test (judging on step 1 instead of step 2) would
+    split or merge clusters."""
+    chain = [(i, i + 1) for i in range(40)]  # one 41-node component
+    blob = [(100, 101), (101, 102), (100, 102), (102, 103)]
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(41)] + [(i,) for i in (100, 101, 102, 103, 200)],
+        ["id"],
+    )
+    edges = spark.createDataFrame(chain + blob, ["src", "dst"])
+    cc = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert all(cc[i] == 0 for i in range(41))
+    assert all(cc[i] == 100 for i in (100, 101, 102, 103))
+    assert cc[200] == 200  # isolated node keeps its own id
 
 
 def test_components_reliable_checkpoint_dir(spark, tmp_path):
