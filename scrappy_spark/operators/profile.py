@@ -702,7 +702,17 @@ def privacy_release_gate(
     one-row cross-joins — rows never cross a shuffle and nothing
     reaches the driver; the verdict string is computed in-plan.
     """
-    ld = l_diversity_profile(df, quasi_cols, sensitive_col, k=k, l=l)
+    # The per-group profile feeds FIVE aggregate consumers (k_row and
+    # l_row each evaluate twice — once in the output union, once as the
+    # broadcast verdict inputs of the release leg — plus the either-flag
+    # agg), and each evaluation re-runs the full corpus groupBy. The
+    # frame is QI-cardinality (groups, not rows), so materialize it once
+    # (lazy — declared queries stay action-free until the driver
+    # executes them; guide §5, reuse beats recompute). Measured at
+    # sf0.1: 5 corpus scans -> 1 (r14).
+    ld = l_diversity_profile(
+        df, quasi_cols, sensitive_col, k=k, l=l
+    ).localCheckpoint(eager=False)
     schema = [
         "gate_check",
         "detail",
@@ -739,7 +749,13 @@ def privacy_release_gate(
     k_row = _leg("k_anonymity", f"k={int(k)}", "k_at_risk", "group_size")
     l_row = _leg("l_diversity", f"l={int(l)}", "l_at_risk", "n_sensitive")
 
-    gen = generalization_candidates(df, quasi_cols, k=k)
+    # Same reuse move: the candidate table is read by the output union
+    # AND twice by the best-candidate selection below, and each read
+    # re-runs one corpus groupBy per QI column. |quasi_cols| rows —
+    # materialize once, lazily.
+    gen = generalization_candidates(df, quasi_cols, k=k).localCheckpoint(
+        eager=False
+    )
     gen_rows = gen.select(
         F.lit("generalize").alias("gate_check"),
         F.col("generalize_col").alias("detail"),
