@@ -669,14 +669,18 @@ def remove_repeated_spans(
     delimiter-aligned repeats.
 
     Plan (all linear, no suffix array needed for fixed ``span_len``):
-    posexplode the ``span_len``-token windows (position-keyed) → span
-    doc-frequency groupBy (partial-agg; shuffle ≤ distinct spans) →
-    join flagged spans back on the span key → explode each occurrence
-    to its covered token positions (span_len rows each) → anti-join
-    token positions → reassemble surviving tokens in order. Shuffles:
-    span key, then doc key — same budget as the boilerplate filter.
-    Overlapping repeated spans union their coverage via the distinct
-    on covered positions.
+    posexplode the ``span_len``-token windows (position-keyed) → flag
+    repeated spans IN PLACE with a window over the span key (for the
+    standard ``min_docs=2``, "appears in ≥ 2 distinct docs" is exactly
+    ``min(id) != max(id)`` over the span partition — one exchange, one
+    pass, and the explode is evaluated once; the general ``min_docs``
+    falls back to a doc-frequency groupBy + join, which consumes the
+    explode twice) → collect each affected doc's covered positions
+    into ONE set per doc → drop covered tokens with an array-level
+    ``filter`` on the original token array. Tokens never explode and
+    never cross a shuffle; the only shuffled streams are span
+    occurrences and per-doc position sets. Overlapping repeated spans
+    union their coverage via the position-set semantics.
 
     Output: (id, clean_text, n_tokens, n_removed). Docs whose every
     token is covered survive with empty ``clean_text`` (the caller
@@ -687,73 +691,56 @@ def remove_repeated_spans(
         F.col(id_col),
         F.posexplode(F.expr(ngrams_expr("toks", span_len))).alias("_pos", "_span"),
     )
-    repeated = (
-        spans.groupBy("_span")
-        .agg(F.countDistinct(id_col).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_span")
-    )
-    covered = (
-        spans.join(repeated, "_span")
-        .select(
+    if min_docs == 2:
+        # ≥ 2 distinct doc ids in the span partition ⟺ min ≠ max:
+        # every occurrence of a repeated span survives the filter, so
+        # the covered positions are identical to the join formulation.
+        w = Window.partitionBy("_span")
+        hits = (
+            spans.select(
+                F.col(id_col),
+                "_pos",
+                F.min(id_col).over(w).alias("_mn"),
+                F.max(id_col).over(w).alias("_mx"),
+            )
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select(id_col, "_pos")
+        )
+    else:
+        repeated = (
+            spans.groupBy("_span")
+            .agg(F.countDistinct(id_col).alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("_span")
+        )
+        hits = spans.join(repeated, "_span").select(id_col, "_pos")
+    # One covered-position SET per affected doc (collect_set unions
+    # overlapping spans' coverage), attached to the untouched token
+    # array — the old positional anti-join exploded every token of
+    # every affected doc and re-assembled them through a second
+    # shuffle + array_sort; the array filter does the same drop
+    # in-place in codegen.
+    covered_sets = (
+        hits.select(
             F.col(id_col),
             F.explode(
                 F.sequence(F.col("_pos"), F.col("_pos") + F.lit(span_len - 1))
             ).alias("_cpos"),
         )
-        .distinct()
-    )
-    # Sparse fast path: span repetition touches a small fraction of a
-    # real corpus (45/500 fixture docs; rarer at web scale after
-    # boilerplate removal), so only AFFECTED docs pay the token
-    # explode → anti-join → ordered rebuild; untouched docs emit the
-    # same normalized reassembly (token join) as a pure projection.
-    affected = covered.select(id_col).distinct()
-    positions = toks.join(affected, id_col, "left_semi").select(
-        F.col(id_col), F.posexplode("toks").alias("_tpos", "_tok")
-    )
-    # Both sides share lineage from df; rename the right side's keys so
-    # the join condition is between distinct names rather than relying
-    # on dataset-id disambiguation of `doc_id == doc_id` (which works
-    # but is fragile and trips Spark's trivially-true-predicate warning).
-    covered_r = covered.withColumnRenamed(id_col, "_cid")
-    kept = positions.join(
-        covered_r,
-        (positions[id_col] == covered_r["_cid"]) & (F.col("_tpos") == F.col("_cpos")),
-        "left_anti",
-    )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_tpos", "_tok"))),
-                lambda s: s["_tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").alias("_n_kept"),
+        .groupBy(id_col)
+        .agg(F.collect_set("_cpos").alias("_cov"))
     )
     base = toks.select(
         F.col(id_col), "toks", F.size("toks").cast("long").alias("n_tokens")
     )
-    affected_out = (
-        base.join(affected, id_col, "left_semi")
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
-                "n_removed"
-            ),
-        )
-    )
-    untouched_out = base.join(affected, id_col, "left_anti").select(
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter("toks", lambda _t, i: ~F.array_contains(cov, i))
+    return base.join(covered_sets, id_col, "left").select(
         id_col,
-        F.array_join("toks", " ").alias("clean_text"),
+        F.array_join(kept, " ").alias("clean_text"),
         "n_tokens",
-        F.lit(0).cast("long").alias("n_removed"),
+        (F.col("n_tokens") - F.size(kept).cast("long")).alias("n_removed"),
     )
-    return affected_out.unionAll(untouched_out)
 
 
 # --------------------------------------------------------------------------

@@ -323,6 +323,35 @@ def test_remove_repeated_spans_overlap_union(spark):
     assert out[2].clean_text == "p q"
 
 
+def test_remove_repeated_spans_min_docs_3(spark):
+    """The general min_docs path (doc-frequency groupBy + join — the
+    min≠max window shortcut only applies at min_docs=2): a span shared
+    by exactly two docs survives at min_docs=3, one shared by three is
+    removed from all three."""
+    from scrappy_spark.operators.curation import remove_repeated_spans
+
+    tri = "t1 t2 t3 t4 t5 t6 t7 t8"  # in docs 1,2,3
+    duo = "d1 d2 d3 d4 d5 d6 d7 d8"  # in docs 4,5 only
+    docs = spark.createDataFrame(
+        [
+            (1, f"one {tri} end"),
+            (2, f"two {tri} end2"),
+            (3, f"three {tri} end3"),
+            (4, f"four {duo} end4"),
+            (5, f"five {duo} end5"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_spans(docs, span_len=8, min_docs=3).collect()
+    }
+    for d in (1, 2, 3):
+        assert out[d].n_removed == 8 and "t1" not in out[d].clean_text
+    for d in (4, 5):
+        assert out[d].n_removed == 0 and "d1" in out[d].clean_text
+
+
 def test_mixture_plan_math(spark):
     from scrappy_spark.operators.curation import mixture_plan
     import pytest
