@@ -82,6 +82,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     on_exhaust: str = "raise",
     method: str = "label",
+    steps_per_round: int = 2,
 ) -> DataFrame:
     """(id, component) — component = min node id reachable from id.
 
@@ -90,9 +91,19 @@ def connected_components(
 
     ``method="label"`` (default): min-label propagation with path
     compression — rounds ≈ O(log diameter) in practice; each round
-    fuses TWO propagate+compress steps into one checkpointed job (so
-    ``max_iter`` rounds cover 2·max_iter steps); the right default for
-    the clique-ish graphs LSH banding produces. ``method="star"``: alternating small-star /
+    fuses ``steps_per_round`` propagate+compress steps into one
+    checkpointed job (so ``max_iter`` rounds cover
+    steps_per_round·max_iter steps). ``steps_per_round`` trades the
+    fixed per-round machinery (checkpoint materialization, the
+    convergence-count action, driver scheduling) against plan blowup:
+    each step's pointer-jump self-join references its input TWICE, so
+    an unmaterialized fused round evaluates the label subtree
+    ~2^steps_per_round times. Measured at sf0.1 (identical bit_xor
+    label checksums): 2 steps/round beat both 1 (8 checkpoint rounds)
+    and 4 (the 16× subtree blowup costs more than the 2 saved rounds
+    — 22-25 s vs 6.8-11.7 s warm) — hence the default 2.
+    The right default for the clique-ish graphs LSH banding produces.
+    ``method="star"``: alternating small-star /
     large-star (Kiveris et al., "Connected Components in MapReduce and
     Beyond") — contracts the EDGE set itself toward stars centered on
     component minima, provably converging in O(log² n) rounds worst
@@ -109,6 +120,8 @@ def connected_components(
         raise ValueError(f"on_exhaust must be 'raise' or 'warn', got {on_exhaust!r}")
     if method not in ("label", "star"):
         raise ValueError(f"method must be 'label' or 'star', got {method!r}")
+    if steps_per_round < 1:
+        raise ValueError(f"steps_per_round must be >= 1, got {steps_per_round}")
     if method == "star":
         return _connected_components_star(
             nodes, edges, id_col, src_col, dst_col, max_iter, checkpoint_dir, on_exhaust
@@ -165,19 +178,22 @@ def connected_components(
 
     changed = 0
     for _ in range(max_iter):
-        # TWO propagate+compress steps per checkpointed round: the
-        # round's wall cost at corpus scale is dominated by the fixed
-        # per-round machinery (checkpoint materialization + the
-        # convergence-count job + driver scheduling), not the per-step
-        # shuffles, so fusing two steps into ONE lazily-evaluated job
-        # halves that overhead while leaving shuffle volume per step
-        # unchanged. Convergence is judged on the SECOND step alone
+        # ``steps_per_round`` propagate+compress steps per checkpointed
+        # round: the round's wall cost at corpus scale is dominated by
+        # the fixed per-round machinery (checkpoint materialization +
+        # the convergence-count job + driver scheduling), not the
+        # per-step shuffles, so fusing steps into ONE lazily-evaluated
+        # job divides that overhead while leaving shuffle volume per
+        # step unchanged. Convergence is judged on the LAST step alone
         # (component < its input label): a full propagate+compress step
         # that changes nothing IS the fixpoint, regardless of what the
-        # first step did — measured at sf0.1: 8 → 4 rounds, identical
-        # labels (bit_xor checksum), ~30 % wall off the loop (r14).
-        step1 = _prop_compress(labels).select("a", "component")
-        step2 = _prop_compress(step1)
+        # earlier steps did — measured at sf0.1: 8 → 4 rounds at two
+        # steps/round, 4 → 2 at four, identical labels (bit_xor
+        # checksum A/B each time).
+        step = _prop_compress(labels)
+        for _extra in range(steps_per_round - 1):
+            step = _prop_compress(step.select("a", "component"))
+        step2 = step
         # The changed flag rides the same pass as the label update (the
         # step-2 input label is already in hand), so convergence
         # detection costs one filter-count over the checkpointed result

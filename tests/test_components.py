@@ -26,11 +26,12 @@ def test_components_raise_on_exhausted_iterations(spark):
 
     import pytest
 
-    # each round fuses TWO propagate+compress steps (r14), and a step
-    # reaches exponentially far under pointer jumping — a 12-node path
-    # (diameter 11) needs more steps than max_iter=1 covers (2 steps
-    # reach distance ~4), so exhaustion still triggers deterministically
-    n = 12
+    # each round fuses steps_per_round (default 2) propagate+compress
+    # steps (r14), and a step reaches exponentially far under pointer
+    # jumping (~2^s) — a 64-node path (diameter 63) needs more steps
+    # than max_iter=1 covers at any steps_per_round ≤ 4 (4 steps reach
+    # distance ~16), so exhaustion triggers deterministically
+    n = 64
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
@@ -43,7 +44,7 @@ def test_components_raise_on_exhausted_iterations(spark):
 
 
 def test_components_batched_rounds_exact_on_long_chain(spark):
-    """r14: each round fuses two propagate+compress steps. The labels
+    """r14: each round fuses steps_per_round propagate+compress steps. The labels
     must stay EXACTLY min-reachable-id — pin a 40-node path plus a
     disjoint clique-ish blob, the shapes where a miscounted step or a
     wrong convergence test (judging on step 1 instead of step 2) would
@@ -59,6 +60,24 @@ def test_components_batched_rounds_exact_on_long_chain(spark):
     assert all(cc[i] == 0 for i in range(41))
     assert all(cc[i] == 100 for i in (100, 101, 102, 103))
     assert cc[200] == 200  # isolated node keeps its own id
+
+
+def test_components_steps_per_round_invariant(spark):
+    """Labels are the fixpoint (min reachable id) for ANY steps_per_round
+    — pin k=1 and k=3 against the k=2 default on the chain+blob graph."""
+    chain = [(i, i + 1) for i in range(20)]
+    blob = [(100, 101), (101, 102), (100, 102)]
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(21)] + [(i,) for i in (100, 101, 102)], ["id"]
+    )
+    edges = spark.createDataFrame(chain + blob, ["src", "dst"])
+    for k in (1, 3):
+        cc = {
+            r.id: r.component
+            for r in connected_components(nodes, edges, steps_per_round=k).collect()
+        }
+        assert all(cc[i] == 0 for i in range(21)), k
+        assert all(cc[i] == 100 for i in (100, 101, 102)), k
 
 
 def test_components_reliable_checkpoint_dir(spark, tmp_path):
