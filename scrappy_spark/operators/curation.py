@@ -319,6 +319,11 @@ def mixture_execute(
     count — exactly the data the mix NEEDS repeated); the keep filter
     is scan-side. Nothing shuffles.
     """
+    # The |domains|-row plan is referenced by every downstream consumer
+    # of the mixed stream; without a materialization each reference
+    # re-runs mixture_plan's full-corpus groupBy (q_mixture_execute's
+    # executed plan scanned the corpus ~30× through the plan/threshold
+    # chains — r14). Lazy localCheckpoint: tiny frame, one corpus agg.
     plan = F.broadcast(
         mixture_plan(
             df, weights, budget_tokens, domain_col=domain_col,
@@ -345,7 +350,7 @@ def mixture_execute(
             .otherwise(F.col("sample_rate_ppm"))
             .cast("long")
             .alias("__part_ppm"),
-        )
+        ).localCheckpoint(eager=False)
     )
     # integer threshold on the 32-bit md5 uniform: ppm * 2^32 div 1e6
     thr = F.expr("__part_ppm * 4294967296 div 1000000")
@@ -466,7 +471,16 @@ def temperature_sample(
     broadcast back), then a scan-only filter of the corpus — the data
     itself is never shuffled. Output: the kept rows of ``df``.
     """
-    counts = df.groupBy(group_col).agg(F.count("*").alias("__ng"))
+    # |groups|-row frame referenced by the totals / weight / threshold
+    # chain AND (transitively) every derived frame — without a
+    # materialization each reference re-evaluates the full-corpus
+    # groupBy (and with it the caller's whole upstream pipeline, e.g.
+    # mixture_execute's epoch explode). Lazy localCheckpoint: the
+    # corpus is aggregated once, the chain runs on |groups| rows.
+    counts = (
+        df.groupBy(group_col).agg(F.count("*").alias("__ng"))
+        .localCheckpoint(eager=False)
+    )
     totals = counts.agg(F.sum("__ng").alias("__n"))
     # per-group boost weight, snapped to integer micro-units on the
     # |groups|-row frame so the normalizing sum is exact
