@@ -361,18 +361,34 @@ def q_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     doc="TPC-H Q21 shape (suppliers who kept orders waiting): the "
-    "EXISTS / NOT-EXISTS pair against the same fact — semi join "
-    "(another supplier touched the order) then anti join (no OTHER "
-    "supplier was also late) — both on l_orderkey with a suppkey "
-    "inequality residual. 'Late' is l_shipdate > o_orderdate + 90d "
-    "(fixtures lack commit/receipt dates). The late-line set is "
-    "computed once and reused as both the probe and the anti side, "
-    "and the final ordered limit is top-k, not a global sort.",
+    "EXISTS / NOT-EXISTS pair against the same fact, folded into "
+    "aggregates instead of semi/anti self-joins (r14): 'another "
+    "supplier touched the order' ⟺ min(l_suppkey) ≠ max(l_suppkey) "
+    "over the order's lines (the probe's supplier is one of them), "
+    "and 'no OTHER supplier was also late' ⟺ min = max over the "
+    "order's LATE lines — so the late set is computed once, flagged "
+    "in place by a window, and lineitem is scanned twice (late + the "
+    "spread aggregate) instead of three times through two wide "
+    "inequality joins. 'Late' is l_shipdate > o_orderdate + 90d "
+    "(fixtures lack commit/receipt dates); NULL suppkeys (absent in "
+    "TPC-H) could witness neither EXISTS branch and are likewise "
+    "ignored by min/max. The final ordered limit is top-k, not a "
+    "global sort.",
     tags=("join", "tpch", "subquery", "topk"),
 )
 def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
+    # EXISTS(l2: same order, different supplier) ⟺ the order's lines
+    # span ≥ 2 distinct suppliers ⟺ min ≠ max (the probe row's own
+    # supplier is always a member, so a single-supplier order can
+    # never satisfy the inequality).
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg((F.min("l_suppkey") != F.max("l_suppkey")).alias("__multi"))
+        .filter(F.col("__multi"))
+        .select("l_orderkey")
+    )
     late = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(
@@ -381,29 +397,28 @@ def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_suppkey", "o_orderstatus")
     )
-    l1 = late.filter(F.col("o_orderstatus") == "F").drop("o_orderstatus")
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
-    )
-    l3 = late.select(
-        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    # NOT EXISTS(l3: late in the same order, different supplier) ⟺ the
+    # order's LATE lines (any status) span exactly one supplier — the
+    # probe's own. One window over the late set replaces the anti
+    # self-join, and the status filter applies to the probe rows only
+    # AFTER the window so the anti side keeps its original scope.
+    w = Window.partitionBy("l_orderkey")
+    cand = late.select(
+        "l_orderkey",
+        "l_suppkey",
+        "o_orderstatus",
+        F.min("l_suppkey").over(w).alias("__lmn"),
+        F.max("l_suppkey").over(w).alias("__lmx"),
+    ).filter(
+        (F.col("o_orderstatus") == "F") & (F.col("__lmn") == F.col("__lmx"))
     )
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_1", "NATION_4", "NATION_7")
     )
     return (
-        l1.join(
-            l2,
-            (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (l1.l_orderkey == l3.k3) & (l1.l_suppkey != l3.s3),
-            "left_anti",
-        )
-        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        cand.join(multi, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

@@ -183,9 +183,15 @@ def test_q16_not_in_is_broadcast_anti(spark):
     assert "LeftAnti, BuildRight" in plan
 
 
-def test_q21_semi_then_anti_on_fact(spark):
+def test_q21_window_folds_not_exists(spark):
+    """r14: the NOT-EXISTS anti self-join over the late set is folded
+    into a min=max window over l_orderkey (one late-set evaluation, no
+    inequality-residual join); the EXISTS side is a semi join against
+    the per-order supplier-spread aggregate."""
     plan = _plan(spark, "q_tpch_q21_shape")
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" not in plan
+    assert "Window" in plan
     assert "TakeOrderedAndProject" in plan
 
 
