@@ -311,17 +311,28 @@ def doc_perplexity(
     never shuffled on a model key. Docs with < 2 tokens are absent.
     """
     toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
+    # The two model TYPE tables (unigram + bigram counts) are each
+    # referenced twice (total/ctx re-agg + the log-prob join); without
+    # a materialization every reference re-runs the corpus tokenize +
+    # explode + count shuffle. Both follow Heaps' law — bounded at any
+    # corpus size — so a lazy localCheckpoint is safe and cuts the
+    # executed plan's corpus passes from 5 to 3 (r14).
     uni = (
         toks.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("cu"))
+        .localCheckpoint(eager=False)
     )
     total = uni.agg(F.sum("cu").alias("n"))
     big = toks.select(
         F.col(id_col),
         F.explode(F.expr(ngrams_expr("toks", 2))).alias("bigram"),
     )
-    bfreq = big.groupBy("bigram").agg(F.count("*").alias("cb"))
+    bfreq = (
+        big.groupBy("bigram")
+        .agg(F.count("*").alias("cb"))
+        .localCheckpoint(eager=False)
+    )
     ctx = (
         bfreq.select(F.substring_index("bigram", " ", 1).alias("w1"), "cb")
         .groupBy("w1")
