@@ -173,6 +173,38 @@ _RECHECK_PIN: frozenset[str] = frozenset({
     "q_snapshot_pruned_read", "q_snapshot_row_delete",
     "q_snapshot_schema_evolution", "q_snapshot_schema_rename",
     "q_snapshot_spec_evolution", "q_stream_snapshot_ingest",
+    # round-14 OPTIMIZATION changes (this round is perf-only; every
+    # entry below was hash-verified against the DuckDB oracle at
+    # sf0.001 — most also at sf0.01/sf0.1 — when its change landed,
+    # see OPTIMIZATION_r14.md's verification log; the pins route the
+    # driver's own re-check at the new code):
+    # - local_relation / lang-id restructure / IVF-PQ residual reuse
+    #   (Changes 1-4, 10)
+    "q_anti_terms", "q_bm25_retrieve", "q_bpe_merges_textbook",
+    "q_classifier_predict", "q_config_pipeline", "q_context_examples",
+    "q_curate_corpus", "q_ivf_pq_ann_topk", "q_lang_id_learned",
+    "q_leakage_safe_split", "q_mixture_audit", "q_opq_ann_topk",
+    "q_pq_ann_topk", "q_rag_retrieve", "q_retrieval_eval",
+    "q_topic_lookup", "q_web_ingest", "q_psl_domain",
+    "q_url_normalize_psl", "q_footer_stats", "q_multimodal_curation",
+    "q_entity_resolution",
+    # - binary grams / provenance single-agg / window keep-first
+    #   (Changes 5, 6, 8)
+    "q_exact_substring_dedup", "q_exact_substring_incremental",
+    "q_exact_substring_longdoc", "q_substring_provenance",
+    "q_substring_provenance_longdoc", "q_substring_provenance_sampled",
+    "q_dup_corpus_profile", "q_xs_gram_hits",
+    # - PageRank node reuse / DSIR pre-agg / BM25 postings dlen /
+    #   CC fused rounds / release-gate checkpoint (Changes 7, 9, 11-13)
+    "q_pagerank_pages", "q_domain_link_rank", "q_dsir_weights",
+    "q_dsir_resample", "q_hybrid_retrieve", "q_dedup_corpus",
+    "q_dedup_best_keeper", "q_dup_clusters", "q_incremental_dedup_corpus",
+    "q_privacy_release_gate",
+    # - spans window flag / mixture+temperature checkpoint /
+    #   perplexity type tables / Q21 aggregate fold (Changes 14, 15,
+    #   17, 18)
+    "q_remove_repeated_spans", "q_mixture_plan", "q_mixture_execute",
+    "q_temperature_sample", "q_doc_perplexity", "q_tpch_q21_shape",
 })
 
 
