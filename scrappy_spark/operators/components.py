@@ -152,18 +152,31 @@ def connected_components(
         — plain neighbor-min propagation needs diameter rounds; the
         extra self-join halves the remaining distance every step,
         bounding steps by O(log d)). Returns (a, component, _old) with
-        _old = the INPUT label, so the caller can detect a no-op step."""
-        neighbor_min = (
+        _old = the INPUT label, so the caller can detect a no-op step.
+
+        Propagation is ONE union+aggregate — min over the self rows
+        unioned with the neighbor-label stream — instead of the
+        groupBy-neighbor-min + left-join-back form: same value per
+        node by definition (every participant has exactly one self
+        row, so the min covers {self} ∪ neighbors and the left join's
+        null-neighbor coalesce is subsumed), one fewer join per step
+        and one fewer evaluation of the label subtree. ``_old`` rides
+        the same aggregate (max over the tagged self rows = the
+        single input label). A/B at sf0.1 (r14): identical bit_xor
+        label checksums, loop wall 5.1-8.5 → 4.2-5.2 s."""
+        contrib = (
             sym.join(lbl.withColumnRenamed("a", "b2"), sym.b == F.col("b2"))
-            .groupBy("a")
-            .agg(F.min("component").alias("nmin"))
+            .select("a", "component")
+            .withColumn("__self", F.lit(False))
         )
-        cand = lbl.join(neighbor_min, on="a", how="left").select(
-            "a",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-            ).alias("component"),
-            F.col("component").alias("_old"),
+        cand = (
+            lbl.withColumn("__self", F.lit(True))
+            .unionByName(contrib)
+            .groupBy("a")
+            .agg(
+                F.min("component").alias("component"),
+                F.max(F.when(F.col("__self"), F.col("component"))).alias("_old"),
+            )
         )
         parent = cand.select(
             F.col("a").alias("_p"), F.col("component").alias("_pc")
