@@ -98,13 +98,28 @@ def cosine_topk(
     """
     from .joins import topk_per_group
 
+    # norms hoisted out of the crossJoin (r14): zip_with/aggregate are
+    # interpreted per element, so cosine's two norms otherwise
+    # re-evaluate once per (corpus, query) PAIR — n_queries× per corpus
+    # row and n_corpus× per query. Same expressions, evaluated once per
+    # side; dot/(‖v‖·‖q‖) multiplies in the same order as cosine(), so
+    # the rounded score is bit-identical.
     q = F.broadcast(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
+        )
     )
-    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).select(
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__vn")
+    ).crossJoin(q).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), round_digits).alias("cos_sim"),
+        F.round(
+            dot(F.col(vec_col), F.col("__qvec")) / (F.col("__vn") * F.col("__qn")),
+            round_digits,
+        ).alias("cos_sim"),
     )
     return topk_per_group(
         scored, [query_id_col], [F.desc("cos_sim"), F.asc(id_col)], k
@@ -290,20 +305,32 @@ def ivf_topk(
     """
     from .joins import topk_per_group
 
-    cents = F.broadcast(centroids.select(label_col, F.col("centroid").alias("__c")))
+    # norms hoisted out of the assignment crossJoins (r14, same
+    # rationale as cosine_topk above): the centroid norm otherwise
+    # re-evaluates per corpus row and the vector norm per cell.
+    cents = F.broadcast(
+        centroids.select(
+            label_col,
+            F.col("centroid").alias("__c"),
+            norm(F.col("centroid")).alias("__cn"),
+        )
+    )
 
     def assign(df: DataFrame, idc: str) -> DataFrame:
-        scored = df.crossJoin(cents).withColumn(
-            "__d", cosine(F.col(vec_col), F.col("__c"))
+        scored = df.withColumn("__vn", norm(F.col(vec_col))).crossJoin(cents).withColumn(
+            "__d", dot(F.col(vec_col), F.col("__c")) / (F.col("__vn") * F.col("__cn"))
         )
         w_cols = [F.desc("__d"), F.asc(label_col)]
-        return topk_per_group(scored.drop("__c"), [idc], w_cols, 1).drop("__d")
+        return (
+            topk_per_group(scored.drop("__c"), [idc], w_cols, 1)
+            .drop("__d", "__vn", "__cn")
+        )
 
     corpus_cells = assign(corpus.select(id_col, vec_col), id_col).withColumnRenamed(
         label_col, "__cell"
     )
-    q_scored = queries.crossJoin(cents).withColumn(
-        "__d", cosine(F.col(vec_col), F.col("__c"))
+    q_scored = queries.withColumn("__vn", norm(F.col(vec_col))).crossJoin(cents).withColumn(
+        "__d", dot(F.col(vec_col), F.col("__c")) / (F.col("__vn") * F.col("__cn"))
     )
     q_cells = topk_per_group(
         q_scored.drop("__c"), [query_id_col], [F.desc("__d"), F.asc(label_col)], n_probe

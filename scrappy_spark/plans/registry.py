@@ -205,6 +205,12 @@ _RECHECK_PIN: frozenset[str] = frozenset({
     #   17, 18)
     "q_remove_repeated_spans", "q_mixture_plan", "q_mixture_execute",
     "q_temperature_sample", "q_doc_perplexity", "q_tpch_q21_shape",
+    # - ANN vector math: unrolled subvector L2 + norms hoisted out of
+    #   the assignment/top-k crossJoins (Change 20; outputs verified
+    #   bit-identical, scores same IEEE operation sequence). The other
+    #   riders (q_ivf_pq_*, q_pq/q_opq_ann_topk,
+    #   q_minhash_index_takedown) are pinned above.
+    "q_embedding_cosine_topk", "q_ann_lsh_topk", "q_ivf_ann_topk",
 })
 
 

@@ -85,6 +85,70 @@ def test_ivf_pq_deterministic(spark):
     assert a == b
 
 
+def test_sq_l2_unrolled_matches_hof(spark):
+    """The r14 unrolled-small-d `_sq_l2` (codegen'd explicit terms) is
+    BIT-identical to the higher-order-function fold on real fixture
+    subvectors — the equivalence Change 20 rides on: aggregate folds
+    ((0.0+v1)+v2)+…, every (a[i]-b[i])² >= +0.0, so the unrolled
+    left-to-right sum is the same IEEE operation sequence. Also pins
+    that pq_encode's codes are unchanged by the unroll (the HOF form is
+    forced via d=None)."""
+    from scrappy_spark.io import load_table
+    from scrappy_spark.operators import pq as PQ
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # pairwise subvector distances: each vector's first 4 dims vs its
+    # last 4 dims — arbitrary but deterministic real-float inputs
+    pairs = e.select(
+        F.slice(F.col("embedding"), 1, 4).cast("array<double>").alias("a"),
+        F.slice(F.col("embedding"), 61, 4).cast("array<double>").alias("b"),
+    )
+    both = pairs.select(
+        PQ._sq_l2(F.col("a"), F.col("b"), d=4).alias("unrolled"),
+        PQ._sq_l2(F.col("a"), F.col("b")).alias("hof"),
+    ).collect()
+    assert all(r["unrolled"] == r["hof"] for r in both)  # bit-exact, no tolerance
+
+    resid = PQ.ivf_assign_residual(e, _centroids(e))
+    book = PQ.pq_train(resid, vec_col="__r")
+    fast = {
+        r["vec_id"]: list(r["codes"])
+        for r in PQ.pq_encode(resid, book, vec_col="__r").collect()
+    }
+
+    # HOF-form encode (the pre-r14 plan shape): same pipeline with the
+    # distance built through zip_with/aggregate
+    from scrappy_spark.operators.mining import ensure_parallelism
+
+    subs = ensure_parallelism(resid.select("vec_id", "__r")).select(
+        "vec_id",
+        F.posexplode_outer(
+            F.array(*[PQ._subvec(F.col("__r"), PQ.PQ_M, 64, j).cast("array<double>") for j in range(PQ.PQ_M)])
+        ).alias("subspace", "__sub"),
+    )
+    scored = subs.join(F.broadcast(book), "subspace").select(
+        "vec_id",
+        "subspace",
+        F.struct(
+            PQ._sq_l2(F.col("__sub"), F.col("centroid")).alias("d"),
+            F.col("code").alias("c"),
+        ).alias("__dc"),
+    )
+    best = scored.groupBy("vec_id", "subspace").agg(F.min("__dc")["c"].alias("code"))
+    slow = {
+        r["vec_id"]: list(r["codes"])
+        for r in best.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+        .collect()
+    }
+    assert fast == slow
+
+
 # ---------------------------------------------------------------------------
 # compaction execution (operators/layout.py::compact_snapshot)
 # ---------------------------------------------------------------------------
