@@ -148,6 +148,37 @@ def test_exact_substring_dedup_semantics(spark):
     assert out[1].cleaned_text == s3          # shared suffix removed
 
 
+def test_exact_substring_merge_bucket_seams_exact(spark):
+    """The r14 two-level covered-interval merge (level 1 within
+    (doc, q div XS_MERGE_BUCKET), level 2 across buckets) must equal
+    the reference for islands that START in one bucket and END in
+    another, and for islands that touch a bucket seam at exactly
+    prev_end + 1. Shrinking the bucket width forces seams onto a small
+    fixture (the chunk-stride test precedent); the result must be
+    invariant to the width."""
+    import scrappy_spark.operators.curation as cur
+
+    L = 6
+    shared = "SHAREDSPANABCDEFGH"          # 18 chars: island wider than bucket 8
+    doc0 = "x" * 3 + shared + "y" * 7      # source of the shared span
+    doc1 = "QQ" + shared + "ZZZZ" + shared  # two islands, seam-crossing
+    docs = [(0, doc0), (1, doc1), (2, doc0)]
+    expect = _exact_substr_ref(docs, L)
+    orig = cur.XS_MERGE_BUCKET
+    try:
+        for bucket in (4, 8, 64):          # widths below/at island scale
+            cur.XS_MERGE_BUCKET = bucket
+            out = {
+                r.doc_id: r.cleaned_text
+                for r in cur.exact_substring_dedup(
+                    spark.createDataFrame(docs, ["doc_id", "text"]), min_len=L
+                ).collect()
+            }
+            assert out == expect, bucket
+    finally:
+        cur.XS_MERGE_BUCKET = orig
+
+
 def test_exact_substring_dedup_collapse_neutrality(spark):
     """Many exact copies + a cross-doc overlap: the collapse-first
     fast path must equal the direct reference on every doc."""
