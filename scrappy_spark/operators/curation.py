@@ -1465,28 +1465,48 @@ def _covered_output(reps, copies, dup, L, id_col, text_col):
             (F.max("q") + (L - 1)).alias("e"),
         )
     )
-    # level 2: merge the per-bucket intervals per doc (an island that
-    # crosses bucket seams chains through the running max of e). s is
-    # unique per doc (each s lies inside its own bucket's range), so
-    # the ordering is deterministic.
-    w2 = Window.partitionBy(id_col).orderBy("s", "e")
-    prev_e = F.max("e").over(w2.rowsBetween(Window.unboundedPreceding, -1))
-    iv = (
-        local.withColumn(
-            "__new2",
-            (prev_e.isNull() | (F.col("s") > prev_e + 1)).cast("int"),
-        )
-        .withColumn(
-            "__isl2",
-            F.sum("__new2").over(w2.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .groupBy(id_col, "__isl2")
-        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
-        .groupBy(id_col)
-        .agg(
-            F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__ivs"),
-            F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("__nd"),
-        )
+    # level 2: merge the per-bucket intervals per doc IN THE ARRAY —
+    # one fold over the sorted ≤ len/bucket + islands entries — instead
+    # of a second window + groupBy (A/B at sf0.1: the fold form beat
+    # the window form on every XS bench query and recouped the
+    # two-level overhead on small dup streams; outputs identical). An
+    # island crossing bucket seams chains through the fold's last
+    # element; the merge rule is the same touching-or-overlapping test
+    # (s ≤ last.e + 1). s is unique per doc (each s lies inside its own
+    # bucket's range), so array_sort's ordering is deterministic. The
+    # fold's O(k²) array copies are bounded by k ≈ len/bucket per doc
+    # (~122 entries for a 1M-char book).
+    raw = local.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__raw")
+    )
+    merged_expr = F.aggregate(
+        F.col("__raw"),
+        F.expr("cast(array() as array<struct<s:int,e:int>>)"),
+        lambda acc, x: F.when(F.size(acc) == 0, F.array(x)).otherwise(
+            F.when(
+                x["s"] <= F.element_at(acc, -1)["e"] + 1,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["s"].alias("s"),
+                            F.greatest(
+                                F.element_at(acc, -1)["e"], x["e"]
+                            ).alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+        ),
+    )
+    iv = raw.select(id_col, merged_expr.alias("__ivs")).select(
+        id_col,
+        "__ivs",
+        F.aggregate(
+            F.col("__ivs"),
+            F.lit(0).cast("long"),
+            lambda a, x: a + (x["e"] - x["s"] + 1).cast("long"),
+        ).alias("__nd"),
     )
 
     # single-pass rebuild: fold (cursor, acc) over the sorted
