@@ -323,6 +323,7 @@ def lang_id_learned(
     id_col: str = "doc_id",
     ns: tuple[int, ...] = LANGID_NS,
     buckets: int = LANGID_BUCKETS,
+    with_checksum: bool = False,
 ) -> DataFrame:
     """Scan-side learned language ID: hashed-trigram counts ⋈ broadcast
     micro weights, one partial-agg sum per (doc, lang), deterministic
@@ -330,7 +331,17 @@ def lang_id_learned(
     than ``n``) predict 'und' with zero margin.
 
     Output: ``(id, pred_lang, top_micro, margin_micro, n_grams)`` —
-    margin is top1 − top2 in exact integer micro units.
+    margin is top1 − top2 in exact integer micro units. With
+    ``with_checksum=True`` a ``bucket_checksum`` column
+    (Σ bucket·cnt, 0 for 'und' docs) rides the SAME per-doc aggregate,
+    so audit consumers (q_lang_id_scored) get the hashed feature
+    stream's checksum without a second gram pass.
+
+    Requires a DENSE weights table (a row for every (lang, bucket) —
+    what :func:`train_lang_id`'s Laplace smoothing produces): the
+    scoring join is inner on ``bucket``, so with a sparse
+    caller-supplied table a doc whose grams all hash to absent buckets
+    would drop out of the output instead of scoring zero.
     """
     # Optimization r14: the per-(doc, lang) shape — broadcast join
     # fanning every (doc, bucket) row ×|langs|, a (doc, lang) groupBy,
@@ -385,10 +396,18 @@ def lang_id_learned(
         F.sum(F.col("cnt") * F.col("__wa")[i]).alias(f"__d{i}")
         for i, lg in enumerate(labels)
     ]
+    # the audit checksum rides the same aggregate (the join is lossless
+    # for a dense weights table — every bucket value has a wmap row),
+    # so it costs one extra agg column, not a second gram pass.
+    extra = (
+        [F.sum(F.col("bucket") * F.col("cnt")).cast("long").alias("bucket_checksum")]
+        if with_checksum
+        else []
+    )
     per_doc = (
         feats.join(wmap, "bucket")
         .groupBy(id_col)
-        .agg(F.sum("cnt").cast("long").alias("n_grams"), *dots)
+        .agg(F.sum("cnt").cast("long").alias("n_grams"), *dots, *extra)
     )
     # (score desc, lang asc) as one lexicographic struct sort: negated
     # score first, lang second — identical ordering to the old window.
@@ -407,6 +426,7 @@ def lang_id_learned(
         id_col,
         scored_arr.alias("__a"),
         "n_grams",
+        *(["bucket_checksum"] if with_checksum else []),
     ).select(
         id_col,
         F.col("__a")[0]["lang"].alias("pred_lang"),
@@ -421,6 +441,7 @@ def lang_id_learned(
         .cast("long")
         .alias("margin_micro"),
         "n_grams",
+        *(["bucket_checksum"] if with_checksum else []),
     )
     # Gram-free docs never enter `feats`; surface them as 'und'. A doc
     # is gram-free iff its text is shorter than the smallest n (the
@@ -432,8 +453,13 @@ def lang_id_learned(
     # the WHOLE gram+score pipeline evaluated twice per action.
     # Measured at sf0.1 (min-of-3, noop): 3.32 → 1.37 s, outputs
     # identical including empty/null-text docs (r14).
+    # length(lower(text)), not length(text): grams are sliced from the
+    # LOWERED text, and Unicode one-to-many lowercase mappings (İ → i̇)
+    # can change the length — the filter must test the same string the
+    # gram stage slices or a doc could appear in both branches / neither
+    # (ADVICE r14).
     missing = df.filter(
-        F.coalesce(F.length(F.col(text_col)), F.lit(0)) < min(ns)
+        F.coalesce(F.length(F.lower(F.col(text_col))), F.lit(0)) < min(ns)
     ).select(id_col)
     return best.unionByName(
         missing.select(
@@ -442,6 +468,11 @@ def lang_id_learned(
             F.lit(0).cast("long").alias("top_micro"),
             F.lit(0).cast("long").alias("margin_micro"),
             F.lit(0).cast("long").alias("n_grams"),
+            *(
+                [F.lit(0).cast("long").alias("bucket_checksum")]
+                if with_checksum
+                else []
+            ),
         )
     )
 
@@ -623,6 +654,7 @@ class LangIdModel:
         df: DataFrame,
         text_col: str = "text",
         id_col: str = "doc_id",
+        with_checksum: bool = False,
     ) -> DataFrame:
         """:func:`lang_id_learned` against the STORED tables — no
         training — plus the ``model_version`` audit column."""
@@ -635,6 +667,7 @@ class LangIdModel:
             id_col=id_col,
             ns=tuple(meta["ns"]),
             buckets=meta["buckets"],
+            with_checksum=with_checksum,
         )
         return out.withColumn(
             "model_version", F.lit(self.version()).cast("long")

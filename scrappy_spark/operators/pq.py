@@ -167,7 +167,14 @@ def _sq_l2(a, b, d: int | None = None):
     that keep the HOF form. Float-equivalence: aggregate folds
     ((0.0+v₁)+v₂)+… and every vᵢ = (aᵢ−bᵢ)² ≥ +0.0 (or NaN), so
     0.0+v₁ ≡ v₁ bit-exactly and the left-to-right sum (v₁+v₂)+… is the
-    SAME IEEE operation sequence."""
+    SAME IEEE operation sequence.
+
+    Precondition for the unrolled branch: BOTH arrays have exactly
+    ``d`` elements. ``element_at`` past the array end throws under ANSI
+    mode where the zip_with form pads the shorter side with NULL —
+    mismatched lengths are a caller bug either way (every caller slices
+    fixed-width ``_subvec`` pieces), but the failure mode is mode- and
+    length-sensitive here (ADVICE r14)."""
     if d is not None and 1 <= d <= 16:
         terms = [
             (F.element_at(a, i) - F.element_at(b, i))

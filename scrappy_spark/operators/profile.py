@@ -148,30 +148,28 @@ def footer_stats(
     grouping (pushdown disables itself otherwise), and min/max on
     floating columns honor parquet's NaN-unsafe statistics rules.
     """
-    sets = [
-        ("spark.sql.parquet.aggregatePushdown", "true"),
-        (
-            "spark.sql.sources.useV1SourceList",
-            ",".join(
-                s
-                for s in spark.conf.get("spark.sql.sources.useV1SourceList").split(",")
-                if s.strip() != "parquet"
-            ),
+    # Isolated probe session (same SparkContext, own SQLConf): the v2 +
+    # aggregatePushdown flip used to be a set-and-restore on the SHARED
+    # session conf, which any concurrently planning query would observe
+    # (a thread-safety hole once registry-wide tests build queries from
+    # a driver thread pool — guide §2.6). newSession scopes the flip to
+    # this probe; rows and plan are identical.
+    probe = spark.newSession()
+    probe.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    probe.conf.set(
+        "spark.sql.sources.useV1SourceList",
+        ",".join(
+            s
+            for s in probe.conf.get("spark.sql.sources.useV1SourceList").split(",")
+            if s.strip() != "parquet"
         ),
-    ]
-    saved = {k: spark.conf.get(k) for k, _ in sets}
+    )
     exprs = ["count(*) AS n_rows"]
     for c in cols:
         exprs += [f"min({c}) AS min_{c}", f"max({c}) AS max_{c}"]
-    try:
-        for k, v in sets:
-            spark.conf.set(k, v)
-        agg = spark.read.parquet(path).selectExpr(*exprs)
-        plan = agg._jdf.queryExecution().executedPlan().toString()
-        rows = agg.collect()
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
+    agg = probe.read.parquet(path).selectExpr(*exprs)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    rows = agg.collect()
     from ..functions.localrel import local_relation
 
     out = local_relation(spark, rows, agg.schema)

@@ -264,7 +264,7 @@ def _langid_scored_sql() -> str:
 def q_lang_id_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from ..ml.langid import LangIdModel, doc_features
+    from ..ml.langid import LangIdModel
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     path = os.path.join(_tmp_root(spark, sf_dir, "langid_model"), "model")
@@ -280,29 +280,24 @@ def q_lang_id_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_w == len(labels) * meta["buckets"] and n_i == len(labels)
     )
 
-    pred = model.score(docs).drop("n_grams")
-    sums = doc_features(docs).groupBy("doc_id").agg(
-        F.sum("cnt").cast("long").alias("n_grams"),
-        F.sum(F.col("bucket") * F.col("cnt")).cast("long").alias(
-            "bucket_checksum"
-        ),
-    )
-    return (
-        pred.join(sums, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce("bucket_checksum", F.lit(0))
-            .cast("long")
-            .alias("bucket_checksum"),
-            (
-                F.col("pred_lang").isin(*labels)
-                | ((F.col("pred_lang") == "und") & (F.col("n_grams").isNull()))
-            )
-            .cast("long")
-            .alias("pred_in_set"),
-            (F.col("margin_micro") >= 0).cast("long").alias("margin_ok"),
-            "model_version",
-            F.lit(complete).cast("long").alias("model_complete"),
-        )
+    # Optimization r15 (VERDICT r14 #5): the audit checksum used to be
+    # a SECOND doc_features pass joined back per doc — two full gram
+    # stages per action. ``with_checksum`` folds Σ bucket·cnt into the
+    # scoring aggregate itself (the wmap join is lossless: the stored
+    # weights table is Laplace-dense, and model_complete pins exactly
+    # that), so ONE gram pass produces every output column. 'und' rows
+    # come only from the gram-free branch (n_grams/checksum 0 by
+    # construction), which is precisely when the old left join produced
+    # a null — pred_in_set is the same predicate without the null probe.
+    pred = model.score(docs, with_checksum=True)
+    return pred.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("bucket_checksum").cast("long").alias("bucket_checksum"),
+        (F.col("pred_lang").isin(*labels) | (F.col("pred_lang") == "und"))
+        .cast("long")
+        .alias("pred_in_set"),
+        (F.col("margin_micro") >= 0).cast("long").alias("margin_ok"),
+        "model_version",
+        F.lit(complete).cast("long").alias("model_complete"),
     )

@@ -24,6 +24,38 @@ def spark() -> SparkSession:
     yield s
 
 
+def build_all_queries(spark, sf_dir: str, max_workers: int = 8) -> dict:
+    """Construct every declared query against ``sf_dir`` on a driver
+    thread pool (guide §2.6: Spark happily runs concurrent jobs; the
+    iterative queries run bounded actions at construction time, and
+    issuing them from several threads lets the next query's jobs
+    back-fill the current one's stragglers). Construction is the
+    dominant cost of every registry-wide contract test (~95-140 s per
+    sequential pass at sf0.001), so the suite builds the canonical dir
+    ONCE (see ``built_queries``) and shares the dict."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from scrappy_spark.plans import registry
+
+    specs = registry.all_specs()
+
+    def build(item):
+        name, spec = item
+        return name, spec.fn(spark, sf_dir)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return dict(pool.map(build, specs.items()))
+
+
+@pytest.fixture(scope="session")
+def built_queries(spark) -> dict:
+    """name -> DataFrame for every declared query at the canonical
+    SF_DIR, built once per session. Tests that only need schemas,
+    plans, or a smoke action reuse these instead of paying a full
+    construction pass each."""
+    return build_all_queries(spark, SF_DIR)
+
+
 def _d(y: int, m: int, day: int) -> datetime.date:
     return datetime.date(y, m, day)
 

@@ -20,12 +20,12 @@ def duck():
     return con
 
 
-def test_all_oracle_columns_match(spark, duck):
+def test_all_oracle_columns_match(spark, duck, built_queries):
     mismatches = {}
     for name, spec in registry.all_specs().items():
         if spec.sql is None:
             continue
-        spark_cols = sorted(spec.fn(spark, SF_DIR).columns)
+        spark_cols = sorted(built_queries[name].columns)
         duck_cols = sorted(
             duck.sql(f"SELECT * FROM ({spec.sql}) LIMIT 0").columns
         )
@@ -34,7 +34,7 @@ def test_all_oracle_columns_match(spark, duck):
     assert not mismatches, mismatches
 
 
-def test_no_complex_typed_output_columns(spark):
+def test_no_complex_typed_output_columns(spark, built_queries):
     """The driver's canonicalizer (pandas sort_values + value hash) dies
     on array/map/struct cells (`unhashable type: 'list'` — the round-1
     q_map_funcs failure). Every declared query, oracle-backed or
@@ -43,8 +43,8 @@ def test_no_complex_typed_output_columns(spark):
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     offenders = {}
-    for name, spec in registry.all_specs().items():
-        schema = spec.fn(spark, SF_DIR).schema
+    for name, df in built_queries.items():
+        schema = df.schema
         bad = [
             f"{f.name}:{f.dataType.simpleString()}"
             for f in schema.fields
@@ -90,14 +90,14 @@ def test_every_registered_query_is_documented():
     assert not missing, f"queries not documented in COVERAGE.md: {missing}"
 
 
-def test_plan_lint_no_scale_antipatterns(spark):
+def test_plan_lint_no_scale_antipatterns(spark, built_queries):
     """Registry-wide plan QA: no un-allowlisted CartesianProduct,
     row-at-a-time Python UDF, or single-task global Sort/Window in ANY
     declared query's physical plan (tools/plan_lint.py; allowlist
     entries each carry a written justification)."""
     import tools.plan_lint as pl
 
-    assert pl.lint() == 0
+    assert pl.lint(dfs=built_queries) == 0
 
 def test_generate_pushdown_detector(spark):
     """The generate-pushdown rule itself (VERDICT r7 #2): a plain

@@ -29,13 +29,21 @@ def duck():
     return con
 
 
-def test_all_queries_run(spark):
-    specs = registry.all_specs()
-    assert len(specs) >= 40
-    for name, spec in specs.items():
-        df = spec.fn(spark, SF_DIR)
+def test_all_queries_run(spark, built_queries):
+    assert len(built_queries) >= 40
+    from concurrent.futures import ThreadPoolExecutor
+
+    def smoke(item):
+        name, df = item
         assert df.columns, name
         assert df.limit(1).count() >= 0, name
+        return name
+
+    # concurrent smoke actions back-fill each other's stragglers
+    # (guide §2.6) — the queries are independent.
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        done = list(pool.map(smoke, built_queries.items()))
+    assert len(done) == len(built_queries)
 
 
 def test_oracles_parse(duck):

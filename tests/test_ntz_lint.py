@@ -81,10 +81,20 @@ def test_every_declared_query_analyzes_under_drift(spark, variant_dir):
     """Every declared query must pass Catalyst analysis against each ts
     encoding — this is exactly the check whose absence let the round-3
     fixture regeneration reach the driver bench as a crash."""
-    failures = {}
-    for name, spec in registry.all_specs().items():
+    from concurrent.futures import ThreadPoolExecutor
+
+    def analyze(item):
+        name, spec = item
         try:
             spec.fn(spark, variant_dir).schema
+            return name, None
         except Exception as exc:  # noqa: BLE001 - lint collects all failures
-            failures[name] = str(exc).strip().splitlines()[0]
+            return name, str(exc).strip().splitlines()[0]
+
+    # construction + analysis fanned over a driver thread pool (the
+    # conftest build_all_queries pattern): each query is independent,
+    # and the artifact-building queries' bounded jobs overlap.
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(analyze, registry.all_specs().items()))
+    failures = {n: e for n, e in results if e is not None}
     assert not failures, failures

@@ -151,23 +151,35 @@ def generate_pushdown_hit(plan: str) -> str | None:
     return None
 
 
-def lint() -> int:
+def lint(dfs: dict | None = None, max_workers: int = 8) -> int:
+    """``dfs``: optional prebuilt name -> DataFrame dict (the test
+    suite's shared ``built_queries`` fixture) so the lint doesn't pay a
+    second full-registry construction pass; built here when absent.
+    Physical planning is fanned over a small driver thread pool — each
+    ``executedPlan()`` call is independent JVM work."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from scrappy_spark.plans import registry
     from scrappy_spark.session import get_spark
 
     spark = get_spark("plan_lint")
     violations: list[tuple[str, str, str]] = []
     allowed_hits: list[tuple[str, str]] = []
-    for name, spec in registry.all_specs().items():
+
+    def plan_of(item):
+        name, spec = item
         try:
-            plan = (
-                spec.fn(spark, SF_DIR)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
+            df = dfs[name] if dfs is not None and name in dfs else spec.fn(spark, SF_DIR)
+            return name, df._jdf.queryExecution().executedPlan().toString(), None
         except Exception as exc:  # a query that cannot even plan is its own bug
-            violations.append((name, "plan-error", str(exc).splitlines()[0][:120]))
+            return name, None, str(exc).splitlines()[0][:120]
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        planned = list(pool.map(plan_of, registry.all_specs().items()))
+
+    for name, plan, err in planned:
+        if err is not None:
+            violations.append((name, "plan-error", err))
             continue
         hits: list[tuple[str, str]] = []
         if "CartesianProduct" in plan:
